@@ -1,0 +1,200 @@
+"""Analytics queries over the driver testdata (SURVEY §2.4-§2.6; FIXTURES §B).
+
+Each query transplants a reference analytic onto the synthetic tables:
+events plays the trips role (ts ↔ pickup time, value ↔ fare, user_id ↔
+location, event_type ↔ payment/rate code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators import analytics as ops
+from newyork_taxi_etl_spark.functions.datetime import DOW_SQL, SLOT_CASE_SQL
+from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import read_events, table_path
+
+_SLOT = SLOT_CASE_SQL.format(ts="ts")
+_DOW = DOW_SQL.format(ts="ts")
+
+#: fixed "airport ids" analog over events.user_id (reference uses [1,132,138]
+#: over PULocationID, nb:66172 (c101))
+FLAG_IDS = [1, 13, 38]
+
+
+@register(
+    "traffic_congestion",
+    f"""
+    SELECT {_SLOT} AS time_of_day_slot,
+           {avg_exact_sql('value')} AS avg_value,
+           COUNT(*) AS trip_count
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="A9 multi-agg by time-of-day slot + O1 sort (nb:117702 (c114)) — flagship",
+)
+def traffic_congestion(spark, sf_dir):
+    return ops.traffic_congestion(read_events(spark, sf_dir))
+
+
+@register(
+    "value_by_slot_dow",
+    f"""
+    SELECT {_SLOT} AS time_of_day_slot,
+           {_DOW} AS day_of_week,
+           ROUND({avg_exact_sql('value')}, 2) AS avg_value,
+           COUNT(*) AS trip_count
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="A10 rounded aggs by (slot, day-of-week) (nb:121693 (c138))",
+)
+def value_by_slot_dow(spark, sf_dir):
+    return ops.value_by_slot_dow(read_events(spark, sf_dir))
+
+
+@register(
+    "rank_in_group",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(RANK() OVER (PARTITION BY l_returnflag
+                             ORDER BY COUNT(*) DESC, l_linestatus) AS INT) AS rnk
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, rnk
+    """,
+    doc="A7+W1 count by (returnflag,linestatus), rank within returnflag (nb:117225 (c111))",
+)
+def rank_in_group(spark, sf_dir):
+    return ops.rank_in_group(
+        spark.read.parquet(table_path(sf_dir, "lineitem")), "l_returnflag", "l_linestatus"
+    ).orderBy("l_returnflag", "rnk")
+
+
+@register(
+    "top_routes",
+    f"""
+    WITH slotted AS (
+      SELECT *, {_SLOT} AS time_of_day_slot FROM events
+    )
+    SELECT concat_ws(' to ', user_id, event_type) AS route,
+           COUNT(*) AS trip_count
+    FROM slotted
+    WHERE time_of_day_slot IN ('Afternoon', 'Evening')
+    GROUP BY user_id, event_type
+    ORDER BY trip_count DESC, route
+    LIMIT 10
+    """,
+    doc="O3 top-k routes with concat_ws label (nb:122413 (c144))",
+)
+def top_routes(spark, sf_dir):
+    return ops.top_routes(read_events(spark, sf_dir))
+
+
+@register(
+    "corr_by_group",
+    f"""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_xy,
+           {avg_exact_sql('l_quantity')} AS avg_x,
+           {avg_exact_sql('l_extendedprice')} AS avg_y,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="A12 grouped Pearson corr + avgs (nb:122567 (c146))",
+)
+def corr_by_group(spark, sf_dir):
+    return ops.corr_by_group(
+        spark.read.parquet(table_path(sf_dir, "lineitem")),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@register(
+    "flag_split_stats",
+    f"""
+    SELECT user_id IN (1, 13, 38) AS is_flag,
+           {avg_exact_sql('value')} AS avg_value,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="A8 avg by boolean membership flag (airport tip%% analog, nb:66529 (c105))",
+)
+def flag_split_stats(spark, sf_dir):
+    return ops.flag_split_stats(read_events(spark, sf_dir), FLAG_IDS)
+
+
+@register(
+    "group_type_stats",
+    f"""
+    SELECT CASE WHEN user_id IN (1, 13, 38) THEN 'flagged' ELSE 'non_flagged' END
+             AS trip_type,
+           ROUND({avg_exact_sql('value')}, 2) AS avg_value,
+           ROUND({avg_exact_sql('hour(ts)')}, 2) AS avg_hour,
+           COUNT(*) AS trips
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="A10 multi-agg by derived trip_type (airport stats analog, nb:122693 (c147))",
+)
+def group_type_stats(spark, sf_dir):
+    return ops.group_type_stats(read_events(spark, sf_dir), FLAG_IDS)
+
+
+@register(
+    "count_nonnull_by_group",
+    """
+    SELECT o_orderstatus, COUNT(o_custkey) AS nonnull_cnt
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="A11 null-skipping count per group (nb:116820 (c109))",
+)
+def count_nonnull_by_group(spark, sf_dir):
+    return ops.count_nonnull_by_group(
+        spark.read.parquet(table_path(sf_dir, "orders")), "o_orderstatus", "o_custkey"
+    )
+
+
+@register(
+    "congestion_sorted_desc",
+    f"""
+    SELECT {_SLOT} AS time_of_day_slot,
+           {avg_exact_sql('value')} AS avg_value,
+           COUNT(*) AS trip_count
+    FROM events
+    GROUP BY 1
+    ORDER BY trip_count DESC
+    """,
+    doc="O2 global sort desc by aggregate expression (nb:122031 (c142))",
+)
+def congestion_sorted_desc(spark, sf_dir):
+    df = ops.traffic_congestion(read_events(spark, sf_dir))
+    return df.orderBy(F.desc("trip_count"))
+
+
+@register(
+    "distinct_values",
+    """
+    SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+    """,
+    doc="P14 distinct values of a categorical column (nb:64307 (c73))",
+)
+def distinct_values(spark, sf_dir):
+    return (
+        spark.read.parquet(table_path(sf_dir, "orders"))
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )

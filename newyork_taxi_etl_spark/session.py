@@ -1,0 +1,94 @@
+"""SparkSession factory with reference-compatible semantics.
+
+The reference ran on Spark 3.5.2 (Databricks DBR 16.4, see
+``/root/reference/README.md:42-46``) where ANSI mode is OFF by default;
+its speed filter divides by zero and relies on non-ANSI ``x/0.0 -> NULL``
+semantics (SURVEY.md §2.9.5, ``nb:61073 (c26)``).  Local PySpark is 4.x
+with ANSI ON by default, so the factory pins ``spark.sql.ansi.enabled=false``.
+
+Scale notes (100 TB discipline):
+  * AQE on (coalesce partitions + skew-join handling) — at cluster scale the
+    route-pair group-by is skewed (SURVEY §7.3.6) and AQE splits skewed
+    shuffle partitions at runtime.
+  * ``spark.sql.shuffle.partitions`` defaults to 32 locally; on a real
+    cluster set it to 2-3x total cores (or rely on AQE coalescing from a
+    higher initial value).
+  * Arrow enabled for the pandas-UDF paths (dedup/similarity/multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-level SQL confs that are *dynamic* (safe to set on a live session).
+#: These encode reference semantics and must hold for every query we run,
+#: including on a driver-provided session.
+DYNAMIC_CONFS: dict[str, str] = {
+    # Reference semantics: non-ANSI division (x/0.0 -> NULL), lenient casts.
+    "spark.sql.ansi.enabled": "false",
+    # Golden hour/day-of-week values assume UTC (SURVEY §7.3.3).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF exchange (vectorized Python boundary).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Case-insensitive resolution is Spark's default; pin it anyway since the
+    # Airport_fee respelling quirk (SURVEY §2.9.7) depends on it.
+    "spark.sql.caseSensitive": "false",
+    # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark 4 rejects outright; read it as long nanos and convert in the
+    # reader (sources.readers.read_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply reference-compatible dynamic confs to an existing session.
+
+    Called defensively at the top of every public query entry point so that
+    driver-provided sessions (which may run ANSI-on Spark 4 defaults) still
+    evaluate with reference semantics.
+    """
+    for k, v in DYNAMIC_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static on exotic deployments; best effort.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "newyork-taxi-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local testing uses ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    master comes from the environment (spark-submit) and this factory only
+    contributes confs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.mergeSchema", "false")
+    )
+    for k, v in DYNAMIC_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)
