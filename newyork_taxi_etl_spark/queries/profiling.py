@@ -1,1 +1,119 @@
-"""Placeholder — queries land in a later milestone."""
+"""Profiling queries (SURVEY §2.4 A2-A6) over the driver testdata.
+
+Single-pass per-column aggregate profiles — the reference's signature
+"in one pass" pattern (nb:854 (c9), nb:973 (c12), nb:1121 (c16)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators import profile as P
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import table_path
+
+_MONEYISH = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_nulls",
+    """
+    SELECT COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_l_quantity,
+           COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS null_l_extendedprice,
+           COUNT(CASE WHEN l_discount IS NULL THEN 1 END) AS null_l_discount,
+           COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS null_l_returnflag,
+           COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_l_shipdate
+    FROM lineitem
+    """,
+    doc="A3 single-pass per-column null counts (nb:973 (c12))",
+)
+def profile_nulls(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    return P.null_counts(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
+    )
+
+
+@register(
+    "profile_negatives",
+    """
+    SELECT CAST(SUM(CASE WHEN (l_discount - 0.05) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS neg_disc_shift,
+           CAST(SUM(CASE WHEN (l_tax - 0.04) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS neg_tax_shift,
+           CAST(SUM(CASE WHEN (l_quantity - 25) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS neg_qty_shift
+    FROM lineitem
+    """,
+    doc="A2 single-pass negative-value counts, sum(when) spelling (nb:854 (c9)); "
+    "testdata has no negative raw values so counts run over centered columns",
+)
+def profile_negatives(spark, sf_dir):
+    df = (
+        spark.read.parquet(table_path(sf_dir, "lineitem"))
+        .withColumn("disc_shift", F.col("l_discount") - 0.05)
+        .withColumn("tax_shift", F.col("l_tax") - 0.04)
+        .withColumn("qty_shift", F.col("l_quantity") - 25)
+    )
+    out = P.negative_counts(df, ["disc_shift", "tax_shift", "qty_shift"])
+    return out
+
+
+@register(
+    "profile_distinct",
+    """
+    SELECT COUNT(DISTINCT o_orderkey) AS dc_o_orderkey,
+           COUNT(DISTINCT o_custkey) AS dc_o_custkey,
+           COUNT(DISTINCT o_orderstatus) AS dc_o_orderstatus,
+           COUNT(DISTINCT o_totalprice) AS dc_o_totalprice,
+           COUNT(DISTINCT o_orderdate) AS dc_o_orderdate,
+           COUNT(DISTINCT o_orderpriority) AS dc_o_orderpriority
+    FROM orders
+    """,
+    doc="A4 exact countDistinct for every column, single pass (nb:1121 (c16))",
+)
+def profile_distinct(spark, sf_dir):
+    return P.distinct_counts(spark.read.parquet(table_path(sf_dir, "orders")))
+
+
+@register(
+    "summary_stats",
+    """
+    SELECT COUNT(l_quantity) AS count_l_quantity,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(l_quantity) AS DOUBLE) AS mean_l_quantity,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_l_quantity,
+           MIN(l_quantity) AS min_l_quantity,
+           MAX(l_quantity) AS max_l_quantity,
+           COUNT(l_extendedprice) AS count_l_extendedprice,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(l_extendedprice) AS DOUBLE) AS mean_l_extendedprice,
+           ROUND(STDDEV_SAMP(l_extendedprice), 6) AS stddev_l_extendedprice,
+           MIN(l_extendedprice) AS min_l_extendedprice,
+           MAX(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem
+    """,
+    doc="A5 describe()-equivalent typed summary stats (nb:776 (c6))",
+)
+def summary_stats(spark, sf_dir):
+    return P.summary_stats(
+        spark.read.parquet(table_path(sf_dir, "lineitem")),
+        ["l_quantity", "l_extendedprice"],
+    )
+
+
+@register(
+    "exact_quantile",
+    """
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p0_5,
+           ROUND(quantile_cont(l_extendedprice, 0.999), 6) AS p0_999
+    FROM lineitem
+    """,
+    doc="A6 exact quantile (approxQuantile relErr=0 parity via percentile; nb:1499 (c21))",
+)
+def exact_quantile(spark, sf_dir):
+    return P.exact_quantiles(
+        spark.read.parquet(table_path(sf_dir, "lineitem")),
+        "l_extendedprice",
+        [0.5, 0.999],
+    )
