@@ -1,1 +1,209 @@
-"""Placeholder — queries land in a later milestone."""
+"""Join queries — the engine's deliberate capability upgrade over the
+reference's zero-join surface (SURVEY §2.3, §7.1 M2), expressed Spark-first:
+broadcast hash joins for dims, shuffle joins for fact-fact, semi/anti forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql, sum_exact, sum_exact_sql
+from newyork_taxi_etl_spark.operators import joins as J
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import table_path
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+@register(
+    "broadcast_enrich",
+    f"""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS order_cnt,
+           {avg_exact_sql('o.o_totalprice')} AS avg_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="Broadcast star join (zone-enrichment upgrade, SURVEY §2.3): fact "
+    "orders never shuffles, 3 dims broadcast",
+)
+def broadcast_enrich(spark, sf_dir):
+    fact = _t(spark, sf_dir, "orders")
+    joined = J.star_join(
+        fact,
+        [
+            (_t(spark, sf_dir, "customer"), "o_custkey", "c_custkey"),
+            (_t(spark, sf_dir, "nation"), "c_nationkey", "n_nationkey"),
+            (_t(spark, sf_dir, "region"), "n_regionkey", "r_regionkey"),
+        ],
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            avg_exact("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("region_name")
+    )
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+    SELECT n.n_name AS nation_name,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS line_cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+    doc="TPC-H Q5-shaped multi-join revenue rollup: lineitem⋈orders shuffle "
+    "join (AQE-coalesced), customer/nation broadcast; filter pushed below "
+    "the join",
+)
+def revenue_by_nation(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy(F.desc("revenue"), "nation_name")
+    )
+
+
+@register(
+    "top_unshipped_orders",
+    f"""
+    SELECT l.l_orderkey AS orderkey,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped top-k: segment-filtered broadcast dim + shuffle "
+    "join + TakeOrderedAndProject",
+)
+def top_unshipped_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    )
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate")
+        )
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Anti join (NOT EXISTS) — left_anti, no payload crosses the exchange",
+)
+def customers_without_orders(spark, sf_dir):
+    return (
+        J.anti_join(
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "orders"),
+            "c_custkey",
+            "o_custkey",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "suppliers_in_order_nations",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey
+    )
+    ORDER BY s_suppkey
+    """,
+    doc="Semi join (EXISTS) — left_semi",
+)
+def suppliers_in_order_nations(spark, sf_dir):
+    return (
+        J.semi_join(
+            _t(spark, sf_dir, "supplier"),
+            _t(spark, sf_dir, "customer"),
+            "s_nationkey",
+            "c_nationkey",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 300
+    ORDER BY user_id
+    """,
+    doc="Set operations (absent from the reference, SURVEY §2.7): "
+    "INTERSECT + EXCEPT with distinct semantics",
+)
+def set_ops(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    signup_hi = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("value") > 300)
+    ).select("user_id")
+    return purch.intersect(err).subtract(signup_hi).orderBy("user_id")

@@ -1,0 +1,100 @@
+"""Sink / catalog / SQL-surface queries (SURVEY §2.1 S2-S6, §3.2).
+
+These exercise side-effecting paths (write → catalog → pruned re-read), so
+they are rows-only checks (no oracle SQL — the driver records the weaker
+gate, as SURVEY §5.2.1 allows for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import read_events
+from newyork_taxi_etl_spark.sources.writers import write_partitioned, write_zordered_approx
+
+
+@register(
+    "partitioned_write_pruned_read",
+    None,
+    doc="S3+S4+§4 partition pruning: write events partitioned by "
+    "year/month/day (the reference's pickup_year/month/day layout, "
+    "nb:117830 (c119)), read back with a partition predicate — the scan "
+    "lists only the matching directories",
+)
+def partitioned_write_pruned_read(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "nyetl_partitioned_events")
+    shutil.rmtree(out, ignore_errors=True)
+    df = (
+        read_events(spark, sf_dir)
+        .withColumn("event_year", F.year("ts"))
+        .withColumn("event_month", F.month("ts"))
+        .withColumn("event_day", F.dayofmonth("ts"))
+    )
+    write_partitioned(df, out, ["event_year", "event_month", "event_day"], fmt="parquet")
+    back = spark.read.parquet(out).filter(
+        (F.col("event_month") == 1) & (F.col("event_day").between(1, 7))
+    )
+    return (
+        back.groupBy("event_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_day")
+    )
+
+
+@register(
+    "zorder_approx_roundtrip",
+    None,
+    doc="§3.3 OPTIMIZE ZORDER approximation (delta-spark absent): "
+    "repartitionByRange + sortWithinPartitions on (user_id, event_type) so "
+    "file-level min/max stats become selective; read back with a key filter",
+)
+def zorder_approx_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "nyetl_zordered_events")
+    shutil.rmtree(out, ignore_errors=True)
+    df = read_events(spark, sf_dir)
+    write_zordered_approx(df, out, ["user_id", "event_type"], target_files=8)
+    back = spark.read.parquet(out).filter(F.col("user_id") == 7)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sql_catalog_surface",
+    None,
+    doc="S5/S6 + §3.2: saveAsTable on the session catalog, SHOW PARTITIONS, "
+    "partition-pruned SELECT via spark.sql",
+)
+def sql_catalog_surface(spark, sf_dir):
+    df = read_events(spark, sf_dir).withColumn("event_month", F.month("ts"))
+    spark.sql("DROP TABLE IF EXISTS nyetl_events_tbl")
+    # a fresh in-memory catalog doesn't know about tables a previous session
+    # wrote, so DROP TABLE can't clear the managed location — remove it too
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "nyetl_events_tbl"), ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .partitionBy("event_month")
+        .saveAsTable("nyetl_events_tbl")
+    )
+    parts = spark.sql("SHOW PARTITIONS nyetl_events_tbl").count()
+    result = spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS cnt
+        FROM nyetl_events_tbl
+        WHERE event_month = 1
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+    # fold the partition count in as a sanity column (deterministic)
+    return result.withColumn("n_partitions", F.lit(parts))

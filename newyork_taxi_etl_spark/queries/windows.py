@@ -1,1 +1,103 @@
-"""Placeholder — queries land in a later milestone."""
+"""Window-function queries.
+
+The reference uses exactly one window (W1 rank, nb:117225 (c111), covered by
+``rank_in_group``). These extend the surface to the standard window family —
+lead/lag/row_number/ntile and running frames — which any user of a query
+engine expects (SURVEY §2.5 'no lead/lag/ntile, no frame specs' is a gap,
+not a feature).
+
+Scale note: all windows partition by user_id — the shuffle is one hash
+exchange on the partition key and the sort is per-partition; no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import read_events
+
+def _w():
+    """Deterministic per-user ordering: ts then event_id tiebreak.
+    (Built lazily — WindowSpec construction needs an active session.)"""
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "window_lead_lag",
+    """
+    SELECT event_id,
+           user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    doc="lag/lead/row_number over per-user event sequences (extension of W1)",
+)
+def window_lead_lag(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    return (
+        df.select(
+            "event_id",
+            "user_id",
+            F.lag("value").over(_w()).alias("prev_value"),
+            F.lead("value").over(_w()).alias("next_value"),
+            F.row_number().over(_w()).alias("rn"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="running-sum frame (ROWS UNBOUNDED PRECEDING..CURRENT ROW); "
+    "decimal-exact so partial order can't skew doubles",
+)
+def window_running_sum(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "window_ntile_dense_rank",
+    """
+    SELECT event_id,
+           CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+                AS INT) AS quartile,
+           CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY user_id)
+                AS INT) AS user_dense_rank
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="ntile + dense_rank per event_type",
+)
+def window_ntile_dense_rank(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_usr = Window.partitionBy("event_type").orderBy("user_id")
+    return df.select(
+        "event_id",
+        F.ntile(4).over(w_val).alias("quartile"),
+        F.dense_rank().over(w_usr).alias("user_dense_rank"),
+    ).orderBy("event_id")

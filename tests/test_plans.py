@@ -1,0 +1,101 @@
+"""Physical-plan discipline tests (SURVEY §4; the 100 TB checklist).
+
+These assert the *shape* of the plan, not just results: pushdown reaches the
+scan, small dims broadcast, top-k avoids global sort, and nothing in the
+core surface drops to row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").filter(
+        F.col("l_quantity") > 10
+    ).select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)" in plan
+    # column pruning: scan only reads the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_broadcast_enrich_uses_broadcast_hash_join(spark):
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["broadcast_enrich"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffle of the fact side
+
+
+def test_top_routes_plans_take_ordered(spark):
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["top_routes"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    """Core (reference-parity) queries must stay JVM-side end-to-end."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    core = [
+        "traffic_congestion",
+        "value_by_slot_dow",
+        "rank_in_group",
+        "top_routes",
+        "corr_by_group",
+        "clean_keep_drop",
+        "fare_validation",
+        "profile_nulls",
+        "broadcast_enrich",
+        "revenue_by_nation",
+    ]
+    for name in core:
+        plan = _plan(queries()[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_semi_anti_join_forms(spark):
+    from newyork_taxi_etl_spark.registry import queries
+
+    anti = _plan(queries()["customers_without_orders"](spark, SF_SMOKE))
+    semi = _plan(queries()["suppliers_in_order_nations"](spark, SF_SMOKE))
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_whole_stage_codegen_covers_cleaning(spark):
+    """The cleaning cascade must fuse into whole-stage codegen (one narrow
+    stage, no exchanges)."""
+    from newyork_taxi_etl_spark.operators import clean as C
+
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # arbitrary narrow filter chain, shaped like the taxi cleaning pipeline
+    out = (
+        df.filter(F.col("l_quantity") > 1)
+        .withColumn("x", F.when(F.col("l_discount") < 0.05, 1).otherwise(0))
+        .filter(F.col("l_extendedprice") < 50000)
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    # '*(1)' marks a whole-stage-codegen'd stage in the string plan
+    assert plan.lstrip().startswith("*(1)")
