@@ -1,0 +1,122 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Image/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side machinery — schema, partition-preserving batch
+transforms, Arrow exchange shapes — is real and tested; the *codec* step is
+stubbed (no image/audio libraries in this container) behind
+``NotImplementedError`` or a deterministic fake, clearly marked.
+
+Scale shape: blobs ride through ``mapInPandas`` (Arrow record batches, zero
+per-row Python overhead); feature extraction is per-partition streaming, so
+executor memory holds one batch of blobs, never a partition's worth of
+decoded frames. Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — for 10 MB media blobs
+set it to ~32, not the 10k default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried alongside every blob column
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the multimodal shape from the documents table: a binary payload
+    column + metadata struct. (Stands in for reading real media files via
+    ``spark.read.format('binaryFile')``, which has the same shape: path,
+    length, content binary.)"""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.length(blob).cast("long").alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(blob: bytes, media_type: str):
+    """Codec stub. Real deployments plug PIL/libav/etc. here.
+
+    STUB: the container ships no media libraries (by design); anything but
+    the deterministic text fake raises.
+    """
+    if media_type == "text/plain":
+        return blob  # deterministic fake decode: identity
+    raise NotImplementedError(
+        f"no codec for {media_type!r}: install a media library and register "
+        "a decoder (deliberate stub, see module docstring)"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Per-blob features via mapInPandas (Arrow batches, partition-
+    preserving — no shuffle). Features are deterministic byte stats so the
+    plumbing is value-checkable without any codec."""
+    import math
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["blob"], pdf["media_meta"]
+            ):
+                raw = decode_media(bytes(blob), meta["media_type"])
+                counts: dict[int, int] = {}
+                for b in raw:
+                    counts[b] = counts.get(b, 0) + 1
+                n = len(raw)
+                entropy = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                ) if n else 0.0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": n,
+                        "first_byte": raw[0] if n else -1,
+                        "byte_entropy": round(entropy, 4),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' over the opaque payload: take one byte every
+    ``every_n_bytes`` as a fixed-rate sample (the video-frame-sampling shape:
+    partition-preserving explode of blob → samples). Pure built-ins."""
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(int(media_meta.n_bytes / {every_n_bytes}), 1)), "
+                f"i -> substring(blob, (i - 1) * {every_n_bytes} + 1, 1))"
+            )
+        ).alias("frame_idx", "frame_byte"),
+    )

@@ -1,1 +1,113 @@
-"""Placeholder — queries land in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (north-star surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators import similarity as S
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import table_path
+
+_COS_SQL = (
+    "ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 4)"
+)
+
+_BUCKET_SQL = (
+    "concat("
+    "CASE WHEN {v}[1] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN {v}[17] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN {v}[33] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN {v}[49] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="exact cosine top-k (brute force baseline): broadcast 5 query "
+    "vectors x corpus, per-query heap via row_number",
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec,
+             {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding AS c_vec,
+             {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             {_COS_SQL.format(a='q.q_vec', b='c.c_vec')} AS cosine
+      FROM c JOIN q USING (bucket)
+      WHERE c.cand_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="LSH-bucketed ANN (sign-bit buckets on 4 fixed dims): candidates "
+    "meet in a bucket hash join, cosine only within bucket — the scale path",
+)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "ann_pandas_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 3
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT cand_id, cosine, query_id, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="Arrow/numpy top-k (mapInPandas + BLAS matmul): same result as the "
+    "expression path, exercising the vectorized Python boundary — "
+    "value-checked against the SQL oracle",
+)
+def ann_pandas_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return S.brute_force_topk_pandas(emb, queries, k=10)

@@ -1,1 +1,108 @@
-"""Placeholder — queries land in a later milestone."""
+"""Time-window queries over ``events`` (streaming-shaped surface).
+
+Batch evaluation of the same expressions Structured Streaming runs —
+oracle-checkable — plus a real readStream pass (rows-only).
+
+Oracle note: raw ``ts`` carries nanoseconds in the parquet file; the engine
+reads microseconds (sources.readers.read_events), so every oracle that
+exposes or compares timestamps first casts ``ts`` to microsecond precision
+(``CAST(ts AS TIMESTAMP)``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import read_events
+from newyork_taxi_etl_spark.streaming import windows as W
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+           COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(value) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="tumbling 1h window count/avg (F.window; identical expression runs "
+    "under Structured Streaming)",
+)
+def tumbling_window_agg(spark, sf_dir):
+    return W.tumbling_agg(read_events(spark, sf_dir))
+
+
+@register(
+    "sliding_window_agg",
+    """
+    WITH t AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM t
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+               AS w_start, value FROM t
+    )
+    SELECT w_start, COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(value) AS DOUBLE) AS avg_value
+    FROM assigned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="sliding window (1h every 30min): each row lands in 2 windows "
+    "(F.window(dur, slide))",
+)
+def sliding_window_agg(spark, sf_dir):
+    return W.sliding_agg(read_events(spark, sf_dir))
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="session windows (30-min gap) per user via F.session_window; oracle "
+    "is the classic gaps-and-islands formulation",
+)
+def session_window_agg(spark, sf_dir):
+    return W.session_agg(read_events(spark, sf_dir))
+
+
+@register(
+    "structured_streaming_availablenow",
+    None,
+    doc="REAL Structured Streaming: stage → readStream(parquet) → "
+    "withWatermark(2h) → tumbling 1h count → memory sink, "
+    "Trigger.AvailableNow; rows-only (streaming runtime, not "
+    "SQL-expressible)",
+)
+def structured_streaming_availablenow(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_stream_stage")
+    return W.run_stream_availablenow(spark, read_events(spark, sf_dir), stage)

@@ -1,1 +1,193 @@
-"""Placeholder — queries land in a later milestone."""
+"""Text-analysis queries over the ``documents`` table (training-data-
+pipeline surface: quality scoring, token counting, language ID,
+fingerprinting — BASELINE.json north star).
+
+All pure built-in expressions (no UDFs); every query value-checked against
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.functions.text import (
+    marker_count,
+    marker_count_sql,
+    minhash_expr,
+    minhash_sql,
+    shingles_expr,
+    shingles_sql,
+)
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import table_path
+
+_TOKS_SQL = "string_split(text, ' ')"
+
+#: language-ID marker tokens (engine-side heuristic; the synthetic corpus
+#: draws from a ~31-word vocabulary, so markers are picked from it)
+MARKERS = [("en", "the"), ("de", "scan"), ("es", "join"), ("fr", "group")]
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len({_TOKS_SQL}), 4) AS avg_token_len,
+           ROUND(CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                 / len({_TOKS_SQL}), 4) AS type_token_ratio,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="quality-scoring stats per document: token count, mean token length, "
+    "type-token ratio — single narrow projection, no shuffle",
+)
+def text_stats(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    return (
+        df.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.round(
+                F.length(F.regexp_replace("text", " ", "")).cast("double")
+                / F.size(toks),
+                4,
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+            ).alias("type_token_ratio"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           ROUND(
+             0.4 * LEAST(len({_TOKS_SQL}) / 50.0, 1.0)
+             + 0.4 * (CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                      / len({_TOKS_SQL}))
+             + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END),
+             4) AS quality,
+           CASE WHEN len({_TOKS_SQL}) >= 30
+                 AND CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                     / len({_TOKS_SQL}) >= 0.2
+                THEN 'keep' ELSE 'drop' END AS quality_gate
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="composite quality score + keep/drop gate (length, lexical "
+    "diversity, size window) — the doc-filtering stage of an LLM data "
+    "pipeline",
+)
+def text_quality_score(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    quality = F.round(
+        0.4 * F.least(F.size(toks) / 50.0, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.when(F.col("n_chars").between(100, 400), 1.0).otherwise(0.0),
+        4,
+    )
+    gate = F.when((F.size(toks) >= 30) & (ttr >= 0.2), "keep").otherwise("drop")
+    return df.select(
+        "doc_id", quality.alias("quality"), gate.alias("quality_gate")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS ws_tokens,
+           CAST(list_sum(list_transform({_TOKS_SQL},
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="token counting: whitespace tokens + BPE-ish subword estimate "
+    "(ceil(len/4) pieces per word)",
+)
+def text_token_count(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.expr(
+            "CAST(aggregate(transform(split(text, ' '), "
+            "w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), "
+            "0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN {marker_count_sql(_TOKS_SQL, 'the')} >= {marker_count_sql(_TOKS_SQL, 'scan')}
+              AND {marker_count_sql(_TOKS_SQL, 'the')} >= {marker_count_sql(_TOKS_SQL, 'join')}
+              AND {marker_count_sql(_TOKS_SQL, 'the')} >= {marker_count_sql(_TOKS_SQL, 'group')}
+               THEN 'en'
+             WHEN {marker_count_sql(_TOKS_SQL, 'scan')} >= {marker_count_sql(_TOKS_SQL, 'join')}
+              AND {marker_count_sql(_TOKS_SQL, 'scan')} >= {marker_count_sql(_TOKS_SQL, 'group')}
+               THEN 'de'
+             WHEN {marker_count_sql(_TOKS_SQL, 'join')} >= {marker_count_sql(_TOKS_SQL, 'group')}
+               THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="n-gram-heuristic language ID: marker-token counts with a fixed "
+    "priority tiebreak (deterministic argmax)",
+)
+def text_lang_id(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    cnt = {lang: marker_count(toks, w) for lang, w in MARKERS}
+    pred = (
+        F.when(
+            (cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]),
+            "en",
+        )
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]), "de")
+        .when(cnt["es"] >= cnt["fr"], "es")
+        .otherwise("fr")
+    )
+    return df.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS exact_fp,
+           {minhash_sql(shingles_sql('text', 3), 0)} AS minhash_0,
+           {minhash_sql(shingles_sql('text', 3), 1)} AS minhash_1
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="document fingerprinting: md5 of normalized text (exact) + two "
+    "md5-family MinHash signatures over 3-word shingles",
+)
+def text_fingerprint(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    df = df.withColumn("sh", shingles_expr("text", 3))
+    return df.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
+        minhash_expr("sh", 0).alias("minhash_0"),
+        minhash_expr("sh", 1).alias("minhash_1"),
+    ).orderBy("doc_id")

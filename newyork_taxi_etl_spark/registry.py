@@ -69,6 +69,7 @@ def _load_all() -> None:
     import newyork_taxi_etl_spark.queries.cleaning  # noqa: F401
     import newyork_taxi_etl_spark.queries.dedup  # noqa: F401
     import newyork_taxi_etl_spark.queries.joins  # noqa: F401
+    import newyork_taxi_etl_spark.queries.multimodal  # noqa: F401
     import newyork_taxi_etl_spark.queries.profiling  # noqa: F401
     import newyork_taxi_etl_spark.queries.similarity  # noqa: F401
     import newyork_taxi_etl_spark.queries.sinks  # noqa: F401

@@ -1,0 +1,61 @@
+"""Dedup functionality on planted duplicates — the oracle queries prove
+engine-equivalence; these prove the operators actually CATCH near-dups
+(the driver corpus has none, SURVEY-level non-vacuity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators import dedup as D
+
+BASE = (
+    "the fast key order sort table scan merge part window small hash "
+    "join query row data slow filter customer line batch value group"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),                                   # exact dup of 1
+        (3, BASE.replace("window", "pane"), "en"),         # near-dup of 1
+        (4, "completely different words entirely here now", "en"),
+        (5, BASE + " trailing extra tokens appended here", "en"),  # near-dup
+        (6, "orthogonal vocabulary zone alpha beta gamma delta", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_groups_planted_dups(spark):
+    out = {r.keeper: r.copies for r in D.dedup_exact(_docs(spark)).collect()}
+    assert out[1] == 2          # docs 1+2 collapse
+    assert out.get(3) == 1
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    sigs = D.with_minhash(_docs(spark), k=4)
+    pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs                      # exact dup always collides
+    # near-dups share most shingles -> high band-collision probability;
+    # with planted 90%+ overlap at least one of (1,3)/(1,5) must surface
+    assert pairs & {(1, 3), (1, 5), (2, 3), (2, 5)}
+    assert (4, 6) not in pairs                  # unrelated docs don't pair
+
+
+def test_jaccard_verify_scores_planted_pairs(spark):
+    pairs = D.shingle_jaccard_pairs(_docs(spark), "lang", threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 5)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    sigs = D.with_simhash(_docs(spark), bits=16)
+    pairs = D.hamming_pairs(sigs, max_dist=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0                     # identical text, identical sig
+    sig = {r.doc_id: r.simhash for r in sigs.select("doc_id", "simhash").collect()}
+    ham_14 = sum(a != b for a, b in zip(sig[1], sig[4]))
+    ham_13 = sum(a != b for a, b in zip(sig[1], sig[3]))
+    assert ham_13 <= ham_14                     # near-dup at least as close
