@@ -49,7 +49,10 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        df.collect()
+        # noop sink: computes every projected column and materializes the
+        # full plan (unlike count(), which lets pruning skip projections)
+        # without timing an unbounded driver-side collect (SURVEY §7.3.6).
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -42,6 +42,30 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
     )
 
 
+def with_shingles(df, text_col: str = "text", n: int = 3, out: str = "sh"):
+    """Attach an n-word shingle array, tokenizing ONCE per row.
+
+    Binding the token array to a real column matters: inlining
+    ``split(text)`` inside the transform lambda makes every ``element_at``
+    re-split the text (3 splits per shingle), which interpreted lambda
+    evaluation does not CSE away. CollapseProject keeps the binding because
+    the token column is non-cheap and referenced several times.
+    """
+    toks = "_toks_" + out
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    sh = (
+        f"CASE WHEN size({toks}) >= {n} "
+        f"THEN transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+    return (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .withColumn(out, F.expr(sh))
+        .drop(toks)
+    )
+
+
 def minhash_expr(shingle_col: str, seed: int) -> Column:
     """One MinHash signature: min over md5(seed || shingle).
 

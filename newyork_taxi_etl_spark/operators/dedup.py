@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from newyork_taxi_etl_spark.functions.text import minhash_expr, shingles_expr
+from newyork_taxi_etl_spark.functions.text import (
+    minhash_expr,
+    with_shingles,
+)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -42,7 +45,7 @@ def with_minhash(
     df: DataFrame, text_col: str = "text", n: int = 3, k: int = 4
 ) -> DataFrame:
     """Attach k MinHash signatures over n-word shingles."""
-    out = df.withColumn("_sh", shingles_expr(text_col, n))
+    out = with_shingles(df, text_col, n, out="_sh")
     for i in range(k):
         out = out.withColumn(f"mh_{i}", minhash_expr("_sh", i))
     return out.drop("_sh")
@@ -97,31 +100,56 @@ def shingle_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Blocked all-pairs exact n-gram-shingle Jaccard (the verify stage).
+    """Exact n-gram-shingle Jaccard via an inverted-index candidate join.
 
-    Blocks on ``block_col`` so the quadratic term is per-block; the join is a
-    hash shuffle on the block key.
+    Explodes each doc's distinct shingle set and equi-joins on
+    (block, shingle): only pairs that SHARE a shingle ever meet, so the
+    quadratic all-pairs term is replaced by sum_g f_g^2 over shingle
+    frequencies (bounded by the hottest shingle, not the block size). The
+    per-pair |intersection| falls out of a hash aggregate on the pair key,
+    and |union| = |a| + |b| - shared — no per-pair array ops at all. The
+    result is identical to blocked all-pairs for any threshold > 0, since a
+    zero-overlap pair has jaccard exactly 0.
+
+    Shuffle shape: one hash shuffle on (block, shingle), one on the pair
+    key — both parallel and skew-bounded; nothing quadratic at any stage
+    for non-degenerate shingle distributions.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("blk"),
-        F.array_distinct(shingles_expr(text_col, n)).alias("sh"),
+    # A small parquet table arrives as one input split; repartition before the
+    # shingle explode so tokenization parallelizes (at 100 TB the scan itself
+    # provides the splits and this is a cheap narrow-ish extra exchange).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = (
+        with_shingles(df.repartition(n_part, F.col(id_col)), text_col, n)
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            F.array_distinct(F.col("sh")).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    j = inter.cast("double") / union
-    return (
+    inv = sh.select(id_col, "blk", "n_sh", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.g") == F.col("b.g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(j, 6).alias("jaccard"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -133,17 +161,20 @@ def with_simhash(
     bit of hex digit i of each token's md5; majority wins.
 
     Engine-portable (md5 + substring), no UDF; ``bits`` <= 32 (md5 hex len).
+    Each token is hashed ONCE into a digest array; the per-bit votes then
+    only inspect one hex digit of the precomputed digest (16x fewer md5
+    evaluations than hashing inside each bit's aggregate).
     """
-    toks = f"array_distinct(split({text_col}, ' '))"
-    bit_exprs = []
-    for i in range(1, bits + 1):
-        vote = (
-            f"aggregate({toks}, 0, (acc, t) -> acc + "
-            f"(CASE WHEN substring(md5(t), {i}, 1) IN "
-            f"('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END))"
-        )
-        bit_exprs.append(f"(CASE WHEN ({vote}) >= 0 THEN '1' ELSE '0' END)")
-    return df.withColumn("simhash", F.expr("concat(" + ", ".join(bit_exprs) + ")"))
+    digests = f"transform(array_distinct(split({text_col}, ' ')), t -> md5(t))"
+    sim = (
+        f"aggregate({digests}, array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(1, {bits}), (a, i) -> a + "
+        f"(CASE WHEN substring(h, i, 1) IN "
+        f"('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)), "
+        f"acc -> concat_ws('', "
+        f"transform(acc, v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END)))"
+    )
+    return df.withColumn("simhash", F.expr(sim))
 
 
 def simhash_sql(text_col: str = "text", bits: int = 16) -> str:

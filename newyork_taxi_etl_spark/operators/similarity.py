@@ -37,6 +37,50 @@ def cosine_expr(a: str, b: str, digits: int = 4):
     )
 
 
+_DOT_D = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+    partitions: int = 64,
+) -> DataFrame:
+    """All-pairs cosine >= threshold with per-row norm precompute.
+
+    Each row's double-cast vector and norm are computed ONCE before the
+    join (carried in the broadcast / stream relations), so a candidate pair
+    costs exactly one zip_with dot product instead of three. Both sides are
+    repartitioned so the nested-loop pair scan spreads across cores rather
+    than running as a single task; the right side is broadcast (it is small
+    by contract — for corpus-scale pair mining use the banded-LSH path in
+    operators/dedup.py, which never forms all pairs).
+
+    Accumulation order matches the DuckDB oracle's list_dot_product
+    bit-for-bit (left-to-right double adds), and norm_a = sqrt(dot(a, a))
+    exactly, so results equal the naive three-dot formulation.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    ).withColumn("_norm", F.expr(f"sqrt({_DOT_D.format(a='_v', b='_v')})"))
+    base = base.repartition(partitions)
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.expr(_DOT_D.format(a="a._v", b="b._v"))
+    cos = F.round(dot / (F.col("a._norm") * F.col("b._norm")), digits)
+    return (
+        a.join(broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from newyork_taxi_etl_spark.operators import dedup as D
 from newyork_taxi_etl_spark.functions.text import minhash_sql, shingles_sql
 from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.session import spread
 from newyork_taxi_etl_spark.sources.readers import table_path
 
 _SH = shingles_sql("text", 3)
@@ -33,9 +34,7 @@ _SH = shingles_sql("text", 3)
     "(one shuffle on the content hash, map-side combine)",
 )
 def dedup_exact(spark, sf_dir):
-    return D.dedup_exact(spark.read.parquet(table_path(sf_dir, "documents"))).orderBy(
-        "keeper"
-    )
+    return D.dedup_exact(spark.read.parquet(table_path(sf_dir, "documents")))
 
 
 @register(
@@ -62,7 +61,6 @@ def dedup_prefix_block(spark, sf_dir):
         )
         .groupBy("prefix_key")
         .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("group_size"))
-        .orderBy("keeper")
     )
 
 
@@ -93,9 +91,9 @@ def dedup_prefix_block(spark, sf_dir):
     "result on this corpus is the CORRECT answer (no near-dups planted)",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
     sigs = D.with_minhash(docs, k=4)
-    return D.lsh_candidate_pairs(sigs, k=4, rows_per_band=2).orderBy("id_a", "id_b")
+    return D.lsh_candidate_pairs(sigs, k=4, rows_per_band=2)
 
 
 @register(
@@ -117,9 +115,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    return D.shingle_jaccard_pairs(docs, "lang", threshold=0.01).orderBy(
-        "id_a", "id_b"
-    )
+    return D.shingle_jaccard_pairs(docs, "lang", threshold=0.01)
 
 
 @register(
@@ -133,8 +129,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "set); Hamming pairing exercised in unit tests with planted dups",
 )
 def dedup_simhash(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    return D.with_simhash(docs, bits=16).select("doc_id", "simhash").orderBy("doc_id")
+    docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
+    return D.with_simhash(docs, bits=16).select("doc_id", "simhash")
 
 
 @register(
@@ -165,24 +161,7 @@ def dedup_simhash(spark, sf_dir):
     "identically",
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import cosine_pairs
+
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0D, (acc, v) -> acc + v)"
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = F.expr(
-        f"round({dot.format(a='a.embedding', b='b.embedding')} / "
-        f"(sqrt({dot.format(a='a.embedding', b='a.embedding')}) * "
-        f"sqrt({dot.format(a='b.embedding', b='b.embedding')})), 4)"
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
-        .orderBy("id_a", "id_b")
-    )
+    return cosine_pairs(emb, threshold=0.4)

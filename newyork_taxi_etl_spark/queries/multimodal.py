@@ -31,7 +31,7 @@ from newyork_taxi_etl_spark.sources.readers import table_path
 def multimodal_features(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     feats = M.extract_features(M.attach_blob(docs))
-    return feats.select("doc_id", "n_bytes", "first_byte").orderBy("doc_id")
+    return feats.select("doc_id", "n_bytes", "first_byte")
 
 
 @register(
@@ -54,4 +54,4 @@ def multimodal_frame_sample(spark, sf_dir):
         "doc_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.decode(F.col("frame_byte"), "UTF-8").alias("frame_char"),
-    ).orderBy("doc_id", "frame_idx")
+    )

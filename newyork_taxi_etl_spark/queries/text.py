@@ -15,10 +15,11 @@ from newyork_taxi_etl_spark.functions.text import (
     marker_count_sql,
     minhash_expr,
     minhash_sql,
-    shingles_expr,
     shingles_sql,
+    with_shingles,
 )
 from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.session import spread
 from newyork_taxi_etl_spark.sources.readers import table_path
 
 _TOKS_SQL = "string_split(text, ' ')"
@@ -61,7 +62,6 @@ def text_stats(spark, sf_dir):
             ).alias("type_token_ratio"),
             F.col("n_chars").cast("bigint").alias("n_chars"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -99,7 +99,7 @@ def text_quality_score(spark, sf_dir):
     gate = F.when((F.size(toks) >= 30) & (ttr >= 0.2), "keep").otherwise("drop")
     return df.select(
         "doc_id", quality.alias("quality"), gate.alias("quality_gate")
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -126,7 +126,7 @@ def text_token_count(spark, sf_dir):
             "w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), "
             "0L, (acc, x) -> acc + x) AS BIGINT)"
         ).alias("bpe_ish_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -166,7 +166,7 @@ def text_lang_id(spark, sf_dir):
     )
     return df.select(
         "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -183,11 +183,11 @@ def text_lang_id(spark, sf_dir):
     "md5-family MinHash signatures over 3-word shingles",
 )
 def text_fingerprint(spark, sf_dir):
-    df = spark.read.parquet(table_path(sf_dir, "documents"))
-    df = df.withColumn("sh", shingles_expr("text", 3))
+    df = spread(spark.read.parquet(table_path(sf_dir, "documents")))
+    df = with_shingles(df, "text", 3, out="sh")
     return df.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("exact_fp"),
         minhash_expr("sh", 0).alias("minhash_0"),
         minhash_expr("sh", 1).alias("minhash_1"),
-    ).orderBy("doc_id")
+    )

@@ -62,6 +62,19 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def spread(df, *cols):
+    """Repartition to the session's shuffle parallelism before compute-heavy
+    per-row work (hashing, shingling, vector math).
+
+    Small local parquet inputs arrive as ONE split (single file, single row
+    group), which would serialize expensive projections onto one core. On a
+    real cluster the scan itself provides the splits and this exchange is a
+    cheap narrow-ish shuffle; keyed variants keep downstream co-partitioning.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def get_spark(
     app_name: str = "newyork-taxi-etl-spark",
     master: str | None = None,
