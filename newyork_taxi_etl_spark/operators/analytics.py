@@ -89,6 +89,47 @@ def top_routes(
     )
 
 
+def top_routes_salted(
+    events: DataFrame,
+    ts: str = "ts",
+    src: str = "user_id",
+    dst: str = "event_type",
+    slots: tuple[str, ...] = ("Afternoon", "Evening"),
+    k: int = 10,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase top-k: identical result to :func:`top_routes`.
+
+    The reference's route distribution is heavily skewed (236<->237 dominate,
+    SURVEY §7.3.6); a single hash-aggregate shuffles every row of the hot key
+    to one reducer. Here phase 1 counts per (salt, route) — the hot key is
+    split across ``salt_buckets`` reducers — and phase 2 sums the per-salt
+    partials, shuffling at most ``salt_buckets`` rows per route. The salt is
+    derived from a row-local column (crc32 of event id), so no
+    non-determinism enters the plan; counts are salt-invariant by
+    construction. AQE's skew handling covers joins, not aggregates, so this
+    is the 100 TB pattern for skewed group-by keys.
+    """
+    partials = (
+        events.withColumn("time_of_day_slot", time_of_day_slot(ts))
+        .filter(F.col("time_of_day_slot").isin(*slots))
+        .withColumn(
+            "_salt",
+            F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(salt_buckets)),
+        )
+        .groupBy("_salt", src, dst)
+        .agg(F.count(F.lit(1)).alias("partial_count"))
+    )
+    return (
+        partials.groupBy(src, dst)
+        .agg(F.sum("partial_count").alias("trip_count"))
+        .withColumn("route", F.concat_ws(" to ", F.col(src), F.col(dst)))
+        .select("route", "trip_count")
+        .orderBy(F.desc("trip_count"), F.col("route"))
+        .limit(k)
+    )
+
+
 def corr_by_group(df: DataFrame, key: str, x: str, y: str) -> DataFrame:
     """A12 grouped Pearson correlation + avgs (``nb:122567 (c146)``).
 

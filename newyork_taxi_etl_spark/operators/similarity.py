@@ -154,6 +154,76 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
+    only the query's ``n_probe`` nearest lists.
+
+    The coarse quantizer here is a deterministic stand-in (the
+    ``n_centroids`` lowest-id vectors) so results are oracle-checkable; a
+    production index would k-means-train the centroids — the *dataflow* is
+    identical and that is what scales: assignment is a broadcast join of the
+    tiny centroid table against the corpus (one narrow pass, no corpus
+    shuffle beyond the per-vector argmax window on its own id), and the
+    search join fans each query out to n_probe inverted lists instead of the
+    whole corpus — candidate volume is corpus/n_centroids*n_probe per query.
+    Each corpus vector lands in exactly one list, so no post-join dedup.
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    wc = Window.partitionBy("cand_id").orderBy(F.desc("c_cos"), "cid")
+    assigned = (
+        c.crossJoin(broadcast(cent))
+        .select(
+            "cand_id", "c_vec", "cid",
+            cosine_expr("c_vec", "cent_vec").alias("c_cos"),
+        )
+        .withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select("cand_id", "c_vec", "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("q_cos"), "cid")
+    probes = (
+        q.crossJoin(broadcast(cent))
+        .select(
+            "query_id", "q_vec", "cid",
+            cosine_expr("q_vec", "cent_vec").alias("q_cos"),
+        )
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_vec", "cid")
+    )
+    scored = (
+        assigned.join(broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", cosine_expr("q_vec", "c_vec").alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries_rows: list,

@@ -95,6 +95,29 @@ def top_routes(spark, sf_dir):
 
 
 @register(
+    "top_routes_salted",
+    f"""
+    WITH slotted AS (
+      SELECT *, {_SLOT} AS time_of_day_slot FROM events
+    )
+    SELECT concat_ws(' to ', user_id, event_type) AS route,
+           COUNT(*) AS trip_count
+    FROM slotted
+    WHERE time_of_day_slot IN ('Afternoon', 'Evening')
+    GROUP BY user_id, event_type
+    ORDER BY trip_count DESC, route
+    LIMIT 10
+    """,
+    doc="skew-safe two-phase top-k: per-(salt, route) partial counts then a "
+    "sum over <=16 rows per route — the 100 TB pattern for skewed group-by "
+    "keys (route 236<->237 dominates the reference, SURVEY §7.3.6); result "
+    "identical to top_routes, and the oracle is the same SQL",
+)
+def top_routes_salted(spark, sf_dir):
+    return ops.top_routes_salted(read_events(spark, sf_dir))
+
+
+@register(
     "corr_by_group",
     f"""
     SELECT l_returnflag,

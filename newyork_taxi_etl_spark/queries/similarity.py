@@ -111,3 +111,55 @@ def ann_pandas_topk(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") < 3).collect()
     ]
     return S.brute_force_topk_pandas(emb, queries, k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cent_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+      SELECT cand_id, c_vec, cid FROM (
+        SELECT c.vec_id AS cand_id, c.embedding AS c_vec, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_COS_SQL.format(a='c.embedding', b='cent.cent_vec')}
+                          DESC, cent.cid) AS r
+        FROM embeddings c CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.format(a='q.embedding', b='cent.cent_vec')}
+                          DESC, cent.cid) AS r
+        FROM embeddings q CROSS JOIN cent
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} AS cosine
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.cand_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-style ANN: corpus coarse-quantized into inverted lists "
+    "(deterministic centroid stand-in), queries probe the 2 nearest lists "
+    "— assignment is one broadcast-join pass, search touches "
+    "corpus/n_centroids*n_probe candidates per query",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=2
+    )

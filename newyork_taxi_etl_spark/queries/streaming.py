@@ -106,3 +106,21 @@ def session_window_agg(spark, sf_dir):
 def structured_streaming_availablenow(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_stream_stage")
     return W.run_stream_availablenow(spark, read_events(spark, sf_dir), stage)
+
+
+@register(
+    "stateful_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="custom stateful streaming operator: applyInPandasWithState keyed "
+    "by user_id maintains running (count, max) in GroupState across "
+    "micro-batches (update mode, AvailableNow); final state equals the "
+    "batch aggregate, so the oracle fully value-checks the stateful path",
+)
+def stateful_user_stats(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_stateful_stage")
+    return W.run_stateful_user_stats(spark, read_events(spark, sf_dir), stage)

@@ -110,3 +110,72 @@ def run_stream_availablenow(
     )
     q.awaitTermination(120)
     return spark.table(name).orderBy("w_start")
+
+
+def run_stateful_user_stats(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    key: str = "user_id",
+    value: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, max) maintained in explicit GroupState across
+    micro-batches, emitted in update mode.
+
+    The state schema is a fixed-width (count, max) tuple, so state size is
+    O(distinct keys) regardless of input volume — the watermark-free shape
+    is safe here because the key domain is bounded. The driver drains the
+    bounded source with Trigger.AvailableNow; because update mode re-emits a
+    key's row each batch it appears in, the memory-sink output is folded
+    with a max() per key (counts/maxes are monotone), making the final
+    result equal to the batch ``groupBy(key).agg(count, max)`` — which is
+    exactly what the DuckDB oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src_df.write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .load()
+    )
+
+    def update_fn(key_tuple, pdf_iter, state):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                m = float(pdf[value].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    stats = stream.groupBy(key).applyInPandasWithState(
+        update_fn,
+        outputStructType=f"{key} bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy(key)
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
