@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import read_events
 from newyork_taxi_etl_spark.sources.writers import write_partitioned, write_zordered_approx
@@ -98,3 +99,59 @@ def sql_catalog_surface(spark, sf_dir):
     )
     # fold the partition count in as a sanity column (deterministic)
     return result.withColumn("n_partitions", F.lit(parts))
+
+
+@register(
+    "bucketed_colocated_join",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS order_cnt,
+           {avg_exact_sql('o.o_totalprice')} AS avg_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="bucketed co-located join: both tables bucketBy(custkey) + sortBy, "
+    "so the sort-merge join runs with ZERO pre-join exchange or sort — the "
+    "bucketing pattern that amortizes one write-time shuffle across every "
+    "future join on the key (the 100 TB repeated-join strategy); result "
+    "value-checked against the plain-join oracle",
+)
+def bucketed_colocated_join(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("nyetl_orders_bkt", "nyetl_customer_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        spark.read.parquet(table_path(sf_dir, "orders"))
+        .select("o_custkey", "o_totalprice")
+        .write.bucketBy(4, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("nyetl_orders_bkt")
+    )
+    (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(4, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("nyetl_customer_bkt")
+    )
+    o = spark.table("nyetl_orders_bkt")
+    c = spark.table("nyetl_customer_bkt")
+    # merge hint: keep the sort-merge path so bucket co-location (not a
+    # broadcast of the small test dim) is what removes the exchanges
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            avg_exact("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("mktsegment")
+    )

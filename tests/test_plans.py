@@ -99,3 +99,18 @@ def test_whole_stage_codegen_covers_cleaning(spark):
     assert "Exchange" not in plan
     # '*(1)' marks a whole-stage-codegen'd stage in the string plan
     assert plan.lstrip().startswith("*(1)")
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """bucketBy(custkey) tables sort-merge-join with ZERO pre-join shuffle:
+    the only exchanges left are the post-join aggregate/sort ones."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["bucketed_colocated_join"](spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # no exchange on either join key anywhere in the plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
