@@ -221,3 +221,40 @@ def distinct_values(spark, sf_dir):
         .distinct()
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "categorical_decode_rank",
+    """
+    WITH decoded AS (
+      SELECT CASE o_orderstatus WHEN 'O' THEN 'Open'
+                                WHEN 'F' THEN 'Finished'
+                                WHEN 'P' THEN 'Pending'
+                                ELSE 'Unknown' END AS status_name,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT status_name, o_orderpriority, COUNT(*) AS cnt,
+           CAST(RANK() OVER (PARTITION BY status_name
+                             ORDER BY COUNT(*) DESC, o_orderpriority) AS INT)
+             AS rnk
+    FROM decoded
+    GROUP BY status_name, o_orderpriority
+    ORDER BY status_name, rnk
+    """,
+    doc="categorical decode + rank (nb:117225 (c111)): integer/letter codes "
+    "decoded to names via a when() cascade (the reference's RatecodeID/"
+    "payment_type dictionaries, report:26-28), then priorities ranked by "
+    "count within each decoded status — decode is a zero-shuffle projection",
+)
+def categorical_decode_rank(spark, sf_dir):
+    decoded = spark.read.parquet(table_path(sf_dir, "orders")).withColumn(
+        "status_name",
+        F.when(F.col("o_orderstatus") == "O", "Open")
+        .when(F.col("o_orderstatus") == "F", "Finished")
+        .when(F.col("o_orderstatus") == "P", "Pending")
+        .otherwise("Unknown"),
+    )
+    return ops.rank_in_group(decoded, "status_name", "o_orderpriority").orderBy(
+        "status_name", "rnk"
+    )
