@@ -120,3 +120,43 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "frame_byte"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_len", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_blobs(df: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """'Resize' over the opaque payload: truncate-or-pad every blob to a
+    fixed byte budget (the image-thumbnail / audio-clip shape: constant
+    output size per row regardless of input size). Runs in mapInPandas —
+    Arrow batch in, Arrow batch out, partition-preserving, no shuffle — and
+    emits (length, digest) rather than the raw thumb so results are
+    engine-portable for the oracle. A real deployment swaps the byte slice
+    for PIL.resize / ffmpeg -s inside the same batch loop."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)[:target_bytes].ljust(target_bytes, b" ")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "thumb_len": len(raw),
+                        "thumb_md5": hashlib.md5(raw).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)

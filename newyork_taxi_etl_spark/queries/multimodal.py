@@ -55,3 +55,21 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.decode(F.col("frame_byte"), "UTF-8").alias("frame_char"),
     )
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           32 AS thumb_len,
+           md5(rpad(substr(text, 1, 32), 32, ' ')) AS thumb_md5
+    FROM documents
+    """,
+    doc="resize shape over opaque payloads: truncate-or-pad each blob to a "
+    "32-byte budget in mapInPandas (Arrow batches, partition-preserving), "
+    "emitting (len, digest) — the thumbnail/clip dataflow with the codec "
+    "swapped for a deterministic byte slice",
+)
+def multimodal_resize(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return M.resize_blobs(M.attach_blob(docs), target_bytes=32)

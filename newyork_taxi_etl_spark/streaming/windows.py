@@ -13,12 +13,35 @@ plans UpdatingSessionsExec); watermarks bound state size in streaming mode.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark, key: str, value: str):
+    """Set a session conf for the duration of a streaming run, then restore.
+
+    Streaming state-store partition count is pinned from
+    ``spark.sql.shuffle.partitions`` at the FIRST micro-batch of a new
+    checkpoint; for a bounded local drain every state partition costs a
+    store init + commit per batch, so a small count is strictly faster here.
+    On a real cluster size it to key cardinality instead — it cannot be
+    changed after the checkpoint exists.
+    """
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def tumbling_agg(
@@ -101,14 +124,15 @@ def run_stream_availablenow(
         .select(F.col("w.start").alias("w_start"), "cnt")
     )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name).orderBy("w_start")
 
 
@@ -163,14 +187,15 @@ def run_stateful_user_stats(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return (
         spark.table(name)
         .groupBy(key)
