@@ -126,7 +126,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ORDER BY doc_id
     """,
     doc="SimHash 16-bit signatures (md5 bit votes over the distinct-token "
-    "set); Hamming pairing exercised in unit tests with planted dups",
+    "set); Hamming pairing (operators.dedup.hamming_pairs, prefix-blocked) "
+    "is unit-tested with planted dups rather than registered here: on this "
+    "31-word-vocab corpus nearly every doc pair is a true near-dup, so the "
+    "pair set itself is O(n^2) — correct, but not a scalable bench output",
 )
 def dedup_simhash(spark, sf_dir):
     docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
