@@ -154,6 +154,50 @@ def lsh_bucketed_topk(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+    digits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed: the corpus-scale path.
+
+    Sign-bit bucketing on fixed dimensions replaces the all-pairs join with
+    an equi-join on the bucket key — pairs only ever meet inside a bucket
+    (expected size corpus/2^|dims|), so the quadratic term is bounded by the
+    largest bucket, and the shuffle is a plain hash partition on the key.
+    Deliberately approximate: pairs whose vectors disagree on any bucketed
+    sign are never compared (high-cosine pairs rarely do). The exact
+    all-pairs variant (:func:`cosine_pairs`) is the verify/baseline path for
+    small sets; this is the one that survives 100 TB.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+        lsh_bucket_expr(vec_col, dims).alias("bucket"),
+    ).withColumn("_norm", F.expr(f"sqrt({_DOT_D.format(a='_v', b='_v')})"))
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = base.repartition(n, "bucket")
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.expr(_DOT_D.format(a="a._v", b="b._v"))
+    cos = F.round(dot / (F.col("a._norm") * F.col("b._norm")), digits)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

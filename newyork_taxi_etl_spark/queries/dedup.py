@@ -168,3 +168,47 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     return cosine_pairs(emb, threshold=0.4)
+
+
+@register(
+    "dedup_embedding_lsh",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b2.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]),
+                                        CAST(b2.embedding AS DOUBLE[])))),
+             4) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE ROUND(
+            list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b2.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]),
+                                       CAST(b2.embedding AS DOUBLE[])))),
+            4) >= 0.4
+    """,
+    doc="embedding near-dup pairs via sign-LSH buckets (4 fixed dims): "
+    "pairs meet only inside a bucket (expected corpus/16 each), replacing "
+    "the all-pairs join with a hash equi-join — the corpus-scale companion "
+    "to dedup_embedding_cosine's exact baseline; deliberately approximate "
+    "and oracle-matched on identical bucket semantics",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return cosine_pairs_lsh(emb, threshold=0.4)
