@@ -117,3 +117,43 @@ def exact_quantile(spark, sf_dir):
         "l_extendedprice",
         [0.5, 0.999],
     )
+
+
+@register(
+    "profile_distinct_approx",
+    """
+    SELECT COUNT(DISTINCT o_orderkey) AS dc_o_orderkey,
+           COUNT(DISTINCT o_custkey) AS dc_o_custkey,
+           COUNT(DISTINCT o_orderpriority) AS dc_o_orderpriority,
+           true AS approx_within_5pct
+    FROM orders
+    """,
+    doc="A4 scale path: HLL approx_count_distinct (rsd=1%%) beside the exact "
+    "counts, "
+    "self-asserting the <=5%% bound so the oracle fully value-checks it — "
+    "at 100 TB the exact per-column distinct is a full shuffle per column "
+    "while the HLL sketch is one mergeable pass",
+)
+def profile_distinct_approx(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path(sf_dir, "orders"))
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
+    exact = [F.countDistinct(F.col(c)).alias(f"dc_{c}") for c in cols]
+    approx = [
+        F.approx_count_distinct(F.col(c), rsd=0.01).alias(f"adc_{c}")
+        for c in cols
+    ]
+    row = df.select(*exact, *approx)
+    within = None
+    for c in cols:
+        ok = (
+            F.abs(F.col(f"adc_{c}") - F.col(f"dc_{c}"))
+            / F.col(f"dc_{c}")
+            <= 0.05
+        )
+        within = ok if within is None else (within & ok)
+    return row.select(
+        *[F.col(f"dc_{c}") for c in cols],
+        within.alias("approx_within_5pct"),
+    )
