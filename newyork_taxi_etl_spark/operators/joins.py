@@ -52,3 +52,56 @@ def anti_join(left: DataFrame, right: DataFrame, lk: str, rk: str) -> DataFrame:
 def semi_join(left: DataFrame, right: DataFrame, lk: str, rk: str) -> DataFrame:
     """Rows of left with at least one match in right (EXISTS)."""
     return left.join(broadcast(right), left[lk] == right[rk], "left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Left as-of join: for each left row, the latest right row of the same
+    key with right.ts <= left.ts (point-in-time lookup).
+
+    Spark has no native as-of join; the scalable formulation is the
+    union+window trick: tag both sides, union them, and take
+    ``last(right_value, ignorenulls=True)`` over a per-key window ordered by
+    (ts, side) with rows unbounded-preceding..current. Right rows sort
+    before left rows at equal timestamps, giving the standard ``>=``
+    (inclusive) as-of semantics. Cost: ONE hash shuffle on the key plus a
+    per-key sort — identical shape to a sort-merge join, no range
+    explosion, no per-key driver loops; this is the 100 TB-safe pattern
+    (a naive non-equi range join would be a quadratic nested-loop).
+    """
+    from pyspark.sql import Window
+
+    l_tagged = left.withColumn("_side", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(
+            f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    r_tagged = right.select(
+        on,
+        ts,
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in (on, ts):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in right_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("_side") == 1).select(
+        *left.columns, *[f"{prefix}{c}" for c in right_cols]
+    )

@@ -11,7 +11,7 @@ from pyspark.sql.functions import broadcast
 from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql, sum_exact, sum_exact_sql
 from newyork_taxi_etl_spark.operators import joins as J
 from newyork_taxi_etl_spark.registry import register
-from newyork_taxi_etl_spark.sources.readers import table_path
+from newyork_taxi_etl_spark.sources.readers import read_events, table_path
 
 
 def _t(spark, sf_dir, name):
@@ -207,3 +207,35 @@ def set_ops(spark, sf_dir):
         (F.col("event_type") == "signup") & (F.col("value") > 300)
     ).select("user_id")
     return purch.intersect(err).subtract(signup_hi).orderBy("user_id")
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts FROM t WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM t WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS matched_ts, p.value AS matched_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="as-of (point-in-time) join: each click matched to the user's "
+    "latest prior-or-equal purchase via the union+window formulation (one "
+    "hash shuffle on the key + per-key sort — no non-equi nested loop); "
+    "oracle is DuckDB's native ASOF LEFT JOIN",
+)
+def asof_join_events(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return J.asof_join(
+        clicks, purchases, on="user_id", ts="ts", right_cols=["ts", "value"]
+    )
