@@ -105,3 +105,44 @@ def asof_join(
     return out.filter(F.col("_side") == 1).select(
         *left.columns, *[f"{prefix}{c}" for c in right_cols]
     )
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment (range) join, bucketed: match each fact row to
+    every interval with ``start <= ts <= end``.
+
+    Spark plans a naive ``ts BETWEEN start AND end`` join as a
+    broadcast-nested-loop — quadratic row comparisons. The scalable
+    formulation coarsens time into fixed buckets: each fact row has exactly
+    ONE bucket, each interval explodes into the buckets it overlaps, the
+    join is a hash equi-join on the bucket, and the exact containment
+    predicate filters within the bucket. Work is
+    O(facts + intervals * interval_len/bucket + matches); each (fact,
+    interval) pair meets at most once because the fact side owns a single
+    bucket. The interval side stays broadcastable when small; with a huge
+    interval table both sides hash-shuffle on the bucket key.
+    """
+    f = facts.withColumn(
+        "_bkt", (F.unix_timestamp(F.col(ts)) / bucket_seconds).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start)) / bucket_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        f.join(broadcast(iv), "_bkt")
+        .filter(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("_bkt")
+    )

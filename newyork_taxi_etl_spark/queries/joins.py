@@ -239,3 +239,43 @@ def asof_join_events(spark, sf_dir):
     return J.asof_join(
         clicks, purchases, on="user_id", ts="ts", right_cols=["ts", "value"]
     )
+
+
+@register(
+    "range_join_windows",
+    f"""
+    WITH iv AS (
+      SELECT i AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '30 hours' AS w_start,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '30 hours'
+               + INTERVAL '90 minutes' AS w_end
+      FROM range(24) t(i)
+    ),
+    t AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT iv.window_id, COUNT(*) AS cnt, {avg_exact_sql('t.value')} AS avg_value
+    FROM t JOIN iv ON t.ts BETWEEN iv.w_start AND iv.w_end
+    GROUP BY iv.window_id
+    ORDER BY iv.window_id
+    """,
+    doc="range (interval-containment) join, bucketed: intervals explode "
+    "into hour buckets, facts own one bucket each, the join is a hash "
+    "equi-join on the bucket + exact containment filter — vs the "
+    "quadratic nested-loop Spark plans for a raw BETWEEN join",
+)
+def range_join_windows(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select("ts", "value")
+    iv = spark.range(24).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id*30,0,0)"
+        ).alias("w_start"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id*30,90,0)"
+        ).alias("w_end"),
+    )
+    joined = J.range_join_bucketed(ev, iv, "ts", "w_start", "w_end")
+    return (
+        joined.groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), avg_exact("value").alias("avg_value"))
+        .orderBy("window_id")
+    )
