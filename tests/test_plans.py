@@ -114,3 +114,25 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     # no exchange on either join key anywhere in the plan
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan a hash equi-join on the bucket,
+    never a nested-loop over the raw BETWEEN predicate."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["range_join_windows"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join costs one hash exchange on the key (plus
+    the window sort) — no join operator, no range explosion."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["asof_join_events"](spark, SF_SMOKE))
+    assert "Join" not in plan  # no physical join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
