@@ -139,12 +139,20 @@ def profile_distinct_approx(spark, sf_dir):
 
     df = spark.read.parquet(table_path(sf_dir, "orders"))
     cols = ["o_orderkey", "o_custkey", "o_orderpriority"]
-    exact = [F.countDistinct(F.col(c)).alias(f"dc_{c}") for c in cols]
-    approx = [
-        F.approx_count_distinct(F.col(c), rsd=0.01).alias(f"adc_{c}")
-        for c in cols
-    ]
-    row = df.select(*exact, *approx)
+    # two separate 1-row aggregates: mixing exact multi-distinct (Expand,
+    # one replica per distinct column) with wide HLL buffers in a single
+    # aggregate forces the sort-based object-agg fallback to serialize the
+    # sketch per expanded row — measured 97s vs ~2s split at sf0.1
+    exact_row = df.select(
+        [F.countDistinct(F.col(c)).alias(f"dc_{c}") for c in cols]
+    )
+    approx_row = df.select(
+        [
+            F.approx_count_distinct(F.col(c), rsd=0.01).alias(f"adc_{c}")
+            for c in cols
+        ]
+    )
+    row = exact_row.crossJoin(approx_row)
     within = None
     for c in cols:
         ok = (
