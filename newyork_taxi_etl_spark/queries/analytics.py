@@ -258,3 +258,41 @@ def categorical_decode_rank(spark, sf_dir):
     return ops.rank_in_group(decoded, "status_name", "o_orderpriority").orderBy(
         "status_name", "rnk"
     )
+
+
+@register(
+    "rollup_slot_dow",
+    f"""
+    WITH slotted AS (
+      SELECT {_SLOT} AS time_of_day_slot, {_DOW} AS day_of_week, value
+      FROM events
+    )
+    SELECT time_of_day_slot, day_of_week, COUNT(*) AS cnt,
+           ROUND({avg_exact_sql('value')}, 2) AS avg_value
+    FROM slotted
+    GROUP BY ROLLUP (time_of_day_slot, day_of_week)
+    ORDER BY time_of_day_slot NULLS FIRST, day_of_week NULLS FIRST
+    """,
+    doc="hierarchical rollup (slot, dow) -> slot -> grand total in ONE "
+    "pass: Spark expands grouping sets map-side, so the cost is one "
+    "shuffle regardless of hierarchy depth — vs three separate group-bys",
+)
+def rollup_slot_dow(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.datetime import time_of_day_slot
+
+    slotted = read_events(spark, sf_dir).select(
+        time_of_day_slot("ts").alias("time_of_day_slot"),
+        F.dayofweek("ts").alias("day_of_week"),
+        "value",
+    )
+    return (
+        slotted.rollup("time_of_day_slot", "day_of_week")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(avg_exact("value"), 2).alias("avg_value"),
+        )
+        .orderBy(
+            F.col("time_of_day_slot").asc_nulls_first(),
+            F.col("day_of_week").asc_nulls_first(),
+        )
+    )
