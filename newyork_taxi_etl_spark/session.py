@@ -64,14 +64,21 @@ def tune(spark: SparkSession) -> SparkSession:
 
 def spread(df, *cols):
     """Repartition to the session's shuffle parallelism before compute-heavy
-    per-row work (hashing, shingling, vector math).
+    per-row work (hashing, shingling, vector math) — but ONLY when the input
+    is under-split.
 
     Small local parquet inputs arrive as ONE split (single file, single row
     group), which would serialize expensive projections onto one core. On a
-    real cluster the scan itself provides the splits and this exchange is a
-    cheap narrow-ish shuffle; keyed variants keep downstream co-partitioning.
+    real cluster the scan already provides >= shuffle-parallelism splits, in
+    which case this is a no-op — an unconditional repartition there would be
+    a full shuffle of the corpus for nothing.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass  # exotic plans where the RDD can't be built cheaply: just spread
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
