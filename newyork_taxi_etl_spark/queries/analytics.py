@@ -296,3 +296,38 @@ def rollup_slot_dow(spark, sf_dir):
             F.col("day_of_week").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "pivot_slot_by_type",
+    f"""
+    WITH slotted AS (
+      SELECT {_SLOT} AS time_of_day_slot, event_type, value FROM events
+    )
+    SELECT time_of_day_slot,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM slotted
+    GROUP BY time_of_day_slot
+    ORDER BY time_of_day_slot
+    """,
+    doc="pivot (wide counts per slot x event_type): explicit value list so "
+    "Spark skips the extra distinct-values job and plans ONE hash "
+    "aggregate with 5 conditional counts — the oracle is the equivalent "
+    "conditional aggregation",
+)
+def pivot_slot_by_type(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.datetime import time_of_day_slot
+
+    slotted = read_events(spark, sf_dir).select(
+        time_of_day_slot("ts").alias("time_of_day_slot"), "event_type"
+    )
+    return (
+        slotted.groupBy("time_of_day_slot")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("time_of_day_slot")
+    )
