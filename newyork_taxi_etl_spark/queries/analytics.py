@@ -331,3 +331,36 @@ def pivot_slot_by_type(spark, sf_dir):
         .count()
         .orderBy("time_of_day_slot")
     )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                 THEN 1 END) AS k_gt_50
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="semi-structured extraction: props JSON parsed ONCE per row with a "
+    "typed from_json schema (JVM-side, no per-field re-parse like chained "
+    "get_json_object), then aggregated — schema-on-read over a string "
+    "column",
+)
+def json_props_stats(spark, sf_dir):
+    ev = read_events(spark, sf_dir).withColumn(
+        "_p", F.from_json(F.col("props"), "k INT")
+    )
+    k = F.col("_p.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("k_gt_50"),
+        )
+        .orderBy("event_type")
+    )
