@@ -163,3 +163,43 @@ def ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=2
     )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+      SELECT ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 4)
+               AS nrm
+      FROM embeddings
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(nrm AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(nrm) AS DOUBLE) AS avg_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM n
+    """,
+    doc="embedding-column profiling: L2 norm distribution in one narrow "
+    "pass (zip_with/aggregate dot product, no UDF) — the sanity check run "
+    "before any similarity job (zero norms break cosine)",
+)
+def embedding_norm_stats(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    nrm = F.round(
+        F.expr(
+            "sqrt(aggregate(zip_with(embedding, embedding, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0D, (acc, v) -> acc + v))"
+        ),
+        4,
+    )
+    return emb.select(nrm.alias("nrm")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        avg_exact("nrm").alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

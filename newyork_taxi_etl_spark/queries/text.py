@@ -191,3 +191,34 @@ def text_fingerprint(spark, sf_dir):
         minhash_expr("sh", 0).alias("minhash_0"),
         minhash_expr("sh", 1).alias("minhash_1"),
     )
+
+
+@register(
+    "text_regex_extract",
+    """
+    WITH ex AS (
+      SELECT regexp_extract(text, '[a-z]{5,}') AS long_word FROM documents
+    )
+    SELECT long_word, COUNT(*) AS cnt
+    FROM ex
+    WHERE long_word <> ''
+    GROUP BY long_word
+    ORDER BY cnt DESC, long_word
+    LIMIT 20
+    """,
+    doc="regex extraction surface: first >=5-letter word per doc "
+    "(regexp_extract stays in codegen), top-20 by frequency — "
+    "TakeOrderedAndProject, no global sort",
+)
+def text_regex_extract(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    ex = df.select(
+        F.regexp_extract(F.col("text"), "[a-z]{5,}", 0).alias("long_word")
+    )
+    return (
+        ex.filter(F.col("long_word") != "")
+        .groupBy("long_word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("long_word"))
+        .limit(20)
+    )
