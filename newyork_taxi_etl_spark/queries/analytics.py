@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from newyork_taxi_etl_spark.operators import analytics as ops
 from newyork_taxi_etl_spark.functions.datetime import DOW_SQL, SLOT_CASE_SQL
-from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
+from newyork_taxi_etl_spark.functions.exact import (
+    avg_exact,
+    avg_exact_sql,
+    sum_exact,
+    sum_exact_sql,
+)
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import read_events, table_path
 
@@ -330,6 +335,52 @@ def pivot_slot_by_type(spark, sf_dir):
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .count()
         .orderBy("time_of_day_slot")
+    )
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sum_exact_sql('l_quantity')} AS sum_qty,
+           {sum_exact_sql('l_extendedprice')} AS sum_base_price,
+           {sum_exact_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sum_exact_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+             AS sum_charge,
+           {avg_exact_sql('l_quantity')} AS avg_qty,
+           {avg_exact_sql('l_extendedprice')} AS avg_price,
+           {avg_exact_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: 8 aggregates over a scan+filter in "
+    "ONE map-side-combinable hash aggregate on a low-cardinality key — the "
+    "canonical 100 TB-friendly shape (predicate pushed to parquet, partial "
+    "agg shrinks the shuffle to ~6 rows per task); derived measures are "
+    "per-row double products, summed through decimal for order-independence",
+)
+def pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(table_path(sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_exact("l_quantity").alias("sum_qty"),
+            sum_exact("l_extendedprice").alias("sum_base_price"),
+            sum_exact(disc_price).alias("sum_disc_price"),
+            sum_exact(charge).alias("sum_charge"),
+            avg_exact("l_quantity").alias("avg_qty"),
+            avg_exact("l_extendedprice").alias("avg_price"),
+            avg_exact("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 

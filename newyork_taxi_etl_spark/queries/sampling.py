@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting queries over the documents table.
+
+Training-data extension surface (no analog in the reference, whose only
+row-subset tool is ``limit(n)`` previews — nb:441 (c3)). Each query reduces
+its sample to small per-group stats so the oracle compare stays value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
+from newyork_taxi_etl_spark.operators import sampling as ops
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.sources.readers import table_path
+
+_BUCKET = ops.BUCKET_SQL.format(key="doc_id", n=100)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@register(
+    "sample_deterministic",
+    f"""
+    WITH sampled AS (
+      SELECT * FROM documents WHERE {_BUCKET} < 10
+    )
+    SELECT lang, COUNT(*) AS cnt, {avg_exact_sql('n_chars')} AS avg_chars
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="reproducible 10% sample via multiplicative hash bucketing — a pure "
+    "filter (no shuffle, stable under repartitioning, unlike df.sample whose "
+    "draw depends on partition layout); per-lang stats verify the sample",
+)
+def sample_deterministic(spark, sf_dir):
+    sampled = ops.hash_sample(_docs(spark, sf_dir), "doc_id", 10)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), avg_exact("n_chars").alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "train_test_split",
+    f"""
+    WITH tagged AS (
+      SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
+                  WHEN {_BUCKET} < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           {avg_exact_sql('n_chars')} AS avg_chars
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="contamination-safe train/valid/test split: bucket depends only on "
+    "doc_id, so a document's split never changes as the corpus grows; the "
+    "tag is a zero-shuffle projection",
+)
+def train_test_split(spark, sf_dir):
+    tagged = ops.hash_split(_docs(spark, sf_dir), "doc_id")
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("lang").alias("n_langs"),
+            avg_exact("n_chars").alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE {_BUCKET} < CASE lang WHEN 'en' THEN 20 ELSE 60 END
+    )
+    SELECT lang, COUNT(*) AS cnt
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="per-stratum rates (deterministic sampleBy analog): downsample the "
+    "dominant language (en 20%) while keeping 60% of the rest — corpus "
+    "rebalancing as one pushdown-friendly scan+filter",
+)
+def sample_stratified(spark, sf_dir):
+    sampled = ops.stratified_hash_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", {"en": 20}, default_rate=60
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).orderBy("lang")

@@ -71,6 +71,7 @@ def _load_all() -> None:
     import newyork_taxi_etl_spark.queries.joins  # noqa: F401
     import newyork_taxi_etl_spark.queries.multimodal  # noqa: F401
     import newyork_taxi_etl_spark.queries.profiling  # noqa: F401
+    import newyork_taxi_etl_spark.queries.sampling  # noqa: F401
     import newyork_taxi_etl_spark.queries.similarity  # noqa: F401
     import newyork_taxi_etl_spark.queries.sinks  # noqa: F401
     import newyork_taxi_etl_spark.queries.streaming  # noqa: F401
