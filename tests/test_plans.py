@@ -136,3 +136,29 @@ def test_asof_join_single_shuffle(spark):
     assert "Join" not in plan  # no physical join at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_pricing_summary_partial_agg_and_pushdown(spark):
+    """TPC-H Q1 shape: shipdate predicate reaches the scan; the aggregate is
+    the partial+final HashAggregate split (map-side combine shrinks the
+    shuffle to group-cardinality rows per task — the 100 TB-critical shape)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["pricing_summary"](spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in plan
+
+
+def test_hash_sample_is_scan_plus_filter(spark):
+    """Deterministic sampling must stay a pure scan+filter: no shuffle, no
+    Python, and column pruning intact on the sampled scan."""
+    from newyork_taxi_etl_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = hash_sample(docs, "doc_id", 10).select("doc_id", "lang")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in _formatted(df)
