@@ -109,6 +109,24 @@ def structured_streaming_availablenow(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    """,
+    doc="streaming exact dedup: the source is doubled (every key arrives "
+    "twice), streamed through withWatermark + dropDuplicatesWithinWatermark "
+    "(state = one entry per key inside the watermark horizon — the shape "
+    "that makes exact dedup feasible on an unbounded stream), and the "
+    "drained count must equal the batch COUNT(DISTINCT user_id, ts) of the "
+    "original source, which the oracle value-checks",
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_dedup_stage")
+    return W.run_streaming_dedup(spark, read_events(spark, sf_dir), stage)
+
+
+@register(
     "stateful_user_stats",
     """
     SELECT user_id, COUNT(*) AS n_events,

@@ -136,6 +136,53 @@ def run_stream_availablenow(
     return spark.table(name).orderBy("w_start")
 
 
+def run_streaming_dedup(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    keys: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "1440 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``withWatermark → dropDuplicatesWithinWatermark(keys)``.
+
+    The input is deliberately DOUBLED (`union all` with itself) before
+    staging, so every key arrives twice and the dedup operator provably does
+    work; the returned single-row count must equal the batch
+    ``COUNT(DISTINCT keys)`` of the original source — which is what the
+    DuckDB oracle checks.
+
+    Scale shape: state is one entry per key within the watermark horizon —
+    the watermark is what makes exact dedup feasible on an unbounded stream
+    (state is evicted once ``watermark > event_time + delay``). Here the
+    delay (60 days) exceeds the 30-day corpus span, so nothing evicts and
+    the count is deterministic; on a real pipeline the delay is the
+    duplicate-arrival SLA, not the corpus span.
+    """
+    keys = keys or ["user_id", ts]
+    doubled = src_df.unionAll(src_df)
+    doubled.write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .load()
+    )
+    deduped = stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name).agg(F.count(F.lit(1)).alias("n"))
+
+
 def run_stateful_user_stats(
     spark,
     src_df: DataFrame,
