@@ -304,6 +304,77 @@ def rollup_slot_dow(spark, sf_dir):
 
 
 @register(
+    "cube_slot_dow",
+    f"""
+    WITH slotted AS (
+      SELECT {_SLOT} AS time_of_day_slot, {_DOW} AS day_of_week, value
+      FROM events
+    )
+    SELECT time_of_day_slot, day_of_week, COUNT(*) AS cnt,
+           ROUND({avg_exact_sql('value')}, 2) AS avg_value
+    FROM slotted
+    GROUP BY CUBE (time_of_day_slot, day_of_week)
+    ORDER BY time_of_day_slot NULLS FIRST, day_of_week NULLS FIRST
+    """,
+    doc="full cube over (slot, dow): all 4 grouping sets expanded map-side "
+    "into ONE shuffle+hash aggregate (like rollup_slot_dow but including "
+    "the dow-only marginal) — vs 4 separate group-bys and 4 scans",
+)
+def cube_slot_dow(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.datetime import time_of_day_slot
+
+    slotted = read_events(spark, sf_dir).select(
+        time_of_day_slot("ts").alias("time_of_day_slot"),
+        F.dayofweek("ts").alias("day_of_week"),
+        "value",
+    )
+    return (
+        slotted.cube("time_of_day_slot", "day_of_week")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(avg_exact("value"), 2).alias("avg_value"),
+        )
+        .orderBy(
+            F.col("time_of_day_slot").asc_nulls_first(),
+            F.col("day_of_week").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "topn_per_group",
+    """
+    SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 3
+    ORDER BY lang, rn
+    """,
+    doc="per-group top-n (longest 3 docs per language, deterministic "
+    "doc_id tiebreak) — the canonical-representative step of a dedup "
+    "pipeline (keep best doc per cluster). Spark 3.5+ plans "
+    "WindowGroupLimit: the rn<=3 limit is applied map-side BEFORE the "
+    "shuffle, so only ~n rows per group per task move — asserted in "
+    "tests/test_plans.py",
+)
+def topn_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("lang", "rn")
+    )
+
+
+@register(
     "pivot_slot_by_type",
     f"""
     WITH slotted AS (

@@ -162,3 +162,13 @@ def test_hash_sample_is_scan_plus_filter(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in _formatted(df)
+
+
+def test_topn_per_group_plans_window_group_limit(spark):
+    """Per-group top-n must prune map-side (WindowGroupLimit, Spark 3.5+):
+    only ~n rows per group per task reach the shuffle — the difference
+    between a top-3 and a full per-group sort at 100 TB."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["topn_per_group"](spark, SF_SMOKE)
+    assert "WindowGroupLimit" in _plan(df)
