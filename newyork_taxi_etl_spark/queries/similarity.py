@@ -166,6 +166,69 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127 AS scale
+      FROM embeddings
+    ),
+    e AS (
+      SELECT ROUND(scale, 6) AS scale_r,
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE ROUND(list_max(list_transform(v,
+                         x -> abs(x - CAST(floor(x / scale + 0.5) AS INT)
+                                      * scale))), 6)
+             END AS max_err
+      FROM q
+    )
+    SELECT COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(max_err AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(max_err) AS DOUBLE) AS avg_max_err,
+           MAX(max_err) AS worst_err,
+           CAST(CAST(SUM(CAST(scale_r AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(scale_r) AS DOUBLE) AS avg_scale
+    FROM e
+    """,
+    doc="int8 embedding quantization + reconstruction-error profile (the "
+    "storage-side piece of the similarity stack): per-vector symmetric "
+    "scale = max|x|/127, round-half-up quantize, dequantize, max abs error "
+    "per vector, then global error/scale stats in one narrow pass — all "
+    "built-in array expressions (transform/array_max), no UDF, no shuffle "
+    "before the 1-row aggregate; identical element-wise expressions in the "
+    "DuckDB oracle make the double math bit-reproducible",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    ).withColumn("scale", F.expr("array_max(transform(v, x -> abs(x))) / 127"))
+    errs = base.select(
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.expr(
+                    "array_max(transform(v, x -> abs(x - "
+                    "CAST(floor(x / scale + 0.5D) AS INT) * scale)))"
+                ),
+                6,
+            )
+        )
+        .alias("max_err"),
+    )
+    return errs.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        avg_exact("max_err").alias("avg_max_err"),
+        F.max("max_err").alias("worst_err"),
+        avg_exact("scale_r").alias("avg_scale"),
+    )
+
+
+@register(
     "embedding_norm_stats",
     """
     WITH n AS (

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import read_events
-from newyork_taxi_etl_spark.sources.writers import write_partitioned, write_zordered_approx
+from newyork_taxi_etl_spark.sources.writers import (
+    HAVE_DELTA,
+    optimize_zorder,
+    write_partitioned,
+    write_zordered_approx,
+)
 
 
 @register(
@@ -99,6 +104,81 @@ def sql_catalog_surface(spark, sf_dir):
     )
     # fold the partition count in as a sanity column (deterministic)
     return result.withColumn("n_partitions", F.lit(parts))
+
+
+@register(
+    "describe_table_detail",
+    None,
+    doc="S6 DESCRIBE DETAIL analog (reference nb:119462 (c125)): one-row "
+    "table detail — format, name, partition columns, partition/file counts "
+    "— assembled from catalog introspection (DESCRIBE TABLE EXTENDED, "
+    "listColumns, SHOW PARTITIONS) plus a filesystem file count, the same "
+    "fields Delta's DESCRIBE DETAIL surfaces",
+)
+def describe_table_detail(spark, sf_dir):
+    df = read_events(spark, sf_dir).withColumn("event_month", F.month("ts"))
+    tbl = "nyetl_events_detail_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    loc = os.path.join(warehouse, tbl)
+    shutil.rmtree(loc, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy("event_month").saveAsTable(tbl)
+
+    ext = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    }
+    part_cols = [c.name for c in spark.catalog.listColumns(tbl) if c.isPartition]
+    n_partitions = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+    n_files = sum(
+        1
+        for root, _, files in os.walk(loc)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return spark.createDataFrame(
+        [
+            (
+                ext.get("Provider", "parquet").lower(),
+                tbl,
+                ",".join(part_cols),
+                n_partitions,
+                n_files,
+            )
+        ],
+        "tbl_format string, tbl_name string, partition_columns string, "
+        "num_partitions long, num_files long",
+    )
+
+
+if HAVE_DELTA:  # pragma: no cover - activates when delta-spark is installed
+
+    @register(
+        "delta_roundtrip_zorder",
+        None,
+        doc="S3/S4 + §3.3 real Delta path: partitioned Delta write, "
+        "OPTIMIZE ZORDER BY, pruned read-back — registered only when "
+        "delta-spark is importable (probe in sources/writers.py)",
+    )
+    def delta_roundtrip_zorder(spark, sf_dir):
+        out = os.path.join(tempfile.gettempdir(), "nyetl_delta_events")
+        shutil.rmtree(out, ignore_errors=True)
+        df = (
+            read_events(spark, sf_dir)
+            .withColumn("event_month", F.month("ts"))
+        )
+        write_partitioned(df, out, ["event_month"], fmt="delta")
+        optimize_zorder(spark, out, ["user_id", "event_type"])
+        back = spark.read.format("delta").load(out).filter(
+            F.col("event_month") == 1
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("event_type")
+        )
 
 
 @register(
