@@ -486,3 +486,71 @@ def json_props_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "grouped_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="exact interpolated percentiles per group (A6 extended from global "
+    "to grouped): Spark percentile() == DuckDB quantile_cont (both linear "
+    "interpolation on the sorted group). Exact percentile sorts each group "
+    "-- fine for bounded group count; at 100 TB swap in "
+    "approx_percentile(value, p, accuracy), the mergeable KLL/GK sketch "
+    "path (same shape as profile_distinct_approx's HLL companion)",
+)
+def grouped_percentiles(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "grouping_sets_report",
+    f"""
+    SELECT COALESCE(event_type, 'ALL') AS event_type_l,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket_l,
+           COUNT(*) AS cnt,
+           {sum_exact_sql('value')} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+    ORDER BY event_type_l, user_bucket_l
+    """,
+    doc="explicit GROUPING SETS (completes the rollup/cube family, SURVEY "
+    "§2.4 'no grouping sets' gap): two disjoint groupings in ONE pass over "
+    "the fact table — Spark expands the sets map-side and shares the scan, "
+    "vs two separate groupBy jobs reading the data twice",
+)
+def grouping_sets_report(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("ub", F.col("user_id") % 10)
+    return (
+        ev.groupingSets([["event_type"], ["ub"]], "event_type", "ub")
+        .agg(F.count(F.lit(1)).alias("cnt"), sum_exact("value").alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type_l"),
+            F.coalesce(F.col("ub").cast("string"), F.lit("ALL")).alias(
+                "user_bucket_l"
+            ),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("event_type_l", "user_bucket_l")
+    )

@@ -71,3 +71,55 @@ def dedup_clusters(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     pairs = cosine_pairs_lsh(emb, threshold=0.4)
     return connected_components(pairs).orderBy("node")
+
+
+@register(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE {_COS_SQL} >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    ORDER BY d.doc_id
+    """,
+    doc="end-to-end dedup: LSH near-dup pairs over the doc embeddings "
+    "(vec_id == doc_id) -> connected components -> DROP every cluster "
+    "member except the component-minimum id -> surviving canonical "
+    "documents. The final step is a left-anti join of the corpus against "
+    "the (tiny) drop list — broadcast anti join, no corpus shuffle; this "
+    "is the query a training-data pipeline actually ships",
+)
+def dedup_canonical_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    comps = connected_components(cosine_pairs_lsh(emb, threshold=0.4))
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -80,6 +80,42 @@ def window_running_sum(spark, sf_dir):
 
 
 @register(
+    "window_range_frame",
+    """
+    SELECT event_id,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_10min_sum
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="time-RANGE frame: per-user trailing-10-minute sum (RANGE 600 "
+    "PRECEDING on the epoch-second key — a value-based frame, not a row "
+    "count; peers at the same second share the frame in both engines). "
+    "Decimal-exact sum so partition order can't skew doubles; one hash "
+    "exchange on user_id + per-partition sort, no global sort",
+)
+def window_range_frame(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_10min_sum"),
+    ).orderBy("event_id")
+
+
+@register(
     "window_ntile_dense_rank",
     """
     SELECT event_id,
