@@ -146,3 +146,35 @@ def range_join_bucketed(
         .filter(F.col(ts).between(F.col(start), F.col(end)))
         .drop("_bkt")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    lk: str,
+    rk: str,
+    n_salt: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-salted inner equi-join: spread a hot join key over ``n_salt``
+    shuffle partitions.
+
+    The (large, possibly skewed) left side gets a deterministic salt
+    derived from ``salt_on`` (a high-cardinality left column — e.g. the
+    row id); the right side is exploded ``n_salt`` ways so every
+    (key, salt) combination still meets its match. The join condition
+    becomes (key, salt), so one hot key hashes to ``n_salt`` different
+    reducers instead of one — the classic pre-AQE skew fix, still needed
+    when AQE's skew-join split can't kick in (e.g. bucketed tables or
+    aggregation-after-join pinning the partitioning).
+
+    Cost model: right side is replicated n_salt times (use only when right
+    is the small side); result is identical to the plain join.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    l = left.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
+    )
+    out = l.join(r, (l[lk] == r[rk]) & (l["_salt"] == r["_salt"]))
+    return out.drop("_salt")

@@ -119,7 +119,9 @@ def dedup_canonical_docs(spark, sf_dir):
     )
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     return (
-        docs.join(drop, "doc_id", "left_anti")
+        # drop list is bounded by the dup count (<< corpus): broadcast the
+        # anti side so the corpus never shuffles
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )

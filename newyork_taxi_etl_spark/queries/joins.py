@@ -279,3 +279,41 @@ def range_join_windows(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"), avg_exact("value").alias("avg_value"))
         .orderBy("window_id")
     )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS line_cnt,
+           {sum_exact_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="skew-salted fact-fact join: lineitem salted on its row identity "
+    "(pmod(hash(l_linenumber-rowkey), 8)), orders exploded 8 ways, join on "
+    "(orderkey, salt) — a hot orderkey spreads over 8 reducers instead of "
+    "one. Result is value-identical to the plain join (the oracle runs the "
+    "plain join); at 100 TB this is the fallback when AQE skew-split can't "
+    "apply. Salt column is dropped before the aggregate so the group-by "
+    "re-shuffles on the group key only",
+)
+def skew_salted_join(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li, orders, "l_orderkey", "o_orderkey", n_salt=8, salt_on="l_linenumber"
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            sum_exact("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from newyork_taxi_etl_spark.operators import profile as P
 from newyork_taxi_etl_spark.registry import register
-from newyork_taxi_etl_spark.sources.readers import table_path
+from newyork_taxi_etl_spark.sources.readers import read_events, table_path
 
 _MONEYISH = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -164,4 +164,31 @@ def profile_distinct_approx(spark, sf_dir):
     return row.select(
         *[F.col(f"dc_{c}") for c in cols],
         within.alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 10) AS INT) AS bucket,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="fixed-width histogram over a measure column (width 10): the "
+    "profiling primitive behind distribution dashboards — one scan, one "
+    "partial-agg'd group-by on the bucket expression; at 100 TB the bucket "
+    "count (not the row count) bounds the shuffle",
+)
+def value_histogram(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / 10).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
     )

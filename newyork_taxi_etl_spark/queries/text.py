@@ -222,3 +222,44 @@ def text_regex_extract(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.col("long_word"))
         .limit(20)
     )
+
+
+@register(
+    "text_top_ngrams",
+    """
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM t, unnest(range(1, len(toks))) AS r(i)
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    doc="corpus n-gram frequency: tokenize -> adjacent-bigram explode -> "
+    "count -> top-20 (ties broken by bigram for determinism). The "
+    "vocabulary-analysis primitive of a training-data pipeline; Spark "
+    "plans the top-k as partial-agg + TakeOrderedAndProject, so only 20 "
+    "rows per partition survive the shuffle",
+)
+def text_top_ngrams(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )

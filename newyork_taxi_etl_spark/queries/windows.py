@@ -137,3 +137,66 @@ def window_ntile_dense_rank(spark, sf_dir):
         F.ntile(4).over(w_val).alias("quartile"),
         F.dense_rank().over(w_usr).alias("user_dense_rank"),
     ).orderBy("event_id")
+
+
+@register(
+    "batch_sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN LAG(sec) OVER w IS NULL
+                    OR sec - LAG(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    s AS (
+      SELECT user_id, sec,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(sec) AS start_sec,
+           MAX(sec) AS end_sec
+    FROM s
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    doc="batch sessionization (30-min inactivity gap): lag -> new-session "
+    "flag -> running-sum session index -> per-session rollup. The batch "
+    "twin of session_window_agg's streaming session_window: same gap "
+    "semantics, expressed as two windows + one aggregate over a single "
+    "hash exchange on user_id (the windows and the group-by share the "
+    "partitioning, so Spark plans ONE shuffle)",
+)
+def batch_sessionize(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(sec, "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = df.select(
+        "user_id",
+        sec.alias("sec"),
+        F.sum(new_sess).over(run).alias("session_idx"),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("sec").alias("start_sec"),
+            F.max("sec").alias("end_sec"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

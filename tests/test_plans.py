@@ -172,3 +172,41 @@ def test_topn_per_group_plans_window_group_limit(spark):
 
     df = queries()["topn_per_group"](spark, SF_SMOKE)
     assert "WindowGroupLimit" in _plan(df)
+
+
+def test_batch_sessionize_single_hash_exchange(spark):
+    """Windows and the session rollup share the user_id partitioning: ONE
+    hash exchange end-to-end (plus the final presentation sort)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["batch_sessionize"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_condition_includes_salt(spark):
+    """The salted join must key on (orderkey, _salt) so a hot key spreads
+    over n_salt reducers; salt is dropped before the group-by."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["skew_salted_join"](spark, SF_SMOKE))
+    assert "_salt" in plan  # join keys carry the salt
+    # the post-join aggregate partitions on the group key only
+    assert "Exchange hashpartitioning(o_orderpriority" in plan
+
+
+def test_canonical_docs_anti_join_broadcasts_drop_list(spark):
+    """The corpus must not shuffle to subtract the (tiny) drop list."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["dedup_canonical_docs"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """GROUPING SETS must plan one scan + Expand, not two jobs."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["grouping_sets_report"](spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
