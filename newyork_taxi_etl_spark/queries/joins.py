@@ -317,3 +317,61 @@ def skew_salted_join(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "nation_trade_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           COUNT(*) AS line_cnt,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="TPC-H Q7-shaped 5-way join (cross-nation trade volume): the "
+    "supplier/customer/nation dims broadcast, the lineitem-orders fact-fact "
+    "join is the only shuffle, and Catalyst reorders the dim joins behind "
+    "the fact join — the canonical join-graph shape at 100 TB (star + one "
+    "fact-fact edge). Excludes same-nation trade to keep the predicate "
+    "non-trivial",
+)
+def nation_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    cust = broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )

@@ -142,3 +142,29 @@ def streaming_dedup_within_watermark(spark, sf_dir):
 def stateful_user_stats(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_stateful_stage")
     return W.run_stateful_user_stats(spark, read_events(spark, sf_dir), stage)
+
+
+@register(
+    "stream_stream_join",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM t a JOIN t b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL '30 minutes' AND b.ts <= a.ts
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    doc="REAL stream-stream inner join (purchases x clicks within a 30-min "
+    "event-time range): both sides watermarked, time-range in the join "
+    "condition so join state is watermark-bounded; drained with "
+    "AvailableNow into a memory sink and folded per user — value-checked "
+    "against the batch time-range join",
+)
+def stream_stream_join(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssjoin_stage")
+    return W.run_stream_stream_join(spark, read_events(spark, sf_dir), stage)

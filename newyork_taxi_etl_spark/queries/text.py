@@ -263,3 +263,45 @@ def text_top_ngrams(spark, sf_dir):
         .orderBy(F.desc("cnt"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or admin@test.org' AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(body, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+             AS n_emails,
+           md5(regexp_replace(body, '[a-z0-9]+@[a-z]+\.[a-z]+',
+                              '<EMAIL>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="PII redaction (the pre-training scrub pass): regex email "
+    "detection + global replace, digest-checked so the oracle verifies "
+    "the exact redacted text. The corpus has no organic emails, so each "
+    "doc is deterministically augmented with two synthetic addresses in "
+    "BOTH engines — non-vacuous by construction. Pure codegen "
+    "(regexp_extract_all/regexp_replace), no UDF, no shuffle before the "
+    "presentation sort; pattern kept in the RE2-compatible subset so "
+    "Java regex and DuckDB RE2 agree",
+)
+def text_pii_redact(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin@test.org"),
+    )
+    pat = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(pat), 0)).alias("n_emails"),
+        F.md5(F.regexp_replace(body, pat, "<EMAIL>")).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -251,3 +251,76 @@ def run_stateful_user_stats(
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def run_stream_stream_join(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    watermark: str = "1440 hours",
+) -> DataFrame:
+    """Real stream-stream inner join: purchases x clicks on user_id with an
+    event-time range (click within the 30 minutes before the purchase).
+
+    Both sides carry watermarks and the join condition carries the time
+    range — the two ingredients Structured Streaming needs to bound join
+    state: a side's row is held only until the watermark passes the last
+    instant it could still match. Here the watermark delay (60 days)
+    exceeds the bounded corpus span so nothing is dropped mid-drain and the
+    joined pair set provably equals the batch time-range join, which the
+    DuckDB oracle value-checks; on a real pipeline the delay is the
+    out-of-order SLA and state stays O(rows inside the horizon).
+    """
+    src_df.write.mode("overwrite").parquet(stage_dir)
+
+    def _stream():
+        return (
+            spark.readStream.schema(src_df.schema)
+            .format("parquet")
+            .option("path", stage_dir)
+            .load()
+        )
+
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+    )
+    name = f"ssjoin_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
