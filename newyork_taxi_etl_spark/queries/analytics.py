@@ -554,3 +554,48 @@ def grouping_sets_report(spark, sf_dir):
         )
         .orderBy("event_type_l", "user_bucket_l")
     )
+
+
+@register(
+    "unpivot_melt",
+    f"""
+    WITH long AS (
+      SELECT 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           COUNT(*) AS cnt,
+           {sum_exact_sql('amount')} AS total
+    FROM long
+    GROUP BY measure
+    ORDER BY measure
+    """,
+    doc="unpivot/melt (wide -> long): three measure columns melted with "
+    "df.unpivot then aggregated per measure — the reshape primitive for "
+    "metric-per-row layouts. Spark plans Expand (one scan, rows x3 "
+    "map-side) rather than three scans; the oracle is the equivalent "
+    "UNION ALL",
+)
+def unpivot_melt(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem")).select(
+        "l_extendedprice", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        ids=[],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            sum_exact("amount").alias("total"),
+        )
+        .orderBy("measure")
+    )

@@ -266,3 +266,60 @@ def embedding_norm_stats(spark, sf_dir):
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+@register(
+    "kmeans_cluster_sizes",
+    None,
+    doc="iterative Lloyd k-means (k=4, 3 fixed rounds, deterministic "
+    "lowest-id seeding) over the embedding corpus -> cluster sizes. "
+    "Rows-only by nature (iterative algorithm, per driver contract); the "
+    "algorithm itself is unit-tested on planted clusters "
+    "(tests/test_clustering.py). Scale shape: assignment is a zero-shuffle "
+    "codegen argmin against ONE broadcast centroid-array row; the update "
+    "shuffle carries O(k x d) partial sums, not O(rows)",
+)
+def kmeans_cluster_sizes(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.clustering import (
+        cluster_profile,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return cluster_profile(kmeans_assign(emb, k=4, n_iter=3))
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label,
+           CAST(r.i - 1 AS INT) AS dim,
+           ROUND(CAST(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
+                                    AS DECIMAL(30,6))) AS DOUBLE)
+                      / COUNT(*) AS DOUBLE), 6) AS avg_val
+    FROM embeddings,
+         unnest(range(1, len(embedding) + 1)) AS r(i)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="per-label centroid (elementwise mean embedding): posexplode to "
+    "(label, dim, x) then a partial-aggregated mean — shuffle volume is "
+    "labels x dims regardless of corpus size; the class-prototype "
+    "computation behind centroid classifiers and drift monitoring. "
+    "Decimal-exact mean so both engines agree bit-for-bit",
+)
+def label_centroids(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "x"
+        ),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(avg_exact("x"), 6).alias("avg_val"))
+        .orderBy("label", "dim")
+    )
