@@ -235,3 +235,84 @@ def bucketed_colocated_join(spark, sf_dir):
         )
         .orderBy("mktsegment")
     )
+
+
+def _roundtrip_agg(df):
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            avg_exact("value").alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ROUNDTRIP_ORACLE = f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           {avg_exact_sql('value')} AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register(
+    "csv_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="CSV source/sink round-trip: events written as headered CSV, read "
+    "back with an explicit schema (never inferSchema at scale — it costs a "
+    "full extra pass), aggregated and VALUE-checked against the parquet "
+    "oracle — proving the text round-trip is lossless (Spark's shortest-"
+    "repr double formatting reparses exactly)",
+)
+def csv_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "nyetl_events_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).option("header", True).csv(out)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "jsonl_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="JSON-lines source/sink round-trip: same lossless contract as "
+    "csv_roundtrip over newline-delimited JSON (the interchange format "
+    "most raw training-data drops arrive in), schema supplied on read",
+)
+def jsonl_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "nyetl_events_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(out)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "orc_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="ORC source/sink round-trip: the other columnar container Spark "
+    "ships a vectorized reader for; binary-exact by construction, same "
+    "value-checked contract",
+)
+def orc_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "nyetl_events_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return _roundtrip_agg(back)
