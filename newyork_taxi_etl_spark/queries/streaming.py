@@ -168,3 +168,29 @@ def stateful_user_stats(spark, sf_dir):
 def stream_stream_join(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_ssjoin_stage")
     return W.run_stream_stream_join(spark, read_events(spark, sf_dir), stage)
+
+
+@register(
+    "streaming_upsert_counts",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="foreachBatch incremental upsert (the streaming materialized-view "
+    "pattern): the source drains as MULTIPLE micro-batches "
+    "(maxFilesPerTrigger=1) and each batch's partial aggregates MERGE into "
+    "the target via full-outer combine + atomic swap (with Delta this body "
+    "is one MERGE INTO); partials combine associatively (decimal sums), so "
+    "the final target provably equals the one-shot batch aggregate — "
+    "value-checked by the oracle",
+)
+def streaming_upsert_counts(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_upsert_stage")
+    target = os.path.join(tempfile.gettempdir(), "nyetl_upsert_target")
+    return W.run_foreachbatch_upsert(
+        spark, read_events(spark, sf_dir), stage, target
+    )

@@ -324,3 +324,93 @@ def run_stream_stream_join(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+def run_foreachbatch_upsert(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    target_dir: str,
+) -> DataFrame:
+    """Incremental materialized view via ``foreachBatch``: per micro-batch,
+    aggregate the batch and MERGE the partial aggregates into a target
+    table (read-combine-swap on plain parquet; with Delta installed the
+    body becomes a single ``MERGE INTO``).
+
+    The stage is written as several files and streamed with
+    ``maxFilesPerTrigger=1`` so the drain REALLY iterates (multiple
+    micro-batches, each folding into the target) — the final target must
+    equal the one-shot batch aggregate, which the DuckDB oracle
+    value-checks. Partial counts/sums combine associatively (sums carried
+    as DECIMAL until the final cast), so batch boundaries cannot skew the
+    result — the same mergeability argument that makes map-side partial
+    aggregation correct.
+    """
+    import os
+    import shutil
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def upsert(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+        )
+        if os.path.exists(target_dir):
+            prev = batch_df.sparkSession.read.parquet(target_dir)
+            merged = (
+                prev.select(
+                    "user_id",
+                    F.col("n_events").alias("n0"),
+                    F.col("sum_value").alias("s0"),
+                )
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n0", F.lit(0))
+                        + F.coalesce("n_events", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(30,6)"))
+                        + F.coalesce(
+                            F.col("sum_value"), F.lit(0).cast("decimal(30,6)")
+                        )
+                    ).cast("decimal(30,6)").alias("sum_value"),
+                )
+            )
+        else:
+            merged = agg
+        nxt = target_dir + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        os.rename(nxt, target_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation",
+                stage_dir + f"_ckpt_{uuid.uuid4().hex[:8]}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return (
+        spark.read.parquet(target_dir)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("sum_value").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
