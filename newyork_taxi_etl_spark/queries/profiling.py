@@ -192,3 +192,50 @@ def value_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "data_quality_checks",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+         LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IS NULL) AS fk_orphans,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+        AS nonpositive_qty,
+      (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        AS bad_discount,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+        AS null_totalprice
+    """,
+    doc="data-quality expectations in one row (the pre-ingest contract "
+    "gate): referential integrity via a broadcast anti join (orphan "
+    "lineitems), domain-range violations, null checks — each a count that "
+    "must be zero in healthy data. The generalization of the reference's "
+    "manual profiling checkpoints (nb:63686 (c62) location-bounds check) "
+    "into a single declarative pass",
+)
+def data_quality_checks(spark, sf_dir):
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    li_checks = li.agg(
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("nonpositive_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("bad_discount"),
+    )
+    o_checks = orders.agg(
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias(
+            "null_totalprice"
+        )
+    )
+    return orphans.crossJoin(li_checks).crossJoin(o_checks)
