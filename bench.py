@@ -59,10 +59,12 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         # best-of-N: this box shows ±4s single-run jitter (NOTES.md), so the
-        # minimum is the stable per-query cost signal round-over-round
-        timings[name] = round(best, 3)
+        # minimum is the stable per-query cost signal round-over-round.
+        # centisecond rounding: the driver's stdout tail holds ~2.9KB, so
+        # per-query digits are a real budget (tests/test_bench_contract.py)
+        timings[name] = round(best, 2)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     # ONE compact line on stdout: the driver's capture keeps only a bounded
     # tail, so the line must stay small (separators, 3-decimal rounding)
     print(
