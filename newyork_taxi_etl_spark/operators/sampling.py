@@ -85,3 +85,30 @@ def stratified_hash_sample(
         rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
     rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
     return df.filter(hash_bucket(key) < rate)
+
+
+def weighted_hash_sample(
+    df: DataFrame, key: str, weight: str, k: int, digits: int = 6
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): priority = u^(1/w) with u a hash-uniform in (0,1);
+    the k highest priorities are a weighted sample.
+
+    Reproducibility comes from the same multiplicative-hash uniform as
+    :func:`hash_sample` (u = (bucket + 0.5) / 2^20), so the sample is
+    stable across runs/partitionings and expressible identically in the
+    DuckDB oracle. The plan is a pure projection + TakeOrderedAndProject:
+    no shuffle, top-k heaps merge on the driver — the 100 TB shape for
+    "sample 10k docs proportional to token count". Priorities are rounded
+    before ordering (ties then break by key) so the float transcendental
+    can't make cross-engine ordering ambiguous.
+    """
+    n = 1 << 20
+    u = (hash_bucket(key, n) + F.lit(0.5)) / F.lit(float(n))
+    w = F.col(weight).cast("double")
+    priority = F.round(F.pow(u, F.lit(1.0) / w), digits)
+    return (
+        df.select(F.col(key), F.col(weight), priority.alias("priority"))
+        .orderBy(F.desc("priority"), key)
+        .limit(k)
+    )

@@ -100,3 +100,31 @@ def sample_stratified(spark, sf_dir):
         _docs(spark, sf_dir), "doc_id", "lang", {"en": 20}, default_rate=60
     )
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).orderBy("lang")
+
+
+@register(
+    "sample_weighted",
+    """
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             ROUND(pow((((doc_id * 2654435761) % 4294967296) % 1048576 + 0.5)
+                         / 1048576.0,
+                       1.0 / CAST(n_chars AS DOUBLE)), 6) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM pr
+    ORDER BY priority DESC, doc_id
+    LIMIT 25
+    """,
+    doc="deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): priority = hash_uniform^(1/n_chars), top-25 — longer "
+    "docs proportionally likelier, reproducible across runs and "
+    "partitionings (multiplicative-hash uniform, no RNG state). Plan is "
+    "projection + TakeOrderedAndProject: shuffle-free, per-partition "
+    "top-k heaps — the scalable 'sample proportional to token count' "
+    "primitive",
+)
+def sample_weighted(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return ops.weighted_hash_sample(docs, "doc_id", "n_chars", k=25)
