@@ -26,11 +26,21 @@ from newyork_taxi_etl_spark.sources.writers import (
 
 @register(
     "partitioned_write_pruned_read",
-    None,
+    """
+    SELECT CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS INT) AS event_day,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE EXTRACT(month FROM CAST(ts AS TIMESTAMP)) = 1
+      AND EXTRACT(day FROM CAST(ts AS TIMESTAMP)) BETWEEN 1 AND 7
+    GROUP BY 1
+    ORDER BY 1
+    """,
     doc="S3+S4+§4 partition pruning: write events partitioned by "
     "year/month/day (the reference's pickup_year/month/day layout, "
     "nb:117830 (c119)), read back with a partition predicate — the scan "
-    "lists only the matching directories",
+    "lists only the matching directories. The round-tripped result is "
+    "deterministic, so the side-effecting path is FULLY value-checked "
+    "against the source-of-truth aggregate",
 )
 def partitioned_write_pruned_read(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), "nyetl_partitioned_events")
@@ -54,10 +64,18 @@ def partitioned_write_pruned_read(spark, sf_dir):
 
 @register(
     "zorder_approx_roundtrip",
-    None,
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE user_id = 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     doc="§3.3 OPTIMIZE ZORDER approximation (delta-spark absent): "
     "repartitionByRange + sortWithinPartitions on (user_id, event_type) so "
-    "file-level min/max stats become selective; read back with a key filter",
+    "file-level min/max stats become selective; read back with a key filter "
+    "and value-checked against the pre-write aggregate (clustering must "
+    "never change query results, only file-skipping selectivity)",
 )
 def zorder_approx_roundtrip(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), "nyetl_zordered_events")
@@ -74,9 +92,21 @@ def zorder_approx_roundtrip(spark, sf_dir):
 
 @register(
     "sql_catalog_surface",
-    None,
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           (SELECT CAST(COUNT(DISTINCT EXTRACT(month FROM CAST(ts AS TIMESTAMP)))
+                   AS INT)
+            FROM events) AS n_partitions
+    FROM events
+    WHERE EXTRACT(month FROM CAST(ts AS TIMESTAMP)) = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     doc="S5/S6 + §3.2: saveAsTable on the session catalog, SHOW PARTITIONS, "
-    "partition-pruned SELECT via spark.sql",
+    "partition-pruned SELECT via spark.sql — value-checked: the pruned "
+    "counts AND the SHOW PARTITIONS cardinality must equal the source-of-"
+    "truth aggregates (n_partitions == COUNT(DISTINCT month))",
 )
 def sql_catalog_surface(spark, sf_dir):
     df = read_events(spark, sf_dir).withColumn("event_month", F.month("ts"))

@@ -97,11 +97,19 @@ def session_window_agg(spark, sf_dir):
 
 @register(
     "structured_streaming_availablenow",
-    None,
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
     doc="REAL Structured Streaming: stage → readStream(parquet) → "
     "withWatermark(2h) → tumbling 1h count → memory sink, "
-    "Trigger.AvailableNow; rows-only (streaming runtime, not "
-    "SQL-expressible)",
+    "Trigger.AvailableNow. The drained complete-mode output equals the "
+    "batch tumbling aggregate (the watermark exceeds the corpus span, so "
+    "nothing drops), which the oracle VALUE-checks — the streaming "
+    "runtime itself is under the correctness gate",
 )
 def structured_streaming_availablenow(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_stream_stage")
