@@ -210,3 +210,41 @@ def test_grouping_sets_single_scan_expand(spark):
     plan = _plan(queries()["grouping_sets_report"](spark, SF_SMOKE))
     assert "Expand" in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually engage on a skewed shuffle join
+    (the runtime complement to the static salting in skew_salted_join):
+    with 90% of rows on one key, the final adaptive plan marks the
+    sort-merge join skew=true and replans the hot partition into splits."""
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled down so local test data qualifies as "skewed"
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50).select(F.col("id").alias("rk"))
+        j = left.join(right.hint("merge"), F.col("k") == F.col("rk")).groupBy().count()
+        j.collect()  # AQE finalizes at runtime
+        plan = _plan(j)
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
