@@ -60,9 +60,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         # best-of-N: this box shows ±4s single-run jitter (NOTES.md), so the
         # minimum is the stable per-query cost signal round-over-round.
-        # centisecond rounding: the driver's stdout tail holds ~2.9KB, so
-        # per-query digits are a real budget (tests/test_bench_contract.py)
-        timings[name] = round(best, 2)
+        # The driver's stdout tail holds ~2.9KB, so per-query digits are a
+        # real budget (tests/test_bench_contract.py): centiseconds under
+        # 10s, deciseconds above — every value stays <= 5 chars
+        timings[name] = round(best, 2) if best < 10 else round(best, 1)
 
     total = round(sum(timings.values()), 2)
     # ONE compact line on stdout: the driver's capture keeps only a bounded

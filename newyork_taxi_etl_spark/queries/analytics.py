@@ -599,3 +599,82 @@ def unpivot_melt(spark, sf_dir):
         )
         .orderBy("measure")
     )
+
+
+@register(
+    "order_extremes",
+    """
+    SELECT o_orderpriority AS priority,
+           arg_max(o_orderkey,
+                   printf('%020.2f|%012d', o_totalprice, o_orderkey))
+             AS top_order,
+           arg_min(o_orderkey,
+                   printf('%020.2f|%012d', o_totalprice, o_orderkey))
+             AS bottom_order,
+           MAX(o_totalprice) AS top_price,
+           MIN(o_totalprice) AS bottom_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="max_by/min_by (argmax aggregates): the highest/lowest-value order "
+    "per priority in ONE hash aggregate — no window, no self-join, "
+    "map-side combinable (the 100 TB 'row of the max' shape). Ties made "
+    "impossible by construction: the ordering key is a fixed-width "
+    "printf encoding of (price, orderkey), a total order both engines "
+    "compare identically as strings",
+)
+def order_extremes(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    o = spark.read.parquet(table_path(sf_dir, "orders"))
+    key = "format_string('%020.2f|%012d', o_totalprice, o_orderkey)"
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr(f"max_by(o_orderkey, {key})").alias("top_order"),
+            F.expr(f"min_by(o_orderkey, {key})").alias("bottom_order"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min("o_totalprice").alias("bottom_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "null_safe_join_agg",
+    """
+    WITH l AS (
+      SELECT NULLIF(user_id % 7, 3) AS k, value FROM events
+    ),
+    r AS (
+      SELECT DISTINCT NULLIF(user_id % 7, 3) AS k FROM events
+    )
+    SELECT COALESCE(CAST(l.k AS VARCHAR), '<NULL>') AS key_label,
+           COUNT(*) AS cnt
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping (the opposite of "
+    "§2.9.2's three-valued-logic drop semantics — both behaviors are part "
+    "of the engine's contract and both are under the oracle). Planned as "
+    "a regular hash join: null-safe equality is still an equi-key, so no "
+    "nested-loop fallback",
+)
+def null_safe_join_agg(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    k = F.nullif(F.col("user_id") % 7, F.lit(3))
+    l = ev.select(k.alias("k"), "value")
+    r = ev.select(k.alias("rk")).distinct()
+    return (
+        l.join(r, l["k"].eqNullSafe(r["rk"]))
+        .groupBy(
+            F.coalesce(F.col("k").cast("string"), F.lit("<NULL>")).alias(
+                "key_label"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("key_label")
+    )

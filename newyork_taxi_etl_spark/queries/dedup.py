@@ -222,3 +222,53 @@ def dedup_embedding_lsh(spark, sf_dir):
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     return cosine_pairs_lsh(emb, threshold=0.4)
+
+
+@register(
+    "dedup_edit_distance",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             substr(text, 1, 24) AS head,
+             string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]
+               AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 6
+    ORDER BY id_a, id_b
+    """,
+    doc="edit-distance near-dup pairs (the Levenshtein family, completing "
+    "exact/MinHash/SimHash/Jaccard/embedding): O(len^2)-per-pair DP cost "
+    "is contained two ways — candidates meet only inside a 2-token prefix "
+    "block (equi-join, never all-pairs) and the distance runs on a fixed "
+    "24-char head, not the full document. Both engines implement classic "
+    "Levenshtein, so the pair set is value-checked exactly",
+)
+def dedup_edit_distance(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    p = docs.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("head"),
+        F.concat_ws(
+            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        ).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+    )

@@ -16,14 +16,15 @@ def test_bench_json_line_fits_driver_tail_buffer():
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
-    # plausible worst width under bench.py's 2-decimal rounding: a query
-    # pinned at the suite timeout still prints at most 6 chars (999.99)
+    # worst width under bench.py's tiered rounding (2dp < 10s, 1dp above):
+    # every per-query value is at most 5 chars (999.9 — the 600s suite
+    # timeout bounds any real value below this)
     worst = json.dumps(
         {
             "metric": "suite_runtime",
             "value": 99999.99,
             "unit": "sec",
-            "queries": {n: 999.99 for n in names},
+            "queries": {n: 999.9 for n in names},
             "sf": 0.1,
         },
         separators=(",", ":"),
