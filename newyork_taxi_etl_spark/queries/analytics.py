@@ -678,3 +678,36 @@ def null_safe_join_agg(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("key_label")
     )
+
+
+@register(
+    "user_event_profile",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS types_csv
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="set aggregation per entity (collect_set): the distinct event "
+    "types a user touched, emitted as a sorted CSV string so the result "
+    "is order-deterministic and engine-portable. One hash aggregate; "
+    "collect_set partials merge map-side and state is bounded by the "
+    "type-domain cardinality, not the event count",
+)
+def user_event_profile(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "types_csv"
+            ),
+        )
+        .orderBy("user_id")
+    )
