@@ -67,3 +67,31 @@ def test_stratified_rates_respected(spark):
     non_en = sampled.filter(F.col("lang") != "en").count()
     non_en_all = docs.filter(F.col("lang") != "en").count()
     assert 0.4 < non_en / non_en_all < 0.8
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """weighted_hash_sample must reproduce the A-ES formula exactly: the
+    Spark result is compared against a bit-identical Python evaluation
+    (same multiplicative-hash uniform, same pow, same rounding), and the
+    weighting must actually bias selection (heavy items dominate top-k)."""
+    from newyork_taxi_etl_spark.operators.sampling import weighted_hash_sample
+
+    n, k = 400, 40
+    rows = [(i, 1 if i % 2 == 0 else 50) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_hash_sample(df, "doc_id", "w", k=k).collect()
+    ]
+
+    def prio(i, w):
+        u = ((i * 2654435761) % (1 << 32) % (1 << 20) + 0.5) / float(1 << 20)
+        return round(u ** (1.0 / w), 6)
+
+    ref = sorted(
+        ((i, prio(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:k]
+    assert got == ref
+    # weighting bias: heavy (odd) ids must dominate the sample
+    heavy = sum(1 for i, _ in got if i % 2 == 1)
+    assert heavy > k * 0.8
