@@ -248,3 +248,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_null_safe_join_plans_hash_join(spark):
+    """eqNullSafe must stay an equi hash join (Spark rewrites the key as
+    coalesce+isnull), never a nested-loop fallback."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["null_safe_join_agg"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
