@@ -64,3 +64,42 @@ def test_assignment_plan_has_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """The Spark Lloyd rounds must reproduce a NumPy reference that follows
+    the same spec exactly (lowest-id seeding, squared-distance argmin with
+    lower-cid ties, elementwise-mean update, assignment from the final
+    round) — on deterministic but unstructured data, not just planted
+    clusters."""
+    import numpy as np
+
+    n, d, k, iters = 60, 5, 4, 3
+    # deterministic pseudo-random vectors (no RNG state, reproducible)
+    vecs = [
+        [((i * 31 + j * 17) % 23) / 23.0 - 0.5 for j in range(d)]
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    from newyork_taxi_etl_spark.operators.clustering import kmeans_assign
+
+    got = {
+        r["vec_id"]: r["cid"] for r in kmeans_assign(df, k=k, n_iter=iters).collect()
+    }
+
+    X = np.array(vecs)
+    cents = X[:k].copy()
+    assign = None
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # numpy argmin takes the lowest index on ties
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    ref = {i: int(assign[i]) for i in range(n)}
+    assert got == ref
