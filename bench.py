@@ -47,8 +47,10 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    detail: dict[str, list[float]] = {}
     for name in names:
         best = None
+        runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -57,7 +59,9 @@ def main() -> None:
             # without timing an unbounded driver-side collect (SURVEY §7.3.6).
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            runs.append(round(dt, 4))
             best = dt if best is None else min(best, dt)
+        detail[name] = runs
         # best-of-N: this box shows ±4s single-run jitter (NOTES.md), so the
         # minimum is the stable per-query cost signal round-over-round.
         # The driver's stdout tail holds ~2.9KB, so per-query digits are a
@@ -66,6 +70,17 @@ def main() -> None:
         timings[name] = round(best, 2) if best < 10 else round(best, 1)
 
     total = round(sum(timings.values()), 2)
+    # full-precision all-runs record for round-over-round analysis: the
+    # stdout line is budgeted to the driver's tail capture, this file is not
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"), "w"
+        ) as f:
+            json.dump({"sf": sf, "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                       "runs": detail}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line is the contract, file is extra
     # ONE compact line on stdout: the driver's capture keeps only a bounded
     # tail, so the line must stay small (separators, 3-decimal rounding)
     print(
