@@ -295,7 +295,7 @@ def kmeans_cluster_sizes(spark, sf_dir):
     SELECT label,
            CAST(r.i - 1 AS INT) AS dim,
            ROUND(CAST(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
-                                    AS DECIMAL(30,6))) AS DOUBLE)
+                                    AS DECIMAL(38,12))) AS DOUBLE)
                       / COUNT(*) AS DOUBLE), 6) AS avg_val
     FROM embeddings,
          unnest(range(1, len(embedding) + 1)) AS r(i)
@@ -306,11 +306,14 @@ def kmeans_cluster_sizes(spark, sf_dir):
     "(label, dim, x) then a partial-aggregated mean — shuffle volume is "
     "labels x dims regardless of corpus size; the class-prototype "
     "computation behind centroid classifiers and drift monitoring. "
-    "Decimal-exact mean so both engines agree bit-for-bit",
+    "Decimal-exact mean at scale 12: Spark and DuckDB round a double to "
+    "DECIMAL differently on boundary values (HALF_UP on the decimal "
+    "expansion vs binary-artifact nearbyint), so the element cast must "
+    "sit WAY below the 6-decimal output rounding — at scale 6 a single "
+    "boundary element flipped the last digit of one of 640 groups at "
+    "sf0.1",
 )
 def label_centroids(spark, sf_dir):
-    from newyork_taxi_etl_spark.functions.exact import avg_exact
-
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     exploded = emb.select(
         "label",
@@ -318,8 +321,12 @@ def label_centroids(spark, sf_dir):
             "dim", "x"
         ),
     )
+    mean = (
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+        / F.count(F.lit(1))
+    ).cast("double")
     return (
         exploded.groupBy("label", "dim")
-        .agg(F.round(avg_exact("x"), 6).alias("avg_val"))
+        .agg(F.round(mean, 6).alias("avg_val"))
         .orderBy("label", "dim")
     )
