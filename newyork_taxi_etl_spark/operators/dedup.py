@@ -99,6 +99,7 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard via an inverted-index candidate join.
 
@@ -111,9 +112,21 @@ def shingle_jaccard_pairs(
     result is identical to blocked all-pairs for any threshold > 0, since a
     zero-overlap pair has jaccard exactly 0.
 
+    ``max_df_frac`` is the 100 TB knob: a shingle present in more than that
+    fraction of a block's documents (boilerplate — headers, licenses,
+    navigation chrome) contributes f^2 join mass while carrying ~zero
+    dedup signal, and one such hot shingle can dominate the whole job.
+    When set, shingles with df > max_df_frac * block_doc_count are dropped
+    BEFORE the self-join (classic stopword-shingle pruning) and Jaccard is
+    computed over the pruned shingle sets — so the doc sizes used in
+    |union| are recomputed post-prune, keeping the semantics internally
+    consistent (and mirrorable in an oracle).
+
     Shuffle shape: one hash shuffle on (block, shingle), one on the pair
-    key — both parallel and skew-bounded; nothing quadratic at any stage
-    for non-degenerate shingle distributions.
+    key — both parallel and skew-bounded; the cap bounds the one term that
+    could otherwise go quadratic (a degenerate hot shingle). The hot set
+    itself is tiny by construction (only above-cap shingles), so its
+    anti-join broadcasts.
     """
     # A small parquet table arrives as one input split; repartition before the
     # shingle explode so tokenization parallelizes (at 100 TB the scan itself
@@ -129,22 +142,63 @@ def shingle_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
     )
     inv = sh.select(id_col, "blk", "n_sh", F.explode("sh").alias("g"))
-    a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    if max_df_frac is not None:
+        n_docs = sh.groupBy("blk").agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            inv.groupBy("blk", "g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .join(n_docs, "blk")
+            .filter(F.col("df") > F.col("n_docs") * F.lit(max_df_frac))
+            .select("blk", "g")
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        inv = inv.join(F.broadcast(hot), ["blk", "g"], "left_anti")
+        # per-doc sizes over the PRUNED sets (joined back onto the pair
+        # aggregate; linear shuffles, nothing quadratic)
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = inv.alias("a"), inv.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.g") == F.col("b.g"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+                ),
+                "id_b",
+            )
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    else:
+        a, b = inv.alias("a"), inv.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.g") == F.col("b.g"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     j = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )

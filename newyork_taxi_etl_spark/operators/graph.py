@@ -39,6 +39,11 @@ def connected_components(
     ``component`` is the minimum node id in the node's component — a
     deterministic canonical representative (the "keep this one" id of a
     dup cluster). Nodes with no edges are singletons and not emitted.
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds (component diameter > max_iter): returning silently
+    non-converged labels would split a cluster and keep/drop the wrong
+    documents downstream.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -52,6 +57,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -77,6 +83,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star O(log n) variant"
+        )
 
     return labels.select("node", F.col("comp").alias("component"))
 

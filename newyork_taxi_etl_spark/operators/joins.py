@@ -154,14 +154,17 @@ def salted_join(
     lk: str,
     rk: str,
     n_salt: int = 8,
-    salt_on: str | None = None,
+    salt_on: str | tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """Skew-salted inner equi-join: spread a hot join key over ``n_salt``
     shuffle partitions.
 
     The (large, possibly skewed) left side gets a deterministic salt
-    derived from ``salt_on`` (a high-cardinality left column — e.g. the
-    row id); the right side is exploded ``n_salt`` ways so every
+    derived from ``salt_on`` (one or more left columns whose COMBINED
+    cardinality must be high — a low-cardinality salt source collapses the
+    salt space and the hot key still lands on few reducers; pass the row
+    identity, e.g. the full key tuple); the right side is exploded
+    ``n_salt`` ways so every
     (key, salt) combination still meets its match. The join condition
     becomes (key, salt), so one hot key hashes to ``n_salt`` different
     reducers instead of one — the classic pre-AQE skew fix, still needed
@@ -171,8 +174,13 @@ def salted_join(
     Cost model: right side is replicated n_salt times (use only when right
     is the small side); result is identical to the plain join.
     """
-    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
-    l = left.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salt)))
+    if salt_on is None:
+        salt_cols = [F.monotonically_increasing_id()]
+    elif isinstance(salt_on, str):
+        salt_cols = [F.col(salt_on)]
+    else:
+        salt_cols = [F.col(c) for c in salt_on]
+    l = left.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(n_salt)))
     r = right.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})"))
     )

@@ -54,10 +54,13 @@ def dedup_exact(spark, sf_dir):
 def dedup_prefix_block(spark, sf_dir):
     df = spark.read.parquet(table_path(sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
+    # F.concat (not concat_ws) so a single-token doc yields a NULL key, the
+    # same NULL-propagation the oracle's `||` has — concat_ws would silently
+    # drop the NULL second token and diverge cross-engine.
     return (
         df.withColumn(
             "prefix_key",
-            F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2)),
+            F.concat(F.element_at(toks, 1), F.lit(" "), F.element_at(toks, 2)),
         )
         .groupBy("prefix_key")
         .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("group_size"))
@@ -101,21 +104,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     f"""
     WITH sh AS (
       SELECT doc_id, lang, list_distinct({_SH}) AS s FROM documents
+    ),
+    inv AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+    nd AS (SELECT lang, COUNT(*) AS n_docs FROM sh GROUP BY 1),
+    hot AS (
+      SELECT d.lang, d.g
+      FROM (SELECT lang, g, COUNT(*) AS df FROM inv GROUP BY 1, 2) d
+      JOIN nd USING (lang)
+      WHERE d.df > nd.n_docs * 0.02
+    ),
+    invp AS (
+      SELECT i.doc_id, i.lang, i.g FROM inv i
+      ANTI JOIN hot h ON i.lang = h.lang AND i.g = h.g
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM invp GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM invp a JOIN invp b
+        ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / len(list_distinct(a.s || b.s)), 6) >= 0.01
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.id_a = sa.doc_id
+    JOIN sizes sb ON pairs.id_b = sb.doc_id
+    WHERE ROUND(CAST(shared AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - shared), 6) >= 0.01
     ORDER BY id_a, id_b
     """,
     doc="exact 3-gram-shingle Jaccard, blocked by lang (the verify stage of "
-    "near-dup); threshold 0.01 keeps it non-vacuous on this corpus",
+    "near-dup), with stopword-shingle pruning: shingles in >2% of a "
+    "block's docs are dropped before the inverted-index self-join (they "
+    "carry f^2 join mass and ~zero dedup signal — the 100 TB boilerplate "
+    "guard), and Jaccard runs over the pruned sets. The oracle applies the "
+    "IDENTICAL cap via the same inverted-index formulation, so the pair "
+    "set is value-checked end-to-end; threshold 0.01 keeps it non-vacuous "
+    "on this corpus",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    return D.shingle_jaccard_pairs(docs, "lang", threshold=0.01)
+    return D.shingle_jaccard_pairs(docs, "lang", threshold=0.01, max_df_frac=0.02)
 
 
 @register(
@@ -250,11 +280,14 @@ def dedup_embedding_lsh(spark, sf_dir):
 def dedup_edit_distance(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
+    # NULL-propagating concat to match the oracle's `||`: a single-token doc
+    # gets a NULL block key and never equi-joins, in BOTH engines (concat_ws
+    # would skip the NULL and let 'tok' join in Spark only).
     p = docs.select(
         "doc_id",
         F.substring("text", 1, 24).alias("head"),
-        F.concat_ws(
-            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        F.concat(
+            F.element_at(toks, 1), F.lit(" "), F.element_at(toks, 2)
         ).alias("blk"),
     )
     a, b = p.alias("a"), p.alias("b")

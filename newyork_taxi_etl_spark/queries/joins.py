@@ -291,10 +291,12 @@ def range_join_windows(spark, sf_dir):
     GROUP BY 1
     ORDER BY 1
     """,
-    doc="skew-salted fact-fact join: lineitem salted on its row identity "
-    "(pmod(hash(l_linenumber-rowkey), 8)), orders exploded 8 ways, join on "
-    "(orderkey, salt) — a hot orderkey spreads over 8 reducers instead of "
-    "one. Result is value-identical to the plain join (the oracle runs the "
+    doc="skew-salted fact-fact join: lineitem salted on its full row "
+    "identity (pmod(hash(l_orderkey, l_linenumber), 8) — a composite whose "
+    "cardinality is the row count, so a hot orderkey genuinely spreads over "
+    "all 8 salts; salting on l_linenumber alone would yield ≤7 correlated "
+    "values), orders exploded 8 ways, join on (orderkey, salt). Result is "
+    "value-identical to the plain join (the oracle runs the "
     "plain join); at 100 TB this is the fallback when AQE skew-split can't "
     "apply. Salt column is dropped before the aggregate so the group-by "
     "re-shuffles on the group key only",
@@ -307,7 +309,12 @@ def skew_salted_join(spark, sf_dir):
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(
-        li, orders, "l_orderkey", "o_orderkey", n_salt=8, salt_on="l_linenumber"
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        n_salt=8,
+        salt_on=("l_orderkey", "l_linenumber"),
     )
     return (
         joined.groupBy(F.col("o_orderpriority").alias("priority"))

@@ -80,13 +80,13 @@ def profile_distinct(spark, sf_dir):
     "summary_stats",
     """
     SELECT COUNT(l_quantity) AS count_l_quantity,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                 / COUNT(l_quantity) AS DOUBLE) AS mean_l_quantity,
            ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_l_quantity,
            MIN(l_quantity) AS min_l_quantity,
            MAX(l_quantity) AS max_l_quantity,
            COUNT(l_extendedprice) AS count_l_extendedprice,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                 / COUNT(l_extendedprice) AS DOUBLE) AS mean_l_extendedprice,
            ROUND(STDDEV_SAMP(l_extendedprice), 6) AS stddev_l_extendedprice,
            MIN(l_extendedprice) AS min_l_extendedprice,

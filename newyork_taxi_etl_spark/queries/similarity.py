@@ -184,10 +184,12 @@ def ann_ivf_topk(spark, sf_dir):
       FROM q
     )
     SELECT COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(max_err AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(max_err AS VARCHAR) AS DECIMAL(38,12)))
+                          AS VARCHAR) AS DOUBLE)
                 / COUNT(max_err) AS DOUBLE) AS avg_max_err,
            MAX(max_err) AS worst_err,
-           CAST(CAST(SUM(CAST(scale_r AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(scale_r AS VARCHAR) AS DECIMAL(38,12)))
+                          AS VARCHAR) AS DOUBLE)
                 / COUNT(scale_r) AS DOUBLE) AS avg_scale
     FROM e
     """,
@@ -238,7 +240,8 @@ def embedding_quantize_int8(spark, sf_dir):
       FROM embeddings
     )
     SELECT COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(nrm AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(nrm AS VARCHAR) AS DECIMAL(38,12)))
+                          AS VARCHAR) AS DOUBLE)
                 / COUNT(nrm) AS DOUBLE) AS avg_norm,
            MIN(nrm) AS min_norm,
            MAX(nrm) AS max_norm
@@ -268,13 +271,56 @@ def embedding_norm_stats(spark, sf_dir):
     )
 
 
+_KM_DIST = (
+    "list_sum(list_transform(range(1, len(e.v)+1), "
+    "i -> (e.v[i]-c.vec[i])*(e.v[i]-c.vec[i])))"
+)
+
+
+def _km_assign(cent_cte: str, with_v: bool) -> str:
+    v = ", e.v" if with_v else ""
+    return f"""
+  SELECT e.vec_id{v},
+         (SELECT c.cid FROM {cent_cte} c
+          ORDER BY {_KM_DIST}, c.cid
+          LIMIT 1) AS cid
+  FROM emb e"""
+
+
+def _km_update(assign_cte: str) -> str:
+    return f"""
+  SELECT cid, list(m ORDER BY i) AS vec
+  FROM (SELECT cid, r.i AS i, AVG(v[r.i]) AS m
+        FROM {assign_cte}, unnest(range(1, len(v)+1)) AS r(i)
+        GROUP BY cid, r.i)
+  GROUP BY cid"""
+
+
 @register(
     "kmeans_cluster_sizes",
-    None,
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)
+    ),
+    a1 AS ({_km_assign('c0', True)}),
+    c1 AS ({_km_update('a1')}),
+    a2 AS ({_km_assign('c1', True)}),
+    c2 AS ({_km_update('a2')}),
+    a3 AS ({_km_assign('c2', False)})
+    SELECT cid, COUNT(*) AS n_members FROM a3 GROUP BY cid ORDER BY cid
+    """,
     doc="iterative Lloyd k-means (k=4, 3 fixed rounds, deterministic "
-    "lowest-id seeding) over the embedding corpus -> cluster sizes. "
-    "Rows-only by nature (iterative algorithm, per driver contract); the "
-    "algorithm itself is unit-tested on planted clusters "
+    "lowest-id seeding, lower-cid tie-break) over the embedding corpus -> "
+    "cluster sizes. VALUE-checked: the three Lloyd rounds are unrolled in "
+    "the DuckDB oracle (per-round argmin subquery + elementwise-mean CTE) "
+    "with identical seeding and tie-break, so the driver hash-compares the "
+    "final sizes; also NumPy-reference- and partitioning-invariance-tested "
     "(tests/test_clustering.py). Scale shape: assignment is a zero-shuffle "
     "codegen argmin against ONE broadcast centroid-array row; the update "
     "shuffle carries O(k x d) partial sums, not O(rows)",
@@ -294,8 +340,8 @@ def kmeans_cluster_sizes(spark, sf_dir):
     """
     SELECT label,
            CAST(r.i - 1 AS INT) AS dim,
-           ROUND(CAST(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
-                                    AS DECIMAL(38,12))) AS DOUBLE)
+           ROUND(CAST(CAST(CAST(SUM(CAST(CAST(CAST(embedding[r.i] AS DOUBLE)
+                                    AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                       / COUNT(*) AS DOUBLE), 6) AS avg_val
     FROM embeddings,
          unnest(range(1, len(embedding) + 1)) AS r(i)

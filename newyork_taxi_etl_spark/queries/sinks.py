@@ -1,8 +1,9 @@
 """Sink / catalog / SQL-surface queries (SURVEY §2.1 S2-S6, §3.2).
 
-These exercise side-effecting paths (write → catalog → pruned re-read), so
-they are rows-only checks (no oracle SQL — the driver records the weaker
-gate, as SURVEY §5.2.1 allows for non-SQL-expressible ops).
+These exercise side-effecting paths (write → catalog → pruned re-read), yet
+every registered result is deterministic and VALUE-checked against a
+source-of-truth aggregate oracle — the round trip must be lossless and the
+introspection must agree with the data.
 """
 
 from __future__ import annotations
@@ -138,14 +139,33 @@ def sql_catalog_surface(spark, sf_dir):
 
 @register(
     "describe_table_detail",
-    None,
+    """
+    SELECT 'parquet' AS tbl_format,
+           'nyetl_events_detail_tbl' AS tbl_name,
+           'event_month' AS partition_columns,
+           COUNT(DISTINCT EXTRACT(month FROM CAST(ts AS TIMESTAMP)))
+             AS num_partitions
+    FROM events
+    """,
     doc="S6 DESCRIBE DETAIL analog (reference nb:119462 (c125)): one-row "
-    "table detail — format, name, partition columns, partition/file counts "
-    "— assembled from catalog introspection (DESCRIBE TABLE EXTENDED, "
-    "listColumns, SHOW PARTITIONS) plus a filesystem file count, the same "
-    "fields Delta's DESCRIBE DETAIL surfaces",
+    "table detail — format, name, partition columns, partition count — "
+    "assembled from catalog introspection (DESCRIBE TABLE EXTENDED, "
+    "listColumns, SHOW PARTITIONS). Every registered column is "
+    "deterministic, so the introspection path is VALUE-checked: the "
+    "catalog's SHOW PARTITIONS cardinality must equal the source-of-truth "
+    "COUNT(DISTINCT month). The env-dependent file count stays in "
+    "tests/test_catalog_detail.py (describe_table_detail_full), not here",
 )
 def describe_table_detail(spark, sf_dir):
+    return describe_table_detail_full(spark, sf_dir).drop("num_files")
+
+
+def describe_table_detail_full(spark, sf_dir):
+    """DESCRIBE DETAIL with the filesystem file count included.
+
+    ``num_files`` depends on task parallelism at write time, so the
+    registered query drops it; pytest asserts it separately.
+    """
     df = read_events(spark, sf_dir).withColumn("event_month", F.month("ts"))
     tbl = "nyetl_events_detail_tbl"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")

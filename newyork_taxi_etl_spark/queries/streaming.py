@@ -26,7 +26,7 @@ from newyork_taxi_etl_spark.streaming import windows as W
     """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
            COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                 / COUNT(value) AS DOUBLE) AS avg_value
     FROM events
     GROUP BY 1
@@ -50,7 +50,7 @@ def tumbling_window_agg(spark, sf_dir):
                AS w_start, value FROM t
     )
     SELECT w_start, COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+           CAST(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
                 / COUNT(value) AS DOUBLE) AS avg_value
     FROM assigned
     GROUP BY 1
@@ -183,7 +183,7 @@ def stream_stream_join(spark, sf_dir):
     """
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY user_id

@@ -57,10 +57,10 @@ def window_lead_lag(spark, sf_dir):
     """
     SELECT event_id,
            user_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_value
+                AS VARCHAR) AS DOUBLE) AS running_value
     FROM events
     ORDER BY event_id
     """,
@@ -73,7 +73,7 @@ def window_running_sum(spark, sf_dir):
     return df.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias(
+        F.sum(F.col("value").cast("decimal(38,12)")).over(w).cast("double").alias(
             "running_value"
         ),
     ).orderBy("event_id")
@@ -84,11 +84,11 @@ def window_running_sum(spark, sf_dir):
     """
     SELECT event_id,
            user_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) OVER (
                   PARTITION BY user_id
                   ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS trailing_10min_sum
+                AS VARCHAR) AS DOUBLE) AS trailing_10min_sum
     FROM events
     ORDER BY event_id
     """,
@@ -108,7 +108,7 @@ def window_range_frame(spark, sf_dir):
     return df.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(30,6)"))
+        F.sum(F.col("value").cast("decimal(38,12)"))
         .over(w)
         .cast("double")
         .alias("trailing_10min_sum"),

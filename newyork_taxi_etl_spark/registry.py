@@ -59,33 +59,95 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Queries the driver value-verified (rows+schema+hash green) in round 1.
+_R1_VERIFIED = frozenset({
+    "asof_join_events", "broadcast_enrich", "categorical_decode_rank",
+    "clean_keep_drop", "clean_sign_fix", "clean_speed_filter",
+    "congestion_sorted_desc", "corr_by_group", "count_nonnull_by_group",
+    "cube_slot_dow", "customers_without_orders", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_prefix_block", "dedup_simhash",
+    "distinct_values", "exact_quantile", "fare_validation", "feature_slots",
+    "flag_split_stats", "group_type_stats", "json_props_stats",
+    "multimodal_features", "multimodal_frame_sample", "multimodal_resize",
+    "null_propagation_filter", "pivot_slot_by_type", "pricing_summary",
+    "profile_distinct", "profile_distinct_approx", "profile_negatives",
+    "profile_nulls", "range_join_windows", "rank_in_group",
+    "revenue_by_nation", "rollup_slot_dow", "sample_deterministic",
+    "set_ops", "summary_stats", "suppliers_in_order_nations", "top_routes",
+    "top_routes_salted", "top_unshipped_orders", "topn_per_group",
+    "traffic_congestion", "train_test_split", "value_by_slot_dow",
+})
+
+# Value-verified in round 2.  kmeans_cluster_sizes / describe_table_detail
+# were only rows-only (`no_oracle`) there — they now carry value oracles and
+# need a fresh verdict, so they are deliberately ABSENT from this set.
+_R2_VERIFIED = frozenset({
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_bucketed_topk",
+    "ann_pandas_topk", "batch_sessionize", "bucketed_colocated_join",
+    "corr_by_group", "csv_roundtrip", "dedup_canonical_docs",
+    "dedup_clusters", "embedding_norm_stats", "embedding_quantize_int8",
+    "flag_split_stats", "jsonl_roundtrip", "label_centroids",
+    "orc_roundtrip", "partitioned_write_pruned_read", "rank_in_group",
+    "sample_deterministic", "sample_stratified", "sample_weighted",
+    "session_window_agg", "sliding_window_agg", "sql_catalog_surface",
+    "stateful_user_stats", "stream_stream_join",
+    "streaming_dedup_within_watermark", "streaming_upsert_counts",
+    "structured_streaming_availablenow", "text_fingerprint", "text_lang_id",
+    "text_pii_redact", "text_quality_score", "text_regex_extract",
+    "text_stats", "text_token_count", "text_top_ngrams", "top_routes",
+    "top_routes_salted", "traffic_congestion", "train_test_split",
+    "tumbling_window_agg", "value_by_slot_dow", "window_lead_lag",
+    "window_ntile_dense_rank", "window_range_frame", "window_running_sum",
+    "zorder_approx_roundtrip",
+})
+
+
+def _tier(name: str) -> int:
+    """Priority for the driver's truncated (50-query) correctness walk.
+
+    Tier 0: never value-verified by the driver (new queries land here
+    automatically) — must be inside the 50-query window this round.
+    Tier 1: verified only in round 1 — recheck as capacity allows.
+    Tier 2: value-verified in round 2 — most recently confirmed, go last.
+    """
+    if name not in _R1_VERIFIED and name not in _R2_VERIFIED:
+        return 0
+    if name not in _R2_VERIFIED:
+        return 1
+    return 2
+
 
 def _load_all() -> None:
-    """Import every module that registers queries (import side effects).
+    """Import every query module, then order the registry for the driver.
 
-    Ordering is deliberate: the driver's correctness pass walks queries in
-    registration order and may truncate (round 1 stopped at 50 of 75, leaving
-    the similarity/text/windows/streaming/sinks families with no verdict).
-    Families that have never received a driver verdict register FIRST so a
-    truncated pass covers them; the already-green round-1 families follow.
+    The driver's correctness pass walks queries in registration order and
+    truncates at 50 (observed rounds 1 and 2).  Family-level import ordering
+    proved too coarse — queries appended to early-registering families never
+    reached the window — so after all imports the registry is rebuilt at
+    QUERY granularity: never-verified queries first, round-1-only second,
+    round-2-verified last (stable within tier).
     """
-    global _LOADED
+    global _LOADED, _REGISTRY
     if _LOADED:
         return
-    # never driver-checked in round 1 — register first
-    import newyork_taxi_etl_spark.queries.similarity  # noqa: F401
-    import newyork_taxi_etl_spark.queries.text  # noqa: F401
-    import newyork_taxi_etl_spark.queries.windows  # noqa: F401
-    import newyork_taxi_etl_spark.queries.streaming  # noqa: F401
-    import newyork_taxi_etl_spark.queries.sinks  # noqa: F401
-    import newyork_taxi_etl_spark.queries.graph  # noqa: F401
-    import newyork_taxi_etl_spark.queries.sampling  # noqa: F401
-    # fully green in CORRECTNESS_r01 — register after
     import newyork_taxi_etl_spark.queries.analytics  # noqa: F401
     import newyork_taxi_etl_spark.queries.cleaning  # noqa: F401
     import newyork_taxi_etl_spark.queries.dedup  # noqa: F401
+    import newyork_taxi_etl_spark.queries.graph  # noqa: F401
     import newyork_taxi_etl_spark.queries.joins  # noqa: F401
     import newyork_taxi_etl_spark.queries.multimodal  # noqa: F401
     import newyork_taxi_etl_spark.queries.profiling  # noqa: F401
+    import newyork_taxi_etl_spark.queries.sampling  # noqa: F401
+    import newyork_taxi_etl_spark.queries.similarity  # noqa: F401
+    import newyork_taxi_etl_spark.queries.sinks  # noqa: F401
+    import newyork_taxi_etl_spark.queries.streaming  # noqa: F401
+    import newyork_taxi_etl_spark.queries.text  # noqa: F401
+    import newyork_taxi_etl_spark.queries.windows  # noqa: F401
 
+    order = {name: i for i, name in enumerate(_REGISTRY)}
+    _REGISTRY = {
+        name: _REGISTRY[name]
+        for name in sorted(_REGISTRY, key=lambda n: (_tier(n), order[n]))
+    }
     _LOADED = True

@@ -44,6 +44,20 @@ def _scoped_conf(spark, key: str, value: str):
             spark.conf.set(key, old)
 
 
+def _drain(q, timeout_sec: int) -> None:
+    """Await an AvailableNow drain; fail loudly on timeout.
+
+    ``awaitTermination(timeout)`` returns False (it does NOT raise) if the
+    query is still running — reading the sink at that point would silently
+    return partial results.
+    """
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_sec}s"
+        )
+
+
 def tumbling_agg(
     df: DataFrame, ts: str = "ts", dur: str = "1 hour", value: str = "value"
 ) -> DataFrame:
@@ -132,7 +146,7 @@ def run_stream_availablenow(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
     return spark.table(name).orderBy("w_start")
 
 
@@ -179,7 +193,7 @@ def run_streaming_dedup(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
     return spark.table(name).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -242,7 +256,7 @@ def run_stateful_user_stats(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
     return (
         spark.table(name)
         .groupBy(key)
@@ -317,7 +331,7 @@ def run_stream_stream_join(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
     return (
         spark.table(name)
         .groupBy(F.col("p_user").alias("user_id"))
@@ -362,7 +376,7 @@ def run_foreachbatch_upsert(
     def upsert(batch_df, batch_id):
         agg = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("sum_value"),
         )
         if os.path.exists(target_dir):
             prev = batch_df.sparkSession.read.parquet(target_dir)
@@ -380,11 +394,11 @@ def run_foreachbatch_upsert(
                         + F.coalesce("n_events", F.lit(0))
                     ).alias("n_events"),
                     (
-                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(30,6)"))
+                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(38,12)"))
                         + F.coalesce(
-                            F.col("sum_value"), F.lit(0).cast("decimal(30,6)")
+                            F.col("sum_value"), F.lit(0).cast("decimal(38,12)")
                         )
-                    ).cast("decimal(30,6)").alias("sum_value"),
+                    ).cast("decimal(38,12)").alias("sum_value"),
                 )
             )
         else:
@@ -404,7 +418,7 @@ def run_foreachbatch_upsert(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _drain(q, 180)
     return (
         spark.read.parquet(target_dir)
         .select(

@@ -6,9 +6,9 @@ from tests.conftest import SF_SMOKE
 
 
 def test_describe_table_detail_fields(spark):
-    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.queries.sinks import describe_table_detail_full
 
-    rows = queries()["describe_table_detail"](spark, SF_SMOKE).collect()
+    rows = describe_table_detail_full(spark, SF_SMOKE).collect()
     assert len(rows) == 1
     d = rows[0].asDict()
     assert d["tbl_format"] == "parquet"
@@ -17,3 +17,15 @@ def test_describe_table_detail_fields(spark):
     assert d["num_partitions"] >= 1
     # at least one data file per partition directory
     assert d["num_files"] >= d["num_partitions"]
+
+
+def test_describe_table_detail_registered_drops_file_count(spark):
+    # the registered variant must be fully deterministic (value-checkable):
+    # same row as the full detail, minus the env-dependent num_files
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["describe_table_detail"](spark, SF_SMOKE)
+    assert "num_files" not in df.columns
+    assert df.columns == [
+        "tbl_format", "tbl_name", "partition_columns", "num_partitions"
+    ]
