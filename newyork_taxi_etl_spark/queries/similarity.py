@@ -165,6 +165,137 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+_BF10_SQL = f"""
+    bfs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    bf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, cand_id) AS rank
+        FROM bfs
+      ) WHERE rank <= 10
+    )"""
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+    WITH {_BF10_SQL},
+    lq AS (
+      SELECT vec_id AS query_id, embedding AS q_vec,
+             {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 5
+    ),
+    lc AS (
+      SELECT vec_id AS cand_id, embedding AS c_vec,
+             {_BUCKET_SQL.format(v='embedding')} AS bucket
+      FROM embeddings
+    ),
+    lsh AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_COS_SQL.format(a='q.q_vec', b='c.c_vec')}
+                          DESC, c.cand_id) AS rank
+        FROM lc c JOIN lq q USING (bucket)
+        WHERE c.cand_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cent_vec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+      SELECT cand_id, c_vec, cid FROM (
+        SELECT c.vec_id AS cand_id, c.embedding AS c_vec, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_COS_SQL.format(a='c.embedding', b='cent.cent_vec')}
+                          DESC, cent.cid) AS r
+        FROM embeddings c CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.format(a='q.embedding', b='cent.cent_vec')}
+                          DESC, cent.cid) AS r
+        FROM embeddings q CROSS JOIN cent
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    ivf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, a.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.c_vec')}
+                          DESC, a.cand_id) AS rank
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.cand_id <> p.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT 'ivf' AS method,
+           (SELECT COUNT(*) FROM ivf JOIN bf USING (query_id, cand_id))
+             AS hits,
+           (SELECT COUNT(*) FROM bf) AS total,
+           ROUND(CAST((SELECT COUNT(*) FROM ivf
+                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall
+    UNION ALL
+    SELECT 'lsh' AS method,
+           (SELECT COUNT(*) FROM lsh JOIN bf USING (query_id, cand_id))
+             AS hits,
+           (SELECT COUNT(*) FROM bf) AS total,
+           ROUND(CAST((SELECT COUNT(*) FROM lsh
+                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall
+    ORDER BY method
+    """,
+    doc="ANN QUALITY gate: recall@10 of the LSH-bucketed and IVF paths "
+    "against the exact brute-force top-10 on the same 5 queries — the "
+    "approximate indexes' candidate sets semi-joined against the exact "
+    "result, hit fractions value-checked (deterministic: every top-k "
+    "tie-breaks by cand_id in both engines). This is the number a 100 TB "
+    "deployment tunes bits/n_probe against (see "
+    "operators.similarity.lsh_auto_dims); the driver-checked value makes "
+    "ANN quality a regression-gated quantity, not a claim",
+)
+def ann_recall_at_k(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = S.brute_force_topk(emb, qs, k=10).select("query_id", "cand_id")
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+
+    def leg(df, method):
+        hits = (
+            df.select("query_id", "cand_id")
+            .join(bf, ["query_id", "cand_id"], "semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .withColumn("method", F.lit(method))
+        )
+        return hits.crossJoin(total)
+
+    lsh = S.lsh_bucketed_topk(emb, qs, k=10)
+    ivf = S.ivf_topk(emb, qs, k=10, n_centroids=8, n_probe=2)
+    return (
+        leg(ivf, "ivf")
+        .unionAll(leg(lsh, "lsh"))
+        .select(
+            "method",
+            "hits",
+            "total",
+            F.round(
+                F.col("hits").cast("double") / F.col("total"), 6
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
 @register(
     "embedding_quantize_int8",
     """

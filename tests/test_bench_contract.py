@@ -1,10 +1,13 @@
 """Bench output contract guards.
 
-BENCH_r01 came back ``"parsed": null`` because the driver keeps only a
-bounded tail of stdout (~2.9 KB observed) and the round-1 JSON line
-overflowed it. bench.py now prints one compact line; this test pins the
-worst-case line length as the registry grows so the next added query can't
-silently break per-round benchmark capture.
+BENCH_r01 AND BENCH_r02 both came back ``"parsed": null``: the driver keeps
+only the LAST 2000 characters of bench stdout (both rounds recorded a tail
+of exactly 2000 chars), so even round 2's 2669-byte line never parsed.
+bench.py now hard-budgets the line via ``budget_line`` — slowest queries
+keep per-query entries, the rest are summarized by ``nq``/``nq_shown``,
+and bench_detail.json carries every query at full precision. These tests
+pin that the budget holds for ANY registry size and that the line stays
+parseable with the driver-contract fields intact.
 """
 
 from __future__ import annotations
@@ -12,25 +15,39 @@ from __future__ import annotations
 import json
 
 
-def test_bench_json_line_fits_driver_tail_buffer():
+def _line_for(names, value=999.9):
+    from bench import TAIL_BUDGET, budget_line
+
+    timings = {n: value for n in names}
+    line = budget_line(timings, round(sum(timings.values()), 2), 0.1)
+    return line, TAIL_BUDGET
+
+
+def test_bench_line_fits_tail_for_current_registry():
     from newyork_taxi_etl_spark import registry
 
-    names = list(registry.queries())
-    # worst width under bench.py's tiered rounding (2dp < 10s, 1dp above):
-    # every per-query value is at most 5 chars (999.9 — the 600s suite
-    # timeout bounds any real value below this)
-    worst = json.dumps(
-        {
-            "metric": "suite_runtime",
-            "value": 99999.99,
-            "unit": "sec",
-            "queries": {n: 999.9 for n in names},
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
-    )
-    assert len(worst) < 2800, (
-        f"bench JSON line would be {len(worst)}B with {len(names)} queries; "
-        "driver tail buffer holds ~2.9KB — move per-query detail to a file "
-        "or shorten rounding before registering more queries"
-    )
+    line, budget = _line_for(list(registry.queries()))
+    assert len(line) <= budget
+    d = json.loads(line)
+    assert d["metric"] == "suite_runtime" and d["unit"] == "sec"
+    assert d["nq"] == len(registry.queries())
+    assert 0 < d["nq_shown"] <= d["nq"]
+
+
+def test_bench_line_fits_tail_even_for_huge_registry():
+    names = [f"some_rather_long_query_name_{i:03d}" for i in range(400)]
+    line, budget = _line_for(names)
+    d = json.loads(line)
+    assert len(line) <= budget
+    assert d["nq"] == 400 and d["nq_shown"] < 400
+
+
+def test_budget_line_keeps_slowest_queries():
+    from bench import budget_line
+
+    timings = {f"q{i:03d}": float(i) for i in range(200)}
+    d = json.loads(budget_line(timings, sum(timings.values()), 0.1))
+    shown = d["queries"]
+    # the retained set must be exactly the top-|shown| slowest
+    expected = sorted(timings, key=lambda n: (-timings[n], n))[: len(shown)]
+    assert set(shown) == set(expected)

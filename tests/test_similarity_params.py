@@ -1,0 +1,47 @@
+"""LSH sizing-knob tests (VERDICT r2 "What's wrong" #5): the sign-bit count
+must grow with the corpus so bucket size — the quadratic term — stays fixed."""
+
+from __future__ import annotations
+
+from newyork_taxi_etl_spark.operators.similarity import (
+    lsh_auto_dims,
+    lsh_bucket_expr,
+)
+
+
+def test_bits_grow_with_corpus():
+    d = 64
+    small = lsh_auto_dims(5_000, d, target_bucket=1024)
+    big = lsh_auto_dims(5_000_000, d, target_bucket=1024)
+    huge = lsh_auto_dims(5_000_000_000, d, target_bucket=1024)
+    assert len(small) < len(big) < len(huge)
+    # expected bucket stays ~target: n / 2^bits <= target_bucket
+    for n, dims in ((5_000, small), (5_000_000, big), (5_000_000_000, huge)):
+        assert n / (2 ** len(dims)) <= 1024
+
+
+def test_dims_valid_and_deterministic():
+    dims = lsh_auto_dims(5_000_000, 64, target_bucket=1024)
+    assert dims == lsh_auto_dims(5_000_000, 64, target_bucket=1024)
+    assert all(1 <= i <= 64 for i in dims)
+    assert len(set(dims)) == len(dims)  # distinct hyperplane dims
+
+
+def test_bits_bounded_by_dim_and_caps():
+    assert len(lsh_auto_dims(10**12, 8, target_bucket=1)) <= 8
+    assert len(lsh_auto_dims(10, 64)) >= 2  # min_bits floor
+    assert len(lsh_auto_dims(10**15, 2048, target_bucket=1, max_bits=24)) == 24
+
+
+def test_auto_dims_compose_with_bucket_expr(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [0, 1], "embedding": [[1.0, -1.0] * 32, [-1.0, 1.0] * 32]}
+        )
+    )
+    dims = lsh_auto_dims(2_000_000, 64, target_bucket=1024)
+    out = df.select(lsh_bucket_expr("embedding", dims).alias("bucket")).collect()
+    assert all(len(r["bucket"]) == len(dims) for r in out)
+    assert out[0]["bucket"] != out[1]["bucket"]
