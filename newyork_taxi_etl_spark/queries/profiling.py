@@ -239,3 +239,56 @@ def data_quality_checks(spark, sf_dir):
         )
     )
     return orphans.crossJoin(li_checks).crossJoin(o_checks)
+
+
+@register(
+    "freq_tokens_cms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    entries AS (
+      SELECT tok, d.j,
+             CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                               tok)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM toks, unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    counters AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM entries GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT tok, d.j,
+             CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                               tok)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM (SELECT DISTINCT tok FROM toks), unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    est AS (
+      SELECT p.tok, MIN(c.cnt) AS est_cnt
+      FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+      GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT tok, est_cnt FROM est, tot
+    WHERE est_cnt >= n_total * 0.02
+    ORDER BY est_cnt DESC, tok
+    """,
+    doc="approximate frequent tokens via a count-min sketch materialized "
+    "as a (4 x 256) counter matrix (operators/sketch.py): seed-prefixed "
+    "md5 buckets identical in both engines, so the DuckDB oracle rebuilds "
+    "the SAME sketch and the estimates hash-match. CMS is a linear sketch "
+    "— counters are partial-aggregated sums, so the result is invariant "
+    "under partitioning and the shuffle carries at most depth*width rows, "
+    "never the token stream (the 100 TB profiling shape). Support 2%: "
+    "every true heavy hitter is present (one-sided estimate), collisions "
+    "only overestimate",
+)
+def freq_tokens_cms(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sketch import approx_heavy_hitters
+
+    toks = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    )
+    return approx_heavy_hitters(toks, "tok", support=0.02, depth=4, width=256)

@@ -1,0 +1,66 @@
+"""Count-min sketch guarantees (operators/sketch.py): one-sided estimates,
+linearity (partitioning invariance), and bounded counter cardinality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators.sketch import (
+    approx_heavy_hitters,
+    cms_counters,
+    cms_estimates,
+)
+
+
+def _toks(spark):
+    # skewed token stream: token_i appears ~ (40 - i) times
+    rows = [(f"tok{i}",) for i in range(40) for _ in range(40 - i)]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_estimate_never_undercounts(spark):
+    df = _toks(spark)
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    counters = cms_counters(df, "tok", depth=4, width=64)
+    est = {
+        r["tok"]: r["est_cnt"]
+        for r in cms_estimates(
+            counters, df.select("tok").distinct(), "tok", depth=4, width=64
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_linearity_partitioning_invariance(spark):
+    df = _toks(spark)
+    a = sorted(
+        map(tuple, cms_counters(df.repartition(13), "tok", 4, 64).collect())
+    )
+    b = sorted(map(tuple, cms_counters(df.coalesce(1), "tok", 4, 64).collect()))
+    assert a == b
+
+
+def test_counter_cardinality_bounded(spark):
+    counters = cms_counters(_toks(spark), "tok", depth=4, width=64)
+    assert counters.count() <= 4 * 64
+
+
+def test_heavy_hitters_contains_all_true_hitters(spark):
+    df = _toks(spark)
+    n = df.count()
+    exact_heavy = {
+        r["tok"]
+        for r in df.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 0.03 * n)
+        .collect()
+    }
+    got = {
+        r["tok"]
+        for r in approx_heavy_hitters(df, "tok", support=0.03, width=64).collect()
+    }
+    assert exact_heavy <= got  # one-sided: no false negatives
