@@ -146,6 +146,91 @@ def lsh_auto_dims(
     return tuple(1 + i * stride for i in range(bits))
 
 
+def lsh_multiband_dims(
+    dim: int = 64, n_bands: int = 12, bits: int = 4
+) -> tuple[tuple[int, ...], ...]:
+    """Deterministic per-band dimension sets for multi-band OR-construction.
+
+    Band ``b`` uses 1-based dims ``1 + (b + i*n_bands) % dim`` — bands are
+    pairwise-distinct, spread across the vector, and reproducible in SQL
+    (the oracle hardcodes the same indices). AND within a band (all ``bits``
+    signs must agree) keeps buckets selective; OR across bands (union of
+    candidates) recovers recall — identical construction to MinHash banding
+    in operators/dedup.py. Sizing: ``bits`` per band from
+    :func:`lsh_auto_dims` (bucket-size target), then grow ``n_bands`` until
+    measured recall clears the gate (queries/similarity.py
+    ``ann_recall_at_k``): at sf0.01 (n=500, dim=64) 1 band x 4 bits
+    measured recall@10 = 0.14; 12 bands x 4 bits = 0.86.
+    """
+    return tuple(
+        tuple(1 + (b + i * n_bands) % dim for i in range(bits))
+        for b in range(n_bands)
+    )
+
+
+def lsh_band_structs(vec_col: str, bands: tuple[tuple[int, ...], ...]):
+    """array<struct<band_idx, bucket>> — one sign-bit bucket key per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                lsh_bucket_expr(vec_col, dims).alias("bucket"),
+            )
+            for i, dims in enumerate(bands)
+        ]
+    )
+
+
+def lsh_multiband_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bands: tuple[tuple[int, ...], ...] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with multi-band OR-construction LSH.
+
+    Each vector explodes to ``len(bands)`` (band_idx, bucket) keys; query
+    and corpus candidates meet in a hash equi-join on that composite key;
+    the per-band candidate sets union via DISTINCT (query_id, cand_id)
+    BEFORE scoring, so each surviving pair pays exactly one cosine. Scale
+    shape: the shuffle is on (band_idx, bucket) — parallelism grows with
+    band count x bucket count, no all-pairs stage anywhere; the distinct
+    is bounded by candidate volume, which bits-per-band controls
+    (:func:`lsh_auto_dims`).
+    """
+    if bands is None:
+        bands = lsh_multiband_dims()
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(lsh_band_structs(vec_col, bands)).alias("b"),
+    ).select("query_id", "b.band_idx", "b.bucket")
+    cb = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.explode(lsh_band_structs(vec_col, bands)).alias("b"),
+    ).select("cand_id", "b.band_idx", "b.bucket")
+    cand = (
+        cb.join(broadcast(qb), ["band_idx", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(c, "cand_id")
+        .join(broadcast(q), "query_id")
+        .select("query_id", "cand_id", cosine_expr("q_vec", "c_vec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_bucket_expr(vec_col: str, dims: tuple[int, ...] = (1, 17, 33, 49)):
     """Sign-bit LSH bucket key from fixed dimensions (1-based element_at).
 
@@ -234,6 +319,65 @@ def cosine_pairs_lsh(
             F.col(f"b.{id_col}").alias("id_b"),
             cos.alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_lsh_multiband(
+    df: DataFrame,
+    threshold: float,
+    bands: tuple[tuple[int, ...], ...] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, multi-band OR-construction LSH.
+
+    The corpus-scale successor to :func:`cosine_pairs_lsh` (single band,
+    measured recall@10 = 0.14 on the gate corpus): pairs meet inside ANY
+    band's (band_idx, bucket) — equi-join on the composite key, DISTINCT
+    (id_a, id_b) to collapse multi-band hits BEFORE the cosine, so every
+    candidate pair is scored once. Per-band buckets stay selective (bits
+    from :func:`lsh_auto_dims`); recall comes from the band union, exactly
+    like MinHash banding in operators/dedup.py.
+    """
+    if bands is None:
+        bands = lsh_multiband_dims()
+    keys = df.select(
+        F.col(id_col), F.explode(lsh_band_structs(vec_col, bands)).alias("b")
+    ).select(id_col, "b.band_idx", "b.bucket")
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = keys.repartition(n, "band_idx", "bucket")
+    ka, kb = keys.alias("ka"), keys.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.band_idx") == F.col("kb.band_idx"))
+            & (F.col("ka.bucket") == F.col("kb.bucket"))
+            & (F.col(f"ka.{id_col}") < F.col(f"kb.{id_col}")),
+        )
+        .select(
+            F.col(f"ka.{id_col}").alias("id_a"),
+            F.col(f"kb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    ).withColumn("_norm", F.expr(f"sqrt({_DOT_D.format(a='_v', b='_v')})"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    dot = F.expr(_DOT_D.format(a="_va", b="_vb"))
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), digits)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

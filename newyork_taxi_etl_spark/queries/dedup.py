@@ -210,48 +210,53 @@ def dedup_embedding_cosine(spark, sf_dir):
     return cosine_pairs(emb, threshold=0.4)
 
 
+def _embedding_lsh_sql() -> str:
+    from newyork_taxi_etl_spark.queries.similarity import bands_sql
+
+    cos = (
+        "ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[])))), 4)"
+    )
+    return f"""
+    WITH k AS (
+      {bands_sql('vec_id')}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k a JOIN k b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT cand.id_a, cand.id_b, {cos} AS cosine
+    FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+              JOIN embeddings eb ON cand.id_b = eb.vec_id
+    WHERE {cos} >= 0.4
+    """
+
+
 @register(
     "dedup_embedding_lsh",
-    """
-    WITH b AS (
-      SELECT vec_id, embedding,
-             concat(
-               CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
-               CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
-      FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           ROUND(
-             list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                              CAST(b2.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(a.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]),
-                                        CAST(b2.embedding AS DOUBLE[])))),
-             4) AS cosine
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    WHERE ROUND(
-            list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b2.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(a.embedding AS DOUBLE[])))
-               * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]),
-                                       CAST(b2.embedding AS DOUBLE[])))),
-            4) >= 0.4
-    """,
-    doc="embedding near-dup pairs via sign-LSH buckets (4 fixed dims): "
-    "pairs meet only inside a bucket (expected corpus/16 each), replacing "
-    "the all-pairs join with a hash equi-join — the corpus-scale companion "
-    "to dedup_embedding_cosine's exact baseline; deliberately approximate "
-    "and oracle-matched on identical bucket semantics",
+    _embedding_lsh_sql(),
+    doc="embedding near-dup pairs via multi-band sign-LSH (12 bands x 4 "
+    "bits, OR-construction): a pair becomes a candidate if ANY band agrees "
+    "on all 4 sign bits, DISTINCT collapses multi-band hits before the "
+    "cosine so each pair is scored once — the corpus-scale companion to "
+    "dedup_embedding_cosine's exact baseline, sharing LSH_BANDS with the "
+    "ANN path whose recall ann_recall_at_k gates (0.86 vs the single-band "
+    "0.14 this replaces)",
 )
 def dedup_embedding_lsh(spark, sf_dir):
-    from newyork_taxi_etl_spark.operators.similarity import cosine_pairs_lsh
+    from newyork_taxi_etl_spark.operators.similarity import (
+        cosine_pairs_lsh_multiband,
+    )
+    from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return cosine_pairs_lsh(emb, threshold=0.4)
+    return cosine_pairs_lsh_multiband(emb, threshold=0.4, bands=LSH_BANDS)
 
 
 @register(

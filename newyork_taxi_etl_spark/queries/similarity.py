@@ -14,13 +14,31 @@ _COS_SQL = (
     " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 4)"
 )
 
-_BUCKET_SQL = (
-    "concat("
-    "CASE WHEN {v}[1] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN {v}[17] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN {v}[33] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN {v}[49] >= 0 THEN '1' ELSE '0' END)"
-)
+# Multi-band OR-construction LSH config shared by the Spark operators and
+# the DuckDB oracles below (and dedup_embedding_lsh in queries/dedup.py):
+# 12 bands x 4 sign bits over the 64-dim corpus. Bits per band sized for
+# selective buckets (lsh_auto_dims at target_bucket=32 -> 4 bits at n=500);
+# band count sized for recall (single band measured 0.14 recall@10 on the
+# gate corpus, 12 bands measure 0.86 — see ann_recall_at_k).
+LSH_BANDS = S.lsh_multiband_dims(dim=64, n_bands=12, bits=4)
+
+
+def band_bucket_sql(v: str, dims: tuple[int, ...]) -> str:
+    """DuckDB twin of operators.similarity.lsh_bucket_expr (1-based)."""
+    cases = ", ".join(
+        f"CASE WHEN {v}[{d}] >= 0 THEN '1' ELSE '0' END" for d in dims
+    )
+    return f"concat({cases})"
+
+
+def bands_sql(id_alias: str, where: str = "") -> str:
+    """UNION ALL of one (id, band_idx, bucket) select per LSH band."""
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id AS {id_alias}, {i} AS band_idx, "
+        f"{band_bucket_sql('embedding', dims)} AS bucket "
+        f"FROM embeddings{where}"
+        for i, dims in enumerate(LSH_BANDS)
+    )
 
 
 @register(
@@ -51,21 +69,22 @@ def ann_bruteforce_topk(spark, sf_dir):
 @register(
     "ann_lsh_bucketed_topk",
     f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS q_vec,
-             {_BUCKET_SQL.format(v='embedding')} AS bucket
-      FROM embeddings WHERE vec_id < 5
+    WITH qb AS (
+      {bands_sql('query_id', ' WHERE vec_id < 5')}
     ),
-    c AS (
-      SELECT vec_id AS cand_id, embedding AS c_vec,
-             {_BUCKET_SQL.format(v='embedding')} AS bucket
-      FROM embeddings
+    cb AS (
+      {bands_sql('cand_id')}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.cand_id
+      FROM cb c JOIN qb q USING (band_idx, bucket)
+      WHERE c.cand_id <> q.query_id
     ),
     scored AS (
-      SELECT q.query_id, c.cand_id,
-             {_COS_SQL.format(a='q.q_vec', b='c.c_vec')} AS cosine
-      FROM c JOIN q USING (bucket)
-      WHERE c.cand_id <> q.query_id
+      SELECT cand.query_id, cand.cand_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM cand JOIN embeddings c ON cand.cand_id = c.vec_id
+                JOIN embeddings q ON cand.query_id = q.vec_id
     ),
     ranked AS (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -75,12 +94,17 @@ def ann_bruteforce_topk(spark, sf_dir):
     SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
-    doc="LSH-bucketed ANN (sign-bit buckets on 4 fixed dims): candidates "
-    "meet in a bucket hash join, cosine only within bucket — the scale path",
+    doc="multi-band LSH ANN (12 bands x 4 sign bits, OR-construction): "
+    "candidates meet in a hash join on (band_idx, bucket), band hits union "
+    "via DISTINCT before scoring, cosine paid once per candidate — the "
+    "scale path, with recall driver-gated by ann_recall_at_k (0.86 vs the "
+    "single-band 0.14 this replaces)",
 )
 def ann_lsh_bucketed_topk(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return S.lsh_multiband_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, bands=LSH_BANDS
+    )
 
 
 @register(
@@ -181,28 +205,54 @@ _BF10_SQL = f"""
     )"""
 
 
+def _ivf_leg_sql(p: int) -> str:
+    return f"""
+    ivf_p{p} AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, a.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.c_vec')}
+                          DESC, a.cand_id) AS rank
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.cand_id <> p.query_id AND p.r <= {p}
+      ) WHERE rank <= 10
+    )"""
+
+
+def _recall_row_sql(method: str) -> str:
+    return f"""
+    SELECT '{method}' AS method,
+           (SELECT COUNT(*) FROM {method} JOIN bf USING (query_id, cand_id))
+             AS hits,
+           (SELECT COUNT(*) FROM bf) AS total,
+           ROUND(CAST((SELECT COUNT(*) FROM {method}
+                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall"""
+
+
 @register(
     "ann_recall_at_k",
     f"""
     WITH {_BF10_SQL},
-    lq AS (
-      SELECT vec_id AS query_id, embedding AS q_vec,
-             {_BUCKET_SQL.format(v='embedding')} AS bucket
-      FROM embeddings WHERE vec_id < 5
+    qb AS (
+      {bands_sql('query_id', ' WHERE vec_id < 5')}
     ),
-    lc AS (
-      SELECT vec_id AS cand_id, embedding AS c_vec,
-             {_BUCKET_SQL.format(v='embedding')} AS bucket
-      FROM embeddings
+    cb AS (
+      {bands_sql('cand_id')}
+    ),
+    lcand AS (
+      SELECT DISTINCT q.query_id, c.cand_id
+      FROM cb c JOIN qb q USING (band_idx, bucket)
+      WHERE c.cand_id <> q.query_id
     ),
     lsh AS (
       SELECT query_id, cand_id FROM (
-        SELECT q.query_id, c.cand_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                 ORDER BY {_COS_SQL.format(a='q.q_vec', b='c.c_vec')}
-                          DESC, c.cand_id) AS rank
-        FROM lc c JOIN lq q USING (bucket)
-        WHERE c.cand_id <> q.query_id
+        SELECT lcand.query_id, lcand.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY lcand.query_id
+                 ORDER BY {_COS_SQL.format(a='q.embedding', b='c.embedding')}
+                          DESC, lcand.cand_id) AS rank
+        FROM lcand JOIN embeddings c ON lcand.cand_id = c.vec_id
+                   JOIN embeddings q ON lcand.query_id = q.vec_id
       ) WHERE rank <= 10
     ),
     cent AS (
@@ -219,55 +269,32 @@ _BF10_SQL = f"""
       ) WHERE r = 1
     ),
     probes AS (
-      SELECT query_id, q_vec, cid FROM (
+      SELECT query_id, q_vec, cid, r FROM (
         SELECT q.vec_id AS query_id, q.embedding AS q_vec, cent.cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                  ORDER BY {_COS_SQL.format(a='q.embedding', b='cent.cent_vec')}
                           DESC, cent.cid) AS r
         FROM embeddings q CROSS JOIN cent
         WHERE q.vec_id < 5
-      ) WHERE r <= 2
+      ) WHERE r <= 4
     ),
-    ivf AS (
-      SELECT query_id, cand_id FROM (
-        SELECT p.query_id, a.cand_id,
-               ROW_NUMBER() OVER (PARTITION BY p.query_id
-                 ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.c_vec')}
-                          DESC, a.cand_id) AS rank
-        FROM assigned a JOIN probes p USING (cid)
-        WHERE a.cand_id <> p.query_id
-      ) WHERE rank <= 10
-    )
-    SELECT 'ivf' AS method,
-           (SELECT COUNT(*) FROM ivf JOIN bf USING (query_id, cand_id))
-             AS hits,
-           (SELECT COUNT(*) FROM bf) AS total,
-           ROUND(CAST((SELECT COUNT(*) FROM ivf
-                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM bf), 6) AS recall
-    UNION ALL
-    SELECT 'lsh' AS method,
-           (SELECT COUNT(*) FROM lsh JOIN bf USING (query_id, cand_id))
-             AS hits,
-           (SELECT COUNT(*) FROM bf) AS total,
-           ROUND(CAST((SELECT COUNT(*) FROM lsh
-                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM bf), 6) AS recall
+    {','.join(_ivf_leg_sql(p) for p in (1, 2, 4))}
+    {' UNION ALL '.join(_recall_row_sql(m) for m in ('ivf_p1', 'ivf_p2', 'ivf_p4', 'lsh'))}
     ORDER BY method
     """,
-    doc="ANN QUALITY gate: recall@10 of the LSH-bucketed and IVF paths "
-    "against the exact brute-force top-10 on the same 5 queries — the "
-    "approximate indexes' candidate sets semi-joined against the exact "
-    "result, hit fractions value-checked (deterministic: every top-k "
-    "tie-breaks by cand_id in both engines). This is the number a 100 TB "
-    "deployment tunes bits/n_probe against (see "
-    "operators.similarity.lsh_auto_dims); the driver-checked value makes "
-    "ANN quality a regression-gated quantity, not a claim",
+    doc="ANN QUALITY gate: recall@10 of the multi-band-LSH path and the "
+    "IVF path at n_probe 1/2/4 against the exact brute-force top-10 on the "
+    "same 5 queries — candidate sets semi-joined against the exact result, "
+    "hit fractions value-checked (deterministic: every top-k tie-breaks by "
+    "cand_id in both engines). Both tuned parameters of the ANN stack "
+    "(band count x bits for LSH, n_probe for IVF) are regression-gated "
+    "numbers here, not claims: the recall-vs-cost curve a 100 TB "
+    "deployment reads before sizing an index",
 )
 def ann_recall_at_k(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 5)
-    # n_queries*k rows, consumed three times (total + two semi joins):
+    # n_queries*k rows, consumed five times (total + four semi joins):
     # materialize once instead of re-scoring the corpus per consumer
     bf = (
         S.brute_force_topk(emb, qs, k=10)
@@ -285,21 +312,22 @@ def ann_recall_at_k(spark, sf_dir):
         )
         return hits.crossJoin(total)
 
-    lsh = S.lsh_bucketed_topk(emb, qs, k=10)
-    ivf = S.ivf_topk(emb, qs, k=10, n_centroids=8, n_probe=2)
-    return (
-        leg(ivf, "ivf")
-        .unionAll(leg(lsh, "lsh"))
-        .select(
-            "method",
-            "hits",
-            "total",
-            F.round(
-                F.col("hits").cast("double") / F.col("total"), 6
-            ).alias("recall"),
-        )
-        .orderBy("method")
-    )
+    legs = [
+        leg(S.ivf_topk(emb, qs, k=10, n_centroids=8, n_probe=p), f"ivf_p{p}")
+        for p in (1, 2, 4)
+    ]
+    legs.append(leg(S.lsh_multiband_topk(emb, qs, k=10, bands=LSH_BANDS), "lsh"))
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionAll(df)
+    return out.select(
+        "method",
+        "hits",
+        "total",
+        F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    ).orderBy("method")
 
 
 @register(

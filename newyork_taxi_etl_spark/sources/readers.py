@@ -51,18 +51,24 @@ def register_views(
 
 
 def read_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Events scan with nanosecond-timestamp repair.
+    """Events scan with timestamp-type normalization to TIMESTAMP (LTZ).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark 4 only reads it via
-    ``spark.sql.legacy.parquet.nanosAsLong`` (long nanos). Convert with
-    integer division (``div``) — a double roundtrip would lose precision
-    above 2^53 — then ``timestamp_micros``. Sub-microsecond digits are
-    truncated; queries only derive hour/day/slot so golden values are
-    unaffected (oracle comparisons never expose raw sub-second values).
+    The driver testdata has shipped ``events.ts`` two ways across rounds:
+    parquet TIMESTAMP(NANOS) (Spark 4 only reads it via
+    ``spark.sql.legacy.parquet.nanosAsLong`` — convert with integer
+    division, a double roundtrip would lose precision above 2^53, then
+    ``timestamp_micros``) and parquet timestamp[us] with no timezone
+    (Spark 4 infers TIMESTAMP_NTZ, which ``withWatermark`` and every
+    window/streaming operator reject). Normalize both to TIMESTAMP; the
+    session timezone is pinned UTC (session.DYNAMIC_CONFS) so the NTZ cast
+    preserves wall-clock values and matches DuckDB's naive-timestamp read.
     """
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
