@@ -103,19 +103,53 @@ _R2_VERIFIED = frozenset({
 })
 
 
-def _tier(name: str) -> int:
-    """Priority for the driver's truncated (50-query) correctness walk.
+# Value-verified in round 3 (the 50 names in CORRECTNESS_r03.json — the
+# query-granular rotation's first full window; all rows+schema+hash green).
+_R3_VERIFIED = frozenset({
+    "ann_recall_at_k", "asof_join_events", "broadcast_enrich",
+    "categorical_decode_rank", "clean_keep_drop", "clean_sign_fix",
+    "clean_speed_filter", "congestion_sorted_desc", "count_nonnull_by_group",
+    "cube_slot_dow", "customers_without_orders", "data_quality_checks",
+    "dedup_edit_distance", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_prefix_block", "dedup_simhash", "describe_table_detail",
+    "distinct_values", "fare_validation", "feature_slots", "freq_tokens_cms",
+    "group_type_stats", "grouped_percentiles", "grouping_sets_report",
+    "json_props_stats", "kmeans_cluster_sizes", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "nation_trade_volume",
+    "null_propagation_filter", "null_safe_join_agg", "order_extremes",
+    "pivot_slot_by_type", "pricing_summary", "range_join_windows",
+    "revenue_by_nation", "rollup_slot_dow", "set_ops", "skew_salted_join",
+    "suppliers_in_order_nations", "top_unshipped_orders", "topn_per_group",
+    "unpivot_melt", "user_event_profile", "value_histogram",
+})
 
-    Tier 0: never value-verified by the driver (new queries land here
-    automatically) — must be inside the 50-query window this round.
-    Tier 1: verified only in round 1 — recheck as capacity allows.
-    Tier 2: value-verified in round 2 — most recently confirmed, go last.
+_VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED)
+
+# Queries whose semantics/oracle changed AFTER their last driver verdict —
+# their old verdict no longer vouches for the current code, so they rejoin
+# the never-verified tier until re-checked.  Round 4: the multi-band LSH
+# rewire (ann_lsh_bucketed_topk, dedup_embedding_lsh) and the
+# ann_recall_at_k n_probe sweep.
+_CHANGED_SINCE_VERIFY = frozenset({
+    "ann_lsh_bucketed_topk", "ann_recall_at_k", "dedup_embedding_lsh",
+})
+
+
+def _tier(name: str) -> int:
+    """Priority for the driver's truncated (50-query) correctness walk:
+    the round of the query's latest value verdict (0 = never verified or
+    changed since — must be inside the 50-query window this round).  Sorting
+    ascending makes the window always cover the stalest verdicts first, so
+    every query's verification age stays bounded as the registry grows.
     """
-    if name not in _R1_VERIFIED and name not in _R2_VERIFIED:
+    if name in _CHANGED_SINCE_VERIFY:
         return 0
-    if name not in _R2_VERIFIED:
-        return 1
-    return 2
+    last = 0
+    for rnd, verified in enumerate(_VERIFIED_ROUNDS, start=1):
+        if name in verified:
+            last = rnd
+    return last
 
 
 def _load_all() -> None:
