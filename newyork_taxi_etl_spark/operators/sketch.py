@@ -91,24 +91,63 @@ def cms_estimates(
     )
 
 
+def sampled_candidates(
+    df: DataFrame,
+    col: str,
+    key_cols: list[str],
+    fraction: float = 0.02,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Distinct values seen in a DETERMINISTIC pseudo-sample of rows.
+
+    The 100 TB candidate stage for :func:`approx_heavy_hitters`: instead of
+    exact ``distinct()`` over the full value stream (itself a massive
+    shuffle at token scale), keep a row when the first 8 md5 hex digits of
+    its ``key_cols`` identity land below ``fraction * modulus``, then
+    distinct only the surviving sliver. Sampling ROWS (not values) is what
+    preserves the guarantee: an item with true frequency f is absent from
+    the sample with probability (1-p)^f <= exp(-p*f), so a true heavy
+    hitter (f >= support*N) is missed with probability <= exp(-p*support*N)
+    — at p=0.02, support=0.02, N=10^6 that is e^-400; the sample only ever
+    misses items too rare to matter. md5 (not murmur) so the DuckDB oracle
+    reproduces the identical sample bit-for-bit.
+
+    ``key_cols`` must identify a row (e.g. (doc_id, pos) for an exploded
+    token stream) — hashing the value alone would collapse duplicates and
+    flatten inclusion probability to p for every item.
+    """
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % F.lit(modulus)
+    )
+    thresh = int(round(fraction * modulus))
+    return df.filter(bucket < thresh).select(col).distinct()
+
+
 def approx_heavy_hitters(
     df: DataFrame,
     col: str,
     support: float = 0.02,
     depth: int = 4,
     width: int = 256,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Items whose CMS-estimated frequency is >= support * N.
 
     One-sided: every TRUE heavy hitter is returned (est >= true); false
     positives are items collided above the threshold — shrink by raising
-    ``width``. Candidates here are the distinct values (exact enumeration);
-    at 100 TB swap the candidate stage for a sample-based or hierarchical
-    (dyadic-range) enumeration and keep the same sketch/estimate dataflow.
+    ``width``. Candidates default to the distinct values (exact
+    enumeration — fine up to dashboard scale); pass
+    ``candidates=sampled_candidates(...)`` for the 100 TB path, which
+    bounds the enumeration shuffle to a hash-sample sliver while keeping
+    the same sketch/estimate dataflow and the same one-sided estimates.
     """
     counters = cms_counters(df, col, depth, width)
     total = df.agg(F.count(F.lit(1)).alias("n_total"))
-    est = cms_estimates(counters, df.select(col).distinct(), col, depth, width)
+    if candidates is None:
+        candidates = df.select(col).distinct()
+    est = cms_estimates(counters, candidates, col, depth, width)
     return (
         est.crossJoin(F.broadcast(total))
         .filter(F.col("est_cnt") >= F.col("n_total") * F.lit(support))

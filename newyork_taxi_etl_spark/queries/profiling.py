@@ -292,3 +292,76 @@ def freq_tokens_cms(spark, sf_dir):
         .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     )
     return approx_heavy_hitters(toks, "tok", support=0.02, depth=4, width=256)
+
+
+@register(
+    "freq_tokens_cms_sampled",
+    """
+    WITH toks AS (
+      SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok
+      FROM documents,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS r(i)
+    ),
+    entries AS (
+      SELECT tok, d.j,
+             CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                               tok)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM toks, unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    counters AS (
+      SELECT j, bucket, COUNT(*) AS cnt FROM entries GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT tok FROM toks
+      WHERE CAST(('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR), '#',
+                                              CAST(pos AS VARCHAR))), 1, 8))
+                 AS BIGINT) % 10000 < 500
+    ),
+    probes AS (
+      SELECT tok, d.j,
+             CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                               tok)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM cand, unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    est AS (
+      SELECT p.tok, MIN(c.cnt) AS est_cnt
+      FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+      GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT tok, est_cnt FROM est, tot
+    WHERE est_cnt >= n_total * 0.02
+    ORDER BY est_cnt DESC, tok
+    """,
+    doc="freq_tokens_cms with the 100 TB candidate stage: instead of exact "
+    "DISTINCT over the full token stream, candidates come from a "
+    "deterministic md5 hash-sample of token POSITIONS (doc_id, pos) at "
+    "p=5% (operators/sketch.py sampled_candidates) — a true heavy hitter "
+    "(freq >= support*N) escapes the sample with probability <= "
+    "exp(-p*support*N), vanishing at scale, while the enumeration shuffle "
+    "shrinks 20x. Sketch/estimate dataflow and one-sided guarantees "
+    "unchanged; both engines rebuild the identical sample and sketch, so "
+    "the result is still hash-checked exactly",
+)
+def freq_tokens_cms_sampled(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sketch import (
+        approx_heavy_hitters,
+        sampled_candidates,
+    )
+
+    toks = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+    )
+    cand = sampled_candidates(
+        toks, "tok", ["doc_id", "pos"], fraction=0.05, modulus=10_000
+    )
+    return approx_heavy_hitters(
+        toks, "tok", support=0.02, depth=4, width=256, candidates=cand
+    )

@@ -64,3 +64,58 @@ def test_heavy_hitters_contains_all_true_hitters(spark):
         for r in approx_heavy_hitters(df, "tok", support=0.03, width=64).collect()
     }
     assert exact_heavy <= got  # one-sided: no false negatives
+
+
+def _keyed_toks(spark):
+    # same skew as _toks but with a (doc_id, pos) row identity for sampling
+    rows = [
+        (i, j + 1, f"tok{i}") for i in range(40) for j in range(40 - i)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, pos int, tok string")
+
+
+def test_sampled_candidates_subset_and_deterministic(spark):
+    from newyork_taxi_etl_spark.operators.sketch import sampled_candidates
+
+    df = _keyed_toks(spark)
+    all_vals = {r["tok"] for r in df.select("tok").distinct().collect()}
+    s1 = {
+        r["tok"]
+        for r in sampled_candidates(df, "tok", ["doc_id", "pos"], 0.3).collect()
+    }
+    s2 = {
+        r["tok"]
+        for r in sampled_candidates(
+            df.repartition(7), "tok", ["doc_id", "pos"], 0.3
+        ).collect()
+    }
+    assert s1 == s2  # md5 row-hash: invariant under partitioning
+    assert s1 <= all_vals
+    assert 0 < len(s1) < len(all_vals)  # a real sample, not all/nothing
+
+
+def test_sampled_heavy_hitters_keep_true_hitters(spark):
+    from newyork_taxi_etl_spark.operators.sketch import (
+        sampled_candidates,
+    )
+
+    df = _keyed_toks(spark)
+    n = df.count()
+    exact_heavy = {
+        r["tok"]
+        for r in df.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 0.03 * n)
+        .collect()
+    }
+    # p=0.3, support*n ~ 24 -> miss prob per hitter <= e^-7
+    cand = sampled_candidates(df, "tok", ["doc_id", "pos"], 0.3)
+    got = {
+        r["tok"]
+        for r in approx_heavy_hitters(
+            df, "tok", support=0.03, width=64, candidates=cand
+        ).collect()
+    }
+    assert exact_heavy <= got
+    sampled_only = {r["tok"] for r in cand.collect()}
+    assert got <= sampled_only  # candidates bound the output set
