@@ -259,3 +259,31 @@ def test_null_safe_join_plans_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark):
+    """Decontamination at 100 TB only works if the eval-set shingles
+    broadcast: the corpus side must not shuffle for the overlap join."""
+    from newyork_taxi_etl_spark.queries.curation import (
+        contamination_ngram_overlap,
+    )
+
+    plan = _plan(contamination_ngram_overlap(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top1_plans_window_group_limit(spark):
+    from newyork_taxi_etl_spark.queries.curation import tfidf_top_terms
+
+    assert "WindowGroupLimit" in _plan(tfidf_top_terms(spark, SF_SMOKE))
+
+
+def test_multiband_lsh_topk_broadcasts_query_side(spark):
+    """The ANN candidate join must broadcast the (tiny) query band keys;
+    the corpus band explode stays shuffle-free before the join."""
+    from newyork_taxi_etl_spark.queries.similarity import (
+        ann_lsh_bucketed_topk,
+    )
+
+    plan = _plan(ann_lsh_bucketed_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
