@@ -100,3 +100,72 @@ def component_sizes(components: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 3,
+    damping: float = 0.85,
+    inner_digits: int = 12,
+) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous PageRank rounds.
+
+    Each round is the two-shuffle DataFrame form: contributions =
+    edges ⋈ ranks on src (rank/out_degree per edge), then one hash
+    aggregate on dst; rank' = (1-d)/N + d * inbound_sum.
+    ``localCheckpoint`` truncates lineage per round (same iterative-plan
+    discipline as :func:`connected_components`). Degrees and N are
+    computed once; the edge table is checkpointed so the (possibly
+    join-heavy) edge construction runs once, not per round.
+
+    Callers must pass a dangling-free graph (every node has out-degree
+    ≥ 1 — e.g. a symmetrized edge set); this keeps the rank mass exact
+    without a dangling-redistribution term and keeps the DuckDB oracle an
+    unrolled CTE chain. Per-edge contributions and per-round ranks are
+    rounded to ``inner_digits`` and the inbound sum runs through
+    DECIMAL(38,12) (functions.exact.sum_exact) so every round is exact and
+    order-independent in both engines — same determinism discipline as the
+    Lloyd rounds in operators/clustering.py.
+    """
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select("u").unionAll(e.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), inner_digits).alias(
+                    "c"
+                ),
+            )
+            .groupBy("node")
+            .agg(sum_exact("c").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("inbound"), F.lit(0.0)),
+                    inner_digits,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -16,39 +16,56 @@ join+min (one shuffle per round, lineage truncated per round).
 from __future__ import annotations
 
 from newyork_taxi_etl_spark.operators.graph import connected_components
-from newyork_taxi_etl_spark.operators.similarity import cosine_pairs_lsh
+from newyork_taxi_etl_spark.operators.similarity import (
+    cosine_pairs_lsh_multiband,
+)
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import table_path
 
-_BUCKET_SQL = (
-    "concat("
-    "CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END, "
-    "CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END)"
+_COS_SQL = (
+    "ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),"
+    " CAST(eb.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),"
+    " CAST(ea.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),"
+    " CAST(eb.embedding AS DOUBLE[])))), 4)"
 )
 
-_COS_SQL = (
-    "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
-    " CAST(b2.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
-    " CAST(a.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(b2.embedding AS DOUBLE[]),"
-    " CAST(b2.embedding AS DOUBLE[])))), 4)"
-)
+
+def _multiband_pairs_sql() -> str:
+    """Shared edge-set CTEs: multiband LSH near-dup pairs at cosine >= 0.4
+    (DuckDB twin of operators.similarity.cosine_pairs_lsh_multiband with
+    queries.similarity.LSH_BANDS)."""
+    from newyork_taxi_etl_spark.queries.similarity import bands_sql
+
+    return f"""k AS (
+      {bands_sql('vec_id')}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k a JOIN k b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT cand.id_a, cand.id_b
+      FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+                JOIN embeddings eb ON cand.id_b = eb.vec_id
+      WHERE {_COS_SQL} >= 0.4
+    )"""
+
+
+def _multiband_pairs(spark, sf_dir):
+    from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return cosine_pairs_lsh_multiband(emb, threshold=0.4, bands=LSH_BANDS)
 
 
 @register(
     "dedup_clusters",
     f"""
-    WITH RECURSIVE b AS (
-      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
-    ),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-      WHERE {_COS_SQL} >= 0.4
-    ),
+    WITH RECURSIVE {_multiband_pairs_sql()},
     sym AS (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION ALL
@@ -62,28 +79,22 @@ _COS_SQL = (
     SELECT u AS node, LEAST(u, MIN(v)) AS component
     FROM reach GROUP BY u ORDER BY node
     """,
-    doc="dup clustering: LSH near-dup pairs -> connected components "
-    "(iterative join+min label propagation, lineage truncated per round) -> "
+    doc="dup clustering: multiband-LSH near-dup pairs (same LSH_BANDS as "
+    "the ANN path, recall driver-gated) -> connected components (iterative "
+    "join+min label propagation, lineage truncated per round) -> "
     "component-minimum canonical id per doc; oracle = recursive-CTE "
     "transitive closure over the identical pair set",
 )
 def dedup_clusters(spark, sf_dir):
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    pairs = cosine_pairs_lsh(emb, threshold=0.4)
-    return connected_components(pairs).orderBy("node")
+    return connected_components(_multiband_pairs(spark, sf_dir)).orderBy(
+        "node"
+    )
 
 
 @register(
     "dedup_canonical_docs",
     f"""
-    WITH RECURSIVE b AS (
-      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
-    ),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-      WHERE {_COS_SQL} >= 0.4
-    ),
+    WITH RECURSIVE {_multiband_pairs_sql()},
     sym AS (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION ALL
@@ -112,8 +123,7 @@ def dedup_clusters(spark, sf_dir):
 def dedup_canonical_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    comps = connected_components(cosine_pairs_lsh(emb, threshold=0.4))
+    comps = connected_components(_multiband_pairs(spark, sf_dir))
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -125,3 +135,59 @@ def dedup_canonical_docs(spark, sf_dir):
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank round (DuckDB twin of operators.graph.pagerank):
+    decimal-exact inbound sum, 12-digit round per round."""
+    return f"""
+    r{i + 1} AS (
+      SELECT nd.node,
+             ROUND((1 - 0.85) / n.n + 0.85 * COALESCE(inb.s, 0), 12) AS rank
+      FROM nodes nd CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.v AS node,
+               CAST(SUM(CAST(ROUND(r{i}.rank / deg.deg, 12)
+                             AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM e JOIN r{i} ON e.u = r{i}.node JOIN deg ON e.u = deg.u
+        GROUP BY 1
+      ) inb ON nd.node = inb.node
+    )"""
+
+
+@register(
+    "pagerank_source_lang",
+    f"""
+    WITH e0 AS (SELECT DISTINCT source AS u, lang AS v FROM documents),
+    e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+    {','.join(_pr_iter_sql(i) for i in range(3))}
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    ORDER BY rank DESC, node
+    """,
+    doc="PageRank (3 synchronous rounds, d=0.85) over the symmetrized "
+    "source<->lang affinity graph of the documents corpus — the iterative "
+    "custom operator family beyond connected components. Each round is "
+    "edges-join-ranks + one hash aggregate on the target (two shuffles), "
+    "lineage truncated per round; per-edge contributions round to 12 "
+    "digits and the inbound sum runs through DECIMAL(38,12), so every "
+    "round is order-independent and both engines agree exactly. Oracle = "
+    "3 unrolled CTE rounds of the identical recurrence",
+)
+def pagerank_source_lang(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    e0 = docs.select(
+        F.col("source").alias("u"), F.col("lang").alias("v")
+    ).distinct()
+    edges = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "node")

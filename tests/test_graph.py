@@ -89,3 +89,30 @@ def test_cosine_pairs_spread_is_noop_when_already_split(spark):
         .toString()
     )
     assert "roundrobin" not in plan.lower()
+
+
+def test_pagerank_mass_conservation_and_star_order(spark):
+    """On a dangling-free graph rank mass stays ~1, and the hub of a star
+    graph outranks every leaf."""
+    from newyork_taxi_etl_spark.operators.graph import pagerank
+
+    # star: hub 0 <-> leaves 1..5 (symmetric, so no dangling nodes)
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 6)]
+    assert all(hub > l for l in leaves)
+    assert len(set(round(l, 12) for l in leaves)) == 1  # symmetric leaves tie
+
+
+def test_pagerank_partitioning_invariance(spark):
+    from newyork_taxi_etl_spark.operators.graph import pagerank
+
+    edges = [(i, (i + 1) % 7) for i in range(7)] + [
+        ((i + 1) % 7, i) for i in range(7)
+    ]
+    e = spark.createDataFrame(edges, "u long, v long")
+    a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(5), iters=3).collect()))
+    assert a == b

@@ -110,11 +110,18 @@ def test_registration_order_is_tiered_by_driver_verdict():
     # every query never seen by a driver pass sits inside the 50-query window
     unchecked = [n for n in names if registry._tier(n) == 0]
     assert all(names.index(n) < 50 for n in unchecked)
-    # spot-check the 11 queries VERDICT r2 flagged as never-checked + the
-    # two upgraded no_oracle queries + this round's additions
+    # tier = round of latest verdict: r3-verified go last, round-1-only
+    # queries (stalest live verdicts) sit just after the tier-0 block
+    for probe, want in (
+        ("grouped_percentiles", 3), ("freq_tokens_cms", 3),
+        ("profile_nulls", 1), ("exact_quantile", 1),
+        ("traffic_congestion", 2), ("text_stats", 2),
+    ):
+        assert registry._tier(probe) == want, probe
+    # changed-since-verify + this round's additions must be re-checked first
     for probe in (
-        "grouped_percentiles", "dedup_edit_distance", "skew_salted_join",
-        "kmeans_cluster_sizes", "describe_table_detail",
-        "ann_recall_at_k", "freq_tokens_cms",
+        "ann_lsh_bucketed_topk", "ann_recall_at_k", "dedup_embedding_lsh",
+        "dedup_clusters", "dedup_canonical_docs", "pagerank_source_lang",
+        "freq_tokens_cms_sampled", "bm25_rank", "domain_mix_weights",
     ):
         assert registry._tier(probe) == 0, probe
