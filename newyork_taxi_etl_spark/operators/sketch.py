@@ -154,3 +154,42 @@ def approx_heavy_hitters(
         .select(col, "est_cnt")
         .orderBy(F.desc("est_cnt"), col)
     )
+
+
+def bloom_bits(
+    df: DataFrame, col: str, m: int = 8192, k: int = 4
+) -> DataFrame:
+    """Set bit positions of a Bloom filter over ``col`` (one-column DF).
+
+    Same seed-prefixed-md5 hash family as the CMS (:func:`_bucket_expr`),
+    so the DuckDB oracle rebuilds the identical filter. Output is at most
+    ``m`` rows — the broadcastable form of a key SET: at 100 TB this is
+    the explicit runtime-filter pattern (ship m bits to every scan task
+    instead of shuffling the fact table into a semi join; Spark's own
+    injected bloom is size-estimate-gated and opaque, this one is a
+    first-class, testable DataFrame).
+    """
+    pos = F.array(*[F.expr(_bucket_expr(col, j, m)) for j in range(k)])
+    return df.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_maybe_contains(
+    bits: DataFrame, items: DataFrame, col: str, m: int = 8192, k: int = 4
+) -> DataFrame:
+    """Probe: items whose ``k`` bloom bits are ALL set (maybe-present).
+
+    One-sided like every bloom: no false negatives, false positives at
+    rate ~(1 - e^(-k*n/m))^k. The bits side broadcasts; the probe side is
+    a narrow explode + broadcast join + count==k aggregate keyed by the
+    probed value — no shuffle of the (big) probe table beyond its own
+    aggregate.
+    """
+    pos = F.array(*[F.expr(_bucket_expr(col, j, m)) for j in range(k)])
+    probes = items.select(F.col(col), F.explode(pos).alias("bit"))
+    return (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .select(col)
+    )

@@ -365,3 +365,89 @@ def freq_tokens_cms_sampled(spark, sf_dir):
     return approx_heavy_hitters(
         toks, "tok", support=0.02, depth=4, width=256, candidates=cand
     )
+
+
+_BLOOM_BUCKET = (
+    "CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|', "
+    "CAST({v} AS VARCHAR))), 1, 8)) AS BIGINT) % 8192"
+)
+
+
+@register(
+    "bloom_prefilter_orders",
+    f"""
+    WITH keys AS (
+      SELECT c_custkey AS key FROM customer WHERE c_nationkey < 5
+    ),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_BUCKET.format(v='key')} AS bit
+      FROM keys, unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    pp AS (
+      SELECT key, {_BLOOM_BUCKET.format(v='key')} AS bit
+      FROM probes, unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    pass AS (
+      SELECT pp.key FROM pp JOIN bits USING (bit)
+      GROUP BY pp.key HAVING COUNT(*) = 4
+    ),
+    tru AS (SELECT probes.key FROM probes JOIN keys USING (key))
+    SELECT
+      CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+      CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+      CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probed,
+      CAST((SELECT COUNT(*) FROM pass) AS BIGINT) AS n_pass,
+      CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true,
+      CAST((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tru)
+           AS BIGINT) AS n_false_pos,
+      ROUND(CAST((SELECT COUNT(*) FROM pass)
+                 - (SELECT COUNT(*) FROM tru) AS DOUBLE)
+            / ((SELECT COUNT(*) FROM probes)
+               - (SELECT COUNT(*) FROM tru)), 6) AS fp_rate
+    """,
+    doc="explicit Bloom runtime-filter (m=8192, k=4, seed-prefixed md5 "
+    "identical in both engines): build over the custkeys of a selective "
+    "dim predicate (c_nationkey < 5), probe every distinct orders custkey, "
+    "report set/probe/pass/true/false-positive counts and the measured fp "
+    "rate as driver-gated values. The 100 TB semi-join-prefilter pattern "
+    "made first-class: ship <= m bits to every scan task instead of "
+    "shuffling the fact side (Spark's own injected bloom is size-gated "
+    "and opaque; this one is a testable DataFrame). One-sided: pass "
+    "always contains every true match — the filter can only overselect",
+)
+def bloom_prefilter_orders(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sketch import (
+        bloom_bits,
+        bloom_maybe_contains,
+    )
+
+    cust = spark.read.parquet(table_path(sf_dir, "customer"))
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    keys = cust.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = bloom_bits(keys, "key", m=8192, k=4)
+    probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+    passed = bloom_maybe_contains(bits, probes, "key", m=8192, k=4)
+    tru = probes.join(keys, "key", "left_semi")
+    row = (
+        keys.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(probes.agg(F.count(F.lit(1)).alias("n_probed")))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_pass")))
+        .crossJoin(tru.agg(F.count(F.lit(1)).alias("n_true")))
+    )
+    return row.select(
+        "n_keys",
+        "n_bits_set",
+        "n_probed",
+        "n_pass",
+        "n_true",
+        (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass") - F.col("n_true")).cast("double")
+            / (F.col("n_probed") - F.col("n_true")),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -119,3 +119,32 @@ def test_sampled_heavy_hitters_keep_true_hitters(spark):
     assert exact_heavy <= got
     sampled_only = {r["tok"] for r in cand.collect()}
     assert got <= sampled_only  # candidates bound the output set
+
+
+def test_bloom_no_false_negatives_and_bounded_bits(spark):
+    from newyork_taxi_etl_spark.operators.sketch import (
+        bloom_bits,
+        bloom_maybe_contains,
+    )
+
+    keys = spark.range(0, 50).select(F.col("id").alias("key"))
+    probes = spark.range(0, 500).select(F.col("id").alias("key"))
+    bits = bloom_bits(keys, "key", m=1024, k=3)
+    assert bits.count() <= 1024
+    passed = {
+        r["key"]
+        for r in bloom_maybe_contains(bits, probes, "key", m=1024, k=3).collect()
+    }
+    assert set(range(50)) <= passed  # one-sided: every true key passes
+    assert len(passed) < 500  # and the filter actually filters
+
+
+def test_bloom_partitioning_invariance(spark):
+    from newyork_taxi_etl_spark.operators.sketch import bloom_bits
+
+    keys = spark.range(0, 200).select(F.col("id").alias("key"))
+    a = sorted(r["bit"] for r in bloom_bits(keys, "key").collect())
+    b = sorted(
+        r["bit"] for r in bloom_bits(keys.repartition(9), "key").collect()
+    )
+    assert a == b
