@@ -202,3 +202,28 @@ def streaming_upsert_counts(spark, sf_dir):
     return W.run_foreachbatch_upsert(
         spark, read_events(spark, sf_dir), stage, target
     )
+
+
+@register(
+    "streaming_cms_counters",
+    """
+    SELECT d.j,
+           CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                             CAST(user_id AS VARCHAR))),
+                                   1, 8)) AS BIGINT) % 256 AS bucket,
+           COUNT(*) AS cnt
+    FROM events, unnest([0, 1, 2, 3]) AS d(j)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="streaming count-min sketch over events.user_id: multi-batch "
+    "AvailableNow drain (maxFilesPerTrigger=1 over a 4-file stage) with a "
+    "complete-mode (j, bucket) aggregation. CMS is LINEAR, so the "
+    "micro-batched counters must be bit-identical to the one-shot batch "
+    "sketch — which is what the oracle value-checks. State is depth*width "
+    "counters regardless of stream size; the same mergeability covers "
+    "restarts, replicas, and batch backfills at 100 TB",
+)
+def streaming_cms_counters(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_cms_stage")
+    return W.run_streaming_cms(spark, read_events(spark, sf_dir), stage)

@@ -428,3 +428,48 @@ def run_foreachbatch_upsert(
         )
         .orderBy("user_id")
     )
+
+
+def run_streaming_cms(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch: the drained counter matrix must be
+    BIT-IDENTICAL to the batch sketch over the same rows.
+
+    CMS is a linear sketch — counters are sums — so partial sketches from
+    any micro-batching merge by elementwise add, which is exactly what a
+    complete-mode streaming aggregation on (j, bucket) maintains.
+    ``maxFilesPerTrigger=1`` over a multi-file stage forces a REAL
+    multi-batch drain (the merge path actually runs); the oracle then
+    value-checks the result against the one-shot batch CMS. This is the
+    100 TB streaming-profile shape: state is depth*width counters however
+    large the stream, and the same counters are mergeable across restarts,
+    replicas, or a batch backfill.
+    """
+    from newyork_taxi_etl_spark.operators.sketch import cms_counters
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    counters = cms_counters(stream, col, depth, width)
+    name = f"cms_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 120)
+    return spark.table(name).orderBy("j", "bucket")
