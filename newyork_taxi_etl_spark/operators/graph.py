@@ -33,6 +33,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge.
 
@@ -44,50 +45,97 @@ def connected_components(
     rounds (component diameter > max_iter): returning silently
     non-converged labels would split a cluster and keep/drop the wrong
     documents downstream.
-    """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.localCheckpoint(eager=True)  # pair emission runs once, not per round
 
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+    ``loop_partitions`` scopes ``spark.sql.shuffle.partitions`` for the
+    label-propagation rounds only (restored after): the loop tables are
+    label-sized, not corpus-sized, so per-round fixed cost is dominated by
+    task count. Size it to label cardinality / target partition rows — a
+    near-dup label table is orders of magnitude smaller than the corpus
+    even at 100 TB; results are partitioning-invariant either way
+    (unit-tested).
+    """
+    # Checkpoint the EDGE LIST first: the symmetrized table references
+    # ``edges`` twice (forward + reversed), and Spark does not share the
+    # subtree between union branches — an un-checkpointed (possibly
+    # join-heavy) pair emitter would run twice here.
+    edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    # Symmetrize AND add self-loops: with (u, u) present for every node,
+    # "min over neighbors' labels INCLUDING my own" is ONE join + one
+    # aggregate per round — no separate keep-my-label left join.
+    nodes = edges.select("u").unionAll(
+        edges.select(F.col("v").alias("u"))
+    ).distinct()
+    sym = (
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .unionAll(nodes.select("u", F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
 
-    changed = 0
-    for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("comp").alias("neigh_min"))
+    labels = nodes.select(
+        F.col("u").alias("node"), F.col("u").alias("comp")
+    ).localCheckpoint(eager=True)
+    # Convergence probe: labels are MONOTONE non-increasing toward the
+    # component minimum, so the label-table sum strictly decreases until
+    # the fixpoint — a one-column aggregate per round instead of a
+    # changed-rows self-join (decimal so huge id sums can't overflow).
+    def _total(lbl) -> object:
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    from newyork_taxi_etl_spark.streaming.windows import _scoped_conf
+
+    spark = edges.sparkSession
+    import contextlib
+
+    scope = (
+        _scoped_conf(
+            spark, "spark.sql.shuffle.partitions", str(loop_partitions)
         )
-        new_labels = (
-            labels.join(neigh_min, labels["node"] == neigh_min["u"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("neigh_min", F.col("comp"))
-                ).alias("comp"),
+        if loop_partitions
+        else contextlib.nullcontext()
+    )
+    prev_total = _total(labels)
+    converged = prev_total is None  # no edges → nothing to propagate
+    with scope:
+        for _ in range(max_iter):
+            if converged:
+                break
+            stepped = (
+                sym.join(labels, sym["v"] == labels["node"])
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("comp").alias("comp"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
+            # Pointer jump (path halving): comp ← comp(comp). Neighbor-min
+            # alone needs O(diameter) rounds — a chain of near-dup pairs
+            # pays one round per hop; composing each round with one
+            # label-table self-join shortcuts label chains, converging in
+            # O(log diameter) at one extra tiny join per round. Monotone
+            # (labels only decrease toward the component min), and a
+            # fixpoint of the composed operator is in particular a fixpoint
+            # of neighbor-min, so the converged labels are exact.
+            jump = stepped.select(
+                F.col("node").alias("jn"), F.col("comp").alias("jc")
+            )
+            labels = (
+                stepped.join(jump, stepped["comp"] == jump["jn"], "left")
+                .select(
+                    "node", F.coalesce("jc", F.col("comp")).alias("comp")
+                )
+                .localCheckpoint(eager=True)
+            )
+            total = _total(labels)
+            converged = total == prev_total
+            prev_total = total
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to the large-star/small-star O(log n) variant"
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or switch to the large-star/small-star "
+            "O(log n) variant"
         )
 
     return labels.select("node", F.col("comp").alias("component"))

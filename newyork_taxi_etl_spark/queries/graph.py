@@ -86,9 +86,11 @@ def _multiband_pairs(spark, sf_dir):
     "transitive closure over the identical pair set",
 )
 def dedup_clusters(spark, sf_dir):
-    return connected_components(_multiband_pairs(spark, sf_dir)).orderBy(
-        "node"
-    )
+    # loop_partitions=8: the label loop runs on label-sized tables; see
+    # operators.graph.connected_components
+    return connected_components(
+        _multiband_pairs(spark, sf_dir), loop_partitions=8
+    ).orderBy("node")
 
 
 @register(
@@ -123,7 +125,9 @@ def dedup_clusters(spark, sf_dir):
 def dedup_canonical_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    comps = connected_components(_multiband_pairs(spark, sf_dir))
+    comps = connected_components(
+        _multiband_pairs(spark, sf_dir), loop_partitions=8
+    )
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
