@@ -310,3 +310,118 @@ def dedup_edit_distance(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 6)
     )
+
+
+def _minhash_gate_sql(k: int = 16) -> str:
+    sig_cols = ",\n             ".join(
+        f"{minhash_sql(_SH, s)} AS mh_{s}" for s in range(k)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{s} = b.mh_{s} THEN 1 ELSE 0 END" for s in range(k)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, list_distinct({_SH}) AS s,
+             {sig_cols}
+      FROM documents WHERE doc_id < 60
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sigs),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.g = b.g
+      WHERE a.doc_id < 20 AND b.doc_id >= 20
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+               / (len(a.s) + len(b.s) - COALESCE(sh.n_shared, 0)) AS jac,
+             ({matches}) / {k}.0 AS est
+      FROM sigs a JOIN sigs b ON a.doc_id < 20 AND b.doc_id >= 20
+      LEFT JOIN shared sh ON sh.id_a = a.doc_id AND sh.id_b = b.doc_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(abs(est - jac), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_abs_err,
+           ROUND(MAX(ROUND(abs(est - jac), 12)), 6) AS max_abs_err
+    FROM pairs
+    """
+
+
+@register(
+    "minhash_jaccard_gate",
+    _minhash_gate_sql(),
+    doc="MinHash QUALITY gate (companion to ann_recall_at_k): estimated "
+    "Jaccard (16 md5 signatures, match fraction) vs EXACT 3-shingle "
+    "Jaccard over an 800-pair grid, reporting mean/max absolute error as "
+    "driver-gated values. Exact side is an inverted-index shared-shingle "
+    "join (no list_intersect dependency, same both engines); error "
+    "aggregation is decimal-exact so the mean is order-independent. This "
+    "is the number that justifies the signature count k in "
+    "dedup_minhash_lsh: E[err] ~ sqrt(j(1-j)/k)",
+)
+def minhash_jaccard_gate(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.text import minhash_expr, with_shingles
+
+    k = 16
+    docs = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .filter(F.col("doc_id") < 60)
+    )
+    sh = with_shingles(docs, "text", 3, "sh").select(
+        "doc_id", F.array_distinct("sh").alias("s")
+    )
+    sigs = sh
+    for s in range(k):
+        sigs = sigs.withColumn(f"mh_{s}", minhash_expr("s", s))
+    a = sigs.filter(F.col("doc_id") < 20)
+    b = sigs.filter(F.col("doc_id") >= 20)
+    inv = sh.select("doc_id", F.explode("s").alias("g"))
+    shared = (
+        inv.filter(F.col("doc_id") < 20)
+        .alias("ia")
+        .join(
+            inv.filter(F.col("doc_id") >= 20).alias("ib"),
+            F.col("ia.g") == F.col("ib.g"),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    matches = None
+    for s in range(k):
+        m = F.when(F.col(f"a.mh_{s}") == F.col(f"b.mh_{s}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    pairs = (
+        a.alias("a")
+        .crossJoin(b.alias("b"))
+        .join(
+            shared.alias("sh"),
+            (F.col("a.doc_id") == F.col("sh.id_a"))
+            & (F.col("b.doc_id") == F.col("sh.id_b")),
+            "left",
+        )
+        .select(
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / (
+                    F.size("a.s")
+                    + F.size("b.s")
+                    - F.coalesce(F.col("n_shared"), F.lit(0))
+                )
+            ).alias("jac"),
+            (matches / F.lit(float(k))).alias("est"),
+        )
+    )
+    err = F.round(F.abs(F.col("est") - F.col("jac")), 12)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(err.cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )

@@ -382,3 +382,93 @@ def nation_trade_volume(spark, sf_dir):
         )
         .orderBy("supp_nation", "cust_nation")
     )
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    WITH j AS (
+      SELECT p.p_type, l.l_extendedprice, l.l_discount
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    )
+    SELECT
+      {sum_exact_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+        AS promo_revenue,
+      {sum_exact_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+      ROUND(100 * {sum_exact_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            / {sum_exact_sql('l_extendedprice * (1 - l_discount)')}, 6)
+        AS promo_share_pct
+    FROM j
+    """,
+    doc="TPC-H Q14-shaped promo revenue share: one quarter of lineitem "
+    "broadcast-joined to part (the dim side is small by definition), "
+    "conditional + total revenue in ONE map-side-combinable aggregate "
+    "pass, decimal-exact sums so the percentage is order-independent; "
+    "shipdate filter pushed to the fact scan",
+)
+def promo_revenue_share(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    j = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        sum_exact(promo).alias("promo_revenue"),
+        sum_exact(rev).alias("total_revenue"),
+        F.round(
+            100 * sum_exact(promo) / sum_exact(rev), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH revs AS (
+      SELECT l.l_suppkey,
+             {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')}
+               AS total_revenue
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+           r.total_revenue
+    FROM revs r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revs)
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q15-shaped top supplier: per-supplier quarterly revenue "
+    "(decimal-exact, so the max comparison is bit-deterministic), the "
+    "argmax via a broadcast 1-row max joined back — no second scan of "
+    "lineitem; supplier dim broadcast",
+)
+def top_supplier_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revs = l.groupBy("l_suppkey").agg(
+        sum_exact(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = revs.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revs.crossJoin(broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )

@@ -305,3 +305,80 @@ def text_pii_redact(spark, sf_dir):
         F.size(F.regexp_extract_all(body, F.lit(pat), 0)).alias("n_emails"),
         F.md5(F.regexp_replace(body, pat, "<EMAIL>")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "zipf_token_slope",
+    """
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+                           AS DOUBLE)), 12) AS x,
+             ROUND(ln(CAST(cnt AS DOUBLE)), 12) AS y
+      FROM tf
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+    doc="Zipf fit over the token frequency distribution: OLS slope of "
+    "ln(freq) on ln(rank) — the corpus-statistics diagnostic (natural "
+    "text ~ -1; this synthetic corpus is near-uniform, so the measured "
+    "slope quantifies HOW synthetic it is). All four OLS sums run through "
+    "ROUND(.,12) + DECIMAL(38,12) so the fit is order-independent and "
+    "identical cross-engine; rank ties break by token. One aggregate "
+    "over the (vocab-sized) frequency table — at 100 TB the token count "
+    "aggregate dominates and is map-side combinable; the fit itself is "
+    "vocab-sized",
+)
+def zipf_token_slope(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = tf.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 12).alias("y"),
+    )
+    dec = "decimal(38,12)"
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
