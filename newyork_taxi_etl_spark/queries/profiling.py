@@ -451,3 +451,165 @@ def bloom_prefilter_orders(spark, sf_dir):
             6,
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "quantile_sketch_gate",
+    """
+    WITH stats AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+             COUNT(*) AS n,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+             ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / (mx - mn) * 256)
+                        AS INT), 255) AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem, stats
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS c FROM hist
+    ),
+    est AS (
+      SELECT
+        (SELECT MIN(bucket) FROM cum, stats WHERE c >= 0.5 * n) AS b50,
+        (SELECT MIN(bucket) FROM cum, stats WHERE c >= 0.99 * n) AS b99
+    )
+    SELECT
+      p50_exact,
+      ROUND(mn + (b50 + 0.5) * (mx - mn) / 256, 6) AS p50_est,
+      ROUND(abs(mn + (b50 + 0.5) * (mx - mn) / 256 - p50_exact)
+            / p50_exact, 6) AS p50_rel_err,
+      p99_exact,
+      ROUND(mn + (b99 + 0.5) * (mx - mn) / 256, 6) AS p99_est,
+      ROUND(abs(mn + (b99 + 0.5) * (mx - mn) / 256 - p99_exact)
+            / p99_exact, 6) AS p99_rel_err
+    FROM est, stats
+    """,
+    doc="QUANTILE SKETCH gate: p50/p99 estimated from a 256-bucket "
+    "equi-width histogram (midpoint rule) vs the exact interpolated "
+    "percentiles, relative errors as driver-gated values. The histogram "
+    "is the mergeable one-pass scale path (256 partial counters, "
+    "map-side combinable, mergeable across executors/restarts) where the "
+    "exact percentile needs the full value multiset; the gate quantifies "
+    "what that buys and what it costs in accuracy — same "
+    "measured-not-claimed pattern as ann_recall_at_k / "
+    "minhash_jaccard_gate / bloom_prefilter_orders",
+)
+def quantile_sketch_gate(spark, sf_dir):
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    x = F.col("l_extendedprice")
+    stats = li.agg(
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+            "p50_exact"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias(
+            "p99_exact"
+        ),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.least(
+                F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256)
+                .cast("int"),
+                F.lit(255),
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(Window.orderBy("bucket")).alias("c"),
+    ).crossJoin(F.broadcast(stats))
+    b50 = cum.filter(F.col("c") >= 0.5 * F.col("n")).agg(
+        F.min("bucket").alias("b50")
+    )
+    b99 = cum.filter(F.col("c") >= 0.99 * F.col("n")).agg(
+        F.min("bucket").alias("b99")
+    )
+    row = stats.crossJoin(F.broadcast(b50)).crossJoin(F.broadcast(b99))
+    width = (F.col("mx") - F.col("mn")) / 256
+    e50 = F.col("mn") + (F.col("b50") + 0.5) * width
+    e99 = F.col("mn") + (F.col("b99") + 0.5) * width
+    return row.select(
+        "p50_exact",
+        F.round(e50, 6).alias("p50_est"),
+        F.round(F.abs(e50 - F.col("p50_exact")) / F.col("p50_exact"), 6).alias(
+            "p50_rel_err"
+        ),
+        "p99_exact",
+        F.round(e99, 6).alias("p99_est"),
+        F.round(F.abs(e99 - F.col("p99_exact")) / F.col("p99_exact"), 6).alias(
+            "p99_rel_err"
+        ),
+    )
+
+
+@register(
+    "skew_diagnostics",
+    """
+    WITH counts AS (
+      SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM counts
+    ),
+    top10 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows
+      FROM (SELECT cnt FROM counts ORDER BY cnt DESC LIMIT 10)
+    )
+    SELECT n_rows, n_keys, max_key_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top1_share,
+           ROUND(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share
+    FROM tot, top10
+    """,
+    doc="join-key skew diagnostics on lineitem.l_orderkey: key count, "
+    "max/avg rows per key, top-1 and top-10 key share — the numbers that "
+    "decide between a plain shuffle join, AQE skew split, and an explicit "
+    "salted join (operators/joins.py salted_join). One group-by plus a "
+    "10-row TakeOrdered; ties at the 10th place don't affect the SUM, so "
+    "the result is deterministic",
+)
+def skew_diagnostics(spark, sf_dir):
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10_rows"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+                "avg_key_rows"
+            ),
+            F.round(
+                F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+            ).alias("top1_share"),
+            F.round(
+                F.col("top10_rows").cast("double") / F.col("n_rows"), 6
+            ).alias("top10_share"),
+        )
+    )
