@@ -52,10 +52,29 @@ def with_minhash(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 4, rows_per_band: int = 2
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash r consecutive signatures per band, explode, self-join
-    on (band_idx, band_hash), emit distinct id pairs (a < b)."""
+    on (band_idx, band_hash), emit distinct id pairs (a < b).
+
+    ``max_band_size`` is the hot-band escape hatch (the banding twin of
+    ``shingle_jaccard_pairs``'s ``max_df_frac``): a band bucket holding m
+    documents emits m*(m-1)/2 pairs, so ONE degenerate bucket — boilerplate
+    docs whose shingle sets collapse to the same MinHash signatures — turns
+    the bucket join quadratic no matter how selective the other buckets
+    are. When set, buckets with more than ``max_band_size`` members are
+    dropped BEFORE the self-join (their members are near-identical
+    boilerplate; exact dedup or a dedicated boilerplate pass handles them
+    far cheaper than pair enumeration). The hot-bucket set is tiny by
+    construction (only above-cap buckets), so its anti-join broadcasts;
+    the bucket-count aggregate is one map-side-combinable pass over the
+    exploded band keys. Semantics are reproducible in SQL (identical
+    HAVING cap in the oracle), so capped results stay value-checkable.
+    """
     n_bands = k // rows_per_band
     bands = F.array(
         *[
@@ -77,6 +96,16 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+    if max_band_size is not None:
+        hot = (
+            exploded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > max_band_size)
+            .select("band_idx", "band_hash")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

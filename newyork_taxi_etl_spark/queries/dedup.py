@@ -82,21 +82,33 @@ def dedup_prefix_block(spark, sf_dir):
       SELECT doc_id, 0 AS band_idx, md5(concat(mh_0, '|', mh_1)) AS band_hash FROM sigs
       UNION ALL
       SELECT doc_id, 1 AS band_idx, md5(concat(mh_2, '|', mh_3)) AS band_hash FROM sigs
+    ),
+    hot AS (
+      SELECT band_idx, band_hash FROM bands
+      GROUP BY band_idx, band_hash HAVING COUNT(*) > 64
+    ),
+    capped AS (
+      SELECT * FROM bands b0
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = b0.band_idx
+                          AND h.band_hash = b0.band_hash)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     ORDER BY id_a, id_b
     """,
-    doc="MinHash(4 sigs, md5 family) + banded LSH (2 bands x r=2): candidate "
+    doc="MinHash(4 sigs, md5 family) + banded LSH (2 bands x r=2) with the "
+    "hot-band cap (buckets > 64 members dropped pre-join — boilerplate "
+    "collapse protection, identical HAVING cap in the oracle): candidate "
     "pairs meet only inside band buckets — the 100 TB near-dup path; empty "
     "result on this corpus is the CORRECT answer (no near-dups planted)",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
     sigs = D.with_minhash(docs, k=4)
-    return D.lsh_candidate_pairs(sigs, k=4, rows_per_band=2)
+    return D.lsh_candidate_pairs(sigs, k=4, rows_per_band=2, max_band_size=64)
 
 
 @register(

@@ -59,3 +59,37 @@ def test_simhash_hamming_close_for_near_dups(spark):
     ham_14 = sum(a != b for a, b in zip(sig[1], sig[4]))
     ham_13 = sum(a != b for a, b in zip(sig[1], sig[3]))
     assert ham_13 <= ham_14                     # near-dup at least as close
+
+
+def test_band_cap_drops_hot_bucket_keeps_rest(spark):
+    # 30 identical boilerplate docs -> every band bucket they share holds 30
+    # members (435 pairs of zero dedup signal); two genuine near-dups ride
+    # alongside. cap=8 must drop ONLY the boilerplate bucket's pairs.
+    rows = [(i, "legal boilerplate header identical on every page", "en")
+            for i in range(100, 130)]
+    rows += [(1, BASE, "en"), (2, BASE, "en")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    sigs = D.with_minhash(docs, k=4)
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in D.lsh_candidate_pairs(sigs).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in D.lsh_candidate_pairs(sigs, max_band_size=8).collect()}
+
+    boiler = {(a, b) for a in range(100, 130) for b in range(100, 130) if a < b}
+    assert boiler <= uncapped           # uncapped pays the quadratic bucket
+    assert (1, 2) in uncapped
+    assert capped & boiler == set()     # cap removes the hot bucket entirely
+    assert (1, 2) in capped             # small buckets are untouched
+    # everything the cap removed was boilerplate; nothing else changed
+    assert uncapped - capped <= boiler | {
+        p for p in uncapped if (p[0] >= 100) != (p[1] >= 100)
+    }
+
+
+def test_band_cap_noop_when_no_hot_buckets(spark):
+    sigs = D.with_minhash(_docs(spark), k=4)
+    base = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in D.lsh_candidate_pairs(sigs, max_band_size=64).collect()}
+    assert base == capped
