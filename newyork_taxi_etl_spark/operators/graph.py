@@ -217,3 +217,38 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Global triangle count + graph summary over an oriented edge list.
+
+    Input edges must already be deduplicated and oriented ``src < dst``
+    (every pair emitter in this engine produces that form). A triangle
+    (a < b < c) is counted exactly once as the edge pair (a,b)+(b,c)
+    closed by (a,c): one self-equi-join on the shared middle vertex and
+    one semi join for the closing edge — never an all-pairs stage. The
+    orientation is the classic trick that makes the join's fan-out
+    sum_v out_deg(v)^2 instead of deg^2; at real scale orient by
+    (degree, id) instead of raw id so hub vertices land on the low-fanout
+    side (Suri & Vassilvitskii, WWW'11 — same dataflow, different order
+    key). Output: one row (n_nodes, n_edges, n_triangles).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)  # edge miners are expensive; run once
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("a"), F.col("e2.v").alias("c"))
+    )
+    tri = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"], "semi"
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        e.select("u")
+        .unionAll(e.select(F.col("v").alias("u")))
+        .agg(F.countDistinct("u").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri)

@@ -195,3 +195,39 @@ def pagerank_source_lang(spark, sf_dir):
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), "node")
+
+
+@register(
+    "similarity_triangle_count",
+    f"""
+    WITH {_multiband_pairs_sql()},
+    wedges AS (
+      SELECT e1.id_a AS a, e2.id_b AS c
+      FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM pairs p
+                    WHERE p.id_a = w.a AND p.id_b = w.c)
+    )
+    SELECT
+      (SELECT COUNT(DISTINCT u) FROM (
+         SELECT id_a AS u FROM pairs UNION ALL SELECT id_b FROM pairs))
+        AS n_nodes,
+      (SELECT COUNT(*) FROM pairs) AS n_edges,
+      (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+    doc="global triangle count over the thresholded similarity graph "
+    "(multiband-LSH cosine>=0.4 edges, oriented id_a < id_b): wedge "
+    "enumeration via one self-equi-join on the middle vertex + a semi join "
+    "for the closing edge — the clustering-coefficient primitive of "
+    "community detection. Orientation bounds join fan-out by out-degree "
+    "(orient by (degree, id) at hub-heavy scale — Suri & Vassilvitskii "
+    "WWW'11, same dataflow); edges localCheckpointed so the LSH miner "
+    "runs once, not three times",
+)
+def similarity_triangle_count(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.graph import triangle_count
+
+    return triangle_count(_multiband_pairs(spark, sf_dir))

@@ -167,6 +167,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     import newyork_taxi_etl_spark.queries.analytics  # noqa: F401
+    import newyork_taxi_etl_spark.queries.behavior  # noqa: F401
     import newyork_taxi_etl_spark.queries.cleaning  # noqa: F401
     import newyork_taxi_etl_spark.queries.curation  # noqa: F401
     import newyork_taxi_etl_spark.queries.dedup  # noqa: F401
