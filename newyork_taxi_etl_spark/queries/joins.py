@@ -472,3 +472,150 @@ def top_supplier_revenue(spark, sf_dir):
         )
         .orderBy("suppkey")
     )
+
+
+@register(
+    "small_qty_revenue_bridge",
+    f"""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+    ),
+    li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN brand_parts b ON l.l_partkey = b.p_partkey
+    ),
+    lim AS (
+      SELECT l_partkey, ({avg_exact_sql('l_quantity')}) * 0.2 AS qty_lim
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND({sum_exact_sql('li.l_extendedprice')}, 2) AS revenue_small,
+           ROUND({sum_exact_sql('li.l_extendedprice')} / 7.0, 2) AS avg_yearly
+    FROM li JOIN lim ON li.l_partkey = lim.l_partkey
+    WHERE li.l_quantity < lim.qty_lim
+    """,
+    doc="TPC-H Q17 shape (small-quantity revenue bridge): revenue from "
+    "lineitems below 20%% of their part's average quantity, one brand. "
+    "The correlated per-part AVG becomes a grouped aggregate joined back "
+    "onto the same semi-joined fact slice — the fact scans once (broadcast "
+    "semi join on the brand's part ids prunes before any aggregate), and "
+    "the threshold expression is decimal-exact + identically parenthesized "
+    "in both engines so the strict < comparison cannot flip on a boundary",
+)
+def small_qty_revenue_bridge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bp = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    sliced = li.join(broadcast(bp), "l_partkey").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lim = sliced.groupBy("l_partkey").agg(
+        (avg_exact("l_quantity") * F.lit(0.2)).alias("qty_lim")
+    )
+    return (
+        sliced.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            F.round(sum_exact("l_extendedprice"), 2).alias("revenue_small"),
+            F.round(sum_exact("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           big.total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING over a "
+    "fact-grain aggregate, the surviving keys (~1%% of orders) then drive "
+    "the joins — orders joins the tiny big-order set (broadcast after "
+    "AQE sees its size), customer dim broadcasts, and the final TOP-20 is "
+    "a TakeOrderedAndProject, never a global sort. Quantity sums are "
+    "integer-valued doubles (exact at any accumulation order), so no "
+    "decimal routing is needed for the HAVING threshold",
+)
+def large_volume_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    f"""
+    WITH thresh AS (
+      SELECT {avg_exact_sql('c_acctbal')} AS bal_lim
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND({sum_exact_sql('c.c_acctbal')}, 2) AS total_bal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.bal_lim
+      AND NOT EXISTS (SELECT 1 FROM recent r
+                      WHERE r.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (idle above-average-balance customers): scalar "
+    "subquery (global decimal-exact AVG, a broadcast 1-row cross join) "
+    "sets the balance floor; the anti join removes customers with recent "
+    "orders (the DISTINCT custkey set is a fraction of customers, so the "
+    "anti join's build side stays small); one segment-keyed aggregate "
+    "finishes. Every leg is either broadcast or keyed on the row's own "
+    "key — no fact-fact shuffle anywhere",
+)
+def idle_rich_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        avg_exact("c_acctbal").alias("bal_lim")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-07-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("bal_lim"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.round(sum_exact("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -129,11 +129,11 @@ _VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED)
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the never-verified tier until re-checked.  Round 4: the multi-band LSH
-# rewire (ANN, embedding dedup, and the cluster pipeline's edge set) and
-# the ann_recall_at_k n_probe sweep.
+# rewire (ANN, embedding dedup, and the cluster pipeline's edge set), the
+# ann_recall_at_k n_probe sweep, and the dedup_minhash_lsh hot-band cap.
 _CHANGED_SINCE_VERIFY = frozenset({
     "ann_lsh_bucketed_topk", "ann_recall_at_k", "dedup_embedding_lsh",
-    "dedup_clusters", "dedup_canonical_docs",
+    "dedup_clusters", "dedup_canonical_docs", "dedup_minhash_lsh",
 })
 
 
