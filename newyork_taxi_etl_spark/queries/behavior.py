@@ -176,3 +176,188 @@ def cohort_retention(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT ROUND(date_diff('microsecond', t1, t4) / 6e7, 4) AS mins
+      FROM per_user
+      WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(CAST(CAST(SUM(CAST(CAST(mins AS VARCHAR) AS DECIMAL(38,12)))
+                          AS VARCHAR) AS DOUBLE) / COUNT(mins) AS DOUBLE)
+             AS avg_minutes,
+           MIN(mins) AS min_minutes,
+           MAX(mins) AS max_minutes
+    FROM conv
+    """,
+    doc="time-to-convert for users completing the full monotone funnel: "
+    "first-signup -> first-purchase latency in minutes, microsecond-exact "
+    "via unix_micros subtraction (identical IEEE division both engines; "
+    "second-truncating epoch functions would round differently), "
+    "decimal-routed mean over the rounded per-user latencies. Same single "
+    "user-keyed aggregate as funnel_conversion — the latency metric is "
+    "free once the stage mins exist",
+)
+def funnel_time_to_convert(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(_STAGES, start=1)
+        ]
+    )
+    conv = per_user.filter(
+        F.col("t1").isNotNull()
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t3") > F.col("t2"))
+        & (F.col("t4") > F.col("t3"))
+    ).select(
+        F.round(
+            (F.unix_micros("t4") - F.unix_micros("t1")) / F.lit(6e7), 4
+        ).alias("mins")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        avg_exact("mins").alias("avg_minutes"),
+        F.min("mins").alias("min_minutes"),
+        F.max("mins").alias("max_minutes"),
+    )
+
+
+@register(
+    "inter_event_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT (date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts)) / 1e6 AS gap_s
+      FROM events
+    ),
+    g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(CAST(CAST(SUM(CAST(CAST(gap_s AS VARCHAR)
+                                   AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                / COUNT(gap_s) AS DOUBLE) AS avg_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM g
+    """,
+    doc="inter-arrival-time profile: per-user consecutive-event gaps via "
+    "one lag window (hash exchange on user_id, per-partition sort — no "
+    "global sort), then a 1-row distribution summary. Gaps are "
+    "microsecond-exact doubles (unix_micros difference / 1e6, identical "
+    "IEEE ops cross-engine); the mean decimal-routes the RAW gaps — "
+    "pre-rounding them hit the cross-engine ROUND half-boundary trap "
+    "(~1%% of gaps end in 50us, 7 flips in 9850 at sf0.01); p50/p90 "
+    "exact interpolated percentiles matching DuckDB quantile_cont under "
+    "6-digit rounding. The arrival-rate profile that sizes session-window "
+    "gaps and watermark delays for the streaming family",
+)
+def inter_event_gap_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / F.lit(1e6)
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        (sum_exact("gap_s") / F.count("gap_s")).cast("double").alias(
+            "avg_gap_s"
+        ),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "chi_square_event_dow",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r_tot FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c_tot FROM obs GROUP BY dow),
+    gt AS (SELECT SUM(o) AS g_tot FROM obs),
+    cells AS (
+      SELECT ROUND(
+               (o - (CAST(r_tot AS DOUBLE) * c_tot / g_tot))
+               * (o - (CAST(r_tot AS DOUBLE) * c_tot / g_tot))
+               / (CAST(r_tot AS DOUBLE) * c_tot / g_tot), 6) AS term
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow), gt
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                        * (COUNT(DISTINCT dow) - 1) AS BIGINT) FROM obs)
+             AS dof,
+           ROUND(CAST(CAST(CAST(SUM(CAST(CAST(term AS VARCHAR)
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS DOUBLE), 4)
+             AS chi2
+    FROM cells
+    """,
+    doc="chi-square independence test, event_type x day-of-week: observed "
+    "counts from ONE grouped aggregate; expected = row_total x col_total / "
+    "grand_total with the marginals joined back (both marginal tables are "
+    "type/dow-cardinality rows — broadcast); per-cell terms rounded then "
+    "decimal-summed so the statistic is accumulation-order-independent "
+    "cross-engine. Spark dayofweek is 1-based Sunday, DuckDB 0-based — "
+    "normalized Spark-side. The drift/independence primitive behind "
+    "weekday-seasonality checks on event streams",
+)
+def chi_square_event_dow(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    obs = (
+        ev.groupBy(
+            "event_type", (F.dayofweek(F.to_date("ts")) - 1).alias("dow")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    gt = obs.agg(F.sum("o").alias("g_tot"))
+    exp = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("g_tot")
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6).alias(
+                "term"
+            )
+        )
+    )
+    dof = obs.agg(
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(sum_exact("term").cast("double"), 4).alias("chi2"),
+    ).crossJoin(F.broadcast(dof)).select("n_cells", "dof", "chi2")
