@@ -361,3 +361,173 @@ def chi_square_event_dow(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.round(sum_exact("term").cast("double"), 4).alias("chi2"),
     ).crossJoin(F.broadcast(dof)).select("n_cells", "dof", "chi2")
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    rt AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           ROUND(CAST(t.n AS DOUBLE) / rt.row_n, 6) AS p
+    FROM t JOIN rt USING (from_type)
+    ORDER BY t.from_type, t.to_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: one lead window (hash exchange on user_id + per-partition "
+    "sort), one grouped count, row-normalized against the broadcast "
+    "marginal — the behavioral-model primitive behind next-event "
+    "prediction and session-flow dashboards. O(type^2) result regardless "
+    "of event volume",
+)
+def event_type_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    rt = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(F.broadcast(rt), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "value_zscore_outliers",
+    """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             CAST(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS DOUBLE) AS s,
+             CAST(CAST(CAST(SUM(CAST(CAST(value * value AS VARCHAR)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n, s / n AS mu,
+             sqrt((s2 - s * s / n) / (n - 1)) AS sigma
+      FROM m
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           ROUND(MIN(e.value), 4) AS min_outlier,
+           ROUND(MAX(e.value), 4) AS max_outlier
+    FROM events e JOIN stats st USING (event_type)
+    WHERE abs((e.value - st.mu) / st.sigma) > 3
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="z-score anomaly detection per event_type: group mean/std from "
+    "decimal-routed sum and sum-of-squares (stddev's streaming "
+    "accumulation is order-dependent in BOTH engines — the explicit "
+    "two-moment formula over exact sums is reproducible), stats "
+    "broadcast back onto the stream, |z| > 3 rows profiled per group. "
+    "Two passes over events, both map-side-combinable; no window, no "
+    "sort. value*value is squared BEFORE the decimal cast so both "
+    "engines square the same double",
+)
+def value_zscore_outliers(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    m = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        sum_exact("value").alias("s"),
+        sum_exact(F.col("value") * F.col("value")).alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_outliers"),
+            F.round(F.min("value"), 4).alias("min_outlier"),
+            F.round(F.max("value"), 4).alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "daily_gapfill_counts",
+    """
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                           INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day
+    )
+    SELECT CAST(spine.day AS VARCHAR) AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS gap_filled
+    FROM spine LEFT JOIN daily USING (day)
+    ORDER BY day
+    """,
+    doc="calendar-spine gap fill: a generated date sequence (sequence + "
+    "explode — O(days) rows built driver-free) left-joins the daily "
+    "aggregate so missing days surface as explicit zeros, flagged. The "
+    "time-series completeness primitive every dashboard needs before "
+    "moving averages/interpolation; the spine side is trivially small so "
+    "the join broadcasts the AGGREGATE, never the spine x events",
+)
+def daily_gapfill_counts(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(datetime.date(2024, 1, 1)),
+                F.lit(datetime.date(2024, 1, 30)),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+                "n_purchases"
+            ),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("gap_filled"),
+        )
+        .orderBy("day")
+    )

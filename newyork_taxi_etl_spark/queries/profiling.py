@@ -613,3 +613,68 @@ def skew_diagnostics(spark, sf_dir):
             ).alias("top10_share"),
         )
     )
+
+
+@register(
+    "join_size_estimate",
+    """
+    WITH lo AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY k
+    ),
+    oo AS (
+      SELECT o_orderkey AS k, COUNT(*) AS cnt FROM orders GROUP BY k
+    ),
+    lp AS (
+      SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY k
+    ),
+    fk AS (
+      SELECT 'lineitem_x_orders_on_orderkey' AS join_name,
+             CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+             CAST(SUM(lo.cnt * oo.cnt) AS BIGINT) AS est_rows
+      FROM lo JOIN oo USING (k)
+    ),
+    mm AS (
+      SELECT 'lineitem_self_on_partkey' AS join_name,
+             CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS est_rows
+      FROM lp
+    )
+    SELECT * FROM fk UNION ALL SELECT * FROM mm
+    ORDER BY join_name
+    """,
+    doc="join-cardinality estimation from per-key histograms — the number "
+    "a planner reads before choosing shuffle vs broadcast vs salted join: "
+    "|A join B| = sum over shared keys of cnt_A x cnt_B, computed here "
+    "for the FK join (lineitem x orders, est = |lineitem| exactly since "
+    "orderkey is a key of orders) and the many-to-many self-join "
+    "(lineitem on partkey, est = sum cnt^2 — the quadratic mass "
+    "skew_diagnostics bounds). Histograms are one grouped count each; "
+    "the histogram join is key-cardinality-sized, never row-sized. "
+    "Companion to skew_diagnostics: that query profiles ONE key's "
+    "distribution, this one prices the joins it feeds",
+)
+def join_size_estimate(spark, sf_dir):
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    lo = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_l")
+    )
+    oo = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_o")
+    )
+    fk = lo.join(oo, "k").agg(
+        F.lit("lineitem_x_orders_on_orderkey").alias("join_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
+        F.sum(F.col("cnt_l") * F.col("cnt_o")).cast("bigint").alias(
+            "est_rows"
+        ),
+    )
+    lp = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mm = lp.agg(
+        F.lit("lineitem_self_on_partkey").alias("join_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("est_rows"),
+    )
+    return fk.unionAll(mm).orderBy("join_name")
