@@ -287,3 +287,44 @@ def test_multiband_lsh_topk_broadcasts_query_side(spark):
 
     plan = _plan(ann_lsh_bucketed_topk(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """funnel_conversion's event reduction is ONE user_id hash exchange
+    plus the 1-row final — no window, no join, no second pass."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["funnel_conversion"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_large_volume_customers_take_ordered_top20(spark):
+    """Q18 shape: the TOP-20 is TakeOrderedAndProject, never a global
+    sort; the customer dim broadcasts."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["large_volume_customers"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_customers_anti_join_broadcast(spark):
+    """Q22 shape: the recent-custkey set anti-joins broadcast-side; the
+    scalar threshold is a broadcast nested loop over ONE row."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["idle_rich_customers"](spark, SF_SMOKE))
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Wedge join + closing-edge semi join stay equi-keyed — no
+    BroadcastNestedLoop/cartesian stage over the edge set."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["similarity_triangle_count"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
