@@ -86,10 +86,12 @@ def _multiband_pairs(spark, sf_dir):
     "transitive closure over the identical pair set",
 )
 def dedup_clusters(spark, sf_dir):
-    # loop_partitions=8: the label loop runs on label-sized tables; see
+    # loop_partitions=4: the label loop runs on label-sized tables (~1k
+    # rows here; size to label cardinality at real scale); hops=5 covers
+    # the measured diameter-13 near-dup graph in 4 rounds — see
     # operators.graph.connected_components
     return connected_components(
-        _multiband_pairs(spark, sf_dir), loop_partitions=8
+        _multiband_pairs(spark, sf_dir), loop_partitions=4, hops_per_round=5
     ).orderBy("node")
 
 
@@ -126,7 +128,7 @@ def dedup_canonical_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 
     comps = connected_components(
-        _multiband_pairs(spark, sf_dir), loop_partitions=8
+        _multiband_pairs(spark, sf_dir), loop_partitions=4, hops_per_round=5
     )
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
