@@ -531,3 +531,71 @@ def daily_gapfill_counts(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH seg AS (
+      SELECT event_type, value,
+             date_diff('microsecond', ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               / 1e6 AS dt_s
+      FROM events
+    ),
+    g AS (SELECT event_type, value, dt_s FROM seg WHERE dt_s IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(CAST(CAST(CAST(SUM(CAST(CAST(value * dt_s AS VARCHAR)
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(CAST(dt_s AS VARCHAR)
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                 AS DOUBLE), 6) AS twa_value,
+           ROUND(CAST(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE), 6) AS plain_avg
+    FROM g
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="time-weighted average value per event type: each observation "
+    "weighted by its holding time (lead-window dt within the user's "
+    "sequence, microsecond-exact), TWA = sum(value x dt) / sum(dt) with "
+    "both sums decimal-routed — against the plain mean for comparison. "
+    "The irregular-series aggregation finance/IoT pipelines need (a "
+    "plain AVG over-weights burst periods); one lag-window exchange on "
+    "user_id then a type-keyed aggregate. value*dt_s is multiplied "
+    "BEFORE the decimal cast so both engines route the same double",
+)
+def time_weighted_avg_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1e6)
+        ).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull())
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.round(
+                (
+                    sum_exact(F.col("value") * F.col("dt_s"))
+                    / sum_exact("dt_s")
+                ).cast("double"),
+                6,
+            ).alias("twa_value"),
+            F.round(
+                (sum_exact("value") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -234,3 +234,137 @@ def bm25_rank(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     out = C.bm25_scores(docs, ["spark", "join", "vector"])
     return out.orderBy(F.desc("bm25"), "doc_id").limit(15)
+
+
+@register(
+    "training_shard_assignment",
+    """
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST((((doc_id + 7) * 2654435761) % 4294967296) % 16 AS INT)
+               AS shard,
+             (((doc_id * 2654435761) % 4294967296)) AS pos_key
+      FROM documents
+    ),
+    ordered AS (
+      SELECT shard, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                     ORDER BY pos_key, doc_id) AS INT)
+               AS position
+      FROM sharded
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           string_agg(CASE WHEN position <= 3 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY position) AS head_docs_csv
+    FROM ordered
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="deterministic epoch shard assignment (seed=7, 16 shards): shard "
+    "from a seed-mixed multiplicative hash, within-shard ORDER from a "
+    "second hash — the reproducible global shuffle a training run needs "
+    "(same seed -> byte-identical shards and order on any cluster layout, "
+    "unlike df.sample/rand). Per-shard doc/char balance plus the first 3 "
+    "doc ids as an order fingerprint. One hash shuffle on the shard key; "
+    "the within-shard sort is per-partition, no global sort",
+)
+def training_shard_assignment(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        hash_bucket(F.col("doc_id") + F.lit(7), 16).cast("int").alias("shard"),
+        hash_bucket(F.col("doc_id"), 4294967296).alias("pos_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    ordered = sharded.withColumn(
+        "position", F.row_number().over(w).cast("int")
+    )
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("position") <= 3,
+                            F.struct("position", F.col("doc_id").cast("string")),
+                        )
+                    )
+                ).getField("col2"),
+            ).alias("head_docs_csv"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "label_rebalance_sample",
+    """
+    WITH counts AS (
+      SELECT label, COUNT(*) AS n_before FROM embeddings GROUP BY label
+    ),
+    target AS (SELECT MIN(n_before) AS n_min FROM counts),
+    rates AS (
+      SELECT label, n_before,
+             CAST(FLOOR(CAST(n_min AS DOUBLE) / n_before * 1000) AS BIGINT)
+               AS keep_millage
+      FROM counts, target
+    )
+    SELECT r.label,
+           CAST(r.n_before AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN ((e.vec_id * 2654435761) % 4294967296) % 1000
+                              < r.keep_millage
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+    FROM embeddings e JOIN rates r USING (label)
+    GROUP BY r.label, r.n_before
+    ORDER BY r.label
+    """,
+    doc="class-balanced downsampling: per-label keep rate = "
+    "floor(min_class/class * 1000) per-mille, applied through the "
+    "deterministic multiplicative-hash bucket (reproducible, shuffle-free, "
+    "stable under repartition — same discipline as sample_stratified). "
+    "The label-rate dimension is class-cardinality rows, broadcast back "
+    "onto the corpus; result shows before/after counts per class. The "
+    "imbalance-correction step before training on skewed label "
+    "distributions",
+)
+def label_rebalance_sample(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    target = counts.agg(F.min("n_before").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "label",
+        "n_before",
+        F.floor(
+            F.col("n_min").cast("double") / F.col("n_before") * 1000
+        ).cast("bigint").alias("keep_millage"),
+    )
+    return (
+        emb.join(F.broadcast(rates), "label")
+        .groupBy("label", "n_before")
+        .agg(
+            F.sum(
+                F.when(
+                    hash_bucket("vec_id", 1000) < F.col("keep_millage"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_after")
+        )
+        .select(
+            "label",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            "n_after",
+        )
+        .orderBy("label")
+    )
