@@ -599,3 +599,119 @@ def time_weighted_avg_value(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "trimmed_mean_pandas",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    trimmed AS (
+      SELECT event_type, value, n
+      FROM ranked
+      WHERE r > CAST(FLOOR(n * 0.1) AS BIGINT)
+        AND r <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS DOUBLE), 6) AS trimmed_mean
+    FROM trimmed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="10%% trimmed mean per event_type via grouped applyInPandas — the "
+    "one Python-boundary form the engine didn't yet exercise (mapInPandas "
+    "-> multimodal, applyInPandasWithState -> streaming, pandas_udf BLAS "
+    "-> ANN; this is the grouped-aggregate form). The pandas side sorts "
+    "with numpy, trims floor(n*0.1) per tail, and computes the mean over "
+    "decimal-quantized values replicating functions.exact's "
+    "DECIMAL(38,12) HALF_UP routing — so the Arrow boundary is "
+    "bit-reproducible against the SQL oracle's window-trim + decimal "
+    "mean, not just approximately equal. Ties sort by event_id exactly "
+    "like the oracle's ROW_NUMBER tiebreak. Scale: one hash shuffle on "
+    "the group key, per-group Arrow batch, O(group) memory per task",
+)
+def trimmed_mean_pandas(spark, sf_dir):
+    import pandas as pd
+
+    ev = read_events(spark, sf_dir).select("event_type", "event_id", "value")
+
+    def trim(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        pdf = pdf.sort_values(["value", "event_id"], kind="mergesort")
+        n = len(pdf)
+        k = int(n * 0.1)
+        kept = pdf["value"].iloc[k : n - k]
+        q = Decimal("1E-12")
+        total = sum(
+            Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+            for v in kept
+        )
+        mean = float(total / len(kept))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_kept": [len(kept)],
+                "trimmed_mean": [round(mean, 6)],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(trim, "event_type string, n_kept bigint, trimmed_mean double")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sql_frontend_topk",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY n_events DESC, user_id) AS INT) AS rnk
+      FROM per_user
+    )
+    SELECT event_type, user_id, CAST(n_events AS BIGINT) AS n_events, rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY event_type, rnk
+    """,
+    doc="pure SQL front end: the whole query is ONE spark.sql() string "
+    "(CTEs + window + top-k filter) over a temp view — proving the "
+    "engine's ANSI-SQL surface accepts the textual form directly, not "
+    "just the DataFrame DSL; Catalyst plans it identically (the "
+    "rank<=2 filter becomes WindowGroupLimit, same as topn_per_group). "
+    "The oracle is the same text modulo nothing — both engines parse "
+    "one dialect here",
+)
+def sql_frontend_topk(spark, sf_dir):
+    read_events(spark, sf_dir).createOrReplaceTempView(
+        "nyte_sql_frontend_events"
+    )
+    return spark.sql(
+        """
+        WITH per_user AS (
+          SELECT event_type, user_id, COUNT(*) AS n_events
+          FROM nyte_sql_frontend_events GROUP BY event_type, user_id
+        ),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY n_events DESC, user_id) AS INT) AS rnk
+          FROM per_user
+        )
+        SELECT event_type, user_id, CAST(n_events AS BIGINT) AS n_events, rnk
+        FROM ranked WHERE rnk <= 2
+        ORDER BY event_type, rnk
+        """
+    )
