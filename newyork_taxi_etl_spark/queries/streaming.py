@@ -227,3 +227,38 @@ def streaming_upsert_counts(spark, sf_dir):
 def streaming_cms_counters(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_cms_stage")
     return W.run_streaming_cms(spark, read_events(spark, sf_dir), stage)
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS cnt,
+           ROUND(CAST(CAST(CAST(SUM(CAST(CAST(e.value AS VARCHAR)
+                     AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS DOUBLE), 4)
+             AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="stream-static broadcast enrich — the most common production "
+    "streaming shape: events stream through availableNow, each "
+    "micro-batch hash-joins the BROADCAST static nation dimension (the "
+    "stream side never shuffles for the join; the dim plans once), then "
+    "a keyed aggregate in complete mode. Drained output value-checked "
+    "against the batch join+aggregate; decimal-routed value sums make "
+    "the micro-batched accumulation order-independent",
+)
+def streaming_static_enrich(spark, sf_dir):
+    import os
+    import tempfile
+
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    dim = spark.read.parquet(table_path(sf_dir, "nation")).select(
+        "n_nationkey", "n_name"
+    )
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_enrich_stage")
+    return W.run_stream_static_enrich(
+        spark, read_events(spark, sf_dir), dim, stage
+    )

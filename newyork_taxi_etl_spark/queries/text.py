@@ -382,3 +382,100 @@ def zipf_token_slope(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "lm_perplexity_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    lm AS (
+      SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total,
+             COUNT(*) AS vocab
+      FROM lm GROUP BY lang
+    ),
+    scored_tok AS (
+      SELECT t.doc_id, t.lang,
+             ROUND(-ln((lm.cnt + 1)
+                       / CAST(tot.total + tot.vocab AS DOUBLE)), 12) AS nll
+      FROM toks t
+      JOIN lm ON t.lang = lm.lang AND t.tok = lm.tok
+      JOIN tot ON t.lang = tot.lang
+    ),
+    doc_scores AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS score
+      FROM scored_tok GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll,
+           MIN(score) AS min_nll,
+           MAX(score) AS max_nll
+    FROM doc_scores
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="unigram-LM quality scoring (the CCNet/KenLM-style filter of LLM "
+    "data pipelines): per-language add-1-smoothed unigram model trained "
+    "on the corpus itself, each document scored by its mean token "
+    "negative-log-likelihood, per-language score distribution out. "
+    "Dataflow: token explode -> (lang, tok) count (map-side combinable), "
+    "LM table is lang x vocab (tiny — broadcasts back onto the token "
+    "stream), doc scores from one doc-keyed aggregate. Cross-engine "
+    "determinism: the probability is an exact rational evaluated with "
+    "identical IEEE ops, ln ROUNDed at 12 then decimal-summed (the "
+    "zipf_token_slope discipline). High-NLL docs are the gibberish a "
+    "perplexity filter drops; the synthetic corpus scores nearly "
+    "uniform, which the gate records rather than assumes",
+)
+def lm_perplexity_score(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lm = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    dec = "decimal(38,12)"
+    nll = F.round(
+        -F.log(
+            (F.col("cnt") + 1)
+            / (F.col("total") + F.col("vocab")).cast("double")
+        ),
+        12,
+    )
+    scored = (
+        toks.join(F.broadcast(lm), ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .select("doc_id", "lang", nll.alias("nll"))
+    )
+    doc_scores = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.col("nll").cast(dec)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("score")
+    )
+    return (
+        doc_scores.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+            F.min("score").alias("min_nll"),
+            F.max("score").alias("max_nll"),
+        )
+        .orderBy("lang")
+    )

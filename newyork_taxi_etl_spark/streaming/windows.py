@@ -473,3 +473,55 @@ def run_streaming_cms(
         )
         _drain(q, 120)
     return spark.table(name).orderBy("j", "bucket")
+
+
+def run_stream_static_enrich(
+    spark,
+    src_df: DataFrame,
+    dim_df: DataFrame,
+    stage_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Stream-static broadcast enrich: the most common production
+    streaming shape (facts stream in, a small dimension table sits
+    static) — the stream side never shuffles for the join; each
+    micro-batch hash-joins against the broadcast dimension exactly like
+    the batch `broadcast_enrich`, then feeds a keyed aggregate in
+    complete mode. The static side is planned ONCE; state is bounded by
+    the dimension-key cardinality.
+    """
+    import uuid as _uuid
+
+    src_df.write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .load()
+    )
+    enriched = stream.withColumn(
+        "nk", F.pmod(F.col("user_id"), F.lit(25))
+    ).join(F.broadcast(dim_df), F.col("nk") == F.col("n_nationkey"))
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    return (
+        spark.table(name)
+        .select(
+            "n_name", "cnt", F.round(F.col("sum_value"), 4).alias("sum_value")
+        )
+        .orderBy("n_name")
+    )
