@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
 from newyork_taxi_etl_spark.registry import register
-from newyork_taxi_etl_spark.sources.readers import read_events
+from newyork_taxi_etl_spark.sources.readers import read_events, table_path
 from newyork_taxi_etl_spark.sources.writers import (
     HAVE_DELTA,
     optimize_zorder,
@@ -366,3 +366,168 @@ def orc_roundtrip(spark, sf_dir):
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return _roundtrip_agg(back)
+
+
+@register(
+    "cdc_merge_apply",
+    """
+    WITH changes AS (
+      SELECT c_custkey AS k, 'U' AS op,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS new_bal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 10000000, 'I',
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(ch.k, s.c_custkey) AS k,
+             CASE WHEN ch.op IN ('U', 'I') THEN ch.new_bal
+                  ELSE s.c_acctbal END AS bal,
+             ch.op
+      FROM customer s FULL OUTER JOIN changes ch ON s.c_custkey = ch.k
+      WHERE ch.op IS NULL OR ch.op <> 'D'
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_before,
+      CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM changes WHERE op = 'D')
+        AS n_deleted,
+      CAST(COUNT(*) AS BIGINT) AS n_after,
+      ROUND(CAST(CAST(CAST(SUM(CAST(CAST(bal AS VARCHAR)
+                AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS DOUBLE), 2)
+        AS bal_checksum
+    FROM merged
+    """,
+    doc="CDC merge apply (MERGE INTO semantics without a table format): a "
+    "deterministic change set (updates, deletes, inserts keyed off "
+    "custkey residues) applied onto the customer snapshot via ONE full "
+    "outer join — update rows take the change value, delete rows drop, "
+    "unmatched snapshot rows pass through, insert keys land disjoint. "
+    "Row-count accounting per op plus a decimal-exact balance checksum "
+    "proves the merge byte-for-byte. Scale: the join shuffles on the "
+    "merge key exactly like Delta/Iceberg MERGE's find-touched-files "
+    "phase; at 100 TB the win is partition pruning on the snapshot side, "
+    "which partitioned_write_pruned_read demonstrates",
+)
+def cdc_merge_apply(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    cust = spark.read.parquet(table_path(sf_dir, "customer"))
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,2)")
+            * F.expr("CAST(1.1 AS DECIMAL(3,2))"),
+            2,
+        ).cast("double").alias("new_bal"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 10000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,2)")
+            * F.expr("CAST(0.5 AS DECIMAL(2,1))"),
+            2,
+        ).cast("double").alias("new_bal"),
+    )
+    changes = upd.unionAll(dele).unionAll(ins)
+    merged = (
+        cust.join(changes, cust["c_custkey"] == changes["k"], "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+            "op",
+        )
+    )
+    n_before = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    n_deleted = dele.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_deleted")
+    )
+    return (
+        merged.agg(
+            F.sum(F.when(F.col("op") == "I", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inserted"),
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.round(sum_exact("bal"), 2).alias("bal_checksum"),
+        )
+        .crossJoin(F.broadcast(n_before))
+        .crossJoin(F.broadcast(n_deleted))
+        .select(
+            "n_before", "n_inserted", "n_updated", "n_deleted", "n_after",
+            "bal_checksum",
+        )
+    )
+
+
+@register(
+    "schema_evolution_read",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+      UNION ALL
+      SELECT * FROM v2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulled_legacy,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM unioned
+    """,
+    doc="schema evolution across file generations: generation 1 written "
+    "without a column, generation 2 with it, read back in ONE scan via "
+    "mergeSchema — legacy rows surface the new column as NULL instead of "
+    "failing the read (the additive-evolution contract every long-lived "
+    "lake table depends on). The oracle reproduces the union-with-null "
+    "semantics; counts prove which generation each row came from. At "
+    "scale, footer-schema merging is per-file metadata work — rows never "
+    "rewrite",
+)
+def schema_evolution_read(spark, sf_dir):
+    import shutil
+
+    out = os.path.join(tempfile.gettempdir(), "nyetl_schema_evo")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulled_legacy"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias(
+            "n_priorities"
+        ),
+    )
