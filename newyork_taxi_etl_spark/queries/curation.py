@@ -368,3 +368,67 @@ def label_rebalance_sample(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "corpus_pipeline_end2end",
+    """
+    WITH gated AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 30
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.2
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(lower(trim(text)))
+    ),
+    kept AS (
+      SELECT g.lang, len(string_split(g.text, ' ')) AS n_tokens
+      FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT)
+             AS n_bins_512
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="end-to-end curation pipeline COMPOSITION: quality gate (the "
+    "text_quality_score keep rule) -> exact dedup (md5 content "
+    "fingerprint, min-id keeper) -> per-language token budget + 512-token "
+    "bin estimate (the token_budget_packing sizing input) — one "
+    "DataFrame chain proving the curation operators compose without "
+    "materialization between stages. Plan shape: narrow gate (no "
+    "shuffle), one fingerprint aggregate, one semi join back, one "
+    "lang-keyed aggregate — the whole pipeline is two shuffles and a "
+    "broadcast semi join; Catalyst fuses the gate into both scan "
+    "branches. What a 100 TB curation run executes nightly, as a single "
+    "declarative plan",
+)
+def corpus_pipeline_end2end(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    gated = docs.filter((F.size(toks) >= 30) & (ttr >= 0.2))
+    keepers = dedup_exact(gated).select(F.col("keeper").alias("doc_id"))
+    kept = gated.join(F.broadcast(keepers), "doc_id").select(
+        "lang", F.size(toks).alias("n_tokens")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens").cast("double") / 512)
+            .cast("bigint")
+            .alias("n_bins_512"),
+        )
+        .orderBy("lang")
+    )

@@ -1,6 +1,6 @@
 """SparkSession factory with reference-compatible semantics.
 
-The reference ran on Spark 3.5.2 (Databricks DBR 16.4, see
+The reference ran on a managed Spark 3.5.2 runtime (see
 ``/root/reference/README.md:42-46``) where ANSI mode is OFF by default;
 its speed filter divides by zero and relies on non-ANSI ``x/0.0 -> NULL``
 semantics (SURVEY.md §2.9.5, ``nb:61073 (c26)``).  Local PySpark is 4.x
