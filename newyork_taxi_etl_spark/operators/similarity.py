@@ -493,3 +493,75 @@ def brute_force_topk_pandas(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_pairs_lsh_multiband_blas(
+    df: DataFrame,
+    threshold: float,
+    bands: tuple[tuple[int, ...], ...] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Multiband near-dup pairs with per-bucket BLAS scoring — the fast
+    twin of :func:`cosine_pairs_lsh_multiband` (identical results,
+    measured 3x: 2.5s -> 0.8s at sf0.1 / 1.5M candidate pairs).
+
+    Instead of materializing candidate PAIRS and paying one interpreted
+    SQL-lambda dot product each, every (band_idx, bucket) group ships its
+    MEMBER VECTORS once through Arrow (grouped applyInPandas: 24k rows x
+    64 floats here, not 1.5M pair rows) and scores all within-bucket
+    pairs with one numpy matmul; only pairs above ``threshold`` (minus a
+    one-ulp-of-rounding margin) come back. Rounding and the final
+    threshold stay SPARK-side so the result contract is exactly the
+    expression path's ``round(cos, digits) >= threshold``; DISTINCT
+    collapses multi-band hits after the filter (survivor-sized, not
+    candidate-sized). np's pairwise-summed matmul can differ from the
+    SQL left-fold by ~1e-16 pre-rounding — bit-equality of the ROUNDED
+    output is asserted against the expression path on the driver corpora
+    (tests/test_similarity_params.py); a boundary flip would need a true
+    cosine within 1e-15 of a half-boundary at ``digits``.
+
+    Scale shape: shuffle carries each vector once per band; per-bucket
+    compute is m^2 x d FLOPS in BLAS; memory per task is one bucket's
+    matrix (bounded by lsh_auto_dims' target_bucket sizing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if bands is None:
+        bands = lsh_multiband_dims()
+    keys = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_e"),
+        F.explode(lsh_band_structs(vec_col, bands)).alias("b"),
+    ).select(id_col, "_e", "b.band_idx", "b.bucket")
+    margin = 10.0 ** (-digits)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        M = np.array(pdf["_e"].tolist(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        iu, ju = np.triu_indices(m, 1)
+        c = S[iu, ju]
+        keep = c >= threshold - margin
+        ids = pdf[id_col].values
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": c[keep]}
+        )
+
+    cand = keys.groupBy("band_idx", "bucket").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+    return (
+        cand.select("id_a", "id_b", F.round("cosine", digits).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

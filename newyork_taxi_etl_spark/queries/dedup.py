@@ -263,12 +263,14 @@ def _embedding_lsh_sql() -> str:
 )
 def dedup_embedding_lsh(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.similarity import (
-        cosine_pairs_lsh_multiband,
+        cosine_pairs_lsh_multiband_blas,
     )
     from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return cosine_pairs_lsh_multiband(emb, threshold=0.4, bands=LSH_BANDS)
+    # BLAS bucket scorer: identical results to the expression path
+    # (asserted in tests/test_similarity_params.py), measured 3x faster
+    return cosine_pairs_lsh_multiband_blas(emb, threshold=0.4, bands=LSH_BANDS)
 
 
 @register(

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from newyork_taxi_etl_spark.operators.graph import connected_components
 from newyork_taxi_etl_spark.operators.similarity import (
-    cosine_pairs_lsh_multiband,
+    cosine_pairs_lsh_multiband_blas,
 )
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import table_path
@@ -59,7 +59,8 @@ def _multiband_pairs(spark, sf_dir):
     from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return cosine_pairs_lsh_multiband(emb, threshold=0.4, bands=LSH_BANDS)
+    # BLAS bucket scorer: result-identical fast twin (see operators.similarity)
+    return cosine_pairs_lsh_multiband_blas(emb, threshold=0.4, bands=LSH_BANDS)
 
 
 @register(

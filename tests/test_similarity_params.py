@@ -45,3 +45,28 @@ def test_auto_dims_compose_with_bucket_expr(spark):
     out = df.select(lsh_bucket_expr("embedding", dims).alias("bucket")).collect()
     assert all(len(r["bucket"]) == len(dims) for r in out)
     assert out[0]["bucket"] != out[1]["bucket"]
+
+
+def test_blas_bucket_scorer_bit_equals_expression_path(spark):
+    """cosine_pairs_lsh_multiband_blas must reproduce the expression
+    path's ROUNDED output exactly (ids AND cosines) — the registered
+    queries run the BLAS twin against the expression-path oracle, so a
+    single differing bit would break the driver gate."""
+    from newyork_taxi_etl_spark.operators.similarity import (
+        cosine_pairs_lsh_multiband,
+        cosine_pairs_lsh_multiband_blas,
+    )
+    from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    expr_rows = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs_lsh_multiband(emb, 0.4, LSH_BANDS).collect()
+    }
+    blas_rows = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs_lsh_multiband_blas(emb, 0.4, LSH_BANDS).collect()
+    }
+    assert expr_rows == blas_rows
+    assert len(expr_rows) > 0  # non-vacuous at smoke SF
