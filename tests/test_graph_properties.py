@@ -125,3 +125,40 @@ def test_registration_order_is_tiered_by_driver_verdict():
         "freq_tokens_cms_sampled", "bm25_rank", "domain_mix_weights",
     ):
         assert registry._tier(probe) == 0, probe
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """triangle_count vs an itertools reference on a seeded random graph
+    (24 nodes, p=0.25) plus known fixtures (triangle, square, K4)."""
+    import itertools
+    import random
+
+    from newyork_taxi_etl_spark.operators.graph import triangle_count
+
+    def ref(edges):
+        es = {tuple(sorted(e)) for e in edges}
+        nodes = sorted({v for e in es for v in e})
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es
+        )
+        return len(nodes), len(es), tri
+
+    rng = random.Random(42)
+    rand_edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(24), 2)
+        if rng.random() < 0.25
+    ]
+    cases = [
+        [(1, 2), (2, 3), (1, 3)],                      # one triangle
+        [(1, 2), (2, 3), (3, 4), (1, 4)],              # square: none
+        list(itertools.combinations(range(4), 2)),     # K4: four
+        rand_edges,
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        row = triangle_count(df).collect()[0]
+        n, e, t = ref(edges)
+        assert (row.n_nodes, row.n_edges, row.n_triangles) == (n, e, t)
