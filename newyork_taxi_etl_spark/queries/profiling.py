@@ -681,3 +681,52 @@ def join_size_estimate(spark, sf_dir):
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("est_rows"),
     )
     return fk.unionAll(mm).orderBy("join_name")
+
+
+@register(
+    "grouped_quantile_gate",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+           true AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="grouped quantile sketch gate: per-group exact p50/p99 beside "
+    "Spark's approx_percentile (GK sketch, accuracy 10000 ~ 0.01%% rank "
+    "error), self-asserting the <=1%% relative-error bound per group so "
+    "the oracle fully value-checks the row (the profile_distinct_approx "
+    "pattern — the sketch internals aren't reproducible cross-engine, "
+    "the BOUND is). Scale story: exact grouped percentiles buffer each "
+    "group's full value multiset; the GK sketch is one mergeable "
+    "bounded-memory pass — the only viable form at 100 TB group sizes. "
+    "Exact side fused into ONE array-percentile aggregate per group",
+)
+def grouped_quantile_gate(spark, sf_dir):
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("ex"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)"
+        ).alias("ap"),
+    )
+    within = (
+        (
+            F.abs(F.element_at("ap", 1) - F.element_at("ex", 1))
+            / F.element_at("ex", 1)
+            <= 0.01
+        )
+        & (
+            F.abs(F.element_at("ap", 2) - F.element_at("ex", 2))
+            / F.element_at("ex", 2)
+            <= 0.01
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.element_at("ex", 1), 6).alias("p50_exact"),
+        F.round(F.element_at("ex", 2), 6).alias("p99_exact"),
+        within.alias("approx_within_1pct"),
+    ).orderBy("l_returnflag")
