@@ -103,3 +103,55 @@ def cluster_profile(assigned: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cid")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, vec) centroid table after ``n_iter`` Lloyd updates.
+
+    Same seeding/tie-break discipline as :func:`kmeans_assign` (k
+    lowest-id vectors, strict-< argmin toward lower cid), exposed as a
+    table so downstream index builders — the IVF coarse quantizer in
+    ``queries/similarity.ann_ivf_kmeans_topk`` — can train their
+    centroids instead of using a stand-in. ``n_iter=0`` returns the raw
+    seeds.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    cent = (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            F.col("_v").alias("vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        cent_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+        )
+        assigned = (
+            base.join(broadcast(cent_row), how="cross")
+            .withColumn("cid", F.expr(_ARGMIN))
+            .select("_v", "cid")
+        )
+        dims = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cent = (
+            dims.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("cid", F.expr("transform(s, e -> e.m)").alias("vec"))
+            .localCheckpoint(eager=True)
+        )
+    return cent

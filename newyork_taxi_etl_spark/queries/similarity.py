@@ -541,3 +541,139 @@ def label_centroids(spark, sf_dir):
         .agg(F.round(mean, 6).alias("avg_val"))
         .orderBy("label", "dim")
     )
+
+
+_IVF_KM_DIST = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i, AVG(v[r.i]) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id AS cand_id, e.embedding AS c_vec,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM emb q CROSS JOIN c1 c
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} AS cosine
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.cand_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF over TRAINED centroids — closes ann_ivf_topk's documented "
+    "stand-in: the coarse quantizer is one Lloyd update over the "
+    "lowest-id seeds (operators.clustering.kmeans_centroids, same "
+    "seeding/strict-< tie-break as kmeans_cluster_sizes, whose oracle "
+    "discipline this reuses — the Lloyd round is unrolled in the CTE), "
+    "assignment and probing by squared euclidean against the broadcast "
+    "centroid table, fine scoring by cosine. Same dataflow as the "
+    "stand-in IVF — train-then-probe changes WHERE vectors land, not "
+    "how anything shuffles; candidate volume stays "
+    "corpus/n_centroids*n_probe per query",
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _SQDIST,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent = cent.select("cid", F.col("vec").alias("cent_vec"))
+    base = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    from pyspark.sql import Window
+
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wc = Window.partitionBy("cand_id").orderBy("d", "cid")
+    assigned = (
+        base.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_vec"),
+            "_v",
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("cand_id", "c_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select("cand_id", "c_vec", "cid")
+    )
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            "_v",
+        )
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
