@@ -677,3 +677,136 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+_PQ_M, _PQ_K, _PQ_D = 4, 4, 16  # 4 subspaces x 16 dims, 4 codewords each
+
+_PQ_SUBDIST = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+@register(
+    "pq_encode_profile",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    codebook AS (
+      SELECT s.s AS subspace, seeds.code,
+             seeds.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
+      FROM seeds, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    encoded AS (
+      SELECT vec_id, subspace, code, d FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code,
+               {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)} AS d,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
+                          cb.code) AS r
+        FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
+      ) WHERE r = 1
+    )
+    SELECT CAST(subspace AS INT) AS subspace,
+           code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_sq_err
+    FROM encoded
+    GROUP BY subspace, code
+    ORDER BY subspace, code
+    """,
+    doc="product quantization encode profile (the FAISS-IVFPQ compression "
+    "staple): 64-dim vectors split into 4 x 16-dim subspaces, each "
+    "subvector snapped to its nearest of 4 per-subspace codewords "
+    "(deterministic lowest-id seed codebooks — swap in kmeans_centroids "
+    "per subspace to train, same dataflow), emitting the code-usage "
+    "histogram and per-cell mean squared reconstruction error — the two "
+    "numbers that size a PQ index (dead codewords and quantization "
+    "loss). Dataflow: vectors explode to m subspace rows, the m x k "
+    "codebook broadcasts, argmin per (vector, subspace) via one window "
+    "over m*k rows per vector; the aggregate is codebook-sized. 16-byte "
+    "codes for 256-byte vectors at m=4,k=4 (2 bits/subspace) — the "
+    "memory story that makes billion-vector ANN fit in RAM",
+)
+def pq_encode_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    sub_slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice("v", s * _PQ_D + 1, _PQ_D).alias("sub"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    subvecs = base.select(
+        "vec_id", F.explode(sub_slices).alias("e")
+    ).select("vec_id", "e.subspace", "e.sub")
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("code"),
+            "v",
+        )
+    )
+    codebook = seeds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("v", s * _PQ_D + 1, _PQ_D).alias("cw"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("e"),
+        "code",
+    ).select("e.subspace", "code", "e.cw")
+    d = F.expr(
+        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    encoded = (
+        subvecs.join(F.broadcast(codebook), "subspace")
+        .select("vec_id", "subspace", "code", d.alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+    )
+    return (
+        encoded.groupBy(
+            F.col("subspace").cast("int").alias("subspace"), "code"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.round(F.col("d"), 6).cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_sq_err"),
+        )
+        .orderBy("subspace", "code")
+    )
