@@ -810,3 +810,156 @@ def pq_encode_profile(spark, sf_dir):
         )
         .orderBy("subspace", "code")
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    codebook AS (
+      SELECT s.s AS subspace, seeds.code,
+             seeds.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
+      FROM seeds, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    encoded AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
+                          cb.code) AS r
+        FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
+      ) WHERE r = 1
+    ),
+    qtab AS (
+      SELECT sv.vec_id AS query_id, sv.subspace, cb.code,
+             ROUND({_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)}, 8)
+               AS dpart
+      FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
+      WHERE sv.vec_id < 5
+    ),
+    adc AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND(CAST(SUM(CAST(q.dpart AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM encoded e
+      JOIN qtab q ON e.subspace = q.subspace AND e.code = q.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, cand_id) AS INT) AS rank
+      FROM adc
+    )
+    SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="PQ asymmetric-distance (ADC) top-k — the search half of the "
+    "pq_encode_profile index: each query precomputes an m x k distance "
+    "table (its subvector to every codeword — 16 doubles per query "
+    "here), then every encoded vector's approximate distance is just m "
+    "table LOOKUPS summed (join on (subspace, code), decimal-summed so "
+    "the m-part accumulation is order-independent) — no original "
+    "vectors touched at scan time. This is how billion-vector indexes "
+    "scan compressed codes (Jegou et al., PAMI'11): the scan reads "
+    "2-bit codes, not 256-byte vectors; the distance-table join "
+    "broadcasts queries x m x k rows. Ranked by (adc_dist, cand_id) — "
+    "deterministic; PQ at m=4,k=4 is deliberately coarse, so this "
+    "measures the dataflow, not recall (size m/k up for that)",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    sub_slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice("v", s * _PQ_D + 1, _PQ_D).alias("sub"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    subvecs = base.select("vec_id", F.explode(sub_slices).alias("e")).select(
+        "vec_id", "e.subspace", "e.sub"
+    )
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("code"),
+            "v",
+        )
+    )
+    codebook = seeds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("v", s * _PQ_D + 1, _PQ_D).alias("cw"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("e"),
+        "code",
+    ).select("e.subspace", "code", "e.cw")
+    d = F.expr(
+        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    wc = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    encoded = (
+        subvecs.join(F.broadcast(codebook), "subspace")
+        .select("vec_id", "subspace", "code", d.alias("d"))
+        .withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    qtab = (
+        subvecs.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(codebook), "subspace")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "subspace",
+            "code",
+            F.round(d, 8).alias("dpart"),
+        )
+    )
+    adc = (
+        encoded.join(
+            F.broadcast(qtab), ["subspace", "code"]
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.round(
+                F.sum(F.col("dpart").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )

@@ -98,33 +98,29 @@ def test_salted_join_equals_plain_join(spark, left, right):
 
 def test_registration_order_is_tiered_by_driver_verdict():
     """The driver's correctness pass truncates at 50 queries in registration
-    order; rotation is QUERY-granular since round 3 — never-driver-verified
-    queries (tier 0, including anything newly added) must all precede
-    round-1-only-verified (tier 1), which precede round-2-verified (tier 2),
-    so the truncated window always covers the least-verified queries."""
+    order; rotation is QUERY-granular since round 3. Round 4 outgrew the
+    window (never-verified alone > 50 - 6 stale), so the explicit verdict
+    gates lead: round-1-stale (tier 0) first, changed-since-verify (1),
+    never-verified (2), then round-2 (3) and round-3 (4) verdicts."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
     tiers = [registry._tier(n) for n in names]
     assert tiers == sorted(tiers), "registry not ordered by verification tier"
-    # every query never seen by a driver pass sits inside the 50-query window
-    unchecked = [n for n in names if registry._tier(n) == 0]
-    assert all(names.index(n) < 50 for n in unchecked)
-    # tier = round of latest verdict: r3-verified go last, round-1-only
-    # queries (stalest live verdicts) sit just after the tier-0 block
+    window = names[:50]
+    # the six round-1-stale queries and every changed-since-verify query
+    # MUST be inside the 50-query window
+    for n in names:
+        if registry._tier(n) in (0, 1):
+            assert n in window, n
     for probe, want in (
-        ("grouped_percentiles", 3), ("freq_tokens_cms", 3),
-        ("profile_nulls", 1), ("exact_quantile", 1),
-        ("traffic_congestion", 2), ("text_stats", 2),
+        ("profile_nulls", 0), ("exact_quantile", 0),          # r1-stale
+        ("ann_lsh_bucketed_topk", 1), ("dedup_clusters", 1),  # changed
+        ("pagerank_source_lang", 2), ("bm25_rank", 2),        # never checked
+        ("traffic_congestion", 3), ("text_stats", 3),         # r2-latest
+        ("grouped_percentiles", 4), ("freq_tokens_cms", 4),   # r3-latest
     ):
         assert registry._tier(probe) == want, probe
-    # changed-since-verify + this round's additions must be re-checked first
-    for probe in (
-        "ann_lsh_bucketed_topk", "ann_recall_at_k", "dedup_embedding_lsh",
-        "dedup_clusters", "dedup_canonical_docs", "pagerank_source_lang",
-        "freq_tokens_cms_sampled", "bm25_rank", "domain_mix_weights",
-    ):
-        assert registry._tier(probe) == 0, probe
 
 
 def test_triangle_count_matches_bruteforce(spark):
