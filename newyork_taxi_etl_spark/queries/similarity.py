@@ -619,12 +619,16 @@ _IVF_KM_DIST = (
     "corpus/n_centroids*n_probe per query",
 )
 def ann_ivf_kmeans_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return _ivf_kmeans_topk(emb, k=5)
+
+
+def _ivf_kmeans_topk(emb, k=5, n_probe=2):
     from newyork_taxi_etl_spark.operators.clustering import (
         _SQDIST,
         kmeans_centroids,
     )
 
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     cent = kmeans_centroids(emb, k=8, n_iter=1)
     cent = cent.select("cid", F.col("vec").alias("cent_vec"))
     base = emb.select(
@@ -659,7 +663,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .crossJoin(F.broadcast(cent))
         .select("query_id", "q_vec", "cid", d.alias("d"))
         .withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= 2)
+        .filter(F.col("r") <= n_probe)
         .select("query_id", "q_vec", "cid")
     )
     scored = (
@@ -674,7 +678,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
 
@@ -880,9 +884,13 @@ def pq_encode_profile(spark, sf_dir):
     "measures the dataflow, not recall (size m/k up for that)",
 )
 def ann_pq_adc_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return _pq_adc_topk(emb, k=5)
+
+
+def _pq_adc_topk(emb, k=5):
     from pyspark.sql import Window
 
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -960,6 +968,150 @@ def ann_pq_adc_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ann_recall_trained",
+    f"""
+    WITH {_BF10_SQL},
+    emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i, AVG(v[r.i]) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id AS cand_id, e.embedding AS c_vec,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM emb q CROSS JOIN c1 c
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    ivf_km AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, a.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} DESC,
+                          a.cand_id) AS rank
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.cand_id <> p.query_id
+      ) WHERE rank <= 10
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    codebook AS (
+      SELECT s.s AS subspace, seeds.code,
+             seeds.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
+      FROM seeds, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    encoded AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
+                          cb.code) AS r
+        FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
+      ) WHERE r = 1
+    ),
+    qtab AS (
+      SELECT sv.vec_id AS query_id, sv.subspace, cb.code,
+             ROUND({_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)}, 8)
+               AS dpart
+      FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
+      WHERE sv.vec_id < 5
+    ),
+    pq_adc AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(CAST(SUM(CAST(q.dpart AS DECIMAL(38,12)))
+                                AS DOUBLE), 6), e.vec_id) AS rank
+        FROM encoded e
+        JOIN qtab q ON e.subspace = q.subspace AND e.code = q.code
+        WHERE e.vec_id <> q.query_id
+        GROUP BY q.query_id, e.vec_id
+      ) WHERE rank <= 10
+    )
+    {_recall_row_sql('ivf_km')}
+    UNION ALL
+    {_recall_row_sql('pq_adc')}
+    ORDER BY method
+    """,
+    doc="recall gate for the TRAINED index paths: recall@10 of "
+    "trained-centroid IVF (1 Lloyd round, n_probe=2) and PQ "
+    "asymmetric-distance search against the exact brute-force top-10 — "
+    "completes ann_recall_at_k's curve (which gates multiband LSH and "
+    "the stand-in IVF) so every search path in the ANN stack carries a "
+    "driver-gated quality number. PQ at m=4,k=4 (2 bits/subspace) is "
+    "deliberately coarse — its measured recall documents what 32-byte-"
+    "to-2-byte compression costs, exactly the trade a 100 TB index "
+    "sizes with m/k",
+)
+def ann_recall_trained(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = (
+        S.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+
+    def leg(df, method):
+        hits = (
+            df.select("query_id", "cand_id")
+            .join(bf, ["query_id", "cand_id"], "semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .withColumn("method", F.lit(method))
+        )
+        return hits.crossJoin(total)
+
+    out = leg(_ivf_kmeans_topk(emb, k=10), "ivf_km").unionAll(
+        leg(_pq_adc_topk(emb, k=10), "pq_adc")
+    )
+    return out.select(
+        "method",
+        "hits",
+        "total",
+        F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    ).orderBy("method")
