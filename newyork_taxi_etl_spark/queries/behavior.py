@@ -715,3 +715,163 @@ def sql_frontend_topk(spark, sf_dir):
         ORDER BY event_type, rnk
         """
     )
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH binned AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(CAST(FLOOR(value / 100) AS INT), 9) AS bin
+      FROM events WHERE event_type = 'purchase'
+    ),
+    counts AS (
+      SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin
+    ),
+    tot AS (SELECT period, SUM(n) AS t FROM counts GROUP BY period),
+    frac AS (
+      SELECT bin,
+             MAX(CASE WHEN counts.period = 'ref'
+                 THEN (n + 0.5) / (t + 5.0) END) AS p_ref,
+             MAX(CASE WHEN counts.period = 'cur'
+                 THEN (n + 0.5) / (t + 5.0) END) AS p_cur
+      FROM counts JOIN tot ON counts.period = tot.period
+      GROUP BY bin
+    ),
+    terms AS (
+      SELECT bin,
+             ROUND((COALESCE(p_cur, 0.5 / 5.0) - COALESCE(p_ref, 0.5 / 5.0))
+                   * ln(COALESCE(p_cur, 0.5 / 5.0)
+                        / COALESCE(p_ref, 0.5 / 5.0)), 12) AS term
+      FROM frac
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS psi
+    FROM terms
+    """,
+    doc="population stability index between the first and second half of "
+    "the month (purchase values, 10 fixed bins, add-0.5 smoothing so "
+    "empty bins can't produce infinities): PSI = sum (p_cur - p_ref) x "
+    "ln(p_cur/p_ref) — THE production drift metric for feature/score "
+    "monitoring (<0.1 stable, >0.25 investigate). Two grouped counts, a "
+    "bin-cardinality pivot, ln at ROUND(12) + decimal sum (the zipf "
+    "discipline) for a cross-engine-exact statistic. Smoothing constants "
+    "identical in both engines; missing-bin fallback 0.5/5.0 matches the "
+    "smoothed zero-count limit at t=0... deliberately simple so the "
+    "number is auditable",
+)
+def psi_value_drift(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    binned = ev.select(
+        F.when(F.to_date("ts") < F.lit(datetime.date(2024, 1, 16)), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 100).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    counts = binned.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("period").agg(F.sum("n").alias("t"))
+    joined = counts.join(F.broadcast(tot), "period")
+    p = (F.col("n") + 0.5) / (F.col("t") + 5.0)
+    frac = joined.groupBy("bin").agg(
+        F.max(F.when(F.col("period") == "ref", p)).alias("p_ref"),
+        F.max(F.when(F.col("period") == "cur", p)).alias("p_cur"),
+    )
+    fb = F.lit(0.5 / 5.0)
+    pr = F.coalesce(F.col("p_ref"), fb)
+    pc = F.coalesce(F.col("p_cur"), fb)
+    terms = frac.select(
+        F.round((pc - pr) * F.log(pc / pr), 12).alias("term")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(sum_exact("term"), 6).alias("psi"),
+    )
+
+
+@register(
+    "purchase_attribution",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             MAX(CASE WHEN event_type IN ('click', 'view')
+                 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events
+    ),
+    purchases AS (
+      SELECT user_id, value, touch_ts,
+             date_diff('microsecond', touch_ts, ts) / 6e7 AS mins_since_touch
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      CAST(SUM(CASE WHEN touch_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_attributed,
+      ROUND(CAST(SUM(CASE WHEN touch_ts IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS attribution_rate,
+      ROUND(CAST(CAST(CAST(SUM(CAST(CAST(ROUND(mins_since_touch, 4)
+                AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+            / COUNT(mins_since_touch) AS DOUBLE), 6) AS avg_mins_since_touch
+    FROM purchases
+    """,
+    doc="last-touch attribution: each purchase attributed to the user's "
+    "most recent PRECEDING click/view via one running-max window with a "
+    "1-PRECEDING frame (the as-of join semantics applied WITHIN a "
+    "stream, no second table, no self-join) — the marketing-analytics "
+    "primitive. Unattributed purchases (no prior touch) counted "
+    "honestly; latency decimal-routed over 4-digit-rounded minutes "
+    "(the k/6e7 values are not half-boundary-prone like the raw-gap "
+    "case — microseconds/6e7 rarely land on .00005 exactly, and the "
+    "driver gate would catch it). One user-keyed window exchange, one "
+    "1-row aggregate",
+)
+def purchase_attribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "touch_ts",
+        F.max(
+            F.when(F.col("event_type").isin("click", "view"), F.col("ts"))
+        ).over(w),
+    )
+    purchases = marked.filter(F.col("event_type") == "purchase").select(
+        "touch_ts",
+        (
+            (F.unix_micros("ts") - F.unix_micros("touch_ts")) / F.lit(6e7)
+        ).alias("mins_since_touch"),
+    )
+    attributed = F.sum(
+        F.when(F.col("touch_ts").isNotNull(), 1).otherwise(0)
+    )
+    return purchases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        attributed.cast("bigint").alias("n_attributed"),
+        F.round(
+            attributed.cast("double") / F.count(F.lit(1)), 6
+        ).alias("attribution_rate"),
+        (
+            sum_exact(F.round(F.col("mins_since_touch"), 4))
+            / F.count("mins_since_touch")
+        ).cast("double").alias("avg_mins_since_touch"),
+    ).select(
+        "n_purchases",
+        "n_attributed",
+        "attribution_rate",
+        F.round("avg_mins_since_touch", 6).alias("avg_mins_since_touch"),
+    )
