@@ -875,3 +875,96 @@ def purchase_attribution(spark, sf_dir):
         "attribution_rate",
         F.round("avg_mins_since_touch", 6).alias("avg_mins_since_touch"),
     )
+
+
+@register(
+    "market_basket_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events WHERE event_type = 'purchase'
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM baskets),
+    supp AS (SELECT item, COUNT(*) AS s FROM baskets GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b,
+           CAST(co AS BIGINT) AS co_users,
+           ROUND(CAST(co AS DOUBLE) / n.n_users, 6) AS support,
+           ROUND(CAST(co AS DOUBLE) / sa.s, 6) AS confidence_a_b,
+           ROUND(CAST(co AS DOUBLE) * n.n_users / (sa.s * sb.s), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON pairs.item_a = sa.item
+    JOIN supp sb ON pairs.item_b = sb.item
+    CROSS JOIN n
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 20
+    """,
+    doc="market-basket association rules (the retail-analytics staple): "
+    "per-user purchase item sets (item = typed JSON field), co-occurrence "
+    "pairs from a user-keyed self-join of the DISTINCT basket table (pair "
+    "volume = sum basket_size^2, never corpus^2 — identical shape to the "
+    "shingle inverted index), min-support HAVING prunes before the "
+    "metric joins, item-support dimension broadcast back; support / "
+    "confidence / lift as exact rationals evaluated with identically "
+    "parenthesized IEEE ops. Top-20 by lift via TakeOrderedAndProject. "
+    "At 100 TB the basket self-join shuffles on user_id once and hot "
+    "users (huge baskets) are the skew to watch — the max-basket cap is "
+    "the escape hatch, same pattern as the MinHash band cap",
+)
+def market_basket_rules(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    baskets = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co").cast("bigint").alias("co_users"),
+            F.round(F.col("co").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("co").cast("double") / F.col("sa"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("co").cast("double") * F.col("n_users")
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(20)
+    )
