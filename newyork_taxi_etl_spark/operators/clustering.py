@@ -44,6 +44,63 @@ aggregate(
 """
 
 
+def _base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+
+
+def _seed_centroids(base: DataFrame, k: int, id_col: str) -> DataFrame:
+    return (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            F.col("_v").alias("vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _assign(base: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Zero-shuffle argmin against the ONE broadcast centroid-array row."""
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    return (
+        base.join(broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(id_col, "_v", "cid")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Elementwise-mean centroid update, decimal-exact.
+
+    The mean routes through DECIMAL(38,12) (functions.exact.avg_exact):
+    a plain double AVG depends on partition summation order, and because
+    the next round's strict-< argmin consumes the RAW centroid values, a
+    last-ulp wobble could flip a near-equidistant vector's assignment
+    between runs/engines — caught in review when trained-IVF queries
+    started ranking output by these centroids. O(k x d) shuffle as
+    before; the oracle mirrors the same decimal routing.
+    """
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    dims = (
+        assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(avg_exact("x").alias("m"))
+    )
+    return (
+        dims.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+        .select("cid", F.expr("transform(s, e -> e.m)").alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 4,
@@ -57,42 +114,12 @@ def kmeans_assign(
     lowest-id vectors). The assignment returned is the one computed in the
     final round (i.e. against the centroids of round ``n_iter - 1``).
     """
-    base = df.select(
-        F.col(id_col),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
-    )
-    cent = (
-        base.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
-            F.col("_v").alias("vec"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
+    base = _base(df, id_col, vec_col)
+    cent = _seed_centroids(base, k, id_col)
     assigned = None
     for _ in range(n_iter):
-        cent_row = cent.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
-        )
-        assigned = (
-            base.join(broadcast(cent_row), how="cross")
-            .withColumn("cid", F.expr(_ARGMIN))
-            .select(id_col, "_v", "cid")
-        )
-        dims = (
-            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-        )
-        cent = (
-            dims.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
-            .select("cid", F.expr("transform(s, e -> e.m)").alias("vec"))
-            .localCheckpoint(eager=True)
-        )
-
+        assigned = _assign(base, cent, id_col)
+        cent = _update(assigned)
     return assigned.select(id_col, "cid")
 
 
@@ -114,44 +141,16 @@ def kmeans_centroids(
 ) -> DataFrame:
     """(cid, vec) centroid table after ``n_iter`` Lloyd updates.
 
-    Same seeding/tie-break discipline as :func:`kmeans_assign` (k
-    lowest-id vectors, strict-< argmin toward lower cid), exposed as a
-    table so downstream index builders — the IVF coarse quantizer in
+    Same seeding/tie-break/exact-mean discipline as :func:`kmeans_assign`
+    (shared ``_seed_centroids`` / ``_assign`` / ``_update`` helpers — one
+    Lloyd implementation, not two to keep in sync), exposed as a table so
+    downstream index builders — the IVF coarse quantizer in
     ``queries/similarity.ann_ivf_kmeans_topk`` — can train their
     centroids instead of using a stand-in. ``n_iter=0`` returns the raw
     seeds.
     """
-    base = df.select(
-        F.col(id_col),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
-    )
-    cent = (
-        base.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
-            F.col("_v").alias("vec"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    base = _base(df, id_col, vec_col)
+    cent = _seed_centroids(base, k, id_col)
     for _ in range(n_iter):
-        cent_row = cent.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
-        )
-        assigned = (
-            base.join(broadcast(cent_row), how="cross")
-            .withColumn("cid", F.expr(_ARGMIN))
-            .select("_v", "cid")
-        )
-        dims = (
-            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-        )
-        cent = (
-            dims.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
-            .select("cid", F.expr("transform(s, e -> e.m)").alias("vec"))
-            .localCheckpoint(eager=True)
-        )
+        cent = _update(_assign(base, cent, id_col))
     return cent

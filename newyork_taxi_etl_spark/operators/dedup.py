@@ -96,6 +96,11 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+    # The self-join references this subtree twice, and the hot-bucket
+    # aggregate adds two more references — Spark shares nothing between
+    # plan branches (same reason operators/graph.py checkpoints edges),
+    # so without this the md5-over-shingles signature work runs up to 4x.
+    exploded = exploded.localCheckpoint(eager=True)
     if max_band_size is not None:
         hot = (
             exploded.groupBy("band_idx", "band_hash")

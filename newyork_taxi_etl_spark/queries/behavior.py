@@ -655,12 +655,21 @@ def trimmed_mean_pandas(spark, sf_dir):
             Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
             for v in kept
         )
-        mean = float(total / len(kept))
+        # float(Decimal) is correctly rounded = the engines' VARCHAR-routed
+        # decimal->double cast; divide IN DOUBLE (Decimal division then
+        # float() would double-round); final rounding is HALF_UP on the
+        # shortest repr = Spark F.round, NOT Python's banker's round()
+        mean = float(total) / len(kept)
+        out = float(
+            Decimal(repr(mean)).quantize(
+                Decimal("1E-6"), rounding=ROUND_HALF_UP
+            )
+        )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_kept": [len(kept)],
-                "trimmed_mean": [round(mean, 6)],
+                "trimmed_mean": [out],
             }
         )
 
@@ -729,21 +738,23 @@ def sql_frontend_topk(spark, sf_dir):
     counts AS (
       SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin
     ),
-    tot AS (SELECT period, SUM(n) AS t FROM counts GROUP BY period),
+    tot AS (
+      SELECT SUM(CASE WHEN period = 'ref' THEN n ELSE 0 END) AS t_ref,
+             SUM(CASE WHEN period = 'cur' THEN n ELSE 0 END) AS t_cur
+      FROM counts
+    ),
     frac AS (
       SELECT bin,
-             MAX(CASE WHEN counts.period = 'ref'
-                 THEN (n + 0.5) / (t + 5.0) END) AS p_ref,
-             MAX(CASE WHEN counts.period = 'cur'
-                 THEN (n + 0.5) / (t + 5.0) END) AS p_cur
-      FROM counts JOIN tot ON counts.period = tot.period
+             (COALESCE(MAX(CASE WHEN period = 'ref' THEN n END), 0) + 0.5)
+               / (MAX(t.t_ref) + 5.0) AS p_ref,
+             (COALESCE(MAX(CASE WHEN period = 'cur' THEN n END), 0) + 0.5)
+               / (MAX(t.t_cur) + 5.0) AS p_cur
+      FROM counts CROSS JOIN tot t
       GROUP BY bin
     ),
     terms AS (
       SELECT bin,
-             ROUND((COALESCE(p_cur, 0.5 / 5.0) - COALESCE(p_ref, 0.5 / 5.0))
-                   * ln(COALESCE(p_cur, 0.5 / 5.0)
-                        / COALESCE(p_ref, 0.5 / 5.0)), 12) AS term
+             ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS term
       FROM frac
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
@@ -755,12 +766,14 @@ def sql_frontend_topk(spark, sf_dir):
     "the month (purchase values, 10 fixed bins, add-0.5 smoothing so "
     "empty bins can't produce infinities): PSI = sum (p_cur - p_ref) x "
     "ln(p_cur/p_ref) — THE production drift metric for feature/score "
-    "monitoring (<0.1 stable, >0.25 investigate). Two grouped counts, a "
-    "bin-cardinality pivot, ln at ROUND(12) + decimal sum (the zipf "
-    "discipline) for a cross-engine-exact statistic. Smoothing constants "
-    "identical in both engines; missing-bin fallback 0.5/5.0 matches the "
-    "smoothed zero-count limit at t=0... deliberately simple so the "
-    "number is auditable",
+    "monitoring (<0.1 stable, >0.25 investigate). A bin absent from one "
+    "period takes the CORRECT smoothed zero-count probability "
+    "0.5/(t_period+5) — an early revision substituted a constant 0.1 "
+    "there, which suppressed the drift term ~10x exactly when drift "
+    "happens (both engines shared it, so only review caught it). Two "
+    "grouped counts, a bin-cardinality pivot against the broadcast "
+    "period totals, ln at ROUND(12) + decimal sum (the zipf discipline) "
+    "for a cross-engine-exact statistic",
 )
 def psi_value_drift(spark, sf_dir):
     from newyork_taxi_etl_spark.functions.exact import sum_exact
@@ -775,18 +788,46 @@ def psi_value_drift(spark, sf_dir):
         ),
     )
     counts = binned.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.groupBy("period").agg(F.sum("n").alias("t"))
-    joined = counts.join(F.broadcast(tot), "period")
-    p = (F.col("n") + 0.5) / (F.col("t") + 5.0)
-    frac = joined.groupBy("bin").agg(
-        F.max(F.when(F.col("period") == "ref", p)).alias("p_ref"),
-        F.max(F.when(F.col("period") == "cur", p)).alias("p_cur"),
+    tot = counts.agg(
+        F.sum(F.when(F.col("period") == "ref", F.col("n")).otherwise(0)).alias(
+            "t_ref"
+        ),
+        F.sum(F.when(F.col("period") == "cur", F.col("n")).otherwise(0)).alias(
+            "t_cur"
+        ),
     )
-    fb = F.lit(0.5 / 5.0)
-    pr = F.coalesce(F.col("p_ref"), fb)
-    pc = F.coalesce(F.col("p_cur"), fb)
+    frac = (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            (
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("period") == "ref", F.col("n"))),
+                        F.lit(0),
+                    )
+                    + 0.5
+                )
+                / (F.max("t_ref") + 5.0)
+            ).alias("p_ref"),
+            (
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("period") == "cur", F.col("n"))),
+                        F.lit(0),
+                    )
+                    + 0.5
+                )
+                / (F.max("t_cur") + 5.0)
+            ).alias("p_cur"),
+        )
+    )
     terms = frac.select(
-        F.round((pc - pr) * F.log(pc / pr), 12).alias("term")
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            12,
+        ).alias("term")
     )
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),

@@ -452,10 +452,19 @@ def _km_assign(cent_cte: str, with_v: bool) -> str:
   FROM emb e"""
 
 
+_KM_MEAN = (
+    "CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR) AS DECIMAL(38,12)))"
+    " AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE)"
+)
+
+
 def _km_update(assign_cte: str) -> str:
+    # decimal-exact elementwise mean (avg_exact twin): plain AVG depends on
+    # accumulation order and the next round's strict-< argmin consumes the
+    # raw value — see operators.clustering._update
     return f"""
   SELECT cid, list(m ORDER BY i) AS vec
-  FROM (SELECT cid, r.i AS i, AVG(v[r.i]) AS m
+  FROM (SELECT cid, r.i AS i, {_KM_MEAN} AS m
         FROM {assign_cte}, unnest(range(1, len(v)+1)) AS r(i)
         GROUP BY cid, r.i)
   GROUP BY cid"""
@@ -571,7 +580,10 @@ _IVF_KM_DIST = (
     ),
     c1 AS (
       SELECT cid, list(m ORDER BY i) AS vec
-      FROM (SELECT cid, r.i AS i, AVG(v[r.i]) AS m
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
             FROM a1, unnest(range(1, len(v)+1)) AS r(i)
             GROUP BY cid, r.i)
       GROUP BY cid
@@ -625,12 +637,12 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 
 def _ivf_kmeans_topk(emb, k=5, n_probe=2):
     from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
         _SQDIST,
         kmeans_centroids,
     )
 
     cent = kmeans_centroids(emb, k=8, n_iter=1)
-    cent = cent.select("cid", F.col("vec").alias("cent_vec"))
     base = emb.select(
         F.col("vec_id"),
         F.col("embedding"),
@@ -638,20 +650,26 @@ def _ivf_kmeans_topk(emb, k=5, n_probe=2):
     )
     from pyspark.sql import Window
 
-    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
-    wc = Window.partitionBy("cand_id").orderBy("d", "cid")
+    # corpus assignment: the clustering module's zero-shuffle argmin fold
+    # over ONE broadcast centroid-array row — the crossJoin + window
+    # formulation multiplies the corpus by k and hash-exchanges it, which
+    # at 100 TB is the dominant cost of the whole query (review finding).
+    # Identical strict-< lower-cid tie-break as ROW_NUMBER (d, cid).
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
     assigned = (
-        base.select(
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("c_vec"),
-            "_v",
+            "cid",
         )
-        .crossJoin(F.broadcast(cent))
-        .select("cand_id", "c_vec", "cid", d.alias("d"))
-        .withColumn("r", F.row_number().over(wc))
-        .filter(F.col("r") == 1)
-        .select("cand_id", "c_vec", "cid")
     )
+    # query probing stays window-based: n_queries x k rows is tiny
+    cent = cent.select("cid", F.col("vec").alias("cent_vec"))
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
     wq = Window.partitionBy("query_id").orderBy("d", "cid")
     probes = (
         base.filter(F.col("vec_id") < 5)
@@ -691,63 +709,16 @@ _PQ_SUBDIST = (
 )
 
 
-@register(
-    "pq_encode_profile",
-    f"""
-    WITH emb AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    seeds AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
-    ),
-    codebook AS (
-      SELECT s.s AS subspace, seeds.code,
-             seeds.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
-      FROM seeds, (SELECT unnest(range({_PQ_M})) AS s) s
-    ),
-    subvecs AS (
-      SELECT e.vec_id, s.s AS subspace,
-             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
-      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
-    ),
-    encoded AS (
-      SELECT vec_id, subspace, code, d FROM (
-        SELECT sv.vec_id, sv.subspace, cb.code,
-               {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)} AS d,
-               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
-                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
-                          cb.code) AS r
-        FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
-      ) WHERE r = 1
-    )
-    SELECT CAST(subspace AS INT) AS subspace,
-           code,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           ROUND(CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_sq_err
-    FROM encoded
-    GROUP BY subspace, code
-    ORDER BY subspace, code
-    """,
-    doc="product quantization encode profile (the FAISS-IVFPQ compression "
-    "staple): 64-dim vectors split into 4 x 16-dim subspaces, each "
-    "subvector snapped to its nearest of 4 per-subspace codewords "
-    "(deterministic lowest-id seed codebooks — swap in kmeans_centroids "
-    "per subspace to train, same dataflow), emitting the code-usage "
-    "histogram and per-cell mean squared reconstruction error — the two "
-    "numbers that size a PQ index (dead codewords and quantization "
-    "loss). Dataflow: vectors explode to m subspace rows, the m x k "
-    "codebook broadcasts, argmin per (vector, subspace) via one window "
-    "over m*k rows per vector; the aggregate is codebook-sized. 16-byte "
-    "codes for 256-byte vectors at m=4,k=4 (2 bits/subspace) — the "
-    "memory story that makes billion-vector ANN fit in RAM",
-)
-def pq_encode_profile(spark, sf_dir):
+def _pq_parts(emb):
+    """Shared PQ construction: (subvecs, codebook, encoded, dist_expr).
+
+    One implementation for the encode profile, the ADC search, and the
+    recall gate — the subspace slicing, seed codebook, and argmin encode
+    must stay byte-identical across all three (review finding: three
+    copies drift).
+    """
     from pyspark.sql import Window
 
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -761,9 +732,9 @@ def pq_encode_profile(spark, sf_dir):
             for s in range(_PQ_M)
         ]
     )
-    subvecs = base.select(
-        "vec_id", F.explode(sub_slices).alias("e")
-    ).select("vec_id", "e.subspace", "e.sub")
+    subvecs = base.select("vec_id", F.explode(sub_slices).alias("e")).select(
+        "vec_id", "e.subspace", "e.sub"
+    )
     seeds = (
         base.orderBy("vec_id")
         .limit(_PQ_K)
@@ -799,6 +770,66 @@ def pq_encode_profile(spark, sf_dir):
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
     )
+    return subvecs, codebook, encoded, d
+
+
+@register(
+    "pq_encode_profile",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    codebook AS (
+      SELECT s.s AS subspace, seeds.code,
+             seeds.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
+      FROM seeds, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    encoded AS (
+      SELECT vec_id, subspace, code, d FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code,
+               {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)} AS d,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
+                          cb.code) AS r
+        FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
+      ) WHERE r = 1
+    )
+    SELECT CAST(subspace AS INT) AS subspace,
+           code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(38,12)))
+                           AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_sq_err
+    FROM encoded
+    GROUP BY subspace, code
+    ORDER BY subspace, code
+    """,
+    doc="product quantization encode profile (the FAISS-IVFPQ compression "
+    "staple): 64-dim vectors split into 4 x 16-dim subspaces, each "
+    "subvector snapped to its nearest of 4 per-subspace codewords "
+    "(deterministic lowest-id seed codebooks — swap in kmeans_centroids "
+    "per subspace to train, same dataflow), emitting the code-usage "
+    "histogram and per-cell mean squared reconstruction error — the two "
+    "numbers that size a PQ index (dead codewords and quantization "
+    "loss). Dataflow: vectors explode to m subspace rows, the m x k "
+    "codebook broadcasts, argmin per (vector, subspace) via one window "
+    "over m*k rows per vector; the aggregate is codebook-sized. 16-byte "
+    "codes for 256-byte vectors at m=4,k=4 (2 bits/subspace) — the "
+    "memory story that makes billion-vector ANN fit in RAM",
+)
+def pq_encode_profile(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    _, _, encoded, _ = _pq_parts(emb)
     return (
         encoded.groupBy(
             F.col("subspace").cast("int").alias("subspace"), "code"
@@ -891,58 +922,8 @@ def ann_pq_adc_topk(spark, sf_dir):
 def _pq_adc_topk(emb, k=5):
     from pyspark.sql import Window
 
-    base = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    sub_slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("subspace"),
-                F.slice("v", s * _PQ_D + 1, _PQ_D).alias("sub"),
-            )
-            for s in range(_PQ_M)
-        ]
-    )
-    subvecs = base.select("vec_id", F.explode(sub_slices).alias("e")).select(
-        "vec_id", "e.subspace", "e.sub"
-    )
-    seeds = (
-        base.orderBy("vec_id")
-        .limit(_PQ_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("code"),
-            "v",
-        )
-    )
-    codebook = seeds.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("subspace"),
-                        F.slice("v", s * _PQ_D + 1, _PQ_D).alias("cw"),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("e"),
-        "code",
-    ).select("e.subspace", "code", "e.cw")
-    d = F.expr(
-        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), "
-        "0D, (acc, v) -> acc + v)"
-    )
-    wc = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
-    encoded = (
-        subvecs.join(F.broadcast(codebook), "subspace")
-        .select("vec_id", "subspace", "code", d.alias("d"))
-        .withColumn("r", F.row_number().over(wc))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "subspace", "code")
-    )
+    subvecs, codebook, encoded, d = _pq_parts(emb)
+    encoded = encoded.select("vec_id", "subspace", "code")
     qtab = (
         subvecs.filter(F.col("vec_id") < 5)
         .join(F.broadcast(codebook), "subspace")
@@ -954,9 +935,7 @@ def _pq_adc_topk(emb, k=5):
         )
     )
     adc = (
-        encoded.join(
-            F.broadcast(qtab), ["subspace", "code"]
-        )
+        encoded.join(F.broadcast(qtab), ["subspace", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("cand_id"))
         .agg(
@@ -996,7 +975,10 @@ def _pq_adc_topk(emb, k=5):
     ),
     c1 AS (
       SELECT cid, list(m ORDER BY i) AS vec
-      FROM (SELECT cid, r.i AS i, AVG(v[r.i]) AS m
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
             FROM a1, unnest(range(1, len(v)+1)) AS r(i)
             GROUP BY cid, r.i)
       GROUP BY cid

@@ -409,14 +409,14 @@ def zipf_token_slope(spark, sf_dir):
     ),
     doc_scores AS (
       SELECT doc_id, lang,
-             ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
-                   / COUNT(*), 6) AS score
+             ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS score
       FROM scored_tok GROUP BY doc_id, lang
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_nll,
+           ROUND(CAST(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nll,
            MIN(score) AS min_nll,
            MAX(score) AS max_nll
     FROM doc_scores
@@ -431,8 +431,10 @@ def zipf_token_slope(spark, sf_dir):
     "LM table is lang x vocab (tiny — broadcasts back onto the token "
     "stream), doc scores from one doc-keyed aggregate. Cross-engine "
     "determinism: the probability is an exact rational evaluated with "
-    "identical IEEE ops, ln ROUNDed at 12 then decimal-summed (the "
-    "zipf_token_slope discipline). High-NLL docs are the gibberish a "
+    "identical IEEE ops, ln ROUNDed at 12 then decimal-summed with the "
+    "VARCHAR-routed out-cast (DuckDB's direct DECIMAL(38,12)->DOUBLE "
+    "double-rounds past ~9e3 — the per-lang NLL sum is already 7015 at "
+    "sf0.1, so the direct cast was a latent sf1 bug). High-NLL docs are the gibberish a "
     "perplexity filter drops; the synthetic corpus scores nearly "
     "uniform, which the gate records rather than assumes",
 )

@@ -134,6 +134,8 @@ _VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED)
 _CHANGED_SINCE_VERIFY = frozenset({
     "ann_lsh_bucketed_topk", "ann_recall_at_k", "dedup_embedding_lsh",
     "dedup_clusters", "dedup_canonical_docs", "dedup_minhash_lsh",
+    # review pass: Lloyd update means went decimal-exact (oracle changed)
+    "kmeans_cluster_sizes",
 })
 
 

@@ -142,3 +142,42 @@ def test_cohort_retention_accounting(spark):
         for r in wk.distinct().join(cohort, "user_id").collect()
     }
     assert got == {(0, 0), (0, 2), (2, 0)}
+
+
+def test_psi_one_sided_bin_uses_smoothed_zero(spark):
+    """A bin present only in 'cur' must take p_ref = 0.5/(t_ref+5), not a
+    constant — the suppressed-drift bug review caught. Python reference."""
+    import math
+
+    # ref period: 40 purchases all in bin 0; cur: 30 in bin 0, 10 in bin 9
+    rows = []
+    eid = 0
+    for i in range(40):
+        rows.append((eid, datetime.datetime(2024, 1, 5, i % 24), i % 7, "purchase", 50.0)); eid += 1
+    for i in range(30):
+        rows.append((eid, datetime.datetime(2024, 1, 20, i % 24), i % 7, "purchase", 50.0)); eid += 1
+    for i in range(10):
+        rows.append((eid, datetime.datetime(2024, 1, 21, i % 24), i % 7, "purchase", 950.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    import newyork_taxi_etl_spark.queries.behavior as B
+
+    orig = B.read_events
+    B.read_events = lambda s, d: df
+    try:
+        got = B.psi_value_drift(spark, "ignored").collect()[0]
+    finally:
+        B.read_events = orig
+
+    def p(n, t):
+        return (n + 0.5) / (t + 5.0)
+
+    expect = 0.0
+    for n_ref, n_cur in ((40, 30), (0, 10)):   # bins 0 and 9
+        pr, pc = p(n_ref, 40), p(n_cur, 40)
+        expect += round((pc - pr) * math.log(pc / pr), 12)
+    assert got.n_bins == 2
+    assert abs(got.psi - round(expect, 6)) < 1e-9
+    assert got.psi > 0.5            # real drift reads LARGE, not suppressed
