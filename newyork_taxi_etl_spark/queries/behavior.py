@@ -1009,3 +1009,75 @@ def market_basket_rules(spark, sf_dir):
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(20)
     )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'error'
+      GROUP BY day
+    ),
+    m AS (
+      SELECT CAST(CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mu,
+             COUNT(*) AS n_days
+      FROM daily
+    ),
+    c AS (
+      SELECT day,
+             ROUND(SUM(ROUND(x - mu, 6)) OVER (ORDER BY day), 6) AS cusum
+      FROM daily, m
+    )
+    SELECT (SELECT CAST(n_days AS BIGINT) FROM m) AS n_days,
+           CAST((SELECT day FROM c ORDER BY abs(cusum) DESC, day LIMIT 1)
+                AS VARCHAR) AS changepoint_day,
+           (SELECT ROUND(MAX(abs(cusum)), 6) FROM c) AS max_abs_cusum
+    FROM m
+    """,
+    doc="CUSUM changepoint detection on the daily error-count series: "
+    "cumulative sum of mean-centered counts, the day of maximum "
+    "|CUSUM| is the most likely level-shift point (Page's classic "
+    "statistic; significance via permutation is a driver-side loop over "
+    "this same plan). The cumulative window runs over N_DAYS rows (the "
+    "DAILY aggregate, single partition by design — events have already "
+    "been reduced); mean decimal-routed, per-day deviations rounded "
+    "then window-summed so the running sum is identical cross-engine. "
+    "Day emitted as ISO string (pandas date-dtype normalization)",
+)
+def cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    ev = read_events(spark, sf_dir).filter(F.col("event_type") == "error")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    m = daily.agg(
+        avg_exact("x").alias("mu"), F.count(F.lit(1)).alias("n_days")
+    )
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_days",
+        F.round(
+            F.sum(F.round(F.col("x") - F.col("mu"), 6)).over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+            6,
+        ).alias("cusum"),
+    )
+    top = (
+        c.orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").cast("string").alias("changepoint_day"),
+        )
+    )
+    mx = c.agg(F.round(F.max(F.abs(F.col("cusum"))), 6).alias("max_abs_cusum"))
+    return top.crossJoin(F.broadcast(mx))

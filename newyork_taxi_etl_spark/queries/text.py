@@ -481,3 +481,50 @@ def lm_perplexity_score(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bpe_top_merges",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substring(tok, r.i, 2) AS pair
+      FROM toks, unnest(range(1, len(tok))) AS r(i)
+      WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 25
+    """,
+    doc="BPE merge-candidate counting — the inner loop of byte-pair-"
+    "encoding tokenizer training: every adjacent character pair inside "
+    "every token counted corpus-wide, top candidates by frequency (the "
+    "pair a BPE trainer would merge first). Explode is positional "
+    "(substring over a range, no UDF); the aggregate is map-side-"
+    "combinable and the shuffle carries pair-vocabulary cardinality, "
+    "not the character stream — at 100 TB this is exactly how you count "
+    "merge candidates without collecting text anywhere. Deterministic "
+    "(n DESC, pair) order; one iteration — iterating requires re-"
+    "tokenizing against the learned merges, a driver-side loop over "
+    "this same aggregate",
+)
+def bpe_top_merges(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(25)
+    )
