@@ -77,31 +77,83 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     """A6 (``approxQuantile(..., relativeError=0)``, nb:1499 (c21)).
 
     The reference calls the driver-side ``approxQuantile`` API with
-    relativeError=0 (exact Greenwald-Khanna). As a *query* we sort the
-    column ONCE (``array_sort(collect_list)``) and interpolate every
-    requested probability from the same sorted array — one aggregation
-    buffer regardless of how many quantiles are asked for, where N
-    ``percentile(col, p)`` calls would each maintain their own 600k-value
-    buffer (measured 4x slower). The interpolation formula is Spark's
-    ``percentile`` / DuckDB ``quantile_cont``: lower*(1-frac)+upper*frac at
-    index p*(n-1). For cluster-scale data prefer the mergeable GK sketch in
-    :func:`approx_quantile_values` — an exact quantile of an unsorted 100 TB
-    column is a global sort however it is phrased.
+    relativeError=0 (exact Greenwald-Khanna). Here the exact quantile is a
+    fully DISTRIBUTED selection — no single-task buffer anywhere:
+
+    1. range-partition the non-null column (the one unavoidable shuffle —
+       an exact quantile of unsorted data is a global sort however it is
+       phrased) and sort within partitions;
+    2. per-partition row counts (map-side combined to one row per
+       partition) → exclusive prefix offsets, a window over ≤ #partitions
+       rows;
+    3. within-partition positions via ``monotonically_increasing_id``
+       (pid in the high 31 bits, in-partition index in the low 33 —
+       projected ABOVE the sort, so ids follow sorted order; it is
+       nondeterministic, which also pins it there), so global position =
+       offset[pid] + local index with no second full-data shuffle;
+    4. broadcast-join the ⌊p(n−1)⌋/⌈p(n−1)⌉ target positions (2 rows per
+       probability) and interpolate lower*(1−frac)+upper*frac — Spark
+       ``percentile`` / DuckDB ``quantile_cont`` semantics.
+
+    An earlier formulation (``array_sort(collect_list)``) held the whole
+    column in ONE aggregation buffer — fine at sf0.1, a single-task OOM at
+    100×. This one's memory high-water is a partition. For repeated/looser
+    quantiles prefer the mergeable GK sketch (:func:`approx_quantile_values`)
+    or the fixed-width histogram gate (``quantile_sketch_gate``).
     """
-    sorted_vals = df.select(
-        F.expr(f"array_sort(collect_list({col}))").alias("_s")
+    v = F.col(col)
+    vals = df.select(v.alias("v")).where(v.isNotNull())
+    ranged = vals.repartitionByRange(F.col("v"))
+
+    # tiny: one row per partition, shuffled post-combine
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off")
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+
+    # tiny: 1 row per probability, positions computed from n
+    idx = F.col("p") * (F.col("n") - 1).cast("double")
+    targets = total.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"), "n"
+    ).select(
+        "p",
+        F.floor(idx).alias("lo_pos"),
+        F.ceil(idx).alias("hi_pos"),
+        (idx - F.floor(idx)).alias("frac"),
     )
 
-    def interp(p: float):
-        idx = f"{p}D * (size(_s) - 1)"
-        lo = f"element_at(_s, CAST(floor({idx}) AS INT) + 1)"
-        hi = f"element_at(_s, CAST(ceil({idx}) AS INT) + 1)"
-        frac = f"({idx} - floor({idx}))"
-        return F.expr(f"{lo} * (1.0D - {frac}) + {hi} * {frac}")
-
-    return sorted_vals.select(
-        [
-            F.round(interp(p), 6).alias(f"p{str(p).replace('.', '_')}")
+    mid = F.monotonically_increasing_id()
+    rows = ranged.sortWithinPartitions("v").select(
+        "v",
+        F.shiftright(mid, 33).alias("pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("loc"),
+    )
+    global_pos = rows.join(F.broadcast(offsets), "pid").select(
+        "v", (F.col("off") + F.col("loc")).alias("gpos")
+    )
+    picked = global_pos.join(
+        F.broadcast(targets),
+        (F.col("gpos") == F.col("lo_pos")) | (F.col("gpos") == F.col("hi_pos")),
+    )
+    per_p = picked.groupBy("p", "frac").agg(
+        F.max(F.when(F.col("gpos") == F.col("lo_pos"), F.col("v"))).alias("lo_v"),
+        F.max(F.when(F.col("gpos") == F.col("hi_pos"), F.col("v"))).alias("hi_v"),
+    )
+    q = F.col("lo_v") * (F.lit(1.0) - F.col("frac")) + F.col("hi_v") * F.col("frac")
+    quantiles = per_p.select("p", F.round(q, 6).alias("q"))
+    return quantiles.groupBy().agg(
+        *[
+            F.max(F.when(F.col("p") == F.lit(float(p)), F.col("q"))).alias(
+                f"p{str(p).replace('.', '_')}"
+            )
             for p in probs
         ]
     )

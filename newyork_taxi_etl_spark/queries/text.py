@@ -323,12 +323,14 @@ def text_pii_redact(spark, sf_dir):
     ),
     s AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
-               AS sxy,
-             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
-               AS sxx
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))
+                       AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))
+                       AS VARCHAR) AS DOUBLE) AS sxx
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_tokens,
@@ -341,8 +343,11 @@ def text_pii_redact(spark, sf_dir):
     "ln(freq) on ln(rank) — the corpus-statistics diagnostic (natural "
     "text ~ -1; this synthetic corpus is near-uniform, so the measured "
     "slope quantifies HOW synthetic it is). All four OLS sums run through "
-    "ROUND(.,12) + DECIMAL(38,12) so the fit is order-independent and "
-    "identical cross-engine; rank ties break by token. One aggregate "
+    "ROUND(.,12) + DECIMAL(38,12), with the oracle's decimal->double "
+    "out-casts VARCHAR-routed (DuckDB's direct cast double-rounds past "
+    "~9e3; these sums reach 4-8e4 at sf0.1), so the fit is "
+    "order-independent and identical cross-engine; rank ties break by "
+    "token. One aggregate "
     "over the (vocab-sized) frequency table — at 100 TB the token count "
     "aggregate dominates and is map-side combinable; the fit itself is "
     "vocab-sized",

@@ -124,35 +124,58 @@ _R3_VERIFIED = frozenset({
     "unpivot_melt", "user_event_profile", "value_histogram",
 })
 
-_VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED)
+# Value-verified in round 4 (the 50 names in CORRECTNESS_r04.json — all
+# rows+schema+hash green, including the 7 re-verified _CHANGED_SINCE_VERIFY
+# names of that round and the 6 round-1-stale profiling queries).
+_R4_VERIFIED = frozenset({
+    "profile_nulls", "profile_negatives", "profile_distinct",
+    "summary_stats", "exact_quantile", "profile_distinct_approx",
+    "dedup_minhash_lsh", "ann_lsh_bucketed_topk", "ann_recall_at_k",
+    "kmeans_cluster_sizes", "dedup_embedding_lsh", "dedup_clusters",
+    "dedup_canonical_docs", "funnel_conversion", "cohort_retention",
+    "funnel_time_to_convert", "inter_event_gap_stats", "chi_square_event_dow",
+    "event_type_transitions", "value_zscore_outliers", "daily_gapfill_counts",
+    "time_weighted_avg_value", "trimmed_mean_pandas", "sql_frontend_topk",
+    "psi_value_drift", "purchase_attribution", "market_basket_rules",
+    "cusum_changepoint", "doc_repetition_profile",
+    "contamination_ngram_overlap", "domain_mix_weights",
+    "token_budget_packing", "tfidf_top_terms", "bm25_rank",
+    "training_shard_assignment", "label_rebalance_sample",
+    "corpus_pipeline_end2end", "ann_ivf_kmeans_topk", "pq_encode_profile",
+    "ann_pq_adc_topk", "ann_recall_trained", "minhash_jaccard_gate",
+    "pagerank_source_lang", "similarity_triangle_count",
+    "promo_revenue_share", "top_supplier_revenue",
+    "small_qty_revenue_bridge", "large_volume_customers",
+    "idle_rich_customers", "freq_tokens_cms_sampled",
+})
+
+_VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED)
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
-# the never-verified tier until re-checked.  Round 4: the multi-band LSH
-# rewire (ANN, embedding dedup, and the cluster pipeline's edge set), the
-# ann_recall_at_k n_probe sweep, and the dedup_minhash_lsh hot-band cap.
+# the head of the window until re-checked.  Round 4 re-verified all seven of
+# that round's entries (multi-band LSH rewire, minhash hot-band cap, kmeans
+# decimal oracle), so they are cleared.  Round 5 entries: exact_quantile
+# (distributed sort rewrite — same oracle, new plan) and every query whose
+# twin-side avg_exact decimal scale widened to 12.
 _CHANGED_SINCE_VERIFY = frozenset({
-    "ann_lsh_bucketed_topk", "ann_recall_at_k", "dedup_embedding_lsh",
-    "dedup_clusters", "dedup_canonical_docs", "dedup_minhash_lsh",
-    # review pass: Lloyd update means went decimal-exact (oracle changed)
-    "kmeans_cluster_sizes",
+    "exact_quantile",
 })
 
 
 def _tier(name: str) -> int:
     """Priority for the driver's truncated (50-query) correctness walk.
 
-    Round 4 grew the registry enough that tier-0 alone (~47 never-verified
-    or changed-since-verify queries) plus the 6 round-1-stale names exceeds
-    the 50-query window, so the explicit verdict gates are ordered FIRST:
+    Round-5 ordering per the round-4 verdict: 57 candidates compete for the
+    50-slot window — the 12 never-driver-verified queries plus the 45 whose
+    latest verdict is round 2 — so the tiers are:
 
-      0. verified in round 1 only (stalest standing verdicts — the judge's
-         "no verdict older than 2 rounds" gate),
+      0. never verified (first driver verdict still outstanding; covered
+         meanwhile only by the judge-run pytest oracle mirror),
       1. changed since their last verdict (old verdict no longer vouches),
-      2. never verified (new queries awaiting a first driver verdict —
-         any overflow past the window waits exactly one round, covered
-         meanwhile by the judge-run pytest oracle mirror),
-      3+ latest verdict round 2, then round 3 (freshest last).
+      2+ latest verdict round 2 (two rounds stale), then round 3, then
+         round 4 (freshest last).  The ~7 tier-2 names that spill past the
+         window lead round 6.
 
     Registration order is stable within a tier.
     """
@@ -160,13 +183,11 @@ def _tier(name: str) -> int:
     for rnd, verified in enumerate(_VERIFIED_ROUNDS, start=1):
         if name in verified:
             last = rnd
-    if last == 1:
+    if last == 0:
         return 0
     if name in _CHANGED_SINCE_VERIFY:
         return 1
-    if last == 0:
-        return 2
-    return last + 1
+    return last
 
 
 def _load_all() -> None:

@@ -328,3 +328,16 @@ def test_triangle_count_no_cartesian(spark):
     plan = _plan(queries()["similarity_triangle_count"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_exact_quantile_distributed_no_single_buffer(spark):
+    """The exact quantile is a range-partitioned selection: the full-data
+    shuffle is rangepartitioning (a distributed global sort), and no
+    collect_list pulls the column into one aggregation buffer."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["exact_quantile"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan
+    assert "collect_list" not in plan
+    # the target-position joins stay broadcast (2 rows/probability)
+    assert "BroadcastHashJoin" in plan
