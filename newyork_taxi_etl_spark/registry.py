@@ -156,10 +156,11 @@ _VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED)
 # the head of the window until re-checked.  Round 4 re-verified all seven of
 # that round's entries (multi-band LSH rewire, minhash hot-band cap, kmeans
 # decimal oracle), so they are cleared.  Round 5 entries: exact_quantile
-# (distributed sort rewrite — same oracle, new plan) and every query whose
-# twin-side avg_exact decimal scale widened to 12.
+# (distributed sort rewrite — same oracle, new plan) and ann_recall_trained
+# (grew the pq_adc_k16 leg — 2 rows -> 3 in both twins).
 _CHANGED_SINCE_VERIFY = frozenset({
     "exact_quantile",
+    "ann_recall_trained",
 })
 
 
