@@ -186,3 +186,58 @@ def salted_join(
     )
     out = l.join(r, (l[lk] == r[rk]) & (l["_salt"] == r["_salt"]))
     return out.drop("_salt")
+
+
+def join_strategy_columns(
+    parts: int = 32,
+    bcast_bytes: int = 64 * 1024,
+    skew_factor: float = 4.0,
+    max_salt: int = 32,
+) -> tuple:
+    """Decision layer over join statistics: (skew_ratio, strategy, n_salt).
+
+    Applies the physical-distribution rules a planner runs over the numbers
+    `skew_diagnostics` / `join_size_estimate` produce, as Columns over a
+    stats row with ``small_bytes`` (projected bytes of the build side),
+    ``big_rows`` and ``max_key_rows`` (hottest join key on the probe side):
+
+    * build side fits the broadcast budget -> ``broadcast`` (no shuffle of
+      the probe side at all — skew is then irrelevant: a broadcast join
+      has no per-key partition to overflow);
+    * hottest key exceeds ``skew_factor`` average post-shuffle partitions
+      (``max_key_rows * parts > skew_factor * big_rows``) -> ``salted``
+      with n_salt = ceil(max_key_rows / avg_partition_rows) capped at
+      ``max_salt`` — enough replicas that the hot key's salted slices land
+      back at average partition size (operators.joins.salted_join executes
+      it; AQE skew-split is the runtime fallback when it applies);
+    * otherwise -> plain ``shuffle`` hash/sort-merge join.
+
+    ``bcast_bytes`` defaults to 64 KiB — deliberately scaled to the local
+    test SFs so every rule branch is exercised by real data; a cluster
+    deployment passes spark.sql.autoBroadcastJoinThreshold (10 MB) and its
+    real shuffle partition count. The RULES are scale-free: each compares
+    a size against a budget, not an absolute tuned to this corpus.
+    """
+    ratio = (
+        F.col("max_key_rows").cast("double")
+        * F.lit(parts)
+        / F.col("big_rows")
+    )
+    strategy = (
+        F.when(F.col("small_bytes") <= F.lit(bcast_bytes), F.lit("broadcast"))
+        .when(ratio > F.lit(skew_factor), F.lit("salted"))
+        .otherwise(F.lit("shuffle"))
+    )
+    n_salt = (
+        F.when(
+            strategy == F.lit("salted"),
+            F.least(F.lit(max_salt), F.ceil(ratio).cast("int")),
+        )
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    return (
+        F.round(ratio, 6).alias("skew_ratio"),
+        strategy.alias("strategy"),
+        n_salt.alias("n_salt"),
+    )

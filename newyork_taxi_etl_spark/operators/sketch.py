@@ -156,6 +156,88 @@ def approx_heavy_hitters(
     )
 
 
+def grouped_cms_counters(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """One CMS counter matrix PER GROUP: (group..., j, bucket, cnt).
+
+    Still a linear sketch — the group key simply joins the aggregate key,
+    so the shuffle carries at most n_groups * depth * width partial sums
+    (map-side combined), never the value stream. The natural shape for
+    per-language / per-source profiling of a 100 TB corpus: each group's
+    sketch is independently mergeable and the whole matrix stays
+    broadcastable while n_groups * depth * width is small.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_bucket_expr(col, j, width)).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(rows).alias("e"))
+        .groupBy(*group_cols, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grouped_heavy_hitters_topk(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    k: int = 5,
+    depth: int = 4,
+    width: int = 256,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k items per group by CMS-estimated frequency.
+
+    Same candidate/probe/min-estimate dataflow as
+    :func:`approx_heavy_hitters` with the group key carried through the
+    counter join, then a per-group rank<=k window — Spark 4 plans
+    WindowGroupLimit, so the top-k never globally sorts the estimates.
+    Pass ``candidates`` (e.g. a :func:`sampled_candidates` variant keyed by
+    group) to bound the enumeration at token scale.
+    """
+    from pyspark.sql import Window
+
+    counters = grouped_cms_counters(df, col, group_cols, depth, width)
+    if candidates is None:
+        candidates = df.select(*group_cols, col).distinct()
+    lookups = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_bucket_expr(col, j, width)).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probes = candidates.select(
+        *group_cols, F.col(col), F.explode(lookups).alias("e")
+    ).select(
+        *group_cols, col, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(counters), [*group_cols, "j", "bucket"])
+        .groupBy(*group_cols, col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("est_cnt"), F.col(col))
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy(*group_cols, "rank")
+    )
+
+
 def bloom_bits(
     df: DataFrame, col: str, m: int = 8192, k: int = 4
 ) -> DataFrame:

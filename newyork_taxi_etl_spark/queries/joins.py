@@ -619,3 +619,134 @@ def idle_rich_customers(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_strategy_choice",
+    """
+    WITH s1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS small_rows,
+             CAST(12 * COUNT(*) + SUM(LENGTH(s_name)) AS BIGINT)
+               AS small_bytes
+      FROM supplier
+    ),
+    b1 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS big_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey)
+    ),
+    s2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS small_rows,
+             CAST(12 * COUNT(*) + SUM(LENGTH(o_orderpriority)) AS BIGINT)
+               AS small_bytes
+      FROM orders
+    ),
+    b2 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS big_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+    ),
+    s3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS small_rows,
+             CAST(12 * COUNT(*) + SUM(LENGTH(event_type)) AS BIGINT)
+               AS small_bytes
+      FROM events
+    ),
+    b3 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS big_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)
+    ),
+    stats AS (
+      SELECT 'lineitem_x_supplier_on_suppkey' AS join_name, * FROM s1, b1
+      UNION ALL
+      SELECT 'lineitem_x_orders_on_orderkey' AS join_name, * FROM s2, b2
+      UNION ALL
+      SELECT 'events_self_on_event_type' AS join_name, * FROM s3, b3
+    )
+    SELECT join_name, small_rows, small_bytes, big_rows, max_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) * 32 / big_rows, 6)
+             AS skew_ratio,
+           CASE WHEN small_bytes <= 65536 THEN 'broadcast'
+                WHEN CAST(max_key_rows AS DOUBLE) * 32 / big_rows > 4.0
+                  THEN 'salted'
+                ELSE 'shuffle' END AS strategy,
+           CAST(CASE WHEN small_bytes <= 65536 THEN 1
+                     WHEN CAST(max_key_rows AS DOUBLE) * 32 / big_rows > 4.0
+                       THEN LEAST(32, CAST(CEIL(CAST(max_key_rows AS DOUBLE)
+                                                * 32 / big_rows) AS INT))
+                     ELSE 1 END AS INT) AS n_salt
+    FROM stats
+    ORDER BY join_name
+    """,
+    doc="automatic broadcast-vs-salt-vs-shuffle JOIN CHOOSER (round-4 "
+    "verdict optional-breadth #7): the decision layer that composes the "
+    "verified diagnostics — per-join build-side projected bytes (fixed "
+    "8B numerics + measured string lengths + 4B row overhead, computable "
+    "identically in both engines), probe-side row count and hottest-key "
+    "count (skew_diagnostics' numbers), then "
+    "operators.joins.join_strategy_columns picks: broadcast when the "
+    "build side fits the budget, salted (with derived n_salt) when the "
+    "hottest key exceeds 4 average post-shuffle partitions, else plain "
+    "shuffle. Priced here on three live shapes that exercise every "
+    "branch at sf>=0.01: dim join (supplier -> broadcast), clean FK "
+    "fact-fact (orders -> shuffle), and the skew-stress self-join on "
+    "event_type (top key 20%% of rows -> salted, n_salt ~ 7). Stats are "
+    "grouped counts + one aggregate per side — diagnosis costs one scan "
+    "per table, never a trial join; the 64 KiB budget is deliberately "
+    "scaled to the local SFs so each branch is data-driven (a cluster "
+    "passes spark.sql.autoBroadcastJoinThreshold and its partition "
+    "count; the rules are scale-free ratios)",
+)
+def join_strategy_choice(spark, sf_dir):
+    def small_stats(df, strcol):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("small_rows"),
+            (F.lit(12) * F.count(F.lit(1)) + F.sum(F.length(F.col(strcol))))
+            .cast("bigint")
+            .alias("small_bytes"),
+        )
+
+    def big_stats(df, key):
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        return counts.agg(
+            F.sum("cnt").cast("bigint").alias("big_rows"),
+            F.max("cnt").cast("bigint").alias("max_key_rows"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    candidates = [
+        (
+            "lineitem_x_supplier_on_suppkey",
+            small_stats(_t(spark, sf_dir, "supplier"), "s_name"),
+            big_stats(li, "l_suppkey"),
+        ),
+        (
+            "lineitem_x_orders_on_orderkey",
+            small_stats(_t(spark, sf_dir, "orders"), "o_orderpriority"),
+            big_stats(li, "l_orderkey"),
+        ),
+        (
+            "events_self_on_event_type",
+            small_stats(read_events(spark, sf_dir), "event_type"),
+            big_stats(read_events(spark, sf_dir), "event_type"),
+        ),
+    ]
+    rows = None
+    for name, s, b in candidates:
+        row = s.crossJoin(broadcast(b)).select(
+            F.lit(name).alias("join_name"),
+            "small_rows",
+            "small_bytes",
+            "big_rows",
+            "max_key_rows",
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.select(
+        "join_name",
+        "small_rows",
+        "small_bytes",
+        "big_rows",
+        "max_key_rows",
+        *J.join_strategy_columns(parts=32, bcast_bytes=64 * 1024),
+    ).orderBy("join_name")

@@ -367,6 +367,69 @@ def freq_tokens_cms_sampled(spark, sf_dir):
     )
 
 
+@register(
+    "freq_tokens_cms_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    entries AS (
+      SELECT lang, tok, d.j,
+             CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                               tok)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM toks, unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    counters AS (
+      SELECT lang, j, bucket, COUNT(*) AS cnt FROM entries GROUP BY 1, 2, 3
+    ),
+    probes AS (
+      SELECT lang, tok, d.j,
+             CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|',
+                                               tok)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM (SELECT DISTINCT lang, tok FROM toks), unnest([0, 1, 2, 3]) AS d(j)
+    ),
+    est AS (
+      SELECT p.lang, p.tok, MIN(c.cnt) AS est_cnt
+      FROM probes p JOIN counters c
+        ON p.lang = c.lang AND p.j = c.j AND p.bucket = c.bucket
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, tok, est_cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY est_cnt DESC, tok) AS INT) AS rank
+      FROM est
+    )
+    SELECT lang, tok, est_cnt, rank FROM ranked WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    doc="GROUPED CMS heavy hitters (round-4 verdict optional-breadth #7): "
+    "top-5 tokens per language via one count-min sketch PER GROUP — the "
+    "group key joins the counter key, so the matrix is n_langs x 4 x 256 "
+    "partial sums and the shuffle never carries the token stream "
+    "(operators/sketch.py grouped_cms_counters). Estimates min over the "
+    "per-lang counters, per-group top-5 by rank window (WindowGroupLimit "
+    "— no global sort). Same seed-prefixed md5 family, so the oracle "
+    "rebuilds every per-group sketch bit-identically; swap the exact "
+    "distinct candidate stage for sampled_candidates at token scale, as "
+    "freq_tokens_cms_sampled proves out",
+)
+def freq_tokens_cms_by_lang(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sketch import (
+        grouped_heavy_hitters_topk,
+    )
+
+    toks = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    )
+    return grouped_heavy_hitters_topk(
+        toks, "tok", ["lang"], k=5, depth=4, width=256
+    )
+
+
 _BLOOM_BUCKET = (
     "CAST(('0x' || substring(md5(concat(CAST(d.j AS VARCHAR), '|', "
     "CAST({v} AS VARCHAR))), 1, 8)) AS BIGINT) % 8192"

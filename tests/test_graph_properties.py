@@ -98,27 +98,28 @@ def test_salted_join_equals_plain_join(spark, left, right):
 
 def test_registration_order_is_tiered_by_driver_verdict():
     """The driver's correctness pass truncates at 50 queries in registration
-    order; rotation is QUERY-granular since round 3. Round 4 outgrew the
-    window (never-verified alone > 50 - 6 stale), so the explicit verdict
-    gates lead: round-1-stale (tier 0) first, changed-since-verify (1),
-    never-verified (2), then round-2 (3) and round-3 (4) verdicts."""
+    order; rotation is QUERY-granular since round 3. Round-5 ordering (the
+    round-4 verdict's #1 ask): the 12 never-driver-verified queries lead
+    (tier 0), changed-since-verify next (1), then verdicts oldest-first —
+    round 2 (2), round 3 (3), round 4 (4)."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
     tiers = [registry._tier(n) for n in names]
     assert tiers == sorted(tiers), "registry not ordered by verification tier"
     window = names[:50]
-    # the six round-1-stale queries and every changed-since-verify query
-    # MUST be inside the 50-query window
+    # every never-verified and changed-since-verify query MUST be inside
+    # the 50-query window
     for n in names:
         if registry._tier(n) in (0, 1):
             assert n in window, n
     for probe, want in (
-        ("profile_nulls", 0), ("exact_quantile", 0),          # r1-stale
-        ("ann_lsh_bucketed_topk", 1), ("dedup_clusters", 1),  # changed
-        ("pagerank_source_lang", 2), ("bm25_rank", 2),        # never checked
-        ("traffic_congestion", 3), ("text_stats", 3),         # r2-latest
-        ("grouped_percentiles", 4), ("freq_tokens_cms", 4),   # r3-latest
+        ("bloom_prefilter_orders", 0), ("bpe_top_merges", 0),  # never checked
+        ("join_strategy_choice", 0),                           # new this round
+        ("exact_quantile", 1), ("ann_recall_trained", 1),      # changed
+        ("traffic_congestion", 2), ("text_stats", 2),          # r2-latest
+        ("grouped_percentiles", 3), ("freq_tokens_cms", 3),    # r3-latest
+        ("pagerank_source_lang", 4), ("bm25_rank", 4),         # r4-latest
     ):
         assert registry._tier(probe) == want, probe
 

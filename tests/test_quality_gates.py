@@ -78,3 +78,18 @@ def test_minhash_error_bounds(spark):
     # measured mean 0.0016 / max 0.118 — a signature bug lands ~0.5
     assert row["mean_abs_err"] <= 0.02, row
     assert row["max_abs_err"] <= 0.25, row
+
+
+def test_join_strategy_chooser_hits_every_branch(spark):
+    """At sf0.01 the three priced joins land in three different branches —
+    the chooser is a data-driven decision, not a constant."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    rows = {
+        r["join_name"]: r.asDict()
+        for r in queries()["join_strategy_choice"](spark, SF_ORACLE).collect()
+    }
+    assert rows["lineitem_x_supplier_on_suppkey"]["strategy"] == "broadcast"
+    assert rows["lineitem_x_orders_on_orderkey"]["strategy"] == "shuffle"
+    skewed = rows["events_self_on_event_type"]
+    assert skewed["strategy"] == "salted" and skewed["n_salt"] > 1, skewed
