@@ -750,3 +750,268 @@ def join_strategy_choice(spark, sf_dir):
         "max_key_rows",
         *J.join_strategy_columns(parts=32, bcast_bytes=64 * 1024),
     ).orderBy("join_name")
+
+
+@register(
+    "shipping_priority_top10",
+    f"""
+    SELECT l.l_orderkey AS orderkey,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: segment-filtered customer dim "
+    "broadcasts into orders, the date predicates push to both fact "
+    "scans, revenue per unshipped order decimal-exact, top-10 via "
+    "TakeOrderedAndProject (never a global sort). Ties broken by "
+    "orderkey; the order date is emitted as a formatted string so both "
+    "engines hash the identical value",
+)
+def shipping_priority_top10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    j = o.join(broadcast(c), o.o_custkey == c.c_custkey).join(
+        l, o.o_orderkey == l.l_orderkey
+    )
+    return (
+        j.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            sum_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "returned_item_customers",
+    f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           n.n_name AS nation_name,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-item report: which customers returned "
+    "the most revenue in a half-year window. returnflag + date filters "
+    "push to the scans, customer/nation dims broadcast, ONE hash "
+    "aggregate keyed by customer, top-20 via TakeOrderedAndProject with "
+    "custkey tie-break. The fact table shuffles once (the group-by), "
+    "never for a join",
+)
+def returned_item_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        l.join(broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            sum_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("custkey", "cust_name", "nation_name", "revenue")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty FROM pq GROUP BY 1
+    ),
+    dominant AS (
+      SELECT DISTINCT pq.l_suppkey
+      FROM pq
+      JOIN tot ON pq.l_partkey = tot.l_partkey
+      WHERE pq.l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND pq.supp_qty > 0.5 * tot.part_qty
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q20-shaped nested-subquery filter (reshaped to this "
+    "schema's tables: no partsupp, so 'excess stock' becomes 'shipped "
+    "more than half of a PROMO part's 1996 volume'): two stacked "
+    "semi-join subqueries — parts filtered by type prune the per-"
+    "(part,supplier) quantity table (broadcast semi join), the dominance "
+    "predicate compares against the per-part total (one additional "
+    "aggregate of the SAME grouped table, no rescan), and the surviving "
+    "supplier keys semi-join the supplier dim. Quantities are integer-"
+    "valued doubles, so the sums and the 0.5x comparison are exact in "
+    "both engines",
+)
+def dominant_part_suppliers(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    promo_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    pq = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    pq = pq.join(
+        broadcast(promo_parts), pq.l_partkey == promo_parts.p_partkey, "semi"
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        pq.join(broadcast(tot), "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "semi")
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "waiting_orders_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    waiting AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM l1
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l1 l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey)
+    )
+    SELECT s.s_name AS supplier_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21-shaped waiting-orders blame report (reshaped: the "
+    "synthetic lineitem has no commit/receipt dates, so 'late' is "
+    "shipping >90 days after the order date): for finalized orders, "
+    "count per supplier the late lineitems in MULTI-supplier orders "
+    "where that supplier was the ONLY late one — the classic "
+    "EXISTS (another supplier in the order) + NOT EXISTS (another LATE "
+    "supplier) pattern, expressed as an equi semi join and an equi anti "
+    "join with a supplier-inequality residual (no nested-loop: both "
+    "correlate on orderkey). The late set l1 is computed once and "
+    "reused for both the probe and the anti side; orders broadcasts "
+    "into the date comparison; final count is supplier-dim-sized",
+)
+def waiting_orders_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l1 = (
+        li.join(broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier_name")
+        .limit(10)
+    )

@@ -341,3 +341,15 @@ def test_exact_quantile_distributed_no_single_buffer(spark):
     assert "collect_list" not in plan
     # the target-position joins stay broadcast (2 rows/probability)
     assert "BroadcastHashJoin" in plan
+
+
+def test_waiting_orders_semi_anti_stay_equi(spark):
+    """Q21 shape: EXISTS/NOT EXISTS with a supplier-inequality residual
+    must plan as equi semi/anti joins on orderkey — never a nested loop
+    over the lineitem pairs."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["waiting_orders_suppliers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
