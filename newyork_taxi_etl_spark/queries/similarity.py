@@ -709,7 +709,7 @@ _PQ_SUBDIST = (
 )
 
 
-def _pq_sql_ctes(k_codes: int, sfx: str) -> str:
+def _pq_sql_ctes(k_codes: int, sfx: str, train: bool = False) -> str:
     """DuckDB CTE chain for one PQ operating point (m=_PQ_M, k=k_codes).
 
     Expects ``emb`` (vec_id, v) and ``subvecs`` (vec_id, subspace, sub)
@@ -717,18 +717,47 @@ def _pq_sql_ctes(k_codes: int, sfx: str) -> str:
     (query_id, cand_id, adc_dist, rank — unfiltered). One generator for
     every operating point so seed selection / slicing / argmin encode
     cannot drift between the k=4 and k=16 twins (the same review finding
-    _pq_parts fixed on the Spark side).
+    _pq_parts fixed on the Spark side). ``train`` unrolls one per-subspace
+    Lloyd update: assignment against the seed codebook, then decimal-exact
+    elementwise means (the ivf_km c1 discipline with (subspace, code) as
+    the group key) become the codebook the encode/ADC stages read.
     """
-    return f"""
-    seeds{sfx} AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k_codes})
-    ),
-    codebook{sfx} AS (
+    trained = f"""
+    codebook0{sfx} AS (
       SELECT s.s AS subspace, seeds{sfx}.code,
              seeds{sfx}.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
       FROM seeds{sfx}, (SELECT unnest(range({_PQ_M})) AS s) s
     ),
+    assigned{sfx} AS (
+      SELECT vec_id, subspace, code, sub FROM (
+        SELECT sv.vec_id, sv.subspace, cb.code, sv.sub,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
+                          cb.code) AS r
+        FROM subvecs sv JOIN codebook0{sfx} cb ON sv.subspace = cb.subspace
+      ) WHERE r = 1
+    ),
+    codebook{sfx} AS (
+      SELECT subspace, code, list(m ORDER BY i) AS cw
+      FROM (SELECT a.subspace, a.code, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(a.sub[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM assigned{sfx} a, unnest(range(1, len(a.sub)+1)) AS r(i)
+            GROUP BY 1, 2, 3)
+      GROUP BY subspace, code
+    ),"""
+    seeded = f"""
+    codebook{sfx} AS (
+      SELECT s.s AS subspace, seeds{sfx}.code,
+             seeds{sfx}.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS cw
+      FROM seeds{sfx}, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),"""
+    return f"""
+    seeds{sfx} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k_codes})
+    ),{trained if train else seeded}
     encoded{sfx} AS (
       SELECT vec_id, subspace, code FROM (
         SELECT sv.vec_id, sv.subspace, cb.code,
@@ -762,7 +791,7 @@ def _pq_sql_ctes(k_codes: int, sfx: str) -> str:
     )"""
 
 
-def _pq_parts(emb, k_codes: int = _PQ_K):
+def _pq_parts(emb, k_codes: int = _PQ_K, train: bool = False):
     """Shared PQ construction: (subvecs, codebook, encoded, dist_expr).
 
     One implementation for the encode profile, the ADC search, and the
@@ -817,6 +846,36 @@ def _pq_parts(emb, k_codes: int = _PQ_K):
         "0D, (acc, v) -> acc + v)"
     )
     w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    if train:
+        # one Lloyd update PER SUBSPACE: assign every subvector to its
+        # nearest seed codeword, then decimal-exact elementwise means
+        # become the trained codebook (operators/clustering.py's exact-mean
+        # discipline — raw-double means would make the downstream strict-<
+        # argmin engine-dependent). Every seed is a data point, so every
+        # cell keeps >= 1 member (itself): no empty-cell fallback needed.
+        # Update shuffle is O(m * k * sub_dim) partial sums, never rows.
+        from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+        assigned = (
+            subvecs.join(F.broadcast(codebook), "subspace")
+            .select("vec_id", "subspace", "code", "sub", d.alias("d"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        means = (
+            assigned.select(
+                "subspace", "code", F.posexplode("sub").alias("i", "x")
+            )
+            .groupBy("subspace", "code", "i")
+            .agg(avg_exact("x").alias("m"))
+        )
+        codebook = (
+            means.groupBy("subspace", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+            .select(
+                "subspace", "code", F.expr("transform(s, e -> e.m)").alias("cw")
+            )
+        )
     encoded = (
         subvecs.join(F.broadcast(codebook), "subspace")
         .select("vec_id", "subspace", "code", d.alias("d"))
@@ -972,10 +1031,10 @@ def ann_pq_adc_topk(spark, sf_dir):
     return _pq_adc_topk(emb, k=5)
 
 
-def _pq_adc_topk(emb, k=5, k_codes=_PQ_K):
+def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False):
     from pyspark.sql import Window
 
-    subvecs, codebook, encoded, d = _pq_parts(emb, k_codes)
+    subvecs, codebook, encoded, d = _pq_parts(emb, k_codes, train)
     encoded = encoded.select("vec_id", "subspace", "code")
     qtab = (
         subvecs.filter(F.col("vec_id") < 5)
@@ -1037,6 +1096,44 @@ def _pq_adc_topk(emb, k=5, k_codes=_PQ_K):
 def ann_pq_adc_k16_topk(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     return _pq_adc_topk(emb, k=5, k_codes=16)
+
+
+@register(
+    "ann_pq_adc_trained_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_t16', train=True)}
+    SELECT query_id, cand_id, adc_dist, rank
+    FROM pq_ranked_t16 WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="PQ-ADC top-k with TRAINED codebooks — one Lloyd update per "
+    "subspace over the m=4 x k=16 seed codebooks (assignment by argmin "
+    "against the broadcast seed codewords, decimal-exact elementwise "
+    "means become the codebook; every seed is a data point, so no cell "
+    "is ever empty), then the identical encode/distance-table/ADC "
+    "dataflow. This is the real FAISS-style IVFPQ training step as "
+    "dataflow: the update shuffle carries m x k x sub_dim partial sums, "
+    "never vectors; the codebook still broadcasts. Completes the "
+    "compression/accuracy curve ann_recall_trained reports: 0.22 (k=4) "
+    "-> 0.32 (k=16) -> 0.34 (k=16 trained) at sf0.01. The small training "
+    "gain is DATA-limited, not a bug: the synthetic corpus is near-"
+    "isotropic 64-dim noise, so a 16-dim subspace quantized to 16 cells "
+    "keeps high MSE wherever the codewords sit; real embeddings (low "
+    "intrinsic dimension) are where training pays. The gate records the "
+    "measured number instead of assuming the textbook one",
+)
+def ann_pq_adc_trained_topk(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return _pq_adc_topk(emb, k=5, k_codes=16, train=True)
 
 
 @register(
@@ -1104,17 +1201,23 @@ def ann_pq_adc_k16_topk(spark, sf_dir):
     ),
     {_pq_sql_ctes(_PQ_K, '')},
     {_pq_sql_ctes(16, '_k16')},
+    {_pq_sql_ctes(16, '_t16', train=True)},
     pq_adc AS (
       SELECT query_id, cand_id FROM pq_ranked WHERE rank <= 10
     ),
     pq_adc_k16 AS (
       SELECT query_id, cand_id FROM pq_ranked_k16 WHERE rank <= 10
+    ),
+    pq_adc_t16 AS (
+      SELECT query_id, cand_id FROM pq_ranked_t16 WHERE rank <= 10
     )
     {_recall_row_sql('ivf_km')}
     UNION ALL
     {_recall_row_sql('pq_adc')}
     UNION ALL
     {_recall_row_sql('pq_adc_k16')}
+    UNION ALL
+    {_recall_row_sql('pq_adc_t16')}
     ORDER BY method
     """,
     doc="recall gate for the TRAINED index paths: recall@10 of "
@@ -1152,6 +1255,9 @@ def ann_recall_trained(spark, sf_dir):
         leg(_ivf_kmeans_topk(emb, k=10), "ivf_km")
         .unionAll(leg(_pq_adc_topk(emb, k=10), "pq_adc"))
         .unionAll(leg(_pq_adc_topk(emb, k=10, k_codes=16), "pq_adc_k16"))
+        .unionAll(
+            leg(_pq_adc_topk(emb, k=10, k_codes=16, train=True), "pq_adc_t16")
+        )
     )
     return out.select(
         "method",

@@ -51,6 +51,9 @@ def test_ann_recall_trained_floors(spark):
     # the curve must rise with codebook size: k=16 strictly beats k=4
     assert rec["pq_adc_k16"]["recall"] >= 0.3, rec
     assert rec["pq_adc_k16"]["recall"] > rec["pq_adc"]["recall"], rec
+    # trained codebooks must never LOSE to their own seeds (the gain is
+    # data-limited on this isotropic corpus — see the query docstring)
+    assert rec["pq_adc_t16"]["recall"] >= rec["pq_adc_k16"]["recall"], rec
 
 
 def test_quantile_sketch_error_bounds(spark):
@@ -93,3 +96,28 @@ def test_join_strategy_chooser_hits_every_branch(spark):
     assert rows["lineitem_x_orders_on_orderkey"]["strategy"] == "shuffle"
     skewed = rows["events_self_on_event_type"]
     assert skewed["strategy"] == "salted" and skewed["n_salt"] > 1, skewed
+
+
+def test_join_strategy_rule_boundaries(spark):
+    """Unit-level check of the decision columns on synthetic stat rows:
+    broadcast wins below the byte budget even when skewed; the salt count
+    tracks the hot key's multiple of the average partition."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.joins import join_strategy_columns
+
+    rows = [
+        # (name, small_bytes, big_rows, max_key_rows)
+        ("fits_budget_even_skewed", 1000, 1000, 900),
+        ("big_and_skewed", 100_000, 32_000, 8_000),   # ratio 8 -> salt 8
+        ("big_not_skewed", 100_000, 32_000, 1_000),   # ratio 1 -> shuffle
+        ("salt_capped", 100_000, 32, 32),             # ratio 32 -> cap 32
+    ]
+    df = spark.createDataFrame(
+        rows, "join_name string, small_bytes long, big_rows long, max_key_rows long"
+    ).select("*", *join_strategy_columns(parts=32, bcast_bytes=64 * 1024))
+    got = {r["join_name"]: (r["strategy"], r["n_salt"]) for r in df.collect()}
+    assert got["fits_budget_even_skewed"] == ("broadcast", 1)
+    assert got["big_and_skewed"] == ("salted", 8)
+    assert got["big_not_skewed"] == ("shuffle", 1)
+    assert got["salt_capped"] == ("salted", 32)

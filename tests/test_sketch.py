@@ -148,3 +148,73 @@ def test_bloom_partitioning_invariance(spark):
         r["bit"] for r in bloom_bits(keys.repartition(9), "key").collect()
     )
     assert a == b
+
+
+def _grouped_toks(spark):
+    # two groups with DIFFERENT heavy hitters: g=a dominated by tokA,
+    # g=b by tokB; shared tail tokens
+    rows = (
+        [("a", "tokA")] * 50
+        + [("b", "tokB")] * 50
+        + [("a", f"t{i}") for i in range(20)]
+        + [("b", f"t{i}") for i in range(20)]
+    )
+    return spark.createDataFrame(rows, "g string, tok string")
+
+
+def test_grouped_counters_are_per_group_sketches(spark):
+    """The grouped counter matrix restricted to one group equals the
+    plain sketch of that group's stream — the group key only partitions
+    the sketch, it never mixes counters."""
+    from newyork_taxi_etl_spark.operators.sketch import grouped_cms_counters
+
+    df = _grouped_toks(spark)
+    grouped = grouped_cms_counters(df, "tok", ["g"], depth=4, width=64)
+    for g in ("a", "b"):
+        got = sorted(
+            (r["j"], r["bucket"], r["cnt"])
+            for r in grouped.filter(F.col("g") == g).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                cms_counters(
+                    df.filter(F.col("g") == g).select("tok"), "tok", 4, 64
+                ).collect(),
+            )
+        )
+        assert got == want, g
+
+
+def test_grouped_topk_finds_per_group_hitters(spark):
+    from newyork_taxi_etl_spark.operators.sketch import (
+        grouped_heavy_hitters_topk,
+    )
+
+    df = _grouped_toks(spark)
+    top1 = {
+        r["g"]: r["tok"]
+        for r in grouped_heavy_hitters_topk(
+            df, "tok", ["g"], k=1, depth=4, width=64
+        ).collect()
+    }
+    assert top1 == {"a": "tokA", "b": "tokB"}
+
+
+def test_grouped_counters_partitioning_invariance(spark):
+    from newyork_taxi_etl_spark.operators.sketch import grouped_cms_counters
+
+    df = _grouped_toks(spark)
+    a = sorted(
+        map(
+            tuple,
+            grouped_cms_counters(df.repartition(13), "tok", ["g"], 4, 64).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            grouped_cms_counters(df.coalesce(1), "tok", ["g"], 4, 64).collect(),
+        )
+    )
+    assert a == b
