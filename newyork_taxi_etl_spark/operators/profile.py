@@ -159,6 +159,99 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     )
 
 
+def grouped_exact_quantiles(
+    df: DataFrame, grp: str, col: str, probs: list[float]
+) -> DataFrame:
+    """Exact per-group quantiles, fully distributed (grouped twin of
+    :func:`exact_quantiles`).
+
+    ``percentile(col, p)`` per group buffers each GROUP's values in one
+    aggregation buffer — fine while groups are small, a single-task OOM the
+    day one group holds a 100 TB table's hot key. Here the same
+    range-partition machinery generalizes: partition on (group, value) —
+    each group occupies a CONTIGUOUS run of partitions and a contiguous
+    ``monotonically_increasing_id`` range inside each — so per-(partition,
+    group) counts + the group's first in-partition id give every row its
+    within-group global position from one full-data shuffle; targets
+    broadcast per (group, probability). Memory high-water is a partition,
+    never a group. Output: one row per group, ``cnt`` + one column per
+    probability, identical to the ``percentile``/``quantile_cont``
+    formulation.
+    """
+    from pyspark.sql.window import Window
+
+    g, v = F.col(grp), F.col(col)
+    vals = df.select(g.alias("g"), v.alias("v")).where(v.isNotNull())
+    ranged = vals.repartitionByRange(F.col("g"), F.col("v"))
+    mid = F.monotonically_increasing_id()
+    rows = ranged.sortWithinPartitions("g", "v").select(
+        "g",
+        "v",
+        F.shiftright(mid, 33).alias("pid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("loc"),
+    )
+    # tiny: one row per (partition, group) — count + the group's first id
+    pg = rows.groupBy("pid", "g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("loc").alias("base")
+    )
+    off_w = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = pg.select(
+        "pid",
+        "g",
+        "base",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+    )
+    totals = pg.groupBy("g").agg(F.sum("cnt").alias("n"))
+
+    idx = F.col("p") * (F.col("n") - 1).cast("double")
+    targets = totals.select(
+        F.col("g").alias("tg"),
+        "n",
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+    ).select(
+        "tg",
+        "p",
+        F.floor(idx).alias("lo_pos"),
+        F.ceil(idx).alias("hi_pos"),
+        (idx - F.floor(idx)).alias("frac"),
+    )
+    rows_g = rows.join(F.broadcast(offs), ["pid", "g"]).select(
+        "g", "v", (F.col("off") + F.col("loc") - F.col("base")).alias("gpos")
+    )
+    picked = rows_g.join(
+        F.broadcast(targets),
+        (F.col("g") == F.col("tg"))
+        & ((F.col("gpos") == F.col("lo_pos")) | (F.col("gpos") == F.col("hi_pos"))),
+    )
+    per = picked.groupBy("g", "p", "frac").agg(
+        F.max(F.when(F.col("gpos") == F.col("lo_pos"), F.col("v"))).alias("lo_v"),
+        F.max(F.when(F.col("gpos") == F.col("hi_pos"), F.col("v"))).alias("hi_v"),
+    )
+    q = F.col("lo_v") * (F.lit(1.0) - F.col("frac")) + F.col("hi_v") * F.col("frac")
+    quantiles = per.select("g", "p", F.round(q, 6).alias("q"))
+    wide = quantiles.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("p") == F.lit(float(p)), F.col("q"))).alias(
+                f"p{str(p).replace('.', '_')}"
+            )
+            for p in probs
+        ]
+    )
+    return (
+        wide.join(F.broadcast(totals), "g")
+        .select(
+            F.col("g").alias(grp),
+            F.col("n").alias("cnt"),
+            *[f"p{str(p).replace('.', '_')}" for p in probs],
+        )
+        .orderBy(grp)
+    )
+
+
 def approx_quantile_values(df: DataFrame, col: str, probs: list[float], rel_err: float = 0.0):
     """Driver-side quantile API parity (returns floats, not a DataFrame)."""
     return df.approxQuantile(col, probs, rel_err)

@@ -793,3 +793,33 @@ def grouped_quantile_gate(spark, sf_dir):
         F.round(F.element_at("ex", 2), 6).alias("p99_exact"),
         within.alias("approx_within_1pct"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "grouped_quantile_dist",
+    """
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS cnt,
+           ROUND(quantile_cont(value, 0.5), 6) AS p0_5,
+           ROUND(quantile_cont(value, 0.9), 6) AS p0_9
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="per-group EXACT quantiles, distributed (the scale-safe twin of "
+    "grouped_percentiles, same machinery as the rewritten exact_quantile "
+    "generalized to groups): range-partition on (group, value) makes "
+    "every group a contiguous id range per partition, so per-(partition, "
+    "group) counts + the group's first in-partition id assign within-"
+    "group global positions from ONE full-data shuffle; the "
+    "floor/ceil(p(n-1)) targets broadcast per (group, probability). "
+    "percentile()-per-group instead buffers each group in one "
+    "aggregation task — fine until one group is a hot key at 100 TB; "
+    "here the memory high-water is a partition regardless of group "
+    "sizes. Values identical to quantile_cont per group",
+)
+def grouped_quantile_dist(spark, sf_dir):
+    return P.grouped_exact_quantiles(
+        read_events(spark, sf_dir), "event_type", "value", [0.5, 0.9]
+    )

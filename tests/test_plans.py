@@ -353,3 +353,15 @@ def test_waiting_orders_semi_anti_stay_equi(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_quantile_dist_distributed(spark):
+    """Grouped exact quantile: same discipline as the global one — the
+    full-data shuffle is rangepartitioning on (group, value), no
+    percentile/collect_list buffers a whole group in one task."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["grouped_quantile_dist"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan
+    assert "collect_list" not in plan and "percentile" not in plan
+    assert "BroadcastHashJoin" in plan
