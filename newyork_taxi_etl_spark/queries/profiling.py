@@ -565,19 +565,22 @@ def bloom_prefilter_orders(spark, sf_dir):
 def quantile_sketch_gate(spark, sf_dir):
     li = spark.read.parquet(table_path(sf_dir, "lineitem"))
     x = F.col("l_extendedprice")
-    # ONE percentile aggregate with an array of targets: each separate
-    # percentile(col, p) call buffers the full column independently
-    # (NOTES round-2 lesson), so fusing p50+p99 halves the sort-buffer
-    # work — measured 3.2s -> 2.5s on this query at sf0.1.
-    stats = li.agg(
-        F.min(x).alias("mn"),
-        F.max(x).alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("ps"),
-    ).select(
-        "mn", "mx", "n",
-        F.round(F.element_at("ps", 1), 6).alias("p50_exact"),
-        F.round(F.element_at("ps", 2), 6).alias("p99_exact"),
+    # the exact side rides the DISTRIBUTED selection (operators/profile.py
+    # exact_quantiles — range shuffle, no single-task buffer); the earlier
+    # percentile(array(...)) formulation held the whole column in one
+    # aggregation buffer, the same latent 100x scale-killer the round-4
+    # verdict called out on exact_quantile itself. min/max/count stay a
+    # separate cheap 1-row scan aggregate.
+    exact = P.exact_quantiles(li, "l_extendedprice", [0.5, 0.99]).select(
+        F.col("p0_5").alias("p50_exact"), F.col("p0_99").alias("p99_exact")
+    )
+    stats = (
+        li.agg(
+            F.min(x).alias("mn"),
+            F.max(x).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .crossJoin(F.broadcast(exact))
     )
     hist = (
         li.crossJoin(F.broadcast(stats))
