@@ -105,12 +105,17 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     vals = df.select(v.alias("v")).where(v.isNotNull())
     ranged = vals.repartitionByRange(F.col("v"))
 
-    # tiny: one row per partition, shuffled post-combine
-    counts = (
-        ranged.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    mid = F.monotonically_increasing_id()
+    rows = ranged.sortWithinPartitions("v").select(
+        "v",
+        F.shiftright(mid, 33).alias("pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("loc"),
     )
+    # tiny: one row per partition, shuffled post-combine. Derived from the
+    # SAME id column as the positions (not a separate spark_partition_id
+    # branch), so the offsets stay consistent with the data rows even if
+    # AQE re-reads the exchange with a different coalescing.
+    counts = rows.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql.window import Window
 
     off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -130,12 +135,6 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
         (idx - F.floor(idx)).alias("frac"),
     )
 
-    mid = F.monotonically_increasing_id()
-    rows = ranged.sortWithinPartitions("v").select(
-        "v",
-        F.shiftright(mid, 33).alias("pid"),
-        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("loc"),
-    )
     global_pos = rows.join(F.broadcast(offsets), "pid").select(
         "v", (F.col("off") + F.col("loc")).alias("gpos")
     )
