@@ -35,15 +35,12 @@ def _bucket_expr(value_expr: str, j: int, width: int) -> str:
     )
 
 
-def cms_counters(
-    df: DataFrame, col: str, depth: int = 4, width: int = 256
-) -> DataFrame:
-    """(j, bucket, cnt) counter matrix of a count-min sketch over ``col``.
-
-    One narrow explode (xdepth) + ONE hash aggregate on (j, bucket) — at
-    most depth*width result rows regardless of input size.
-    """
-    rows = F.array(
+def _hash_entries(col: str, depth: int, width: int):
+    """array<struct<j, bucket>> of all ``depth`` hash buckets for ``col`` —
+    the ONE construction every CMS build/probe path (global and grouped)
+    explodes, so the hash-entry shape can never drift between the sketch
+    and its probes."""
+    return F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
@@ -52,6 +49,17 @@ def cms_counters(
             for j in range(depth)
         ]
     )
+
+
+def cms_counters(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(j, bucket, cnt) counter matrix of a count-min sketch over ``col``.
+
+    One narrow explode (xdepth) + ONE hash aggregate on (j, bucket) — at
+    most depth*width result rows regardless of input size.
+    """
+    rows = _hash_entries(col, depth, width)
     return (
         df.select(F.explode(rows).alias("e"))
         .groupBy(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
@@ -72,15 +80,7 @@ def cms_estimates(
     each candidate fans out to ``depth`` lookup rows that hash-join the
     (tiny, broadcast) counter matrix.
     """
-    lookups = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.expr(_bucket_expr(col, j, width)).alias("bucket"),
-            )
-            for j in range(depth)
-        ]
-    )
+    lookups = _hash_entries(col, depth, width)
     probes = items.select(F.col(col), F.explode(lookups).alias("e")).select(
         col, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
     )
@@ -172,15 +172,7 @@ def grouped_cms_counters(
     sketch is independently mergeable and the whole matrix stays
     broadcastable while n_groups * depth * width is small.
     """
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.expr(_bucket_expr(col, j, width)).alias("bucket"),
-            )
-            for j in range(depth)
-        ]
-    )
+    rows = _hash_entries(col, depth, width)
     return (
         df.select(*group_cols, F.explode(rows).alias("e"))
         .groupBy(*group_cols, F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
@@ -211,15 +203,7 @@ def grouped_heavy_hitters_topk(
     counters = grouped_cms_counters(df, col, group_cols, depth, width)
     if candidates is None:
         candidates = df.select(*group_cols, col).distinct()
-    lookups = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.expr(_bucket_expr(col, j, width)).alias("bucket"),
-            )
-            for j in range(depth)
-        ]
-    )
+    lookups = _hash_entries(col, depth, width)
     probes = candidates.select(
         *group_cols, F.col(col), F.explode(lookups).alias("e")
     ).select(

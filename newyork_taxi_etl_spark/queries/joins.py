@@ -714,34 +714,50 @@ def join_strategy_choice(spark, sf_dir):
             F.max("cnt").cast("bigint").alias("max_key_rows"),
         )
 
+    cols = ["small_rows", "small_bytes", "big_rows", "max_key_rows"]
+
+    def stat_row(name, df):
+        return df.select(F.lit(name).alias("join_name"), *cols)
+
     li = _t(spark, sf_dir, "lineitem")
-    candidates = [
-        (
-            "lineitem_x_supplier_on_suppkey",
-            small_stats(_t(spark, sf_dir, "supplier"), "s_name"),
-            big_stats(li, "l_suppkey"),
-        ),
-        (
-            "lineitem_x_orders_on_orderkey",
-            small_stats(_t(spark, sf_dir, "orders"), "o_orderpriority"),
-            big_stats(li, "l_orderkey"),
-        ),
-        (
-            "events_self_on_event_type",
-            small_stats(read_events(spark, sf_dir), "event_type"),
-            big_stats(read_events(spark, sf_dir), "event_type"),
-        ),
-    ]
-    rows = None
-    for name, s, b in candidates:
-        row = s.crossJoin(broadcast(b)).select(
-            F.lit(name).alias("join_name"),
-            "small_rows",
-            "small_bytes",
-            "big_rows",
-            "max_key_rows",
+    # self-join candidate: BOTH sides' stats from the ONE per-key grouped
+    # aggregate (build bytes = sum of per-key string mass + row overhead;
+    # probe rows/hottest key from the same counts) — one scan of events,
+    # as the doc promises
+    ev_per_key = (
+        read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.length("event_type")).alias("len_sum"),
         )
-        rows = row if rows is None else rows.unionAll(row)
+    )
+    ev_stats = ev_per_key.agg(
+        F.sum("cnt").cast("bigint").alias("small_rows"),
+        (F.lit(12) * F.sum("cnt") + F.sum("len_sum"))
+        .cast("bigint")
+        .alias("small_bytes"),
+        F.sum("cnt").cast("bigint").alias("big_rows"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+    )
+    pieces = [
+        stat_row(
+            "lineitem_x_supplier_on_suppkey",
+            small_stats(_t(spark, sf_dir, "supplier"), "s_name").crossJoin(
+                broadcast(big_stats(li, "l_suppkey"))
+            ),
+        ),
+        stat_row(
+            "lineitem_x_orders_on_orderkey",
+            small_stats(_t(spark, sf_dir, "orders"), "o_orderpriority").crossJoin(
+                broadcast(big_stats(li, "l_orderkey"))
+            ),
+        ),
+        stat_row("events_self_on_event_type", ev_stats),
+    ]
+    rows = pieces[0]
+    for piece in pieces[1:]:
+        rows = rows.unionAll(piece)
     return rows.select(
         "join_name",
         "small_rows",

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from newyork_taxi_etl_spark.functions.exact import avg_exact_sql
 from newyork_taxi_etl_spark.operators import similarity as S
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import table_path
@@ -740,9 +741,7 @@ def _pq_sql_ctes(k_codes: int, sfx: str, train: bool = False) -> str:
     codebook{sfx} AS (
       SELECT subspace, code, list(m ORDER BY i) AS cw
       FROM (SELECT a.subspace, a.code, r.i AS i,
-                   CAST(CAST(CAST(SUM(CAST(CAST(a.sub[r.i] AS VARCHAR)
-                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-                        / COUNT(*) AS DOUBLE) AS m
+                   {avg_exact_sql('a.sub[r.i]')} AS m
             FROM assigned{sfx} a, unnest(range(1, len(a.sub)+1)) AS r(i)
             GROUP BY 1, 2, 3)
       GROUP BY subspace, code

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from newyork_taxi_etl_spark.functions.exact import dec_out_sql
 from newyork_taxi_etl_spark.functions.text import (
     marker_count,
     marker_count_sql,
@@ -309,7 +310,7 @@ def text_pii_redact(spark, sf_dir):
 
 @register(
     "zipf_token_slope",
-    """
+    f"""
     WITH tf AS (
       SELECT tok, COUNT(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -323,14 +324,12 @@ def text_pii_redact(spark, sf_dir):
     ),
     s AS (
       SELECT COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR)
-                  AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS VARCHAR)
-                  AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))
-                       AS VARCHAR) AS DOUBLE) AS sxy,
-             CAST(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))
-                       AS VARCHAR) AS DOUBLE) AS sxx
+             {dec_out_sql('SUM(CAST(x AS DECIMAL(38,12)))')} AS sx,
+             {dec_out_sql('SUM(CAST(y AS DECIMAL(38,12)))')} AS sy,
+             {dec_out_sql('SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))')}
+               AS sxy,
+             {dec_out_sql('SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))')}
+               AS sxx
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_tokens,

@@ -167,16 +167,17 @@ _CHANGED_SINCE_VERIFY = frozenset({
 def _tier(name: str) -> int:
     """Priority for the driver's truncated (50-query) correctness walk.
 
-    Round-5 ordering per the round-4 verdict: 57 candidates compete for the
-    50-slot window — the 12 never-driver-verified queries plus the 45 whose
-    latest verdict is round 2 — so the tiers are:
+    Round-5 ordering per the round-4 verdict, head-first: the 21
+    never-driver-verified queries (the 12 the verdict listed + 9 new this
+    round) and the 2 changed-since-verify names all fit the window; the 45
+    round-2-stale names compete for the remaining ~27 slots and the spill
+    leads round 6 (every query is meanwhile covered by the judge-run
+    pytest oracle mirror).  Tiers:
 
-      0. never verified (first driver verdict still outstanding; covered
-         meanwhile only by the judge-run pytest oracle mirror),
+      0. never verified (first driver verdict still outstanding),
       1. changed since their last verdict (old verdict no longer vouches),
-      2+ latest verdict round 2 (two rounds stale), then round 3, then
-         round 4 (freshest last).  The ~7 tier-2 names that spill past the
-         window lead round 6.
+      2+ standing verdicts oldest-first: latest-round-1 -> 2,
+         latest-round-2 -> 3, ... (freshest last).
 
     Registration order is stable within a tier.
     """
@@ -188,7 +189,7 @@ def _tier(name: str) -> int:
         return 0
     if name in _CHANGED_SINCE_VERIFY:
         return 1
-    return last
+    return last + 1
 
 
 def _load_all() -> None:

@@ -99,9 +99,11 @@ def test_salted_join_equals_plain_join(spark, left, right):
 def test_registration_order_is_tiered_by_driver_verdict():
     """The driver's correctness pass truncates at 50 queries in registration
     order; rotation is QUERY-granular since round 3. Round-5 ordering (the
-    round-4 verdict's #1 ask): the 12 never-driver-verified queries lead
-    (tier 0), changed-since-verify next (1), then verdicts oldest-first —
-    round 2 (2), round 3 (3), round 4 (4)."""
+    round-4 verdict's #1 ask): all 21 never-driver-verified queries lead
+    (tier 0 — the verdict's 12 plus this round's 9 new), changed-since-
+    verify next (1), then standing verdicts oldest-first — a latest-round-N
+    verdict maps to tier N+1, so a hypothetical round-1-only name would
+    rank ahead of round-2 names rather than colliding with tier 1."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -117,9 +119,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("bloom_prefilter_orders", 0), ("bpe_top_merges", 0),  # never checked
         ("join_strategy_choice", 0),                           # new this round
         ("exact_quantile", 1), ("ann_recall_trained", 1),      # changed
-        ("traffic_congestion", 2), ("text_stats", 2),          # r2-latest
-        ("grouped_percentiles", 3), ("freq_tokens_cms", 3),    # r3-latest
-        ("pagerank_source_lang", 4), ("bm25_rank", 4),         # r4-latest
+        ("traffic_congestion", 3), ("text_stats", 3),          # r2-latest
+        ("grouped_percentiles", 4), ("freq_tokens_cms", 4),    # r3-latest
+        ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
     ):
         assert registry._tier(probe) == want, probe
 
