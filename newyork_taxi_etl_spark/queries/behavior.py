@@ -1081,3 +1081,56 @@ def cusum_changepoint(spark, sf_dir):
     )
     mx = c.agg(F.round(F.max(F.abs(F.col("cusum"))), 6).alias("max_abs_cusum"))
     return top.crossJoin(F.broadcast(mx))
+
+
+@register(
+    "decayed_event_score",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+    w AS (
+      SELECT event_type,
+             ROUND(EXP(-0.01 * (date_diff('microsecond', ts, mx_ts)
+                                / 3600000000.0)), 12) AS wgt
+      FROM events, mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(CAST(SUM(CAST(CAST(wgt AS VARCHAR)
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6)
+             AS decayed_score
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="exponentially time-decayed event score per type (the freshness-"
+    "weighted counter behind trending/decay dashboards): weight = "
+    "exp(-lambda * age_hours) with lambda=0.01 and age measured "
+    "microsecond-exact against the corpus max timestamp (one broadcast "
+    "1-row aggregate), decimal-summed per type. Cross-engine "
+    "determinism: the exp argument is built from exact integer "
+    "microsecond diffs with identical IEEE ops, exp ROUNDed at 12 before "
+    "the decimal sum — the same ln-at-ROUND(12) discipline as "
+    "psi_value_drift / lm_perplexity_score. Scale: weights are computed "
+    "in the scan projection, the shuffle carries per-type partial "
+    "decimal sums; a streaming twin would fold the same weights in "
+    "foreachBatch with a rescale step per watermark advance",
+)
+def decayed_event_score(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    mx = ev.agg(F.max("ts").alias("mx_ts"))
+    age_h = (F.unix_micros("mx_ts") - F.unix_micros("ts")) / F.lit(
+        3600000000.0
+    )
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type", F.round(F.exp(-0.01 * age_h), 12).alias("wgt")
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(sum_exact("wgt"), 6).alias("decayed_score"),
+        )
+        .orderBy("event_type")
+    )

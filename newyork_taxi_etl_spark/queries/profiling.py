@@ -826,3 +826,47 @@ def grouped_quantile_dist(spark, sf_dir):
     return P.grouped_exact_quantiles(
         read_events(spark, sf_dir), "event_type", "value", [0.5, 0.9]
     )
+
+
+@register(
+    "grouped_distinct_approx",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dc_users,
+           true AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="per-group approximate distinct (grouped twin of "
+    "profile_distinct_approx): distinct users per event type counted "
+    "exactly AND by HLL (rsd=1%), the 5%-bound check self-asserted into "
+    "the row so the oracle fully value-checks the sketch against the "
+    "exact count. At 100 TB the per-group exact distinct shuffles the "
+    "(group, user) universe; the HLL side is one mergeable pass with a "
+    "constant-size sketch per group — this gate prices that trade per "
+    "group, not just globally. Exact and sketch run as separate "
+    "aggregates joined on the group key (same reason as "
+    "profile_distinct_approx: mixing exact-distinct Expand with HLL "
+    "buffers in one aggregate forces the sort-based object-agg fallback)",
+)
+def grouped_distinct_approx(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dc_users")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("adc_users")
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "dc_users",
+            (
+                F.abs(F.col("adc_users") - F.col("dc_users"))
+                <= 0.05 * F.col("dc_users")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

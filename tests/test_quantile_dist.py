@@ -1,0 +1,58 @@
+"""Distributed exact quantile vs Spark's own percentile() on adversarial
+data: duplicates, negatives, nulls, skewed groups, tiny groups. The
+operators must reproduce the interpolated quantile bit-for-bit — they are
+the scale-safe formulation of the same semantics, not an approximation."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.operators.profile import (
+    exact_quantiles,
+    grouped_exact_quantiles,
+)
+
+PROBS = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+
+
+def _data(spark, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for g in ("a", "b", "c", "tiny"):
+        n = {"a": 400, "b": 97, "c": 1, "tiny": 2}[g]
+        for _ in range(n):
+            v = rng.choice(
+                [rng.uniform(-50, 50), float(rng.randint(-3, 3)), None]
+            )
+            rows.append((g, v))
+    return spark.createDataFrame(rows, "g string, v double").repartition(7)
+
+
+def test_global_matches_percentile(spark):
+    df = _data(spark)
+    arr = ", ".join(f"{p}D" for p in PROBS)
+    want = df.where(F.col("v").isNotNull()).agg(
+        F.expr(f"percentile(v, array({arr}))").alias("ps")
+    ).collect()[0]["ps"]
+    got = exact_quantiles(df, "v", PROBS).collect()[0]
+    for p, w in zip(PROBS, want):
+        assert got[f"p{str(p).replace('.', '_')}"] == round(w, 6), (p, w)
+
+
+def test_grouped_matches_percentile_per_group(spark):
+    df = _data(spark)
+    arr = ", ".join(f"{p}D" for p in PROBS)
+    want = {
+        r["g"]: r["ps"]
+        for r in df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.expr(f"percentile(v, array({arr}))").alias("ps"))
+        .collect()
+    }
+    out = grouped_exact_quantiles(df, "g", "v", PROBS).collect()
+    assert {r["g"] for r in out} == set(want)
+    for r in out:
+        for p, w in zip(PROBS, want[r["g"]]):
+            assert r[f"p{str(p).replace('.', '_')}"] == round(w, 6), (r["g"], p)
