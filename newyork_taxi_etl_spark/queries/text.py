@@ -532,3 +532,149 @@ def bpe_top_merges(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(25)
     )
+
+
+def _bpe_fold_sql(prev: str, top: str) -> str:
+    """DuckDB leftmost-non-overlapping merge of top.(a,b) over prev.syms.
+
+    The accumulator keeps the emitted output as a chr(1)-joined STRING:
+    DuckDB 1.0's list_reduce silently fails to thread LIST-typed struct
+    members through the fold (scalar members thread fine — verified), so
+    the output list is rebuilt by string_split at the end. chr(1) cannot
+    occur inside a symbol (symbols are characters of whitespace-split
+    ASCII words and their concatenations).
+    """
+    return f"""
+      SELECT s.cnt,
+        (WITH r AS (SELECT list_reduce(
+            list_transform(s.syms, q -> struct_pack(o := '', p := q)),
+            (acc, x) -> CASE
+              WHEN acc.p = t.a AND x.p = t.b
+                THEN struct_pack(o := acc.o || chr(1) || t.a || t.b,
+                                 p := CAST(NULL AS VARCHAR))
+              WHEN acc.p IS NULL THEN struct_pack(o := acc.o, p := x.p)
+              ELSE struct_pack(o := acc.o || chr(1) || acc.p, p := x.p)
+            END) AS f)
+         SELECT string_split(substring(CASE WHEN f.p IS NULL THEN f.o
+                                 ELSE f.o || chr(1) || f.p END, 2), chr(1))
+         FROM r) AS syms
+      FROM {prev} s, {top} t"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"syms{r - 1}"
+    return f"""
+    pairs{r} AS (
+      SELECT syms[r.i] AS a, syms[r.i + 1] AS b, cnt
+      FROM {prev}, unnest(range(1, len(syms))) AS r(i)
+    ),
+    counts{r} AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs{r} GROUP BY a, b
+    ),
+    top{r} AS (
+      SELECT a, b, n FROM counts{r} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    syms{r} AS ({_bpe_fold_sql(prev, f'top{r}')})"""
+
+
+_BPE_MERGE_EXPR = """
+  aggregate(
+    syms,
+    named_struct('o', CAST(array() AS ARRAY<STRING>), 'p', CAST(NULL AS STRING)),
+    (acc, s) -> CASE
+      WHEN acc.p = a AND s = b
+        THEN named_struct('o', concat(acc.o, array(concat(a, b))),
+                          'p', CAST(NULL AS STRING))
+      WHEN acc.p IS NULL THEN named_struct('o', acc.o, 'p', s)
+      ELSE named_struct('o', concat(acc.o, array(acc.p)), 'p', s) END,
+    acc -> CASE WHEN acc.p IS NULL THEN acc.o
+                ELSE concat(acc.o, array(acc.p)) END)
+"""
+
+
+@register(
+    "bpe_merge_loop",
+    f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    syms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_bpe_round_sql(r) for r in (1, 2, 3))}
+    SELECT 1 AS step, a || '+' || b AS pair, a || b AS merged, n FROM top1
+    UNION ALL
+    SELECT 2, a || '+' || b, a || b, n FROM top2
+    UNION ALL
+    SELECT 3, a || '+' || b, a || b, n FROM top3
+    ORDER BY step
+    """,
+    doc="the full BPE training LOOP (three merge rounds), not just the "
+    "candidate count bpe_top_merges stops at: the corpus collapses to a "
+    "frequency-weighted word VOCAB first (the classic BPE trick — all "
+    "pair statistics and merges run over distinct words x counts, so the "
+    "working set is vocabulary-sized no matter how many tokens the "
+    "corpus has), each round counts adjacent symbol pairs (map-side-"
+    "combinable, shuffle bounded by pair-vocabulary), takes the argmax "
+    "pair (n DESC, a, b — deterministic), and rewrites every word's "
+    "symbol array with a leftmost-non-overlapping merge fold (pure "
+    "higher-order aggregate; the 1-row winner broadcasts). Both engines "
+    "run the identical fold (edge-cases pinned in tests: overlapping "
+    "'aaa', chained 'abab', singleton). At 100 TB the vocab aggregate is "
+    "the only corpus-sized pass; the loop itself is vocab-sized per "
+    "round — exactly how industrial BPE trainers (SentencePiece et al.) "
+    "structure it",
+)
+def bpe_merge_loop(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = vocab.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    outs = []
+    for step in (1, 2, 3):
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2 "
+                    "THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) "
+                    "ELSE transform(sequence(1, size(syms) - 1), "
+                    "i -> named_struct('a', element_at(syms, i), "
+                    "'b', element_at(syms, i + 1))) END"
+                )
+            ).alias("e"),
+        )
+        counts = pairs.groupBy(
+            F.col("e.a").alias("a"), F.col("e.b").alias("b")
+        ).agg(F.sum("cnt").alias("n"))
+        # 1-row argmax via TakeOrdered; localCheckpoint truncates the
+        # iterative lineage (clustering.py discipline) so round r+1's plan
+        # doesn't re-embed every earlier round's aggregation tree
+        top = counts.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint()
+        outs.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.concat_ws("+", "a", "b").alias("pair"),
+                F.concat("a", "b").alias("merged"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        syms = syms.crossJoin(F.broadcast(top)).select(
+            "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("step")

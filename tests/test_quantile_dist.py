@@ -56,3 +56,23 @@ def test_grouped_matches_percentile_per_group(spark):
     for r in out:
         for p, w in zip(PROBS, want[r["g"]]):
             assert r[f"p{str(p).replace('.', '_')}"] == round(w, 6), (r["g"], p)
+
+
+def test_bpe_merge_fold_edge_cases(spark):
+    """The leftmost-non-overlapping merge fold (bpe_merge_loop) on planted
+    sequences: overlap chain 'aaa', alternating 'abab', singleton, full
+    merge — pinned so neither engine's fold can drift."""
+    from newyork_taxi_etl_spark.queries.text import _BPE_MERGE_EXPR
+
+    df = spark.createDataFrame(
+        [
+            (["h", "e", "l", "l", "o"], "l", "o", ["h", "e", "l", "lo"]),
+            (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+            (["a", "a", "a"], "a", "a", ["aa", "a"]),
+            (["x"], "a", "b", ["x"]),
+            (["a", "b"], "a", "b", ["ab"]),
+        ],
+        "syms array<string>, a string, b string, want array<string>",
+    )
+    for r in df.select("want", F.expr(_BPE_MERGE_EXPR).alias("got")).collect():
+        assert r["got"] == r["want"], r
