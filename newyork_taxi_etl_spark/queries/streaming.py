@@ -262,3 +262,44 @@ def streaming_static_enrich(spark, sf_dir):
     return W.run_stream_static_enrich(
         spark, read_events(spark, sf_dir), dim, stage
     )
+
+
+@register(
+    "streaming_decayed_scores",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+    w AS (
+      SELECT event_type,
+             ROUND(EXP(-0.01 * (date_diff('microsecond', ts, mx_ts)
+                                / 3600000000.0)), 12) AS wgt
+      FROM events, mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(CAST(SUM(CAST(CAST(wgt AS VARCHAR)
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6)
+             AS decayed_score
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="streaming twin of decayed_event_score: exp-decay freshness "
+    "scores accumulated across a REAL multi-batch AvailableNow drain "
+    "(maxFilesPerTrigger=1 over a 4-file stage). Works because decay "
+    "against a FIXED reference timestamp is a LINEAR weighted sum — "
+    "per-event weights computed in the micro-batch against the broadcast "
+    "batch-computed reference (stream-static 1-row join), decimal "
+    "partial sums merged by the complete-mode aggregate in any batching "
+    "order, so the drained result is value-identical to the one-shot "
+    "batch query (which is exactly what the oracle checks). Rescaling to "
+    "a newer reference at window rollover multiplies every score by one "
+    "constant — the production pattern this operator demonstrates",
+)
+def streaming_decayed_scores(spark, sf_dir):
+    import os
+    import tempfile
+
+    ev = read_events(spark, sf_dir)
+    ref = ev.agg(F.max("ts").alias("mx_ts"))
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_decay_stage")
+    return W.run_streaming_decayed_scores(spark, ev, ref, stage)

@@ -525,3 +525,74 @@ def run_stream_static_enrich(
         )
         .orderBy("n_name")
     )
+
+
+def run_streaming_decayed_scores(
+    spark,
+    src_df: DataFrame,
+    ref_df: DataFrame,
+    stage_dir: str,
+    lam: float = 0.01,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming exponential-decay scores, bit-identical to the batch twin.
+
+    Decay against a MOVING reference can't accumulate incrementally
+    without rescaling, but against a FIXED reference timestamp the decayed
+    score is a plain weighted sum — LINEAR, like the streaming CMS: each
+    event's weight exp(-lam * age_hours) is computed in the micro-batch
+    (microsecond-exact age vs the broadcast 1-row reference, exp ROUNDed
+    at 12), and a complete-mode decimal aggregate merges partial sums in
+    any batching order. ``ref_df`` is the batch-computed corpus max
+    timestamp here (the stream-static pattern — in production it is the
+    rollover boundary of the decay window; rescaling to a new reference
+    multiplies every score by one constant). ``maxFilesPerTrigger=1`` over
+    a 4-file stage forces a real multi-batch drain.
+    """
+    import uuid as _uuid
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    ref = ref_df.withColumn("one", F.lit(1))
+    age_h = (F.unix_micros("mx_ts") - F.unix_micros("ts")) / F.lit(
+        3600000000.0
+    )
+    weighted = (
+        stream.withColumn("one", F.lit(1))
+        .join(F.broadcast(ref), "one")
+        .select(
+            "event_type",
+            F.round(F.exp(-lam * age_h), 12).alias("wgt"),
+        )
+    )
+    agg = weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("wgt").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("decayed_score"),
+    )
+    name = f"decay_out_{_uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("decayed_score"), 6).alias("decayed_score"),
+        )
+        .orderBy("event_type")
+    )
