@@ -167,12 +167,12 @@ _CHANGED_SINCE_VERIFY = frozenset({
 def _tier(name: str) -> int:
     """Priority for the driver's truncated (50-query) correctness walk.
 
-    Round-5 ordering per the round-4 verdict, head-first: the 21
-    never-driver-verified queries (the 12 the verdict listed + 9 new this
+    Round-5 ordering per the round-4 verdict, head-first: the 25
+    never-driver-verified queries (the 12 the verdict listed + 13 new this
     round) and the 2 changed-since-verify names all fit the window; the 45
-    round-2-stale names compete for the remaining ~27 slots and the spill
-    leads round 6 (every query is meanwhile covered by the judge-run
-    pytest oracle mirror).  Tiers:
+    round-2-stale names compete for the remaining ~23 slots and the ~22
+    that spill lead round 6 (every query is meanwhile covered by the
+    judge-run pytest oracle mirror).  Tiers:
 
       0. never verified (first driver verdict still outstanding),
       1. changed since their last verdict (old verdict no longer vouches),
