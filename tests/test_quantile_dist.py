@@ -76,3 +76,19 @@ def test_bpe_merge_fold_edge_cases(spark):
     )
     for r in df.select("want", F.expr(_BPE_MERGE_EXPR).alias("got")).collect():
         assert r["got"] == r["want"], r
+
+
+def test_degenerate_sizes(spark):
+    """1-value and 2-value inputs: floor==ceil positions, interpolation
+    across exactly two values, and the empty-input null row."""
+    one = spark.createDataFrame([(5.0,)], "v double")
+    row = exact_quantiles(one, "v", [0.0, 0.5, 1.0]).collect()[0]
+    assert (row["p0_0"], row["p0_5"], row["p1_0"]) == (5.0, 5.0, 5.0)
+
+    two = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    row = exact_quantiles(two, "v", [0.5]).collect()[0]
+    assert row["p0_5"] == 1.5
+
+    empty = spark.createDataFrame([], "v double")
+    row = exact_quantiles(empty, "v", [0.5]).collect()[0]
+    assert row["p0_5"] is None
