@@ -200,3 +200,49 @@ def batch_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT event_id,
+           user_id,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (PARTITION BY user_id
+               ORDER BY value ASC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_val
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id)
+    ORDER BY user_id, pct_rank, event_id
+    LIMIT 200
+    """,
+    doc="distribution window functions (completes SURVEY §2.5 beyond "
+    "rank/lead/lag/ntile): percent_rank and cume_dist of each event's "
+    "value within its user, plus first_value over the default running "
+    "frame and last_value over an explicit UNBOUNDED FOLLOWING frame — "
+    "the frame-semantics trap this query pins: last_value over the "
+    "DEFAULT frame (ends at CURRENT ROW) is just the current row, so "
+    "the explicit full frame is required and both engines must agree on "
+    "it. Ordering ties broken by event_id, so every ranking value is "
+    "deterministic. One hash exchange on user_id; per-partition sort",
+)
+def window_distribution_funcs(spark, sf_dir):
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w_full).alias("last_val"),
+        )
+        .orderBy("user_id", "pct_rank", "event_id")
+        .limit(200)
+    )
