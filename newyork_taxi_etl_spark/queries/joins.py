@@ -1031,3 +1031,115 @@ def waiting_orders_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "supplier_name")
         .limit(10)
     )
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation_name,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+    doc="TPC-H Q5-shaped local supplier volume: revenue from orders where "
+    "the customer and the supplier share a nation inside one region — "
+    "the 6-way join whose distinguishing feature is the NON-key "
+    "c_nationkey = s_nationkey condition riding the supplier join. "
+    "Region->nation prune the dims before anything big; customer/"
+    "supplier/nation broadcast; the date filter pushes to the orders "
+    "scan, so lineitem joins an already-thinned orders side. Decimal-"
+    "exact revenue; nation_name tie-break",
+)
+def local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        l.join(broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            sum_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation_name")
+    )
+
+
+@register(
+    "bracket_discount_revenue",
+    f"""
+    SELECT {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19-shaped disjunctive bracket predicate: three (brand, "
+    "size, quantity) OR-brackets over the part join — the optimizer "
+    "shape the rest of the join family doesn't exercise: Catalyst "
+    "extracts the common p_partkey equi-condition into a hash join and "
+    "keeps the OR-of-ANDs as a residual filter, while each side's "
+    "derivable disjunction (brand IN (...), quantity ranges) is pushed "
+    "below the join toward the scans. One broadcast join + one 1-row "
+    "aggregate; decimal-exact revenue",
+)
+def bracket_discount_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    br = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(br).agg(
+        sum_exact(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
