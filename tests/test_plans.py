@@ -365,3 +365,25 @@ def test_grouped_quantile_dist_distributed(spark):
     assert "rangepartitioning" in plan
     assert "collect_list" not in plan and "percentile" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_local_supplier_volume_all_dims_broadcast(spark):
+    """Q5 shape: five broadcast joins, no shuffle join anywhere — lineitem
+    is the only side that ever moves, and only into its aggregate."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["local_supplier_volume"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_bracket_predicate_stays_hash_join(spark):
+    """Q19 shape: the OR-of-ANDs must not degrade the join — the common
+    partkey condition is extracted into a BroadcastHashJoin and the
+    disjunction stays a residual filter, never a nested loop."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["bracket_discount_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

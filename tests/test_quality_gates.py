@@ -121,3 +121,39 @@ def test_join_strategy_rule_boundaries(spark):
     assert got["big_and_skewed"] == ("salted", 8)
     assert got["big_not_skewed"] == ("shuffle", 1)
     assert got["salt_capped"] == ("salted", 32)
+
+
+def test_join_strategy_rules_monotone(spark):
+    """Rule monotonicity over a grid: shrinking the build side never flips
+    broadcast->non-broadcast, and raising the hottest key count never
+    flips salted->shuffle (holding everything else fixed)."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.joins import join_strategy_columns
+
+    rows = [
+        (f"b{b}_m{m}", b, 32_000, m)
+        for b in (1_000, 64 * 1024, 64 * 1024 + 1, 10_000_000)
+        for m in (10, 1_000, 4_000, 8_000, 32_000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "join_name string, small_bytes long, big_rows long, max_key_rows long",
+    ).select("*", *join_strategy_columns(parts=32, bcast_bytes=64 * 1024))
+    got = {
+        (r["small_bytes"], r["max_key_rows"]): (r["strategy"], r["n_salt"])
+        for r in df.collect()
+    }
+    bs = sorted({b for b, _ in got})
+    ms = sorted({m for _, m in got})
+    for m in ms:
+        # broadcast region is a prefix in small_bytes
+        flags = [got[(b, m)][0] == "broadcast" for b in bs]
+        assert flags == sorted(flags, reverse=True), (m, flags)
+    for b in bs:
+        # above the broadcast budget, salted region is a suffix in max_key
+        if b > 64 * 1024:
+            flags = [got[(b, m)][0] == "salted" for m in ms]
+            assert flags == sorted(flags), (b, flags)
+            salts = [got[(b, m)][1] for m in ms]
+            assert salts == sorted(salts), (b, salts)  # salt grows with skew
