@@ -387,3 +387,14 @@ def test_bracket_predicate_stays_hash_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_cms_topk_window_group_limit(spark):
+    """Grouped CMS heavy hitters: the per-group top-5 prunes map-side via
+    WindowGroupLimit (never a global sort of the estimates), and the
+    counter matrix joins broadcast."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["freq_tokens_cms_by_lang"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
