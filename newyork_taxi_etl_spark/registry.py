@@ -149,30 +149,52 @@ _R4_VERIFIED = frozenset({
     "idle_rich_customers", "freq_tokens_cms_sampled",
 })
 
-_VERIFIED_ROUNDS = (_R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED)
+# Value-verified in round 5 (the 50 names in CORRECTNESS_r05.json — all
+# rows+schema+hash green, including the re-verified _CHANGED_SINCE_VERIFY
+# pair of that round: the distributed exact_quantile rewrite and the
+# 3-legged ann_recall_trained).
+_R5_VERIFIED = frozenset({
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_pandas_topk",
+    "ann_pq_adc_k16_topk", "ann_pq_adc_trained_topk", "ann_recall_trained",
+    "bloom_prefilter_orders", "bpe_merge_loop", "bpe_top_merges",
+    "bracket_discount_revenue", "cdc_merge_apply", "corr_by_group",
+    "decayed_event_score", "dominant_part_suppliers", "embedding_norm_stats",
+    "embedding_quantize_int8", "exact_quantile", "flag_split_stats",
+    "freq_tokens_cms_by_lang", "grouped_distinct_approx",
+    "grouped_quantile_dist", "grouped_quantile_gate", "join_size_estimate",
+    "join_strategy_choice", "label_centroids", "lm_perplexity_score",
+    "local_supplier_volume", "partitioned_write_pruned_read",
+    "quantile_sketch_gate", "rank_in_group", "returned_item_customers",
+    "sample_deterministic", "sample_stratified", "sample_weighted",
+    "schema_evolution_read", "shipping_priority_top10", "skew_diagnostics",
+    "sql_catalog_surface", "streaming_cms_counters", "streaming_decayed_scores",
+    "streaming_static_enrich", "top_routes", "top_routes_salted",
+    "traffic_congestion", "train_test_split", "value_by_slot_dow",
+    "waiting_orders_suppliers", "window_distribution_funcs", "zipf_token_slope",
+    "zorder_approx_roundtrip",
+})
+
+_VERIFIED_ROUNDS = (
+    _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
+)
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
-# the head of the window until re-checked.  Round 4 re-verified all seven of
-# that round's entries (multi-band LSH rewire, minhash hot-band cap, kmeans
-# decimal oracle), so they are cleared.  Round 5 entries: exact_quantile
-# (distributed sort rewrite — same oracle, new plan) and ann_recall_trained
-# (grew the pq_adc_k16 leg — 2 rows -> 3 in both twins).
-_CHANGED_SINCE_VERIFY = frozenset({
-    "exact_quantile",
-    "ann_recall_trained",
-})
+# the head of the window until re-checked.  Round 5 re-verified both of
+# that round's entries (exact_quantile distributed rewrite,
+# ann_recall_trained third leg), so they are cleared.
+_CHANGED_SINCE_VERIFY: frozenset[str] = frozenset()
 
 
 def _tier(name: str) -> int:
     """Priority for the driver's truncated (50-query) correctness walk.
 
-    Round-5 ordering per the round-4 verdict, head-first: the 25
-    never-driver-verified queries (the 12 the verdict listed + 13 new this
-    round) and the 2 changed-since-verify names all fit the window; the 45
-    round-2-stale names compete for the remaining ~23 slots and the ~22
-    that spill lead round 6 (every query is meanwhile covered by the
-    judge-run pytest oracle mirror).  Tiers:
+    The tier rule (no hard counts here — they go stale; the per-round sets
+    above are the source of truth): never-verified and changed-since-verify
+    names lead the window, then standing verdicts oldest-round-first, so the
+    driver always re-checks the stalest verdicts and no query's verdict ages
+    unboundedly (every query is meanwhile covered by the pytest oracle
+    mirror at sf0.01).  Tiers:
 
       0. never verified (first driver verdict still outstanding),
       1. changed since their last verdict (old verdict no longer vouches),

@@ -98,12 +98,14 @@ def test_salted_join_equals_plain_join(spark, left, right):
 
 def test_registration_order_is_tiered_by_driver_verdict():
     """The driver's correctness pass truncates at 50 queries in registration
-    order; rotation is QUERY-granular since round 3. Round-5 ordering (the
-    round-4 verdict's #1 ask): all 21 never-driver-verified queries lead
-    (tier 0 — the verdict's 12 plus this round's 9 new), changed-since-
-    verify next (1), then standing verdicts oldest-first — a latest-round-N
-    verdict maps to tier N+1, so a hypothetical round-1-only name would
-    rank ahead of round-2 names rather than colliding with tier 1."""
+    order; rotation is QUERY-granular since round 3. Tier rule (no hard
+    counts — the per-round _R*_VERIFIED sets are the source of truth):
+    never-verified queries lead (tier 0), changed-since-verify next (1),
+    then standing verdicts oldest-round-first — a latest-round-N verdict
+    maps to tier N+1, so a hypothetical round-1-only name would rank ahead
+    of round-2 names rather than colliding with tier 1.  Round 6: the
+    round-2-stale cohort (streaming/text/window families, roundtrips,
+    bucketed join, batch_sessionize — tier 3) must lead the window."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -115,13 +117,19 @@ def test_registration_order_is_tiered_by_driver_verdict():
     for n in names:
         if registry._tier(n) in (0, 1):
             assert n in window, n
+    # the round-2-stale cohort is now the stalest standing tier and must
+    # be inside the round-6 window
+    for stale in (
+        "text_stats", "tumbling_window_agg", "window_lead_lag",
+        "csv_roundtrip", "bucketed_colocated_join", "batch_sessionize",
+        "stream_stream_join",
+    ):
+        assert stale in window, stale
     for probe, want in (
-        ("bloom_prefilter_orders", 0), ("bpe_top_merges", 0),  # never checked
-        ("join_strategy_choice", 0),                           # new this round
-        ("exact_quantile", 1), ("ann_recall_trained", 1),      # changed
-        ("traffic_congestion", 3), ("text_stats", 3),          # r2-latest
+        ("text_stats", 3), ("csv_roundtrip", 3),               # r2-latest
         ("grouped_percentiles", 4), ("freq_tokens_cms", 4),    # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
+        ("exact_quantile", 6), ("bpe_merge_loop", 6),          # r5-latest
     ):
         assert registry._tier(probe) == want, probe
 
