@@ -217,12 +217,17 @@ def join_strategy_columns(
     deployment passes spark.sql.autoBroadcastJoinThreshold (10 MB) and its
     real shuffle partition count. The RULES are scale-free: each compares
     a size against a budget, not an absolute tuned to this corpus.
+
+    An empty probe side (``big_rows = 0``) has zero skew by definition, so
+    the ratio is guarded to 0.0 rather than left to engine-specific
+    division semantics (Spark non-ANSI NULL vs ANSI error vs DuckDB
+    inf/NULL) — the strategy stays defined (broadcast if the build side
+    fits, else shuffle) in both engines.
     """
-    ratio = (
-        F.col("max_key_rows").cast("double")
-        * F.lit(parts)
-        / F.col("big_rows")
-    )
+    ratio = F.when(
+        F.col("big_rows") > 0,
+        F.col("max_key_rows").cast("double") * F.lit(parts) / F.col("big_rows"),
+    ).otherwise(F.lit(0.0))
     strategy = (
         F.when(F.col("small_bytes") <= F.lit(bcast_bytes), F.lit("broadcast"))
         .when(ratio > F.lit(skew_factor), F.lit("salted"))

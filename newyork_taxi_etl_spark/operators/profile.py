@@ -73,6 +73,22 @@ def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.select(aggs)
 
 
+def _pinned_shuffle_partitions(df: DataFrame) -> int:
+    """Explicit partition count for the quantile range exchanges.
+
+    ``repartitionByRange`` without a count lets AQE coalesce the exchange,
+    and the distributed quantiles read that exchange from two branches
+    whose pid values must match — so the count is pinned to the session's
+    ``spark.sql.shuffle.partitions`` (the same size the implicit path
+    would start from), falling back to 200 (the Spark default) if the
+    conf is unreadable.
+    """
+    try:
+        return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        return 200
+
+
 def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     """A6 (``approxQuantile(..., relativeError=0)``, nb:1499 (c21)).
 
@@ -100,10 +116,21 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     100×. This one's memory high-water is a partition. For repeated/looser
     quantiles prefer the mergeable GK sketch (:func:`approx_quantile_values`)
     or the fixed-width histogram gate (``quantile_sketch_gate``).
+
+    Partition-identity pin: the ranged exchange is consumed by TWO plan
+    branches (per-partition counts and per-row positions), and the pid/loc
+    values must agree between them. ``repartitionByRange`` is therefore
+    given an EXPLICIT partition count — a user-specified repartition AQE
+    may not coalesce, so both consumers of the (reused) exchange observe
+    the same partitioning function. Within a partition, a lost-stage
+    recompute can only permute rows among EQUAL values (the sort pins
+    everything else), so counts, offsets, and value-at-position are all
+    recompute-invariant; only which duplicate holds which ``loc`` can
+    change, which is value-neutral.
     """
     v = F.col(col)
     vals = df.select(v.alias("v")).where(v.isNotNull())
-    ranged = vals.repartitionByRange(F.col("v"))
+    ranged = vals.repartitionByRange(_pinned_shuffle_partitions(df), F.col("v"))
 
     mid = F.monotonically_increasing_id()
     rows = ranged.sortWithinPartitions("v").select(
@@ -159,7 +186,11 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
 
 
 def grouped_exact_quantiles(
-    df: DataFrame, grp: str, col: str, probs: list[float]
+    df: DataFrame,
+    grp: str,
+    col: str,
+    probs: list[float],
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Exact per-group quantiles, fully distributed (grouped twin of
     :func:`exact_quantiles`).
@@ -176,12 +207,29 @@ def grouped_exact_quantiles(
     never a group. Output: one row per group, ``cnt`` + one column per
     probability, identical to the ``percentile``/``quantile_cont``
     formulation.
+
+    Same partition-identity pin as :func:`exact_quantiles`: explicit
+    partition count so AQE cannot coalesce the two-consumer exchange
+    divergently.
+
+    Size of the ``offs`` side table: because range partitioning on
+    ``(group, value)`` gives each group a CONTIGUOUS run of partitions,
+    the per-(partition, group) table holds at most ``G + P − 1`` rows
+    (one per group plus one per partition boundary that splits a group) —
+    NOT ``G × P``. It still grows linearly with group cardinality, so for
+    a very-high-cardinality group column (``G`` in the hundreds of
+    millions) pass ``broadcast_offsets=False`` to join it shuffled on
+    ``(pid, g)`` instead of broadcasting; the targets join stays broadcast
+    (``G × |probs|`` rows) and should be shuffled the same way at that
+    scale.
     """
     from pyspark.sql.window import Window
 
     g, v = F.col(grp), F.col(col)
     vals = df.select(g.alias("g"), v.alias("v")).where(v.isNotNull())
-    ranged = vals.repartitionByRange(F.col("g"), F.col("v"))
+    ranged = vals.repartitionByRange(
+        _pinned_shuffle_partitions(df), F.col("g"), F.col("v")
+    )
     mid = F.monotonically_increasing_id()
     rows = ranged.sortWithinPartitions("g", "v").select(
         "g",
@@ -218,7 +266,8 @@ def grouped_exact_quantiles(
         F.ceil(idx).alias("hi_pos"),
         (idx - F.floor(idx)).alias("frac"),
     )
-    rows_g = rows.join(F.broadcast(offs), ["pid", "g"]).select(
+    offs_side = F.broadcast(offs) if broadcast_offsets else offs
+    rows_g = rows.join(offs_side, ["pid", "g"]).select(
         "g", "v", (F.col("off") + F.col("loc") - F.col("base")).alias("gpos")
     )
     picked = rows_g.join(

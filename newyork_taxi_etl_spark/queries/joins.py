@@ -665,14 +665,19 @@ def idle_rich_customers(spark, sf_dir):
       SELECT 'events_self_on_event_type' AS join_name, * FROM s3, b3
     )
     SELECT join_name, small_rows, small_bytes, big_rows, max_key_rows,
-           ROUND(CAST(max_key_rows AS DOUBLE) * 32 / big_rows, 6)
+           ROUND(CASE WHEN big_rows > 0
+                      THEN CAST(max_key_rows AS DOUBLE) * 32 / big_rows
+                      ELSE 0.0 END, 6)
              AS skew_ratio,
            CASE WHEN small_bytes <= 65536 THEN 'broadcast'
-                WHEN CAST(max_key_rows AS DOUBLE) * 32 / big_rows > 4.0
+                WHEN big_rows > 0
+                     AND CAST(max_key_rows AS DOUBLE) * 32 / big_rows > 4.0
                   THEN 'salted'
                 ELSE 'shuffle' END AS strategy,
            CAST(CASE WHEN small_bytes <= 65536 THEN 1
-                     WHEN CAST(max_key_rows AS DOUBLE) * 32 / big_rows > 4.0
+                     WHEN big_rows > 0
+                          AND CAST(max_key_rows AS DOUBLE) * 32 / big_rows
+                              > 4.0
                        THEN LEAST(32, CAST(CEIL(CAST(max_key_rows AS DOUBLE)
                                                 * 32 / big_rows) AS INT))
                      ELSE 1 END AS INT) AS n_salt

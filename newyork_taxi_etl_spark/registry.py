@@ -182,8 +182,16 @@ _VERIFIED_ROUNDS = (
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 5 re-verified both of
 # that round's entries (exact_quantile distributed rewrite,
-# ann_recall_trained third leg), so they are cleared.
-_CHANGED_SINCE_VERIFY: frozenset[str] = frozenset()
+# ann_recall_trained third leg).  Round 6 entries: the distributed
+# quantiles grew an explicit-numPartitions partition-identity pin (same
+# oracle, new exchange), and join_strategy_choice grew the empty-probe
+# zero guard (both twins changed identically).
+_CHANGED_SINCE_VERIFY = frozenset({
+    "exact_quantile",
+    "quantile_sketch_gate",
+    "grouped_quantile_dist",
+    "join_strategy_choice",
+})
 
 
 def _tier(name: str) -> int:

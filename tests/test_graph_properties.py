@@ -126,10 +126,11 @@ def test_registration_order_is_tiered_by_driver_verdict():
     ):
         assert stale in window, stale
     for probe, want in (
+        ("exact_quantile", 1), ("join_strategy_choice", 1),    # r6-changed
         ("text_stats", 3), ("csv_roundtrip", 3),               # r2-latest
         ("grouped_percentiles", 4), ("freq_tokens_cms", 4),    # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
-        ("exact_quantile", 6), ("bpe_merge_loop", 6),          # r5-latest
+        ("bpe_merge_loop", 6),                                 # r5-latest
     ):
         assert registry._tier(probe) == want, probe
 

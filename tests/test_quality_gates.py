@@ -123,6 +123,28 @@ def test_join_strategy_rule_boundaries(spark):
     assert got["salt_capped"] == ("salted", 32)
 
 
+def test_join_strategy_empty_probe_defined(spark):
+    """An empty probe side (big_rows=0) must yield a DEFINED decision —
+    skew_ratio 0.0, never a NULL falling through to an accidental branch
+    (non-ANSI Spark: x/0 -> NULL; ANSI: error; DuckDB: inf) — broadcast if
+    the build side fits, else shuffle."""
+    from newyork_taxi_etl_spark.operators.joins import join_strategy_columns
+
+    rows = [
+        ("empty_probe_small_build", 1000, 0, 0),
+        ("empty_probe_big_build", 100_000, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "join_name string, small_bytes long, big_rows long, max_key_rows long"
+    ).select("*", *join_strategy_columns(parts=32, bcast_bytes=64 * 1024))
+    got = {
+        r["join_name"]: (r["skew_ratio"], r["strategy"], r["n_salt"])
+        for r in df.collect()
+    }
+    assert got["empty_probe_small_build"] == (0.0, "broadcast", 1)
+    assert got["empty_probe_big_build"] == (0.0, "shuffle", 1)
+
+
 def test_join_strategy_rules_monotone(spark):
     """Rule monotonicity over a grid: shrinking the build side never flips
     broadcast->non-broadcast, and raising the hottest key count never

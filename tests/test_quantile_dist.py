@@ -58,6 +58,22 @@ def test_grouped_matches_percentile_per_group(spark):
             assert r[f"p{str(p).replace('.', '_')}"] == round(w, 6), (r["g"], p)
 
 
+def test_grouped_shuffled_offsets_matches_broadcast(spark):
+    """broadcast_offsets=False (the very-high-cardinality-group fallback:
+    offs joined shuffled on (pid, g) instead of broadcast) is value-
+    identical to the default broadcast path."""
+    df = _data(spark)
+    key = lambda r: r["g"]
+    bcast = sorted(grouped_exact_quantiles(df, "g", "v", PROBS).collect(), key=key)
+    shuf = sorted(
+        grouped_exact_quantiles(
+            df, "g", "v", PROBS, broadcast_offsets=False
+        ).collect(),
+        key=key,
+    )
+    assert bcast == shuf
+
+
 def test_bpe_merge_fold_edge_cases(spark):
     """The leftmost-non-overlapping merge fold (bpe_merge_loop) on planted
     sequences: overlap chain 'aaa', alternating 'abab', singleton, full
