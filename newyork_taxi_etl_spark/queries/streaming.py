@@ -303,3 +303,46 @@ def streaming_decayed_scores(spark, sf_dir):
     ref = ev.agg(F.max("ts").alias("mx_ts"))
     stage = os.path.join(tempfile.gettempdir(), "nyetl_decay_stage")
     return W.run_streaming_decayed_scores(spark, ev, ref, stage)
+
+
+@register(
+    "streaming_decay_rescale",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+    w AS (
+      SELECT event_type,
+             EXP(-0.01 * (date_diff('microsecond', ts, mx_ts)
+                          / 3600000000.0)) AS wgt
+      FROM events, mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(wgt), 3) AS decayed_score
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="MOVING-reference streaming decay (the production pattern "
+    "streaming_decayed_scores deliberately simplified by fixing the "
+    "reference): a foreachBatch state fold where each micro-batch "
+    "advances the reference to max(prev ref, batch max ts), rescales "
+    "every ACCUMULATED per-type score by the ONE constant "
+    "exp(-lam*dref_hours) — moving an exponential-decay reference "
+    "rescales all weights uniformly, so state stays O(event types) and "
+    "no event is revisited — then folds in the batch's weights computed "
+    "against the new reference. maxFilesPerTrigger=1 over a 4-file stage "
+    "forces a real multi-batch drain; the reference finishes at the "
+    "corpus max timestamp, so the drained state value-matches this "
+    "one-shot batch twin at that reference (weights stay unrounded "
+    "doubles; the rescale chain differs from the one-shot exp only in "
+    "float ulps ~1e-9 absolute, pinned at 1e-6 by pytest, and the "
+    "3-decimal output rounding has 5 orders of magnitude of margin)",
+)
+def streaming_decay_rescale(spark, sf_dir):
+    import os
+    import tempfile
+
+    ev = read_events(spark, sf_dir)
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_rescale_stage")
+    target = os.path.join(tempfile.gettempdir(), "nyetl_rescale_state")
+    return W.run_streaming_decay_rescale(spark, ev, stage, target)

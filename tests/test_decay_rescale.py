@@ -1,0 +1,74 @@
+"""Moving-reference streaming decay: the foreachBatch rescale fold.
+
+The registered query's oracle (tests/test_oracle.py + driver t2) checks the
+3-decimal equality with the one-shot batch twin; these tests pin the RAW
+float gap the 3-decimal rounding leans on, and the state invariants the
+docstring claims (reference finishes at corpus max; state is O(types)).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _drained_state(spark, tmp):
+    from newyork_taxi_etl_spark.sources.readers import read_events
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_decay_rescale,
+    )
+
+    ev = read_events(spark, SF_SMOKE)
+    out = run_streaming_decay_rescale(
+        spark, ev, str(tmp / "stage"), str(tmp / "state")
+    )
+    out.collect()  # drain happens at build; this materializes the read-back
+    return ev, spark.read.parquet(str(tmp / "state"))
+
+
+def test_rescale_chain_gap_within_1e6(spark):
+    """The drained UNROUNDED scores sit within 1e-6 of the one-shot batch
+    computation at the final reference (the docstring's ~1e-9 ulp-chain
+    bound, pinned with 3 orders of slack); counts are exact."""
+    with tempfile.TemporaryDirectory() as d:
+        ev, state = _drained_state(spark, Path(d))
+        mx = ev.agg(F.unix_micros(F.max("ts")).alias("r")).collect()[0]["r"]
+        want = {
+            r["event_type"]: (r["n"], r["s"])
+            for r in ev.select(
+                "event_type",
+                F.exp(
+                    F.lit(-0.01)
+                    * (F.lit(mx) - F.unix_micros("ts"))
+                    / F.lit(3600000000.0)
+                ).alias("w"),
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+            .collect()
+        }
+        got = {
+            r["event_type"]: (r["n_events"], r["score"])
+            for r in state.collect()
+        }
+        assert set(got) == set(want)
+        for et, (n, s) in want.items():
+            assert got[et][0] == n, et
+            assert abs(got[et][1] - s) < 1e-6, (et, got[et][1], s)
+
+
+def test_rescale_state_invariants(spark):
+    """After the drain the reference has risen to the corpus max timestamp
+    (every batch folded forward, none skipped), and the state holds exactly
+    one row per event type — O(types), never O(events)."""
+    with tempfile.TemporaryDirectory() as d:
+        ev, state = _drained_state(spark, Path(d))
+        mx = ev.agg(F.unix_micros(F.max("ts")).alias("r")).collect()[0]["r"]
+        refs = [r["ref_micros"] for r in state.select("ref_micros").collect()]
+        assert set(refs) == {mx}
+        n_types = ev.select("event_type").distinct().count()
+        assert state.count() == n_types
