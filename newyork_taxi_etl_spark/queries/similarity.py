@@ -1030,13 +1030,23 @@ def ann_pq_adc_topk(spark, sf_dir):
     return _pq_adc_topk(emb, k=5)
 
 
-def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False):
+def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False, query_ids=None):
+    """ADC search over PQ codes. ``query_ids=None`` keeps the registered
+    queries' fixed probe set (vec_id < 5); passing explicit ids lets the
+    planted-corpus training gate (tests/test_quality_gates.py) probe with
+    queries DISJOINT from the seed vectors while running this exact
+    production chain (no test-local copy to drift)."""
     from pyspark.sql import Window
 
     subvecs, codebook, encoded, d = _pq_parts(emb, k_codes, train)
     encoded = encoded.select("vec_id", "subspace", "code")
+    q_pred = (
+        F.col("vec_id") < 5
+        if query_ids is None
+        else F.col("vec_id").isin([int(q) for q in query_ids])
+    )
     qtab = (
-        subvecs.filter(F.col("vec_id") < 5)
+        subvecs.filter(q_pred)
         .join(F.broadcast(codebook), "subspace")
         .select(
             F.col("vec_id").alias("query_id"),

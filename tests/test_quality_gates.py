@@ -179,3 +179,77 @@ def test_join_strategy_rules_monotone(spark):
             assert flags == sorted(flags), (b, flags)
             salts = [got[(b, m)][1] for m in ms]
             assert salts == sorted(salts), (b, salts)  # salt grows with skew
+
+
+def test_pq_training_knee_on_planted_low_intrinsic_dim(spark):
+    """The per-subspace Lloyd training operator's VALUE, demonstrated
+    (round-5 verdict #4): on the driver's near-isotropic corpus trained PQ
+    only edges out the seed codebook (0.34 vs 0.32 — 16 codewords per
+    16-dim subspace cannot quantize white noise), so this test PLANTS a
+    corpus with real low-intrinsic-dimension structure: a product code —
+    each of the 4 subspaces independently picks one of 16 well-separated
+    unit directions (+ sigma=0.05 noise), so the 64-dim corpus has 4
+    effective degrees of freedom and a PERFECT size-16-per-subspace PQ
+    codebook exists. The first 16 vectors (the seed codebook) are
+    restricted to only 4 of the 16 values per subspace — a stale/
+    unrepresentative codebook with poor coverage. One Lloyd round
+    (the existing `_pq_parts(train=True)` chain, probed through the
+    production `_pq_adc_topk`) reassigns and recenters the codewords into
+    the occupied regions and must lift recall@10 by >= 0.2 absolute
+    (measured: 0.30 -> 0.60, fully deterministic: seeded generator,
+    decimal-exact means, id-tie-broken rankings). A full-coverage seed
+    sanity leg pins the other side: when the seeds already cover every
+    value, untrained is already good (>= 0.7) — the knee is coverage, not
+    magic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators import similarity as S
+    from newyork_taxi_etl_spark.queries.similarity import _pq_adc_topk
+
+    rng = np.random.default_rng(5)
+    V, D, M, N, sig = 16, 16, 4, 400, 0.05
+    values = rng.normal(0, 1, (M, V, D))
+    values /= np.linalg.norm(values, axis=2, keepdims=True)
+    choice = rng.integers(0, V, (N, M))
+    body = np.concatenate(
+        [values[s][choice[:, s]] + rng.normal(0, sig, (N, D)) for s in range(M)],
+        axis=1,
+    )
+    qids = [30, 77, 123, 250, 399]
+
+    def recall_pair(seeds):
+        vecs = np.concatenate([seeds, body])
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>",
+        )
+        qs = emb.filter(F.col("vec_id").isin(qids))
+        bf = S.brute_force_topk(emb, qs, k=10).select("query_id", "cand_id")
+        tot = bf.count()
+        out = []
+        for train in (False, True):
+            got = _pq_adc_topk(
+                emb, k=10, k_codes=16, train=train, query_ids=qids
+            ).select("query_id", "cand_id")
+            out.append(got.join(bf, ["query_id", "cand_id"], "semi").count() / tot)
+        return out
+
+    seed_choice = rng.integers(0, 4, (16, M))
+    low_cov = np.concatenate(
+        [
+            values[s][seed_choice[:, s]] + rng.normal(0, sig, (16, D))
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    untrained, trained = recall_pair(low_cov)
+    assert trained - untrained >= 0.2, (untrained, trained)
+    assert untrained <= 0.45 and trained >= 0.5, (untrained, trained)
+
+    full_cov = np.concatenate(
+        [values[s] + rng.normal(0, sig, (V, D)) for s in range(M)], axis=1
+    )
+    sane_untrained, sane_trained = recall_pair(full_cov)
+    assert sane_untrained >= 0.7, sane_untrained
+    assert sane_trained >= sane_untrained, (sane_untrained, sane_trained)
