@@ -1148,3 +1148,141 @@ def bracket_discount_revenue(spark, sf_dir):
         ).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+
+
+@register(
+    "nation_market_share",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           ROUND({sum_exact_sql(
+               "CASE WHEN n2.n_name = 'NATION_3' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+           )}
+                 / {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')},
+                 6) AS mkt_share,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             AS total_volume
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8-shaped market share: NATION_3 suppliers' share of "
+    "ECONOMY-part revenue sold into ASIA customers, per order year — the "
+    "7-way join with nation in TWO roles (customer residency gating the "
+    "market, supplier residency defining the share) feeding a "
+    "numerator-over-denominator conditional aggregate. Scale plan: part "
+    "(type-filtered), supplier and both nation legs + region broadcast; "
+    "orders (2-year pushed-down date slice) and customer are left to "
+    "Catalyst/AQE — they auto-broadcast while they fit and degrade to a "
+    "shuffle join at cluster scale, which is the honest Q8 plan. Share "
+    "division follows promo_revenue_share's decimal-sum-then-double "
+    "discipline so both engines divide identical doubles",
+)
+def nation_market_share(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                sum_exact(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / sum_exact(vol),
+                6,
+            ).alias("mkt_share"),
+            sum_exact(vol).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_type_profit",
+    f"""
+    SELECT n.n_name AS nation_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           {sum_exact_sql(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.1 * p.p_retailprice * l.l_quantity'
+           )} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation_name, o_year
+    ORDER BY nation_name, o_year DESC
+    """,
+    doc="TPC-H Q9-shaped product-type profit (adapted: the corpus has no "
+    "partsupp, so supply cost is proxied as 10% of p_retailprice per "
+    "unit — deterministic and identical in both engines): profit on "
+    "'%bolt%' parts grouped by supplier nation x order year. The shape "
+    "Q9 exercises: a non-sargable LIKE pruning part BEFORE it meets "
+    "lineitem (broadcast), a 5-way join where orders arrives only for "
+    "its year, and a two-key aggregate. part/supplier/nation broadcast; "
+    "the lineitem-orders leg is left to Catalyst/AQE (auto-broadcast "
+    "while it fits, shuffle at scale). Per-row profit is pure double "
+    "arithmetic in identical association order, then the decimal-exact "
+    "sum discipline",
+)
+def product_type_profit(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(sum_exact(profit).alias("profit"))
+        .orderBy("nation_name", F.desc("o_year"))
+    )

@@ -398,3 +398,31 @@ def test_grouped_cms_topk_window_group_limit(spark):
     plan = _plan(queries()["freq_tokens_cms_by_lang"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_market_share_no_nested_loop_dims_broadcast(spark):
+    """Q8 shape: seven joins with nation in two roles — every dim leg
+    broadcasts (region/nation/supplier/filtered part), nothing degrades
+    to a nested loop or cartesian, and the date/type/region filters reach
+    the scans."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["nation_market_share"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(p_type,ECONOMY)" in plan       # pushed to part scan
+    assert "EqualTo(r_name,ASIA)" in plan          # pushed to region scan
+
+
+def test_product_profit_like_pushed_dims_broadcast(spark):
+    """Q9 shape: the non-sargable LIKE prunes part at ITS scan
+    (StringContains pushdown) before part ever meets lineitem, the dim
+    legs broadcast, and no nested loop appears."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["product_type_profit"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,bolt)" in plan
