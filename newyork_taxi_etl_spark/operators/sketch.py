@@ -125,6 +125,36 @@ def sampled_candidates(
     return df.filter(bucket < thresh).select(col).distinct()
 
 
+def grouped_sampled_candidates(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    key_cols: list[str],
+    fraction: float = 0.02,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Per-group distinct values from ONE deterministic row-sample — the
+    100 TB candidate stage for :func:`grouped_heavy_hitters_topk`.
+
+    Same row-identity hash sample as :func:`sampled_candidates` (the
+    group column plays no part in the sampling decision), keeping the
+    surviving rows' DISTINCT ``(group..., value)`` pairs. Because rows
+    are sampled independently of the group, the miss bound holds PER
+    (group, item): an item with in-group frequency f escapes the sample
+    with probability <= exp(-fraction * f) — a per-language heavy hitter
+    is missed only when it is rare inside its own language, i.e. not a
+    heavy hitter. The enumeration shuffle shrinks by 1/fraction while
+    the per-group sketch/estimate dataflow is untouched.
+    """
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % F.lit(modulus)
+    )
+    thresh = int(round(fraction * modulus))
+    return df.filter(bucket < thresh).select(*group_cols, col).distinct()
+
+
 def approx_heavy_hitters(
     df: DataFrame,
     col: str,

@@ -218,3 +218,53 @@ def test_grouped_counters_partitioning_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_grouped_sampled_candidates_keep_per_group_hitters(spark):
+    """The grouped candidate sample keeps every per-group heavy hitter
+    (row-identity sampling makes the miss bound per (group, item):
+    exp(-p*f) with f the IN-GROUP frequency), is a subset of the exact
+    per-group distinct pairs, and is deterministic — and the grouped
+    top-1 through the sampled candidate stage still finds each group's
+    dominant token."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.sketch import (
+        grouped_heavy_hitters_topk,
+        grouped_sampled_candidates,
+    )
+
+    rows = [
+        ("a", "tokA", i) for i in range(60)
+    ] + [
+        ("b", "tokB", i) for i in range(60)
+    ] + [
+        ("a", f"t{i}", 100 + i) for i in range(15)
+    ] + [
+        ("b", f"t{i}", 200 + i) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "g string, tok string, rid int")
+    cand = grouped_sampled_candidates(
+        df, "tok", ["g"], ["g", "rid"], fraction=0.3, modulus=10_000
+    )
+    got = {(r["g"], r["tok"]) for r in cand.collect()}
+    exact = {(r["g"], r["tok"]) for r in df.select("g", "tok").distinct().collect()}
+    assert got <= exact and got  # subset, non-empty
+    # heavy hitters (f=60, p=0.3 -> miss prob e^-18) must survive
+    assert ("a", "tokA") in got and ("b", "tokB") in got
+    # deterministic: same sample on a different partitioning
+    again = {
+        (r["g"], r["tok"])
+        for r in grouped_sampled_candidates(
+            df.repartition(13), "tok", ["g"], ["g", "rid"],
+            fraction=0.3, modulus=10_000,
+        ).collect()
+    }
+    assert again == got
+    top1 = {
+        r["g"]: r["tok"]
+        for r in grouped_heavy_hitters_topk(
+            df, "tok", ["g"], k=1, depth=4, width=64, candidates=cand
+        ).collect()
+    }
+    assert top1 == {"a": "tokA", "b": "tokB"}
