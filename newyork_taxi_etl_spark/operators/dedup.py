@@ -51,6 +51,40 @@ def with_minhash(
     return out.drop("_sh")
 
 
+def lsh_band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Exploded LSH band keys ``(id, band_idx, band_hash)`` from MinHash
+    signature columns — the one band construction shared by the batch
+    pair join (:func:`lsh_candidate_pairs`) and the incremental streaming
+    index (``streaming.windows.run_streaming_lsh_index``), so the two
+    paths cannot drift."""
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -75,27 +109,7 @@ def lsh_candidate_pairs(
     exploded band keys. Semantics are reproducible in SQL (identical
     HAVING cap in the oracle), so capped results stay value-checkable.
     """
-    n_bands = k // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    exploded = lsh_band_rows(sigs, id_col, k, rows_per_band)
     # The self-join references this subtree twice, and the hot-bucket
     # aggregate adds two more references — Spark shares nothing between
     # plan branches (same reason operators/graph.py checkpoints edges),

@@ -346,3 +346,79 @@ def streaming_decay_rescale(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_rescale_stage")
     target = os.path.join(tempfile.gettempdir(), "nyetl_rescale_state")
     return W.run_streaming_decay_rescale(spark, ev, stage, target)
+
+
+def _lsh_index_oracle() -> str:
+    from newyork_taxi_etl_spark.functions.text import minhash_sql, shingles_sql
+
+    sh = shingles_sql("text", 3)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id < 10
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {minhash_sql(sh, 0)} AS mh_0,
+             {minhash_sql(sh, 1)} AS mh_1,
+             {minhash_sql(sh, 2)} AS mh_2,
+             {minhash_sql(sh, 3)} AS mh_3
+      FROM corpus
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(concat(mh_0, '|', mh_1)) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(concat(mh_2, '|', mh_3)) AS band_hash FROM sigs
+    ),
+    hot AS (
+      SELECT band_idx, band_hash FROM bands
+      GROUP BY band_idx, band_hash HAVING COUNT(*) > 64
+    ),
+    capped AS (
+      SELECT * FROM bands b0
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = b0.band_idx
+                          AND h.band_hash = b0.band_hash)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "streaming_lsh_index_dedup",
+    _lsh_index_oracle(),
+    doc="incremental STREAMING near-dup detection: documents arrive in "
+    "micro-batches (4-file AvailableNow drain, planted exact copies of "
+    "the first 10 docs under doc_id+100000 so collisions REALLY span "
+    "batches), each batch MinHashes its docs, probes the accumulated "
+    "(band_idx, band_hash) index for cross-batch collisions, self-joins "
+    "within the batch, then appends its bands to the index — the "
+    "append-only LSH index every production dedup-at-ingest pipeline "
+    "maintains. Every collision surfaces when its later member arrives, "
+    "in ANY arrival order, so the drained pair set equals the one-shot "
+    "batch LSH join over the doubled corpus (this oracle — identical "
+    "shingle/signature/band/hot-cap construction via the shared "
+    "operators.dedup.lsh_band_rows). At scale the index is a parquet/"
+    "Delta table partitioned by band bucket: probes touch only their "
+    "buckets, state never lives in memory",
+)
+def streaming_lsh_index_dedup(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    base = os.path.join(tempfile.gettempdir(), "nyetl_lshidx")
+    return W.run_streaming_lsh_index(
+        spark, corpus, base + "_stage", base + "_index", base + "_pairs"
+    )

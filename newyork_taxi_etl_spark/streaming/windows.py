@@ -739,3 +739,130 @@ def run_streaming_decay_rescale(
         )
         .orderBy("event_type")
     )
+
+
+def run_streaming_lsh_index(
+    spark,
+    docs_df: DataFrame,
+    stage_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_band_size: int = 64,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup index via ``foreachBatch`` — dedup a
+    document STREAM against everything already ingested.
+
+    Per micro-batch: MinHash the batch's documents, explode their band
+    keys (`operators.dedup.lsh_band_rows` — the exact construction the
+    batch pair join uses), probe the accumulated band index for
+    collisions (cross-batch candidate pairs), self-join within the batch
+    (same-batch pairs), append the pairs found and then the batch's bands
+    to the index. Because every collision is discovered when its LATER
+    member arrives — whatever the arrival order — the drained pair set
+    equals the one-shot batch LSH join over the full corpus, which is
+    what the oracle twin checks.
+
+    Scale shape: the index is an append-only table keyed by
+    (band_idx, band_hash) — at corpus scale a parquet/Delta table
+    partitioned by band bucket, so each micro-batch's probe is a plain
+    hash join touching only its buckets, and state never lives in
+    memory. The hot-band cap drops buckets over ``max_band_size``
+    members (batch side and index side) before joining; incrementally
+    the cap is PREFIX-capped — a bucket emits pairs until it crosses the
+    cap, then goes dark — which only diverges from the batch twin's
+    global cap on buckets that cross it mid-stream (none at these SFs;
+    boilerplate buckets that large belong to the exact-dedup pass
+    anyway, as the batch op documents).
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.operators.dedup import (
+        lsh_band_rows,
+        with_minhash,
+    )
+
+    docs_df.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
+        stage_dir
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(docs_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        bands = lsh_band_rows(
+            with_minhash(batch_df, k=k), "doc_id", k, rows_per_band
+        ).localCheckpoint(eager=True)
+        hot = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > max_band_size)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+        )
+        if os.path.exists(index_dir):
+            idx = ss.read.parquet(index_dir)
+            idx_hot = (
+                idx.groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("_m"))
+                .filter(F.col("_m") > max_band_size)
+                .select("band_idx", "band_hash")
+            )
+            idx = idx.join(
+                F.broadcast(idx_hot), ["band_idx", "band_hash"], "left_anti"
+            )
+            cross = (
+                bands.withColumnRenamed("doc_id", "new_id")
+                .join(idx, ["band_idx", "band_hash"])
+                .select(
+                    F.least("doc_id", "new_id").alias("id_a"),
+                    F.greatest("doc_id", "new_id").alias("id_b"),
+                )
+            )
+            pairs = within.unionAll(cross)
+        else:
+            pairs = within
+        pairs.distinct().write.mode("append").parquet(pairs_dir)
+        bands.write.mode("append").parquet(index_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option(
+                "checkpointLocation",
+                stage_dir + f"_ckpt_{uuid.uuid4().hex[:8]}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    return (
+        spark.read.schema("id_a long, id_b long")
+        .parquet(pairs_dir)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

@@ -72,3 +72,47 @@ def test_rescale_state_invariants(spark):
         assert set(refs) == {mx}
         n_types = ev.select("event_type").distinct().count()
         assert state.count() == n_types
+
+
+def test_streaming_lsh_index_equals_batch_pairs(spark):
+    """The incremental index's drained pair set equals the one-shot batch
+    LSH join on a planted corpus where duplicates are forced into LATER
+    micro-batches than their originals (repartitionByRange on doc_id puts
+    the +100000 copies in the last stage file), so the equality exercises
+    real cross-batch index probes, not just within-batch self-joins."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+    from newyork_taxi_etl_spark.sources.readers import table_path
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_lsh_index,
+    )
+
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents")).select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            with_minhash(corpus, k=4), k=4, rows_per_band=2, max_band_size=64
+        ).collect()
+    )
+    with tempfile.TemporaryDirectory() as d:
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in run_streaming_lsh_index(
+                spark, corpus, d + "/stage", d + "/index", d + "/pairs"
+            ).collect()
+        )
+    assert got == want
+    # the planted cross-batch duplicates are all found
+    assert all((i, i + 100000) in got for i in range(10))
