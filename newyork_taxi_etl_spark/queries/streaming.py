@@ -422,3 +422,44 @@ def streaming_lsh_index_dedup(spark, sf_dir):
     return W.run_streaming_lsh_index(
         spark, corpus, base + "_stage", base + "_index", base + "_pairs"
     )
+
+
+@register(
+    "stream_stream_outer_join",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id, ts FROM t WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id, ts FROM t WHERE event_type = 'click'),
+    j AS (
+      SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(click_id) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN click_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_unmatched
+    FROM j
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="REAL stream-stream LEFT OUTER join (the null-emission semantics "
+    "the inner stream_stream_join never exercises): purchases x clicks "
+    "within a 30-min event-time range, both sides watermarked at 1 HOUR "
+    "(small, so unmatched state actually expires mid-drain) with a "
+    "sentinel purchase+click pair 100h past the corpus staged in a "
+    "later-written file — the file source reads it last, pushing the "
+    "global watermark past every real match window so every held "
+    "unmatched purchase flushes as a null-extended row before the "
+    "AvailableNow drain ends. Drained and folded per user (matched pair "
+    "count + unmatched count), value-identical to this batch LEFT JOIN "
+    "twin — any late-drop or unflushed state breaks the row counts, so "
+    "the oracle gates the watermark mechanics themselves",
+)
+def stream_stream_outer_join(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssouter_stage")
+    return W.run_stream_stream_outer_join(spark, read_events(spark, sf_dir), stage)

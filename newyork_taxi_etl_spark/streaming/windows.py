@@ -866,3 +866,140 @@ def run_streaming_lsh_index(
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+def run_stream_stream_outer_join(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    watermark: str = "1 hour",
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the null-emission
+    semantics the inner variant (:func:`run_stream_stream_join`) never
+    exercises.
+
+    An outer result for an unmatched purchase can only be emitted once
+    the engine PROVES no matching click can still arrive — i.e. when the
+    global watermark passes the end of that purchase's match window. Two
+    consequences shape this runner:
+
+    * the watermark delay must be SMALL relative to the corpus span
+      (1 hour here, vs the inner variant's span-exceeding 60 days) or no
+      unmatched row would ever flush during a bounded drain;
+    * the drain needs a final event beyond every real match window to
+      push the watermark past all held state: a SENTINEL purchase+click
+      pair (user_id = −1) at corpus-max + 100 hours, staged in a file
+      written AFTER the data files so the file source reads it last —
+      a sentinel read first would fast-forward the watermark and drop
+      every real row as late. The sentinel matches only itself and is
+      filtered from the drained output.
+
+    The drained (purchase, click-or-null) set then equals the batch LEFT
+    JOIN with the same time-range condition, which the oracle
+    value-checks per user (matched pair count + unmatched count).
+    Production mapping: the sentinel's job is done by ordinary data flow
+    (the watermark advances as events keep arriving); state per side
+    stays O(rows inside watermark + range horizon).
+    """
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql.window import Window
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # The stage MUST arrive time-ordered (file i = i-th slice of the
+    # timeline): with a 1-hour watermark, a hash-split stage would put the
+    # whole span in every file and batch 1 would fast-forward the
+    # watermark past most of batches 2-3, dropping them as late. The file
+    # source orders same-mtime files arbitrarily, so each slice is written
+    # sequentially and stamped with a strictly increasing mtime — that
+    # ordering is the ONLY thing the correctness of this drain leans on
+    # (staging artifact: a production stream arrives time-ordered by
+    # nature). The 1h delay also exceeds the 30-min join range, so no
+    # cross-slice match is ever evicted early.
+    def _append_stamped(df, seq):
+        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
+        df.coalesce(1).write.mode("append").parquet(stage_dir)
+        t = 1_600_000_000 + seq * 10
+        for f in os.listdir(stage_dir):
+            if f not in before:
+                os.utime(os.path.join(stage_dir, f), (t, t))
+
+    # ntile over a global ts order: staging-only single-partition sort of
+    # a bounded demo slice, never part of the streaming plan itself
+    sliced = src_df.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("ts"))
+    )
+    for i in (1, 2, 3):
+        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
+
+    mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    s_ts = mx + timedelta(hours=100)
+    sent = spark.createDataFrame(
+        [(-1, s_ts, -1, "purchase", 0.0, None), (-2, s_ts, -1, "click", 0.0, None)],
+        src_df.schema,
+    )
+    _append_stamped(sent, 4)
+
+    def _stream():
+        return (
+            spark.readStream.schema(src_df.schema)
+            .format("parquet")
+            .option("path", stage_dir)
+            .option("maxFilesPerTrigger", 1)
+            .load()
+        )
+
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    )
+    name = f"ssouter_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    return (
+        spark.table(name)
+        .filter(F.col("p_user") >= 0)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("click_id").cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("click_id").isNull(), 1))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
