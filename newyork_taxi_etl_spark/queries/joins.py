@@ -1286,3 +1286,57 @@ def product_type_profit(spark, sf_dir):
         .agg(sum_exact(profit).alias("profit"))
         .orderBy("nation_name", F.desc("o_year"))
     )
+
+
+_STREAK_BODY = """
+    WITH RECURSIVE ords AS (
+      SELECT o_custkey AS c, o_orderdate AS d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS pd
+      FROM {orders}
+    ),
+    streaks(c, rn, head_rn, pos) AS (
+      SELECT c, rn, rn, 1 FROM ords
+      WHERE pd IS NULL OR d > pd + INTERVAL 30 DAY
+      UNION ALL
+      SELECT o.c, o.rn, s.head_rn, s.pos + 1
+      FROM streaks s JOIN ords o
+        ON o.c = s.c AND o.rn = s.rn + 1
+       AND o.pd IS NOT NULL AND o.d <= o.pd + INTERVAL 30 DAY
+    )
+    SELECT c AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT head_rn) AS BIGINT) AS n_streaks,
+           CAST(MAX(pos) AS INT) AS longest_streak
+    FROM streaks
+    GROUP BY c
+    ORDER BY custkey
+"""
+
+
+@register(
+    "order_streaks_recursive",
+    _STREAK_BODY.format(orders="orders"),
+    doc="RECURSIVE CTE (WITH RECURSIVE — the Spark 4 SQL surface, "
+    "UnionLoop iterative execution): per-customer purchase streaks — "
+    "maximal runs of orders each within 30 days of the previous. The "
+    "recursion follows PRECOMPUTED successor pointers (row_number per "
+    "customer, lag for the gap): base = streak heads (no prior order "
+    "within 30d), step = extend to rn+1 while the gap holds. rn strictly "
+    "increases, so the recursion is acyclic and terminates in "
+    "max-streak-length rounds (orders/customer is bounded; Spark's "
+    "cteRecursionLevelLimit=100 is never approached) — the formulation "
+    "chosen because Spark 4 supports only UNION ALL recursion (UNION-"
+    "distinct closure raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, "
+    "probed this round). IDENTICAL SQL text runs on both engines — "
+    "Spark parses it via spark.sql over a temp view, DuckDB natively — "
+    "so the oracle exercises dialect-shared recursion itself. Output: "
+    "per customer, order count, streak count, longest streak",
+)
+def order_streaks_recursive(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "nyte_recursive_orders"
+    )
+    return spark.sql(_STREAK_BODY.format(orders="nyte_recursive_orders"))

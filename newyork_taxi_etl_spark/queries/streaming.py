@@ -463,3 +463,53 @@ def streaming_lsh_index_dedup(spark, sf_dir):
 def stream_stream_outer_join(spark, sf_dir):
     stage = os.path.join(tempfile.gettempdir(), "nyetl_ssouter_stage")
     return W.run_stream_stream_outer_join(spark, read_events(spark, sf_dir), stage)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over protobuf;
+    this environment has no ``google.protobuf`` (and installs are off
+    limits), so the query registers CONDITIONALLY — same pattern as the
+    delta-spark probe in queries/sinks.py. Re-probed round 6: the TWS
+    driver worker crashes at ``import google.protobuf.descriptor``
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE); the runner itself
+    (streaming/windows.run_transform_with_state_stats) is complete and
+    activates the moment the dependency exists."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if tws_available():
+
+    @register(
+        "transform_with_state_stats",
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12)))
+                    AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+        doc="per-user running (count, sum) via transformWithStateInPandas "
+        "— the Spark 4 arbitrary-state streaming API (explicit ValueState "
+        "from a StatefulProcessorHandle; the applyInPandasWithState "
+        "successor). State carries the running sum as a Decimal "
+        "serialized to string, each value added from its shortest float "
+        "repr — the Python mirror of the engine's dec_in/dec_out "
+        "VARCHAR-routing — so the drained sum is bit-identical to this "
+        "DECIMAL(38,12) oracle regardless of how the 4-file "
+        "maxFilesPerTrigger=1 drain batches the stream; a "
+        "float-accumulating state would drift with batch boundaries and "
+        "fail the hash. Update-mode re-emissions folded per key by the "
+        "strictly-increasing count",
+    )
+    def transform_with_state_stats(spark, sf_dir):
+        stage = os.path.join(tempfile.gettempdir(), "nyetl_tws_stage")
+        return W.run_transform_with_state_stats(
+            spark, read_events(spark, sf_dir), stage
+        )

@@ -1003,3 +1003,107 @@ def run_stream_stream_outer_join(
         )
         .orderBy("user_id")
     )
+
+
+def run_transform_with_state_stats(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (SPARK-40434 successor): explicit
+    ``ValueState`` obtained from a ``StatefulProcessorHandle`` instead of
+    ``applyInPandasWithState``'s single implicit GroupState tuple.
+
+    State is a (count, decimal-sum-as-string) pair: the running sum is
+    carried as a ``decimal.Decimal`` serialized to string, added per row
+    from the value's shortest float repr — the exact Python mirror of the
+    engine's dec_in/dec_out VARCHAR-routing discipline — so the final sum
+    is bit-identical to the oracle's DECIMAL(38,12) aggregate no matter
+    how the drain batches (float accumulation would drift with batch
+    boundaries). The 4-file ``maxFilesPerTrigger=1`` stage forces real
+    cross-batch state reuse; update mode re-emits a key each batch it
+    appears in, so the sink is folded per key by the row with the highest
+    (strictly increasing) count. Python-side work is O(batch rows) simple
+    decimal adds inside an Arrow-batched processor — the state logic is
+    the point here, not expression throughput.
+    """
+    import pandas as pd
+    from decimal import Decimal
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, s string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, s = self._agg.get()
+                tot = Decimal(s)
+            else:
+                n, tot = 0, Decimal(0)
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    if pd.notna(v):
+                        tot += Decimal(str(float(v)))
+            self._agg.update((n, str(tot)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [float(tot)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    stats = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_out_{uuid.uuid4().hex[:8]}"
+    # transformWithState requires the RocksDB state store provider (the
+    # default HDFS-backed store does not implement the new API's
+    # multi-state/TTL surface) — scoped, like the partition-count conf
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"), _scoped_conf(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    last = F.max(F.struct("n_events", "total_value")).alias("m")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -116,3 +116,30 @@ def test_streaming_lsh_index_equals_batch_pairs(spark):
     assert got == want
     # the planted cross-batch duplicates are all found
     assert all((i, i + 100000) in got for i in range(10))
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs google.protobuf (its state
+    protocol); the environment lacks it, so the query must register
+    exactly when the probe passes — and when it does, the drained result
+    must match the batch aggregate."""
+    import pytest
+
+    from newyork_taxi_etl_spark.queries.streaming import tws_available
+    from newyork_taxi_etl_spark.registry import queries
+
+    registered = "transform_with_state_stats" in queries()
+    assert registered == tws_available()
+    if not tws_available():
+        pytest.skip("google.protobuf absent — TWS runner env-gated")
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    got = queries()["transform_with_state_stats"](spark, SF_SMOKE).collect()
+    ev = read_events(spark, SF_SMOKE)
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["user_id"]: r["n_events"] for r in got} == want
