@@ -112,3 +112,29 @@ def weighted_hash_sample(
         .orderBy(F.desc("priority"), key)
         .limit(k)
     )
+
+
+def fixed_size_group_sample(
+    df: DataFrame, group_cols: list[str], key: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by md5 rank of the
+    row key — the bounded-output sampler a 100 TB pipeline needs where a
+    FRACTION sample is useless (per-group quotas for eval sets, prompt
+    audits, labeling batches).
+
+    The md5 of the key is a uniform [0,1) draw independent of the group
+    column, so within each group the k smallest hashes are a uniform
+    without-replacement sample — deterministic, partitioning-invariant,
+    and reproducible in SQL. Spark plans the rank<=k filter as
+    WindowGroupLimit: each map task pre-prunes to its local top-k PER
+    GROUP before the shuffle, so the exchange carries O(groups x k x
+    partitions), never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )

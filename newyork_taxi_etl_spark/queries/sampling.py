@@ -128,3 +128,36 @@ def sample_stratified(spark, sf_dir):
 def sample_weighted(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     return ops.weighted_hash_sample(docs, "doc_id", "n_chars", k=25)
+
+
+@register(
+    "sample_k_per_group",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, sample_rank, doc_id, n_chars
+    FROM ranked WHERE sample_rank <= 3
+    ORDER BY lang, sample_rank
+    """,
+    doc="fixed-size per-group sample: exactly 3 docs per language by md5 "
+    "rank of doc_id (operators/sampling.fixed_size_group_sample) — the "
+    "bounded-output sampler fraction sampling can't give you (per-group "
+    "quotas for eval sets / labeling batches). The hash is uniform and "
+    "group-independent, so the 3 smallest per group are a uniform "
+    "without-replacement draw, deterministic and partitioning-invariant; "
+    "Spark plans the rank<=3 filter as WindowGroupLimit so every map "
+    "task pre-prunes to its local top-3 per group before the shuffle — "
+    "the exchange carries O(groups x k), never the corpus (plan-tested)",
+)
+def sample_k_per_group(spark, sf_dir):
+    return (
+        ops.fixed_size_group_sample(_docs(spark, sf_dir), ["lang"], "doc_id", 3)
+        .select("lang", "sample_rank", "doc_id", "n_chars")
+        .orderBy("lang", "sample_rank")
+    )

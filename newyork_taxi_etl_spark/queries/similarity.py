@@ -1276,3 +1276,84 @@ def ann_recall_trained(spark, sf_dir):
             "recall"
         ),
     ).orderBy("method")
+
+
+def _trunc_pairs_sql(d: int) -> str:
+    a, b = f"q.embedding[1:{d}]", f"c.embedding[1:{d}]"
+    return f"""
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_COS_SQL.format(a=a, b=b)} AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) s QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) <= 10
+    """
+
+
+@register(
+    "ann_truncation_recall",
+    f"""
+    WITH bf AS ({_trunc_pairs_sql(64)}),
+    d16 AS ({_trunc_pairs_sql(16)}),
+    d32 AS ({_trunc_pairs_sql(32)})
+    SELECT dim, hits, total,
+           ROUND(CAST(hits AS DOUBLE) / total, 6) AS recall
+    FROM (
+      SELECT 16 AS dim,
+             (SELECT COUNT(*) FROM d16 JOIN bf USING (query_id, cand_id))
+               AS hits,
+             (SELECT COUNT(*) FROM bf) AS total
+      UNION ALL
+      SELECT 32,
+             (SELECT COUNT(*) FROM d32 JOIN bf USING (query_id, cand_id)),
+             (SELECT COUNT(*) FROM bf)
+      UNION ALL
+      SELECT 64,
+             (SELECT COUNT(*) FROM bf),
+             (SELECT COUNT(*) FROM bf)
+    )
+    ORDER BY dim
+    """,
+    doc="embedding-dimension truncation recall curve (the matryoshka-"
+    "representation practice: store/search a PREFIX of each vector, "
+    "trade dimensions for memory and FLOPs): recall@10 of cosine "
+    "brute-force over the first 16/32/64 dims against the full-dim "
+    "ranking. Same dataflow as ann_bruteforce_topk per leg (broadcast "
+    "5 queries x corpus, per-query rank window) with F.slice doing the "
+    "truncation before the dot product — at scale this is the cheap "
+    "first-pass filter in a two-stage cascade (truncated scan -> "
+    "full-dim re-rank of survivors). The 64-dim leg is the identity "
+    "anchor (recall 1.0 by construction); the curve is the measured "
+    "price of each truncation on this corpus",
+)
+def ann_truncation_recall(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    bf = (
+        S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+
+    def leg(d):
+        t = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        pairs = S.brute_force_topk(
+            t, t.filter(F.col("vec_id") < 5), k=10
+        ).select("query_id", "cand_id")
+        return (
+            pairs.join(bf, ["query_id", "cand_id"], "semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .withColumn("dim", F.lit(d))
+            .crossJoin(F.broadcast(total))
+        )
+
+    out = leg(16).unionAll(leg(32)).unionAll(leg(64))
+    return out.select(
+        "dim",
+        "hits",
+        "total",
+        F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    ).orderBy("dim")

@@ -253,3 +253,46 @@ def test_pq_training_knee_on_planted_low_intrinsic_dim(spark):
     sane_untrained, sane_trained = recall_pair(full_cov)
     assert sane_untrained >= 0.7, sane_untrained
     assert sane_trained >= sane_untrained, (sane_untrained, sane_trained)
+
+
+def test_truncation_recall_curve_monotone(spark):
+    """The dimension/accuracy curve must anchor at recall 1.0 for the
+    full dimension (identity by construction) and never DECREASE as more
+    dims are kept — a broken slice or ranking would violate one of the
+    two immediately."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    rows = {
+        r["dim"]: r["recall"]
+        for r in queries()["ann_truncation_recall"](spark, SF_ORACLE).collect()
+    }
+    assert rows[64] == 1.0, rows
+    assert rows[16] <= rows[32] <= rows[64], rows
+
+
+def test_sample_k_per_group_exact_quota_and_invariance(spark):
+    """fixed_size_group_sample returns exactly min(k, |group|) rows per
+    group, the same rows under any partitioning, and plans the rank
+    filter as WindowGroupLimit (map-side pre-prune)."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.sampling import (
+        fixed_size_group_sample,
+    )
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    docs = spark.read.parquet(table_path(SF_ORACLE, "documents"))
+    out = fixed_size_group_sample(docs, ["lang"], "doc_id", 3)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {g: min(3, n) for g, n in sizes.items()}
+    again = fixed_size_group_sample(docs.repartition(13), ["lang"], "doc_id", 3)
+    assert sorted(map(tuple, out.select("lang", "doc_id").collect())) == sorted(
+        map(tuple, again.select("lang", "doc_id").collect())
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
