@@ -531,3 +531,94 @@ def schema_evolution_read(spark, sf_dir):
             "n_priorities"
         ),
     )
+
+
+@register(
+    "scd2_dimension_history",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01' AS valid_from
+      FROM customer
+    ),
+    changed AS (
+      SELECT DISTINCT d.custkey
+      FROM dim d JOIN orders o ON o.o_custkey = d.custkey
+      WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+        AND d.segment <> 'PREMIUM'
+    ),
+    unchanged AS (
+      SELECT custkey, segment, valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM dim WHERE custkey NOT IN (SELECT custkey FROM changed)
+    ),
+    closed AS (
+      SELECT d.custkey, d.segment, d.valid_from,
+             TIMESTAMP '2000-01-01' AS valid_to, FALSE AS is_current
+      FROM dim d JOIN changed USING (custkey)
+    ),
+    opened AS (
+      SELECT custkey, 'PREMIUM' AS segment,
+             TIMESTAMP '2000-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM changed
+    )
+    SELECT * FROM (
+      SELECT * FROM unchanged
+      UNION ALL SELECT * FROM closed
+      UNION ALL SELECT * FROM opened
+    )
+    ORDER BY custkey, valid_from
+    """,
+    doc="SCD Type 2 dimension maintenance (the historized-dimension twin "
+    "of cdc_merge_apply's Type 1 upsert): customers who ordered on/after "
+    "2000-01-01 migrate to segment PREMIUM — the old attribute row is "
+    "CLOSED (valid_to = effective date, is_current = false) and a new "
+    "open-ended row inserted, while untouched keys pass through; no row "
+    "is ever updated in place, so history remains queryable AS OF any "
+    "date. Dataflow: the changed-key set from one distinct semi-join, "
+    "then one semi and one anti join against the dimension plus a "
+    "3-way union — with Delta this is MERGE WHEN MATCHED with "
+    "close+insert; on parquet it is the same joins feeding an "
+    "overwrite. Keys scale-free: nothing here is per-row Python and "
+    "every join is an equi hash join on the dimension key",
+)
+def scd2_dimension_history(spark, sf_dir):
+    eff = "2000-01-01"
+    dim = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+    )
+    changed = (
+        spark.read.parquet(table_path(sf_dir, "orders"))
+        .filter(F.col("o_orderdate") >= eff)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .join(dim.filter(F.col("segment") != "PREMIUM"), "custkey", "semi")
+    )
+    null_ts = F.lit(None).cast("timestamp")
+    unchanged = dim.join(changed, "custkey", "anti").select(
+        "custkey",
+        "segment",
+        "valid_from",
+        null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(changed, "custkey", "semi").select(
+        "custkey",
+        "segment",
+        "valid_from",
+        F.lit(eff).cast("timestamp").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        "custkey",
+        F.lit("PREMIUM").alias("segment"),
+        F.lit(eff).cast("timestamp").alias("valid_from"),
+        null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionAll(closed).unionAll(opened).orderBy(
+        "custkey", "valid_from"
+    )
