@@ -621,9 +621,7 @@ def idle_rich_customers(spark, sf_dir):
     )
 
 
-@register(
-    "join_strategy_choice",
-    """
+_JOIN_CHOICE_SQL = """
     WITH s1 AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS small_rows,
              CAST(12 * COUNT(*) + SUM(LENGTH(s_name)) AS BIGINT)
@@ -683,7 +681,12 @@ def idle_rich_customers(spark, sf_dir):
                      ELSE 1 END AS INT) AS n_salt
     FROM stats
     ORDER BY join_name
-    """,
+    """
+
+
+@register(
+    "join_strategy_choice",
+    _JOIN_CHOICE_SQL,
     doc="automatic broadcast-vs-salt-vs-shuffle JOIN CHOOSER (round-4 "
     "verdict optional-breadth #7): the decision layer that composes the "
     "verified diagnostics — per-join build-side projected bytes (fixed "
@@ -1340,3 +1343,116 @@ def order_streaks_recursive(spark, sf_dir):
         "nyte_recursive_orders"
     )
     return spark.sql(_STREAK_BODY.format(orders="nyte_recursive_orders"))
+
+
+@register(
+    "join_auto_dispatch",
+    f"""
+    WITH choice AS ({_JOIN_CHOICE_SQL}),
+    sup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sum_exact_sql('l.l_extendedprice')} AS checksum
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    ord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sum_exact_sql('l.l_extendedprice')} AS checksum
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    evs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sum_exact_sql('b.value')} AS checksum
+      FROM events a JOIN (
+        SELECT * FROM events
+        WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 50 = 0
+      ) b ON a.event_type = b.event_type
+    ),
+    results AS (
+      SELECT 'lineitem_x_supplier_on_suppkey' AS join_name, * FROM sup
+      UNION ALL
+      SELECT 'lineitem_x_orders_on_orderkey', * FROM ord
+      UNION ALL
+      SELECT 'events_self_on_event_type', * FROM evs
+    )
+    SELECT c.join_name, c.strategy, c.n_salt, r.n_rows, r.checksum
+    FROM choice c JOIN results r ON c.join_name = r.join_name
+    ORDER BY c.join_name
+    """,
+    doc="the join chooser DRIVING execution (closes the loop "
+    "join_strategy_choice only priced): the three decision rows are "
+    "fetched (a 3-row planner-decision collect — the one driver-side "
+    "step, same role as Catalyst reading its stats) and each shape "
+    "executes under ITS decided strategy — supplier enrich under an "
+    "explicit broadcast(), lineitem x orders as a plain shuffle join, "
+    "and the skewed event_type self-join through operators.joins."
+    "salted_join with the DECIDED n_salt (its probe side hash-sampled "
+    "1-in-50 by md5(event_id) so the quadratic diagnostic shape stays "
+    "executable — the standard pair-estimation subsample, identical in "
+    "the oracle). Output carries the decision columns plus each join's "
+    "row count and decimal checksum; the oracle recomputes the "
+    "decisions AND the aggregates from plain joins, so a dispatch "
+    "sending any shape down the wrong plan or a salted execution "
+    "changing results fails the hash",
+)
+def join_auto_dispatch(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.joins import salted_join
+
+    decisions = {
+        r["join_name"]: r.asDict()
+        for r in join_strategy_choice(spark, sf_dir).collect()
+    }
+
+    def row(name, agg_df):
+        d = decisions[name]
+        return agg_df.select(
+            F.lit(name).alias("join_name"),
+            F.lit(d["strategy"]).alias("strategy"),
+            F.lit(d["n_salt"]).cast("int").alias("n_salt"),
+            "n_rows",
+            "checksum",
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_extendedprice")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def agg(df, col):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            sum_exact(col).alias("checksum"),
+        )
+
+    def execute(name, probe, build, pk, bk):
+        """The dispatch itself: whatever the decision row says, run —
+        the decisions are DATA-DEPENDENT (orders broadcasts at sf0.001,
+        shuffles at sf0.01+ under the same 64 KiB budget)."""
+        d = decisions[name]
+        if d["strategy"] == "broadcast":
+            return probe.join(broadcast(build), probe[pk] == build[bk])
+        if d["strategy"] == "salted":
+            return salted_join(probe, build, pk, bk, n_salt=int(d["n_salt"]))
+        return probe.join(build, probe[pk] == build[bk])
+
+    j_sup = execute(
+        "lineitem_x_supplier_on_suppkey", li, sup, "l_suppkey", "s_suppkey"
+    )
+    j_ord = execute(
+        "lineitem_x_orders_on_orderkey", li, orders, "l_orderkey", "o_orderkey"
+    )
+    probe = ev.select("event_type", F.col("value").alias("a_value"))
+    sample = ev.filter(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 50 == 0
+    ).select(F.col("event_type").alias("b_type"), "value")
+    j_ev = execute(
+        "events_self_on_event_type", probe, sample, "event_type", "b_type"
+    )
+
+    return (
+        row("lineitem_x_supplier_on_suppkey", agg(j_sup, "l_extendedprice"))
+        .unionAll(row("lineitem_x_orders_on_orderkey", agg(j_ord, "l_extendedprice")))
+        .unionAll(row("events_self_on_event_type", agg(j_ev, "value")))
+        .orderBy("join_name")
+    )
