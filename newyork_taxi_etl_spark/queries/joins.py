@@ -1456,3 +1456,319 @@ def join_auto_dispatch(spark, sf_dir):
         .unionAll(row("events_self_on_event_type", agg(j_ev, "value")))
         .orderBy("join_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch two: the six remaining classic TPC-H join/agg shapes the
+# registry lacked — Q2 (min-per-group correlated subquery, decorrelated),
+# Q4 (EXISTS → semi join with a non-equi residual), Q11 (HAVING vs a global
+# scalar), Q12 (conditional CASE counts over a fact-fact join), Q13 (outer
+# join with an ON-clause filter feeding a two-level aggregate) and Q16
+# (NOT IN → anti join + grouped distinct count).  The corpus has no
+# partsupp / commitdate / shipmode, so each is re-anchored on existing
+# columns while preserving exactly the plan shape the original exercises.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier",
+    """
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name AS nation_name,
+           p.p_partkey, s.s_suppkey
+    FROM part p, lineitem l, supplier s, nation n
+    WHERE p.p_partkey = l.l_partkey
+      AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 20
+      AND l.l_extendedprice / l.l_quantity = (
+          SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, nation_name, s.s_name, p.p_partkey, s.s_suppkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2-shaped min-cost supplier (adapted: no partsupp, so the "
+    "per-part 'supply cost' is the lineitem unit price "
+    "l_extendedprice/l_quantity): for each ECONOMY part sized 10-20, the "
+    "supplier(s) whose unit price equals the part's minimum across ALL "
+    "lineitems.  The oracle keeps Q2's literal correlated scalar subquery; "
+    "the Spark side is the decorrelation Catalyst would produce anyway — "
+    "a grouped MIN re-joined on (partkey, unit=min) — written explicitly "
+    "so the plan is a broadcast of the tiny per-part min table, never a "
+    "per-row subquery.  Unit price is one IEEE double division in both "
+    "engines, so the equality join on its MIN is bit-exact.  Scale plan: "
+    "part (filtered, ~1.5% of rows) and the min table broadcast; lineitem "
+    "is scanned twice but never shuffled; supplier/nation broadcast.  "
+    "DISTINCT collapses repeat (part, supplier) wins; the ORDER BY carries "
+    "the full unique key so LIMIT 100 is deterministic.",
+)
+def min_cost_supplier(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    # inner subquery, decorrelated: min unit price per part — restricted to
+    # the filtered partkeys first (equality with p.p_partkey makes that
+    # semantics-preserving) so the grouped MIN and the broadcast stay tiny.
+    # The grouped side is renamed (mk, min_unit) to keep the re-join against
+    # the same lineitem scan unambiguous.
+    pk = p.select("p_partkey")
+    minu = (
+        l.join(broadcast(pk), l.l_partkey == pk.p_partkey)
+        .groupBy(F.col("l_partkey").alias("mk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit"))
+    )
+    cand = (
+        l.withColumn("unit", F.col("l_extendedprice") / F.col("l_quantity"))
+        .join(
+            broadcast(minu),
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("unit") == F.col("min_unit")),
+        )
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        cand.select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation_name"),
+            "p_partkey", "s_suppkey",
+        )
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"), "nation_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped order-priority check (adapted: no commitdate/"
+    "receiptdate, so 'late' is a lineitem shipping >60 days after the "
+    "order date): orders from a 6-month window with at least one late "
+    "line, counted per priority.  The EXISTS becomes a LEFT SEMI hash "
+    "join in Spark — equi key l_orderkey plus the non-equi residual "
+    "l_shipdate > o_orderdate + 60d evaluated as a post-probe filter, so "
+    "it stays a single-pass hash semi join, never a nested loop, and each "
+    "qualifying order counts once no matter how many late lines it has.  "
+    "Scale plan: the date slice prunes orders at the scan; the semi join "
+    "shuffles on orderkey (AQE-coalesced) and the final 5-group aggregate "
+    "is map-side combined.",
+)
+def late_shipment_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "important_part_values",
+    f"""
+    SELECT l.l_partkey AS partkey,
+           {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')} AS part_value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+    GROUP BY partkey
+    HAVING {sum_exact_sql('l.l_extendedprice * (1 - l.l_discount)')} > (
+        SELECT 0.001 * {sum_exact_sql('l2.l_extendedprice * (1 - l2.l_discount)')}
+        FROM lineitem l2
+        JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_1')
+    ORDER BY part_value DESC, partkey
+    """,
+    doc="TPC-H Q11-shaped important stock (adapted: no partsupp, so a "
+    "part's held value is its discounted lineitem revenue through "
+    "NATION_1 suppliers): parts whose value exceeds 0.1% of the nation's "
+    "total.  The shape Q11 exercises — a grouped aggregate filtered "
+    "against a GLOBAL scalar of the same measure — decorrelates in Spark "
+    "to one grouped agg plus a 1-row global agg cross-joined (broadcast "
+    "nested loop of a single row) into the filter, so the fact is read "
+    "once per aggregate and never collected to the driver.  Both the "
+    "group values and the threshold go through the decimal-exact sum "
+    "discipline, so the > comparison sees bit-identical doubles in both "
+    "engines.  Scale plan: supplier/nation broadcast, both aggregates "
+    "map-side combined; the threshold side reduces to one row before the "
+    "cross join.",
+)
+def important_part_values(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = l.join(broadcast(s), l.l_suppkey == s.s_suppkey).join(
+        broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    grouped = base.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        sum_exact(val).alias("part_value")
+    )
+    total = base.agg((F.lit(0.001) * sum_exact(val)).alias("threshold"))
+    return (
+        grouped.join(broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register(
+    "priority_by_linestatus",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    doc="TPC-H Q12-shaped shipping-priority split (adapted: no l_shipmode, "
+    "so the grouping key is l_linestatus; no receipt/commit dates, so the "
+    "window is on l_shipdate): per line status in 1997, how many lines "
+    "belonged to high-priority orders vs the rest, as two conditional "
+    "SUM(CASE) aggregates over one orders⋈lineitem join.  Spark side uses "
+    "sum(when(...)) — the same single-pass conditional aggregation, "
+    "map-side combined to 2 groups.  Scale plan: the shipdate year prunes "
+    "lineitem at the scan (PushedFilters), the join shuffles both facts "
+    "on orderkey (AQE-coalesced), and the priority IN-list is evaluated "
+    "pre-aggregation with no second pass.",
+)
+def priority_by_linestatus(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13-shaped customer order-count distribution (adapted: the "
+    "original excludes orders by a comment pattern; here the exclusion is "
+    "o_orderpriority <> '5-LOW'): how many customers placed exactly k "
+    "qualifying orders, INCLUDING k=0.  The two Q13 subtleties are kept: "
+    "the exclusion predicate lives in the outer join's ON clause (a WHERE "
+    "would silently drop the zero-order customers the query exists to "
+    "count), and COUNT(o_orderkey) — not COUNT(*) — so the null-extended "
+    "row of an orderless customer counts 0, not 1.  Scale plan: the first "
+    "aggregate shuffles on custkey (same key as the join, so AQE reuses "
+    "the exchange), the second is over ~tens of distinct counts and "
+    "map-side combines to almost nothing.",
+)
+def customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "supplier_cnt_by_part",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+      AND l.l_suppkey NOT IN (
+          SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16-shaped supplier diversity (adapted: no partsupp, so the "
+    "part-supplier relation is distinct (l_partkey, l_suppkey) pairs from "
+    "lineitem; the 'customer complaints' exclusion becomes negative "
+    "account balance): distinct suppliers per (brand, size) for "
+    "non-Brand#1 parts in 7 size buckets, excluding bad-standing "
+    "suppliers.  The NOT IN compiles to a LEFT ANTI broadcast join — "
+    "safe here because s_suppkey is never NULL (a NULL in a NOT IN list "
+    "would empty the result under 3VL; the anti join is the non-null "
+    "fast path).  Scale plan: part (brand+size filtered, pushed to the "
+    "scan) and the 6-row exclusion list broadcast; COUNT(DISTINCT) "
+    "expands to a two-phase grouped distinct, partial-deduped before the "
+    "shuffle on (brand, size).",
+)
+def supplier_cnt_by_part(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )

@@ -426,3 +426,64 @@ def test_product_profit_like_pushed_dims_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "StringContains(p_name,bolt)" in plan
+
+
+def test_min_cost_supplier_decorrelated_broadcast(spark):
+    """Q2 shape: the correlated MIN decorrelates to a broadcast of the
+    per-part min table — no nested loop, no cartesian, lineitem never
+    sort-merge-joins, and the part filters reach the part scan."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["min_cost_supplier"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(p_type,ECONOMY)" in plan  # pushed to part scan
+
+
+def test_late_shipment_semi_join_stays_hash(spark):
+    """Q4 shape: EXISTS with a non-equi residual must still plan as a
+    single hash LeftSemi (equi key + post-probe condition), never a
+    nested loop, and the 6-month order window is pushed to the scan."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["late_shipment_priority"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan  # pushed date slice
+
+
+def test_important_part_values_single_row_threshold(spark):
+    """Q11 shape: the global-scalar HAVING decorrelates to a 1-row
+    aggregate joined in (the only tolerated nested-loop: one row), with
+    both aggregates map-side combined (partial HashAggregate pairs)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["important_part_values"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # partial+final pairs for the grouped agg and the threshold agg
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_customer_order_distribution_outer_then_reagg(spark):
+    """Q13 shape: LEFT OUTER with the exclusion in the ON clause — the
+    filter must NOT appear as a post-join Filter over the join output
+    (that would drop zero-order customers); count distribution re-agg."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["customer_order_distribution"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_cnt_anti_join_broadcast(spark):
+    """Q16 shape: the NOT-IN exclusion list broadcasts as a LeftAnti hash
+    join; brand/size filters are pushed to the part scan."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["supplier_cnt_by_part"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
