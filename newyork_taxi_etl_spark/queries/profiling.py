@@ -952,3 +952,49 @@ def grouped_distinct_approx(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "hll_sketch_merge_gate",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS merged_within_5pct,
+           true AS direct_within_5pct
+    FROM events
+    """,
+    doc="Sketch-merge ALGEBRA gate: per-event-type Apache DataSketches HLL "
+    "sketches (hll_sketch_agg, binary register state) are unioned with "
+    "hll_union_agg into a global estimate, next to a direct single-pass "
+    "global sketch, and BOTH are self-asserted within 5% of the exact "
+    "distinct — the oracle value-checks the assertions against DuckDB's "
+    "exact count.  This is the mergeability property 100 TB profiling "
+    "rests on: per-partition/per-group sketches union associatively "
+    "(register-wise max) into the same answer no executor topology can "
+    "change, so distinct-profiling state is O(groups × 2^lgK) bytes "
+    "instead of a (group, user) shuffle.  Measured caveat pinned here: "
+    "merged and direct estimates need NOT be identical (at sf0.1: "
+    "merged 1488 vs direct 1499, exact 1500) because the union target "
+    "commits to dense HLL_8 while a small direct sketch may still be in "
+    "sparse exact mode — both sit inside the error bound; gate both, "
+    "assert equality of neither.",
+)
+def hll_sketch_merge_gate(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    per_group = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    bound = lambda est: (  # noqa: E731 — tiny local predicate
+        F.abs(F.col(est) - F.col("exact_users")) <= 0.05 * F.col("exact_users")
+    )
+    return direct.join(merged).select(
+        "exact_users",
+        bound("merged_users").alias("merged_within_5pct"),
+        bound("direct_users").alias("direct_within_5pct"),
+    )

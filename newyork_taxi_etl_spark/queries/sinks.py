@@ -14,7 +14,11 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
+from newyork_taxi_etl_spark.functions.exact import (
+    avg_exact,
+    avg_exact_sql,
+    sum_exact_sql,
+)
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import read_events, table_path
 from newyork_taxi_etl_spark.sources.writers import (
@@ -621,4 +625,81 @@ def scd2_dimension_history(spark, sf_dir):
     )
     return unchanged.unionAll(closed).unionAll(opened).orderBy(
         "custkey", "valid_from"
+    )
+
+
+@register(
+    "incremental_agg_refresh",
+    f"""
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sum_exact_sql('o_totalprice')} AS total_spend
+    FROM orders
+    WHERE (o_orderdate <  TIMESTAMP '1999-01-01' AND o_orderstatus <> 'F')
+       OR  o_orderdate >= TIMESTAMP '1999-01-01'
+    GROUP BY custkey
+    ORDER BY custkey
+    """,
+    doc="Differential materialized-view maintenance: a per-customer "
+    "(n_orders, total_spend) aggregate over OPEN business is refreshed "
+    "from a base snapshot (all orders before 1999) by applying a delta "
+    "of inserts (orders from 1999 on) and retractions (pre-1999 orders "
+    "that reached status 'F' and leave the open view) — new_state = "
+    "base ⊕ delta_ins ⊖ delta_del via two full-outer merges on the "
+    "group key, groups annihilated to count 0 dropped.  The oracle is "
+    "the full recompute, proving the differential path reaches the "
+    "identical state.  Counts subtract exactly; spend is maintained in "
+    "decimal(38,12) end-to-end (associative, order-independent) and "
+    "cast to double only on output, so insert-then-retract round-trips "
+    "are bit-exact.  At 100 TB this is THE reason MV deltas exist: the "
+    "two delta legs prune to the delta partitions at the scan "
+    "(PushedFilters on o_orderdate/o_orderstatus) instead of rescanning "
+    "full history, all three partial aggregates are map-side combined, "
+    "and both merge joins share the custkey hash partitioning so AQE "
+    "reuses one exchange per side.",
+)
+def incremental_agg_refresh(spark, sf_dir):
+    cutoff = "1999-01-01"
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    dec = "decimal(38,12)"
+
+    def state(df):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(dec)).alias("spend"),
+        )
+
+    base = state(orders.filter(F.col("o_orderdate") < cutoff))
+    ins = state(orders.filter(F.col("o_orderdate") >= cutoff))
+    dels = state(
+        orders.filter(
+            (F.col("o_orderdate") < cutoff) & (F.col("o_orderstatus") == "F")
+        )
+    )
+
+    def merge(left, right, sign):
+        z = F.lit(0)
+        return (
+            left.join(right.withColumnRenamed("n", "dn").withColumnRenamed(
+                "spend", "dspend"), "custkey", "full_outer")
+            .select(
+                "custkey",
+                (F.coalesce(F.col("n"), z) + sign * F.coalesce(F.col("dn"), z))
+                .alias("n"),
+                (
+                    F.coalesce(F.col("spend"), z.cast(dec))
+                    + sign * F.coalesce(F.col("dspend"), z.cast(dec))
+                ).cast(dec).alias("spend"),
+            )
+        )
+
+    refreshed = merge(merge(base, ins, F.lit(1)), dels, F.lit(-1))
+    return (
+        refreshed.filter(F.col("n") > 0)
+        .select(
+            "custkey",
+            F.col("n").alias("n_orders"),
+            F.col("spend").cast("double").alias("total_spend"),
+        )
+        .orderBy("custkey")
     )

@@ -487,3 +487,36 @@ def test_supplier_cnt_anti_join_broadcast(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Not(EqualTo(p_brand,Brand#1))" in plan
+
+
+def test_incremental_refresh_delta_scans_pruned(spark):
+    """Differential MV refresh: every leg's date/status filters reach the
+    parquet scans (the whole point — delta legs must not rescan history),
+    all three aggregates are partial+final pairs, and the two merges are
+    FullOuter hash-partitioned joins (never a nested loop)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["incremental_agg_refresh"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") == 2
+    assert plan.count("partial_count") >= 3               # map-side combine x3
+    # pushdown claims via the formatted plan (toString elides long scans)
+    fmt = _formatted(df)
+    assert "LessThan(o_orderdate,1999-01-01" in fmt       # base+delete scans
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in fmt   # insert scan
+    assert "EqualTo(o_orderstatus,F)" in fmt              # delete scan
+
+
+def test_hll_merge_gate_mergeable_partials(spark):
+    """Sketch algebra: both the per-group sketches and their union run as
+    partial+merge ObjectHashAggregate pairs (executor-mergeable binary
+    state); the only nested loop is the tolerated 1-row x 1-row final
+    assembly."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["hll_sketch_merge_gate"](spark, SF_SMOKE))
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_hll_union_agg" in plan
+    assert "SortMergeJoin" not in plan
