@@ -1134,3 +1134,80 @@ def decayed_event_score(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "grouped_quantile_pandas_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+             AS iqr
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="GROUPED_AGG pandas UDF — the last Python-boundary form the matrix "
+    "lacked (SCALAR -> ANN BLAS, grouped map applyInPandas -> "
+    "trimmed_mean_pandas, mapInPandas -> multimodal, "
+    "applyInPandasWithState -> streaming): per-group interquartile "
+    "spread where each quartile is ONE vectorized Arrow aggregate per "
+    "group.  The UDF interpolates manually (sort, pos = p*(n-1), "
+    "v = a + (b-a)*frac) — the exact expression Spark's percentile() and "
+    "DuckDB's quantile_cont share — instead of np.percentile, whose "
+    "two-sided lerp can drift a ulp on the t>=0.5 branch; with ROUND(6) "
+    "on top the oracle compare is deterministic.  GROUPED_AGG UDFs also "
+    "serve as unbounded-frame window functions; the groupBy form here is "
+    "the mergeable-per-group shape.  Scale: one hash shuffle on the "
+    "group key, each group one Arrow batch, O(group) task memory — same "
+    "bound as any exact per-group quantile; for the distributed "
+    "no-group-fits-in-memory path see grouped_quantile_dist.",
+)
+def grouped_quantile_pandas_agg(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+
+    def _interp(s: pd.Series, p: float) -> float:
+        v = s.dropna().sort_values(kind="mergesort").to_numpy()
+        n = len(v)
+        if n == 0:
+            return float("nan")
+        pos = p * (n - 1)
+        lo = int(pos)
+        frac = pos - lo
+        if lo + 1 < n:
+            return float(v[lo] + (v[lo + 1] - v[lo]) * frac)
+        return float(v[lo])
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies the hints and the lazy `pd` import is invisible to the
+    # module-namespace hint resolver pandas_udf would otherwise use.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def p25(s):
+        return _interp(s, 0.25)
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def p75(s):
+        return _interp(s, 0.75)
+
+    # GROUPED_AGG UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is its own
+    # aggregate joined back on the group key — the same split
+    # grouped_distinct_approx uses for its exact/sketch pair.
+    counts = ev.groupBy("event_type").agg(
+        F.count("value").cast("bigint").alias("n")
+    )
+    quart = ev.groupBy("event_type").agg(
+        F.round(p25("value"), 6).alias("p25"),
+        F.round(p75("value"), 6).alias("p75"),
+        F.round(p75("value") - p25("value"), 6).alias("iqr"),
+    )
+    return (
+        counts.join(quart, "event_type")
+        .select("event_type", "n", "p25", "p75", "iqr")
+        .orderBy("event_type")
+    )
