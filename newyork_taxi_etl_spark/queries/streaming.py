@@ -513,3 +513,29 @@ if tws_available():
         return W.run_transform_with_state_stats(
             spark, read_events(spark, sf_dir), stage
         )
+
+
+@register(
+    "streaming_checkpoint_recovery",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Checkpoint RESTART contract (the production kill-redeploy-resume "
+    "loop): a foreachBatch upsert drains half the source to completion, "
+    "stops, new files land, and the query restarts with the SAME "
+    "checkpoint location — the file-source commit log makes the second "
+    "run process ONLY the new files.  Any reprocessing would double-fold "
+    "the first half into the target, so the oracle's one-shot aggregate "
+    "over ALL events value-checks exactly-once across the restart "
+    "boundary, not just within one run.  Complements "
+    "streaming_upsert_counts (single-run multi-batch fold): same fold, "
+    "plus the restart.",
+)
+def streaming_checkpoint_recovery(spark, sf_dir):
+    workdir = os.path.join(tempfile.gettempdir(), "nyetl_ckpt_recovery")
+    return W.run_checkpoint_recovery(spark, read_events(spark, sf_dir), workdir)

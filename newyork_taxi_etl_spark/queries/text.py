@@ -678,3 +678,65 @@ def bpe_merge_loop(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("step")
+
+
+@register(
+    "udtf_token_explode",
+    """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           MAX(tok) AS max_token
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE doc_id % 25 = 0
+    ) exploded
+    WHERE tok <> ''
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Python UDTF (Spark 4 user-defined TABLE function) — the "
+    "set-returning Python-boundary form: a @udtf class tokenizes each "
+    "document into (pos, token) rows through a LATERAL correlated call "
+    "in SQL, then a per-doc aggregate (token count / distinct / max) "
+    "collapses the expansion; the oracle replays it with DuckDB's "
+    "string_split + unnest.  The UDTF yields per input row with no "
+    "buffering, so the expansion streams through the Arrow channel — "
+    "task memory stays O(batch), not O(doc tokens x docs).  For "
+    "pure tokenization Spark's built-in split+explode is the faster "
+    "JVM path (used by text_token_count); a UDTF earns its Python tax "
+    "only when per-row expansion logic outgrows expressions — this "
+    "query pins the plumbing (registration, LATERAL join, multi-column "
+    "yield schema, empty-token filtering parity) against a value "
+    "oracle.  Sampled to doc_id % 25 = 0 so the Python-side expansion "
+    "is a bounded slice at any scale factor.",
+)
+def udtf_token_explode(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                if tok:
+                    yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs.filter(F.col("doc_id") % 25 == 0).createOrReplaceTempView(
+        "udtf_docs_slice"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT t.token) AS n_distinct,
+               MAX(t.token) AS max_token
+        FROM udtf_docs_slice d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+        """
+    )

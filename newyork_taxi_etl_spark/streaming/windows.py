@@ -373,40 +373,7 @@ def run_foreachbatch_upsert(
         .load()
     )
 
-    def upsert(batch_df, batch_id):
-        agg = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,12)")).alias("sum_value"),
-        )
-        if os.path.exists(target_dir):
-            prev = batch_df.sparkSession.read.parquet(target_dir)
-            merged = (
-                prev.select(
-                    "user_id",
-                    F.col("n_events").alias("n0"),
-                    F.col("sum_value").alias("s0"),
-                )
-                .join(agg, "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce("n0", F.lit(0))
-                        + F.coalesce("n_events", F.lit(0))
-                    ).alias("n_events"),
-                    (
-                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(38,12)"))
-                        + F.coalesce(
-                            F.col("sum_value"), F.lit(0).cast("decimal(38,12)")
-                        )
-                    ).cast("decimal(38,12)").alias("sum_value"),
-                )
-            )
-        else:
-            merged = agg
-        nxt = target_dir + "_next"
-        merged.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(target_dir, ignore_errors=True)
-        os.rename(nxt, target_dir)
+    upsert = _upsert_counts_fn(target_dir)
 
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q = (
@@ -1104,6 +1071,118 @@ def run_transform_with_state_stats(
             "user_id",
             F.col("m.n_events").alias("n_events"),
             F.col("m.total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _upsert_counts_fn(target_dir: str):
+    """foreachBatch body shared by run_foreachbatch_upsert-style runners:
+    aggregate the micro-batch per user and MERGE (full-outer combine +
+    atomic directory swap) into the parquet target; sums carried as
+    DECIMAL(38,12) so batch boundaries cannot skew the fold."""
+    import os
+    import shutil
+
+    def upsert(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("sum_value"),
+        )
+        if os.path.exists(target_dir):
+            prev = batch_df.sparkSession.read.parquet(target_dir)
+            merged = (
+                prev.select(
+                    "user_id",
+                    F.col("n_events").alias("n0"),
+                    F.col("sum_value").alias("s0"),
+                )
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n0", F.lit(0))
+                        + F.coalesce("n_events", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(38,12)"))
+                        + F.coalesce(
+                            F.col("sum_value"), F.lit(0).cast("decimal(38,12)")
+                        )
+                    ).cast("decimal(38,12)").alias("sum_value"),
+                )
+            )
+        else:
+            merged = agg
+        nxt = target_dir + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        os.rename(nxt, target_dir)
+
+    return upsert
+
+
+def run_checkpoint_recovery(
+    spark,
+    src_df: DataFrame,
+    workdir: str,
+) -> DataFrame:
+    """Checkpoint RESTART contract: a foreachBatch upsert query is run to
+    completion over half the source, STOPPED, more files land in the
+    source directory, and the query is STARTED AGAIN with the SAME
+    checkpoint location.  The restarted query must process ONLY the new
+    files — the checkpoint's file-source log records what was committed,
+    so nothing is re-folded into the target and the final state equals
+    the one-shot batch aggregate over everything (which is exactly what
+    the DuckDB oracle checks; any reprocessing would double-count the
+    first half and fail the value compare).
+
+    This is the production upgrade-the-job loop: kill, redeploy, resume
+    from checkpoint with no backfill and no duplicates.  At 100 TB the
+    same mechanism bounds a restart to the un-committed tail regardless
+    of topic/directory history size.  Both phases drain with
+    maxFilesPerTrigger=1 so each REALLY iterates micro-batches.
+    """
+    import os
+    import shutil
+
+    stage_dir = os.path.join(workdir, "stage")
+    target_dir = os.path.join(workdir, "target")
+    ckpt_dir = os.path.join(workdir, "ckpt")  # FIXED across both phases
+    for d in (stage_dir, target_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    half1 = src_df.filter(F.col("event_id") % 2 == 0)
+    half2 = src_df.filter(F.col("event_id") % 2 == 1)
+    upsert = _upsert_counts_fn(target_dir)
+
+    def drain_phase(half_df, mode):
+        half_df.repartition(4).write.mode(mode).parquet(stage_dir)
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .format("parquet")
+            .option("path", stage_dir)
+            .option("maxFilesPerTrigger", 1)
+            .load()
+        )
+        with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q, 180)
+
+    drain_phase(half1, "overwrite")   # phase 1: first half, fresh checkpoint
+    drain_phase(half2, "append")      # phase 2: RESTART, same checkpoint —
+    # only the appended files may be processed
+    return (
+        spark.read.parquet(target_dir)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("sum_value").cast("double").alias("total_value"),
         )
         .orderBy("user_id")
     )
