@@ -740,3 +740,65 @@ def udtf_token_explode(spark, sf_dir):
         ORDER BY d.doc_id
         """
     )
+
+
+@register(
+    "arrow_doc_length_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="mapInArrow — the zero-copy Arrow-native Python-boundary form "
+    "(vs pandas-converting mapInPandas): per-batch pyarrow compute "
+    "(utf8_length) appends a length column without any pandas "
+    "round-trip or per-row Python, then a JVM aggregate folds per-lang "
+    "stats; the oracle recomputes with SQL LENGTH.  The boundary "
+    "matrix is now complete: SCALAR pandas_udf (ANN BLAS), GROUPED_AGG "
+    "(grouped_quantile_pandas_agg), grouped-map applyInPandas "
+    "(trimmed_mean_pandas), mapInPandas (multimodal), "
+    "applyInPandasWithState (stateful_user_stats), UDTF "
+    "(udtf_token_explode), and mapInArrow here.  Like every "
+    "Python-boundary query, the built-in JVM expression (F.length) is "
+    "the faster path for THIS computation — the query pins the "
+    "plumbing (RecordBatch iterator contract, schema declaration, "
+    "batch-wise zero-copy) for the ops that genuinely need Arrow, "
+    "e.g. tokenizers over arrow-backed vocabularies.",
+)
+def arrow_doc_length_stats(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "lang", "text"
+    )
+
+    def add_len(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("lang")),
+                    pc.cast(
+                        pc.utf8_length(
+                            b.column(b.schema.get_field_index("text"))
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["lang", "n_chars"],
+            )
+
+    lengths = docs.mapInArrow(add_len, "lang string, n_chars long")
+    return (
+        lengths.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -246,3 +246,81 @@ def window_distribution_funcs(spark, sf_dir):
         .orderBy("user_id", "pct_rank", "event_id")
         .limit(200)
     )
+
+
+@register(
+    "window_locf_fill",
+    """
+    WITH gapped AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, v,
+             last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           CAST(SUM(CASE WHEN fv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leading_unfilled,
+           ROUND(CAST(CAST(SUM(CAST(CAST(fv AS VARCHAR) AS DECIMAL(38,12)))
+                           AS VARCHAR) AS DOUBLE), 6) AS sum_filled
+    FROM filled
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="LOCF forward fill (last-observation-carried-forward, the standard "
+    "time-series gap repair) via IGNORE NULLS window semantics: 'click' "
+    "rows are treated as gaps and take the latest preceding non-null "
+    "value within the user's (ts, event_id)-ordered history — "
+    "F.last(ignorenulls=True) over a running frame in Spark, "
+    "last_value(... IGNORE NULLS) in the oracle; rows before a user's "
+    "first observation stay null and are counted separately.  Per-user "
+    "accounting (gap count, unfilled-prefix count, decimal-exact sum of "
+    "the filled series) collapses the output to O(users).  Scale: one "
+    "hash shuffle on user_id and a per-user sort — the same bound as any "
+    "per-entity ordered scan; the running frame is single-pass, no "
+    "re-scan per gap.",
+)
+def window_locf_fill(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    filled = gapped.select(
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("fv"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gaps"),
+            F.sum(F.when(F.col("fv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leading_unfilled"),
+            F.round(
+                F.sum(F.col("fv").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("sum_filled"),
+        )
+        .orderBy("user_id")
+    )
