@@ -703,3 +703,51 @@ def incremental_agg_refresh(spark, sf_dir):
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "small_file_compaction",
+    f"""
+    SELECT 16 AS n_files_before,
+           2 AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS row_cnt,
+           {sum_exact_sql('o_totalprice')} AS price_checksum
+    FROM orders
+    """,
+    doc="Small-file compaction (the OPTIMIZE of a parquet-only warehouse): "
+    "a fragmented table (explicitly repartition(16)-written) is rewritten "
+    "through coalesce(2) — a NARROW dependency, no shuffle: each output "
+    "task concatenates 8 input files — and the oracle value-checks all "
+    "four claims: the fragment count (explicit repartition survives AQE "
+    "by contract), the compacted count, and lossless content "
+    "(row count + decimal checksum read back from the COMPACTED files).  "
+    "At 100 TB this runs per table-partition with coalesce sized to the "
+    "target file size (file_bytes/128MB), never a global repartition — "
+    "the same layout contract as Delta OPTIMIZE, which S3's conditional "
+    "registration upgrades to when delta-spark is present.",
+)
+def small_file_compaction(spark, sf_dir):
+    import glob
+
+    base = os.path.join(tempfile.gettempdir(), "nyetl_compact")
+    small_dir = os.path.join(base, "small")
+    compact_dir = os.path.join(base, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders.repartition(16).write.mode("overwrite").parquet(small_dir)
+    n_before = len(glob.glob(os.path.join(small_dir, "*.parquet")))
+
+    spark.read.parquet(small_dir).coalesce(2).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    n_after = len(glob.glob(os.path.join(compact_dir, "*.parquet")))
+
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    return spark.read.parquet(compact_dir).agg(
+        F.lit(n_before).alias("n_files_before"),
+        F.lit(n_after).alias("n_files_after"),
+        F.count(F.lit(1)).cast("bigint").alias("row_cnt"),
+        sum_exact("o_totalprice").alias("price_checksum"),
+    )

@@ -191,6 +191,10 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "quantile_sketch_gate",
     "grouped_quantile_dist",
     "join_strategy_choice",
+    # r6 resumed session: the foreachBatch upsert body was factored into
+    # _upsert_counts_fn (shared with streaming_checkpoint_recovery) — same
+    # semantics, new code path since the r2 verdict.
+    "streaming_upsert_counts",
 })
 
 
