@@ -1171,11 +1171,13 @@ def grouped_quantile_pandas_agg(spark, sf_dir):
 
     ev = read_events(spark, sf_dir).select("event_type", "value")
 
-    def _interp(s: pd.Series, p: float) -> float:
+    def _interp(s: pd.Series, p: float):
         v = s.dropna().sort_values(kind="mergesort").to_numpy()
         n = len(v)
         if n == 0:
-            return float("nan")
+            # SQL NULL, matching percentile()/quantile_cont on an all-NULL
+            # group (NaN would survive ROUND(6) and hash-mismatch the oracle)
+            return None
         pos = p * (n - 1)
         lo = int(pos)
         frac = pos - lo

@@ -174,27 +174,60 @@ _R5_VERIFIED = frozenset({
     "zorder_approx_roundtrip",
 })
 
+# Value-verified in round 6 (the 50 names in CORRECTNESS_r06.json — all
+# rows+schema+hash green, including the 5 re-verified _CHANGED_SINCE_VERIFY
+# names of that round and 21 of the 25 round-2-stale cohort; the remaining
+# 4 r2-stale names — batch_sessionize, window_running_sum,
+# window_range_frame, window_ntile_dense_rank — lead the round-7 standing
+# tiers).
+_R6_VERIFIED = frozenset({
+    "grouped_quantile_pandas_agg", "ann_truncation_recall",
+    "nation_market_share", "product_type_profit", "order_streaks_recursive",
+    "join_auto_dispatch", "min_cost_supplier", "late_shipment_priority",
+    "important_part_values", "priority_by_linestatus",
+    "customer_order_distribution", "supplier_cnt_by_part",
+    "freq_tokens_cms_by_lang_sampled", "hll_sketch_merge_gate",
+    "sample_k_per_group", "scd2_dimension_history", "incremental_agg_refresh",
+    "small_file_compaction", "streaming_decay_rescale",
+    "streaming_lsh_index_dedup", "stream_stream_outer_join",
+    "streaming_checkpoint_recovery", "udtf_token_explode",
+    "arrow_doc_length_stats", "window_locf_fill", "join_strategy_choice",
+    "exact_quantile", "quantile_sketch_gate", "grouped_quantile_dist",
+    "streaming_upsert_counts", "bucketed_colocated_join", "csv_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip", "tumbling_window_agg",
+    "sliding_window_agg", "session_window_agg",
+    "structured_streaming_availablenow", "streaming_dedup_within_watermark",
+    "stateful_user_stats", "stream_stream_join", "text_stats",
+    "text_quality_score", "text_token_count", "text_lang_id",
+    "text_fingerprint", "text_regex_extract", "text_top_ngrams",
+    "text_pii_redact", "window_lead_lag",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
+    _R6_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
-# the head of the window until re-checked.  Round 5 re-verified both of
-# that round's entries (exact_quantile distributed rewrite,
-# ann_recall_trained third leg).  Round 6 entries: the distributed
-# quantiles grew an explicit-numPartitions partition-identity pin (same
-# oracle, new exchange), and join_strategy_choice grew the empty-probe
-# zero guard (both twins changed identically).
+# the head of the window until re-checked.  Round 6 re-verified all five of
+# that round's entries (quantile partition-identity pin ×3, the
+# join_strategy_choice zero guard, and the refactored
+# streaming_upsert_counts).  Round 7 entries are added as the code changes
+# land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    "exact_quantile",
-    "quantile_sketch_gate",
-    "grouped_quantile_dist",
-    "join_strategy_choice",
-    # r6 resumed session: the foreachBatch upsert body was factored into
-    # _upsert_counts_fn (shared with streaming_checkpoint_recovery) — same
-    # semantics, new code path since the r2 verdict.
-    "streaming_upsert_counts",
+    # r7: the skewed-leg subsample moved from a fixed 1-in-50 fraction to an
+    # absolute per-type row cap (O(budget) output at any scale); oracle
+    # changed identically.
+    "join_auto_dispatch",
+    # r7: empty/all-NULL group now yields SQL NULL (was NaN) from the
+    # GROUPED_AGG quartile UDF — unreachable on current data, but the
+    # semantics on that edge changed (ADVICE item).
+    "grouped_quantile_pandas_agg",
+    # r7: oracle made structural (files_reduced instead of hardcoded 16/2
+    # file-count literals; layout claims moved to tests/test_compaction.py)
+    # + mkdtemp-unique work dirs (ADVICE items).
+    "small_file_compaction",
 })
 
 

@@ -44,6 +44,40 @@ def _scoped_conf(spark, key: str, value: str):
             spark.conf.set(key, old)
 
 
+def _applied_batch_ids(state_dir: str) -> set:
+    """Batch ids already folded into a foreachBatch state directory.
+
+    foreachBatch's delivery contract is AT-LEAST-ONCE per micro-batch: if
+    the driver dies after the fold but before the checkpoint commit, the
+    SAME batch_id is redelivered on restart.  The applied-id set is the
+    parquet analog of Delta's ``txnAppId``/``txnVersion`` dedup — it rides
+    INSIDE the state directory as an underscore-prefixed sidecar (invisible
+    to Spark's parquet reader, like ``_SUCCESS``), so for read-combine-swap
+    state the fold and its watermark commit in ONE atomic os.rename.
+    Batch ids from one checkpoint never repeat, so skip-on-replay makes the
+    redelivered fold a no-op (one query per state dir — the app-id half of
+    Delta's pair is implicit).
+    """
+    import os
+
+    marker = os.path.join(state_dir, "_applied_batches")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return {int(x) for x in f.read().split()}
+    return set()
+
+
+def _mark_applied(state_dir: str, batch_id: int, prior: set) -> None:
+    """Record ``batch_id`` as folded.  Call on the NOT-YET-RENAMED next
+    directory for swap-style state (atomic with the data), or on the live
+    directory for append-style state (non-atomic — documented at the call
+    site; Delta's transaction log is the upgrade)."""
+    import os
+
+    with open(os.path.join(state_dir, "_applied_batches"), "w") as f:
+        f.write("\n".join(str(i) for i in sorted(prior | {int(batch_id)})))
+
+
 def _drain(q, timeout_sec: int) -> None:
     """Await an AvailableNow drain; fail loudly on timeout.
 
@@ -397,6 +431,68 @@ def run_foreachbatch_upsert(
     )
 
 
+def run_upsert_replay_proof(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    target_dir: str,
+) -> DataFrame:
+    """Idempotent-retry PROOF for the foreachBatch fold family: drain the
+    incremental upsert exactly like ``run_foreachbatch_upsert``, then call
+    the fold body AGAIN with an already-committed batch_id — simulating the
+    at-least-once redelivery foreachBatch's contract allows after a crash
+    between fold and checkpoint commit.  The replayed call must be a no-op
+    (the applied-batch sidecar, ``_applied_batch_ids``): the returned state
+    still equals the one-shot batch aggregate the oracle computes.  Without
+    the guard every replayed row double-folds and the value compare fails.
+
+    The replay payload is deliberately the WHOLE stage (a superset of the
+    real batch): dedup keys on batch_id alone, exactly like Delta's
+    txnAppId/txnVersion, never on payload equality.
+    """
+    import os
+    import shutil
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    upsert = _upsert_counts_fn(target_dir)
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation",
+                stage_dir + f"_ckpt_{uuid.uuid4().hex[:8]}",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 180)
+
+    applied = _applied_batch_ids(target_dir)
+    if not applied:
+        raise RuntimeError("drain committed no batches — nothing to replay")
+    # the redelivery: same batch_id, superset payload -> must be a no-op
+    upsert(spark.read.parquet(stage_dir), max(applied))
+    if _applied_batch_ids(target_dir) != applied:
+        raise RuntimeError("replayed batch mutated the applied-batch log")
+    return (
+        spark.read.parquet(target_dir)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("sum_value").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def run_streaming_cms(
     spark,
     src_df: DataFrame,
@@ -592,7 +688,7 @@ def run_streaming_decay_rescale(
     only in float ulps (~1e-16 relative per factor, ≤ #batches factors),
     so the drained sums sit within ~1e-9 of the one-shot batch sums —
     the registered query rounds at 3 decimals, 5+ orders of magnitude of
-    margin, and ``tests/test_streaming.py`` pins the raw gap at 1e-6.
+    margin, and ``tests/test_decay_rescale.py`` pins the raw gap at 1e-6.
     All per-batch work is dataflow (1-row broadcast reference joins, the
     same shape as the fixed-reference variant); the state swap is
     read-combine-swap on parquet exactly like ``run_foreachbatch_upsert``
@@ -613,6 +709,9 @@ def run_streaming_decay_rescale(
     us_h = 3600000000.0  # microseconds per hour
 
     def rescale_merge(batch_df, batch_id):
+        applied = _applied_batch_ids(target_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: rescale+fold already committed
         ss = batch_df.sparkSession
         bmax = batch_df.agg(F.unix_micros(F.max("ts")).alias("b_ref"))
         have_state = os.path.exists(target_dir)
@@ -683,6 +782,7 @@ def run_streaming_decay_rescale(
             )
         nxt = target_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
+        _mark_applied(nxt, batch_id, applied)  # commits atomically with swap
         shutil.rmtree(target_dir, ignore_errors=True)
         os.rename(nxt, target_dir)
 
@@ -766,6 +866,9 @@ def run_streaming_lsh_index(
     )
 
     def fold(batch_df, batch_id):
+        applied = _applied_batch_ids(index_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: bands+pairs already appended
         ss = batch_df.sparkSession
         bands = lsh_band_rows(
             with_minhash(batch_df, k=k), "doc_id", k, rows_per_band
@@ -815,6 +918,11 @@ def run_streaming_lsh_index(
             pairs = within
         pairs.distinct().write.mode("append").parquet(pairs_dir)
         bands.write.mode("append").parquet(index_dir)
+        # append-style state: the marker is written AFTER both appends, so a
+        # crash between append and mark redelivers and re-appends (duplicate
+        # band rows inflate hot-band counts).  Delta's txn log closes that
+        # window; on plain parquet this narrows it to the mark write.
+        _mark_applied(index_dir, batch_id, applied)
 
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q = (
@@ -1080,11 +1188,19 @@ def _upsert_counts_fn(target_dir: str):
     """foreachBatch body shared by run_foreachbatch_upsert-style runners:
     aggregate the micro-batch per user and MERGE (full-outer combine +
     atomic directory swap) into the parquet target; sums carried as
-    DECIMAL(38,12) so batch boundaries cannot skew the fold."""
+    DECIMAL(38,12) so batch boundaries cannot skew the fold.  Replays of a
+    committed batch_id are no-ops (``_applied_batch_ids``).  The merge key
+    is a plain (null-rejecting) join: a NULL user_id group would accumulate
+    one row per batch instead of folding — switch to ``eqNullSafe`` or
+    route the NULL group explicitly if the corpus ever grows NULL keys
+    (none today; groupBy emits at most one NULL-key row per batch)."""
     import os
     import shutil
 
     def upsert(batch_df, batch_id):
+        applied = _applied_batch_ids(target_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: fold already committed, no-op
         agg = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(38,12)")).alias("sum_value"),
@@ -1116,6 +1232,7 @@ def _upsert_counts_fn(target_dir: str):
             merged = agg
         nxt = target_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
+        _mark_applied(nxt, batch_id, applied)  # commits atomically with swap
         shutil.rmtree(target_dir, ignore_errors=True)
         os.rename(nxt, target_dir)
 

@@ -48,30 +48,46 @@ def test_recovery_equals_batch_and_fresh_ckpt_double_counts(spark):
         commits = os.listdir(str(Path(d) / "ckpt" / "commits"))
         assert len([c for c in commits if not c.endswith(".tmp")]) >= 5
 
-        # NEGATIVE CONTROL — rerun the second half against the same target
-        # with a FRESH checkpoint: the file-source log is gone, so every
-        # stage file (both halves) is reprocessed and the first half
-        # double-folds. This is the failure mode the oracle would catch.
+        # SINCE r7 the fold carries an applied-batch sidecar (the parquet
+        # analog of Delta txnAppId/txnVersion): a FRESH checkpoint re-reads
+        # every stage file, but its batch ids 0..7 are all in the applied
+        # log, so every redelivered fold is a no-op and the state is
+        # UNCHANGED — the at-least-once redelivery hazard this test used to
+        # demonstrate is closed.
         stage = str(Path(d) / "stage")
         target = str(Path(d) / "target")
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .format("parquet")
-            .option("path", stage)
-            .option("maxFilesPerTrigger", 1)
-            .load()
-        )
-        q = (
-            stream.writeStream.foreachBatch(_upsert_counts_fn(target))
-            .option("checkpointLocation", str(Path(d) / "ckpt_fresh"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q, 180)
-        doubled = {
-            r["user_id"]: r["n_events"]
-            for r in spark.read.parquet(target).collect()
-        }
+
+        def fresh_drain(ckpt_name):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .format("parquet")
+                .option("path", stage)
+                .option("maxFilesPerTrigger", 1)
+                .load()
+            )
+            q = (
+                stream.writeStream.foreachBatch(_upsert_counts_fn(target))
+                .option("checkpointLocation", str(Path(d) / ckpt_name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q, 180)
+            return {
+                r["user_id"]: r["n_events"]
+                for r in spark.read.parquet(target).collect()
+            }
+
+        replayed = fresh_drain("ckpt_fresh")
+        assert all(
+            replayed[u] == want[u][0] for u in want
+        ), "guarded replays must be no-ops (state unchanged)"
+
+        # NEGATIVE CONTROL — delete the applied-batch sidecar: the guard is
+        # gone, every stage file re-folds, and the counts double.  Proves
+        # the sidecar (not the checkpoint) is what closes the replay hole —
+        # the failure mode the registered query's oracle would catch.
+        os.remove(os.path.join(target, "_applied_batches"))
+        doubled = fresh_drain("ckpt_fresh2")
         assert all(
             doubled[u] == 2 * want[u][0] for u in want
-        ), "fresh checkpoint must reprocess everything (double-count)"
+        ), "without the sidecar a fresh checkpoint must double-count"

@@ -103,9 +103,11 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 6: the
-    round-2-stale cohort (streaming/text/window families, roundtrips,
-    bucketed join, batch_sessionize — tier 3) must lead the window."""
+    of round-2 names rather than colliding with tier 1.  Round 7: the four
+    remaining round-2-stale verdicts (batch_sessionize, window_running_sum,
+    window_range_frame, window_ntile_dense_rank — tier 3) must finally land
+    in the window; the round-7 budget of (new registrations +
+    changed-since-verify) is capped so they do."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -117,20 +119,24 @@ def test_registration_order_is_tiered_by_driver_verdict():
     for n in names:
         if registry._tier(n) in (0, 1):
             assert n in window, n
-    # the round-2-stale cohort is now the stalest standing tier and must
-    # be inside the round-6 window
+    # the budget cap that guarantees the stale cohort lands: tiers 0+1
+    # together must leave >= 4 slots for the r2-stale names
+    n_head = sum(1 for t in tiers if t in (0, 1))
+    assert n_head <= 46, f"tier-0/1 head too large ({n_head}): r2-stale cohort pushed out"
+    # the four remaining round-2-stale verdicts are the stalest standing
+    # tier and must be inside the round-7 window
     for stale in (
-        "text_stats", "tumbling_window_agg", "window_lead_lag",
-        "csv_roundtrip", "bucketed_colocated_join", "batch_sessionize",
-        "stream_stream_join",
+        "batch_sessionize", "window_running_sum",
+        "window_range_frame", "window_ntile_dense_rank",
     ):
         assert stale in window, stale
     for probe, want in (
-        ("exact_quantile", 1), ("join_strategy_choice", 1),    # r6-changed
-        ("text_stats", 3), ("csv_roundtrip", 3),               # r2-latest
+        ("join_auto_dispatch", 1),                             # r7-changed
+        ("batch_sessionize", 3), ("window_running_sum", 3),    # r2-latest
         ("grouped_percentiles", 4), ("freq_tokens_cms", 4),    # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
         ("bpe_merge_loop", 6),                                 # r5-latest
+        ("exact_quantile", 7), ("text_stats", 7),              # r6-latest
     ):
         assert registry._tier(probe) == want, probe
 
