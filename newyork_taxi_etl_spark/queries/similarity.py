@@ -1357,3 +1357,116 @@ def ann_truncation_recall(spark, sf_dir):
             "recall"
         ),
     ).orderBy("dim")
+
+
+@register(
+    "ann_cascade_rerank",
+    f"""
+    WITH short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_COS_SQL.format(a='q.embedding[1:16]', b='c.embedding[1:16]')}
+                 AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) s QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) <= 50
+    ),
+    rr AS (
+      SELECT query_id, cand_id FROM (
+        SELECT s.query_id, s.cand_id,
+               {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.cand_id
+      ) t QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) <= 10
+    ),
+    bf AS ({_trunc_pairs_sql(64)}),
+    d16 AS ({_trunc_pairs_sql(16)})
+    SELECT CAST(50 AS INT) AS shortlist_m,
+           (SELECT COUNT(*) FROM d16 JOIN bf USING (query_id, cand_id))
+             AS hits_direct,
+           (SELECT COUNT(*) FROM rr JOIN bf USING (query_id, cand_id))
+             AS hits_cascade,
+           (SELECT COUNT(*) FROM bf) AS total,
+           ROUND(CAST((SELECT COUNT(*) FROM d16 JOIN bf
+                       USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall_direct,
+           ROUND(CAST((SELECT COUNT(*) FROM rr JOIN bf
+                       USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall_cascade
+    """,
+    doc="the two-stage cascade ann_truncation_recall's curve priced (r6 "
+    "verdict optional (c)): stage 1 scans the CHEAP 16-dim prefix and "
+    "keeps a 50-candidate shortlist per query (4x less FLOPs and memory "
+    "bandwidth than full-dim); stage 2 re-scores ONLY the shortlist at "
+    "full 64 dims and keeps the top-10.  Output pins recall@10 of the "
+    "direct truncated search (recall_direct — the price of stopping at "
+    "stage 1) against the cascade (recall_cascade — what the rerank buys "
+    "back); tests/test_quality_gates.py floors the lift.  Scale shape: "
+    "stage 1 is the same broadcast-queries x corpus scan as "
+    "ann_bruteforce_topk but on a quarter of the bytes (at 100 TB the "
+    "prefix column is a separate narrow parquet column — column pruning "
+    "reads ONLY it); stage 2 touches 50 rows per query however large the "
+    "corpus, joined by id against the full-width table",
+)
+def ann_cascade_rerank(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5)
+    t = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    tq = q.withColumn("embedding", F.slice("embedding", 1, 16))
+
+    # stage 1: truncated scan, 50-candidate shortlist (rank column kept so
+    # the direct-search top-10 is the same scan's prefix, scanned once)
+    short = S.brute_force_topk(t, tq, k=50).localCheckpoint(eager=True)
+    d16 = short.filter(F.col("rank") <= 10).select("query_id", "cand_id")
+
+    # stage 2: full-dim re-rank of the shortlist only
+    cvec = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec"))
+    qvec = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    rr = (
+        short.select("query_id", "cand_id")
+        .join(cvec, "cand_id")
+        .join(broadcast(qvec), "query_id")
+        .select(
+            "query_id", "cand_id",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id")
+    )
+
+    bf = (
+        S.brute_force_topk(emb, q, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    hits_d = (
+        d16.join(bf, ["query_id", "cand_id"], "semi")
+        .agg(F.count(F.lit(1)).alias("hits_direct"))
+    )
+    hits_c = (
+        rr.join(bf, ["query_id", "cand_id"], "semi")
+        .agg(F.count(F.lit(1)).alias("hits_cascade"))
+    )
+    return (
+        hits_d.crossJoin(broadcast(hits_c))
+        .crossJoin(broadcast(total))
+        .select(
+            F.lit(50).cast("int").alias("shortlist_m"),
+            "hits_direct",
+            "hits_cascade",
+            "total",
+            F.round(F.col("hits_direct").cast("double") / F.col("total"), 6)
+            .alias("recall_direct"),
+            F.round(F.col("hits_cascade").cast("double") / F.col("total"), 6)
+            .alias("recall_cascade"),
+        )
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from newyork_taxi_etl_spark.functions.exact import (
     avg_exact,
     avg_exact_sql,
+    sum_exact,
     sum_exact_sql,
 )
 from newyork_taxi_etl_spark.registry import register
@@ -765,4 +766,82 @@ def small_file_compaction(spark, sf_dir):
         F.lit(bool(n_after < n_before)).alias("files_reduced"),
         F.count(F.lit(1)).cast("bigint").alias("row_cnt"),
         sum_exact("o_totalprice").alias("price_checksum"),
+    )
+
+
+@register(
+    "compaction_concurrent_read",
+    f"""
+    SELECT TRUE AS files_reduced,
+           CAST(COUNT(*) AS BIGINT) AS rows_snapshot,
+           CAST(COUNT(*) AS BIGINT) AS rows_compacted,
+           {sum_exact_sql('o_totalprice')} AS snapshot_checksum,
+           {sum_exact_sql('o_totalprice')} AS compacted_checksum
+    FROM orders
+    """,
+    doc="compaction under CONCURRENT READ (r6 verdict optional (b) — the "
+    "snapshot-isolation rung of the warehouse story): the table lives in "
+    "generation directories behind a tiny _current pointer file; a reader "
+    "resolves the pointer ONCE and holds gen0 while the compactor writes "
+    "gen1 (coalesce(2), never touching gen0's immutable files) and then "
+    "swaps the pointer with an atomic os.replace.  The old reader — "
+    "collected AFTER the swap — still sees its complete, consistent gen0 "
+    "snapshot; a fresh reader resolves gen1.  The oracle value-checks "
+    "that BOTH snapshots equal the source (row count + decimal checksum "
+    "each): an in-place rewrite would tear the old reader's file list "
+    "mid-scan and fail the compare.  This is exactly the discipline "
+    "Delta/Iceberg mechanize with a transaction log; on plain parquet "
+    "the pointer file IS the single-table log, and readers of "
+    "superseded generations keep working until a retention sweep "
+    "removes them.",
+)
+def compaction_concurrent_read(spark, sf_dir):
+    import atexit
+    import glob
+
+    base = tempfile.mkdtemp(prefix="nyetl_genswap_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    pointer = os.path.join(base, "_current")
+
+    def write_pointer(gen):
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, pointer)  # atomic: readers see old or new, never torn
+
+    def resolve():
+        with open(pointer) as f:
+            return os.path.join(base, f.read().strip())
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    gen0 = os.path.join(base, "gen0")
+    orders.repartition(16).write.mode("overwrite").parquet(gen0)
+    write_pointer("gen0")
+
+    # the concurrent reader: resolves the pointer BEFORE compaction and
+    # holds gen0's immutable file set through the swap
+    old_snapshot = spark.read.parquet(resolve())
+
+    gen1 = os.path.join(base, "gen1")
+    spark.read.parquet(gen0).coalesce(2).write.mode("overwrite").parquet(gen1)
+    write_pointer("gen1")  # the ONLY mutation the table ever sees
+
+    new_snapshot = spark.read.parquet(resolve())
+    n0 = len(glob.glob(os.path.join(gen0, "*.parquet")))
+    n1 = len(glob.glob(os.path.join(gen1, "*.parquet")))
+
+    old_agg = old_snapshot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_snapshot"),
+        sum_exact("o_totalprice").alias("snapshot_checksum"),
+    )
+    new_agg = new_snapshot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_compacted"),
+        sum_exact("o_totalprice").alias("compacted_checksum"),
+    )
+    return old_agg.crossJoin(new_agg).select(
+        F.lit(bool(n1 < n0)).alias("files_reduced"),
+        "rows_snapshot",
+        "rows_compacted",
+        "snapshot_checksum",
+        "compacted_checksum",
     )

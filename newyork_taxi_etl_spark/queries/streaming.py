@@ -493,6 +493,69 @@ def stream_stream_outer_join(spark, sf_dir):
     return W.run_stream_stream_outer_join(spark, read_events(spark, sf_dir), stage)
 
 
+_SS_TWO_SIDED_ORACLE = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id, ts FROM t WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id, ts FROM t WHERE event_type = 'click'),
+    j AS (
+      SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+             p.event_id AS purchase_id, c.event_id AS click_id
+      FROM p {join_kw} JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN purchase_id IS NOT NULL
+                            AND click_id IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(CASE WHEN click_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_only_purchase,
+           CAST(COUNT(CASE WHEN purchase_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_only_click
+    FROM j
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+@register(
+    "stream_stream_full_outer_join",
+    _SS_TWO_SIDED_ORACLE.format(join_kw="FULL OUTER"),
+    doc="stream-stream FULL OUTER join (completes the outer-join matrix: "
+    "inner / left / full / right now all exercised): purchases x clicks "
+    "within a 30-min event-time range, both sides watermarked at 1 hour, "
+    "trailing sentinel pushing the watermark past every real match window "
+    "so held state on BOTH sides flushes null-extended — unmatched "
+    "purchases AND unmatched clicks, the state the left join silently "
+    "discards. Folded per user (pairs, purchase-only, click-only), "
+    "value-identical to this batch FULL JOIN twin",
+)
+def stream_stream_full_outer_join(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssfull_stage")
+    return W.run_stream_stream_two_sided_outer(
+        spark, read_events(spark, sf_dir), stage, "fullOuter"
+    )
+
+
+@register(
+    "stream_stream_right_outer_join",
+    _SS_TWO_SIDED_ORACLE.format(join_kw="RIGHT OUTER"),
+    doc="stream-stream RIGHT OUTER join (the time-interval right-outer leg "
+    "of the matrix): clicks preserved — an unmatched click null-extends "
+    "once the watermark proves no purchase window can still claim it; "
+    "n_only_purchase is structurally 0 (purchase side not preserved), "
+    "pinned by the oracle",
+)
+def stream_stream_right_outer_join(spark, sf_dir):
+    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssright_stage")
+    return W.run_stream_stream_two_sided_outer(
+        spark, read_events(spark, sf_dir), stage, "rightOuter"
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas ships its state protocol over protobuf;
     this environment has no ``google.protobuf`` (and installs are off

@@ -1080,6 +1080,127 @@ def run_stream_stream_outer_join(
     )
 
 
+def run_stream_stream_two_sided_outer(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    join_type: str,
+    watermark: str = "1 hour",
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER / RIGHT OUTER join — completes
+    the outer-join matrix beside :func:`run_stream_stream_outer_join`'s
+    LEFT OUTER (r6 verdict optional (a); that verified runner is left
+    untouched — this one parametrizes the join type and reports BOTH
+    unmatched directions).
+
+    Same mechanics as the left-outer runner: time-ordered mtime-stamped
+    3-slice stage; both sides watermarked small (1h) so unmatched state
+    really expires mid-drain; a trailing sentinel purchase+click pair at
+    corpus-max + 100h pushes the global watermark past every real match
+    window, flushing held null-extended rows on BOTH sides before the
+    AvailableNow drain ends.  fullOuter additionally emits unmatched
+    CLICKS (purchase-side nulls) — the state the left join silently
+    discards; rightOuter preserves clicks only.  The drained set equals
+    the batch FULL/RIGHT JOIN with the same time-range condition, folded
+    per user into (n_pairs, n_only_purchase, n_only_click).
+    """
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql.window import Window
+
+    assert join_type in ("fullOuter", "rightOuter")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _append_stamped(df, seq):
+        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
+        df.coalesce(1).write.mode("append").parquet(stage_dir)
+        t = 1_600_000_000 + seq * 10
+        for f in os.listdir(stage_dir):
+            if f not in before:
+                os.utime(os.path.join(stage_dir, f), (t, t))
+
+    sliced = src_df.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("ts"))
+    )
+    for i in (1, 2, 3):
+        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
+
+    mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    s_ts = mx + timedelta(hours=100)
+    sent = spark.createDataFrame(
+        [(-1, s_ts, -1, "purchase", 0.0, None), (-2, s_ts, -1, "click", 0.0, None)],
+        src_df.schema,
+    )
+    _append_stamped(sent, 4)
+
+    def _stream():
+        return (
+            spark.readStream.schema(src_df.schema)
+            .format("parquet")
+            .option("path", stage_dir)
+            .option("maxFilesPerTrigger", 1)
+            .load()
+        )
+
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        join_type,
+    )
+    name = f"ss2outer_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    uid = F.coalesce(F.col("p_user"), F.col("c_user"))
+    return (
+        spark.table(name)
+        .filter(uid >= 0)  # sentinels match only themselves; drop them
+        .groupBy(uid.alias("user_id"))
+        .agg(
+            F.count(F.when(F.col("purchase_id").isNotNull()
+                           & F.col("click_id").isNotNull(), 1))
+            .cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("click_id").isNull(), 1))
+            .cast("bigint").alias("n_only_purchase"),
+            F.count(F.when(F.col("purchase_id").isNull(), 1))
+            .cast("bigint").alias("n_only_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def run_transform_with_state_stats(
     spark,
     src_df: DataFrame,

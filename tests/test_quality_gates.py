@@ -296,3 +296,16 @@ def test_sample_k_per_group_exact_quota_and_invariance(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_cascade_rerank_lift_floor(spark):
+    """The two-stage cascade must buy back real recall: at sf0.01 the
+    full-dim rerank of the 50-candidate truncated shortlist reaches 0.48
+    recall@10 vs 0.18 for the direct 16-dim search — floor the lift at
+    +0.2 so a broken stage-2 (or a shortlist that stopped covering the
+    true top-10) fails even when both engines agree."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    row = queries()["ann_cascade_rerank"](spark, SF_ORACLE).collect()[0]
+    assert row["total"] > 0
+    assert row["recall_cascade"] >= row["recall_direct"] + 0.2, row

@@ -108,3 +108,37 @@ def test_degenerate_sizes(spark):
     empty = spark.createDataFrame([], "v double")
     row = exact_quantiles(empty, "v", [0.5]).collect()[0]
     assert row["p0_5"] is None
+
+
+def test_adversarial_partitioning_constant_column(spark):
+    """r6 verdict watch-item probe: shuffle.partitions at both extremes (1
+    and 257) with a CONSTANT column — 1M+ duplicates, every row in the same
+    range bucket, so one partition holds everything however many partitions
+    the conf requests — must stay bit-equal to percentile().  Also the
+    almost-constant variant (a handful of off-values), where interpolation
+    must still land inside the constant run exactly."""
+    probs = [0.0, 0.5, 0.999, 1.0]
+    arr = ", ".join(f"{p}D" for p in probs)
+
+    const = F.lit(42.5) - (F.col("id") * 0).cast("double")
+    big = spark.range(0, 1_100_000, 1, 8).select(const.alias("v"))
+    mixed = spark.range(0, 1_100_000, 1, 8).select(
+        F.when(F.col("id") < 100, F.col("id").cast("double") - 1e6)
+        .otherwise(F.lit(42.5))
+        .alias("v")
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in ("1", "257"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for df in (big, mixed):
+                want = df.agg(
+                    F.expr(f"percentile(v, array({arr}))").alias("ps")
+                ).collect()[0]["ps"]
+                got = exact_quantiles(df, "v", probs).collect()[0]
+                for p, w in zip(probs, want):
+                    key = f"p{str(p).replace('.', '_')}"
+                    assert got[key] == round(w, 6), (n_part, p, w, got[key])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
