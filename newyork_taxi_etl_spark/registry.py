@@ -228,6 +228,15 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # file-count literals; layout claims moved to tests/test_compaction.py)
     # + mkdtemp-unique work dirs (ADVICE items).
     "small_file_compaction",
+    # r7: the foreachBatch merge keys moved to eqNullSafe + coalesced key
+    # output (ADVICE r6 item 4) — a NULL key now folds instead of
+    # accumulating one duplicate row per micro-batch.  Unreachable on the
+    # current corpus (no NULL user_id/event_type) but the fold semantics
+    # changed; all four queries sharing the bodies re-verify.
+    "streaming_upsert_counts",
+    "streaming_decay_rescale",
+    "foreachbatch_idempotent_replay",
+    "streaming_checkpoint_recovery",
 })
 
 

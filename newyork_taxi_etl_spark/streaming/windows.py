@@ -755,14 +755,20 @@ def run_streaming_decay_rescale(
             )
             merged = (
                 prev.select(
-                    "event_type",
+                    F.col("event_type").alias("k_prev"),
                     F.col("n_events").alias("n0"),
                     F.col("score").alias("s0"),
                 )
-                .join(agg, "event_type", "full_outer")
+                # eqNullSafe merge key (same contract as _upsert_counts_fn):
+                # a NULL event_type group folds instead of duplicating
+                .join(
+                    agg.withColumnRenamed("event_type", "k_new"),
+                    F.col("k_prev").eqNullSafe(F.col("k_new")),
+                    "full_outer",
+                )
                 .crossJoin(F.broadcast(refs))
                 .select(
-                    "event_type",
+                    F.coalesce("k_prev", "k_new").alias("event_type"),
                     (
                         F.coalesce("n0", F.lit(0)) + F.coalesce("b_n", F.lit(0))
                     ).cast("bigint").alias("n_events"),
@@ -1311,10 +1317,12 @@ def _upsert_counts_fn(target_dir: str):
     atomic directory swap) into the parquet target; sums carried as
     DECIMAL(38,12) so batch boundaries cannot skew the fold.  Replays of a
     committed batch_id are no-ops (``_applied_batch_ids``).  The merge key
-    is a plain (null-rejecting) join: a NULL user_id group would accumulate
-    one row per batch instead of folding — switch to ``eqNullSafe`` or
-    route the NULL group explicitly if the corpus ever grows NULL keys
-    (none today; groupBy emits at most one NULL-key row per batch)."""
+    compares with ``eqNullSafe`` (ADVICE r6): groupBy emits at most one
+    NULL-key row per batch, and a null-rejecting join would accumulate one
+    duplicate NULL row per micro-batch instead of folding it — with dirty
+    keys at scale that is unbounded state growth.  The output key is
+    ``coalesce(k_prev, k_new)`` (NULL stays NULL; both sides NULL only on
+    the matched NULL group)."""
     import os
     import shutil
 
@@ -1330,13 +1338,17 @@ def _upsert_counts_fn(target_dir: str):
             prev = batch_df.sparkSession.read.parquet(target_dir)
             merged = (
                 prev.select(
-                    "user_id",
+                    F.col("user_id").alias("k_prev"),
                     F.col("n_events").alias("n0"),
                     F.col("sum_value").alias("s0"),
                 )
-                .join(agg, "user_id", "full_outer")
+                .join(
+                    agg.withColumnRenamed("user_id", "k_new"),
+                    F.col("k_prev").eqNullSafe(F.col("k_new")),
+                    "full_outer",
+                )
                 .select(
-                    "user_id",
+                    F.coalesce("k_prev", "k_new").alias("user_id"),
                     (
                         F.coalesce("n0", F.lit(0))
                         + F.coalesce("n_events", F.lit(0))

@@ -91,3 +91,30 @@ def test_recovery_equals_batch_and_fresh_ckpt_double_counts(spark):
         assert all(
             doubled[u] == 2 * want[u][0] for u in want
         ), "without the sidecar a fresh checkpoint must double-count"
+
+
+def test_upsert_fold_is_nullsafe_on_key(spark, tmp_path):
+    """A NULL user_id group FOLDS across micro-batches (eqNullSafe merge,
+    ADVICE r6) — a null-rejecting join would leave one duplicate NULL row
+    per batch, i.e. unbounded state growth under dirty keys at scale."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.streaming.windows import _upsert_counts_fn
+
+    target = str(tmp_path / "state")
+    fold = _upsert_counts_fn(target)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id bigint, value double"
+    )
+    fold(mk([(None, 1.0), (None, 2.0), (7, 10.0)]), 0)
+    fold(mk([(None, 4.0), (7, 1.0), (8, 5.0)]), 1)
+    fold(mk([(None, 4.0), (7, 1.0), (8, 5.0)]), 1)  # replayed: no-op
+
+    state = {
+        r["user_id"]: (r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert len(state) == 3  # exactly ONE NULL-key row, not one per batch
+    assert state[None] == (3, 7.0)
+    assert state[7] == (2, 11.0)
+    assert state[8] == (1, 5.0)
