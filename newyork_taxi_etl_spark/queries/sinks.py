@@ -30,6 +30,12 @@ from newyork_taxi_etl_spark.sources.writers import (
 )
 
 
+def _workdir(name: str) -> str:
+    """Per-process-unique scratch dir: concurrent drivers / parallel test
+    workers never race on a shared sink path (ADVICE r6, generalized)."""
+    return os.path.join(tempfile.gettempdir(), f"nyetl_{name}_{os.getpid()}")
+
+
 @register(
     "partitioned_write_pruned_read",
     """
@@ -49,7 +55,7 @@ from newyork_taxi_etl_spark.sources.writers import (
     "against the source-of-truth aggregate",
 )
 def partitioned_write_pruned_read(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "nyetl_partitioned_events")
+    out = _workdir("partitioned_events")
     shutil.rmtree(out, ignore_errors=True)
     df = (
         read_events(spark, sf_dir)
@@ -84,7 +90,7 @@ def partitioned_write_pruned_read(spark, sf_dir):
     "never change query results, only file-skipping selectivity)",
 )
 def zorder_approx_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "nyetl_zordered_events")
+    out = _workdir("zordered_events")
     shutil.rmtree(out, ignore_errors=True)
     df = read_events(spark, sf_dir)
     write_zordered_approx(df, out, ["user_id", "event_type"], target_files=8)
@@ -218,7 +224,7 @@ if HAVE_DELTA:  # pragma: no cover - activates when delta-spark is installed
         "delta-spark is importable (probe in sources/writers.py)",
     )
     def delta_roundtrip_zorder(spark, sf_dir):
-        out = os.path.join(tempfile.gettempdir(), "nyetl_delta_events")
+        out = _workdir("delta_events")
         shutil.rmtree(out, ignore_errors=True)
         df = (
             read_events(spark, sf_dir)
@@ -323,7 +329,7 @@ _ROUNDTRIP_ORACLE = f"""
     "repr double formatting reparses exactly)",
 )
 def csv_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "nyetl_events_csv")
+    out = _workdir("events_csv")
     shutil.rmtree(out, ignore_errors=True)
     ev = read_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
@@ -343,7 +349,7 @@ def csv_roundtrip(spark, sf_dir):
     "most raw training-data drops arrive in), schema supplied on read",
 )
 def jsonl_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "nyetl_events_jsonl")
+    out = _workdir("events_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     ev = read_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
@@ -363,7 +369,7 @@ def jsonl_roundtrip(spark, sf_dir):
     "value-checked contract",
 )
 def orc_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "nyetl_events_orc")
+    out = _workdir("events_orc")
     shutil.rmtree(out, ignore_errors=True)
     ev = read_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
@@ -516,7 +522,7 @@ def cdc_merge_apply(spark, sf_dir):
 def schema_evolution_read(spark, sf_dir):
     import shutil
 
-    out = os.path.join(tempfile.gettempdir(), "nyetl_schema_evo")
+    out = _workdir("schema_evo")
     shutil.rmtree(out, ignore_errors=True)
     orders = spark.read.parquet(table_path(sf_dir, "orders"))
     orders.filter(F.col("o_orderkey") % 2 == 0).select(

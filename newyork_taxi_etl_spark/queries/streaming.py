@@ -21,6 +21,13 @@ from newyork_taxi_etl_spark.sources.readers import read_events
 from newyork_taxi_etl_spark.streaming import windows as W
 
 
+def _workdir(name: str) -> str:
+    """Per-process-unique scratch dir: concurrent drivers / parallel test
+    workers never race on a shared stage path (ADVICE r6, generalized from
+    the compaction/checkpoint fix to every staged streaming query)."""
+    return os.path.join(tempfile.gettempdir(), f"nyetl_{name}_{os.getpid()}")
+
+
 @register(
     "tumbling_window_agg",
     """
@@ -112,7 +119,7 @@ def session_window_agg(spark, sf_dir):
     "runtime itself is under the correctness gate",
 )
 def structured_streaming_availablenow(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_stream_stage")
+    stage = _workdir("stream_stage")
     return W.run_stream_availablenow(spark, read_events(spark, sf_dir), stage)
 
 
@@ -130,7 +137,7 @@ def structured_streaming_availablenow(spark, sf_dir):
     "original source, which the oracle value-checks",
 )
 def streaming_dedup_within_watermark(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_dedup_stage")
+    stage = _workdir("dedup_stage")
     return W.run_streaming_dedup(spark, read_events(spark, sf_dir), stage)
 
 
@@ -148,7 +155,7 @@ def streaming_dedup_within_watermark(spark, sf_dir):
     "batch aggregate, so the oracle fully value-checks the stateful path",
 )
 def stateful_user_stats(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_stateful_stage")
+    stage = _workdir("stateful_stage")
     return W.run_stateful_user_stats(spark, read_events(spark, sf_dir), stage)
 
 
@@ -174,7 +181,7 @@ def stateful_user_stats(spark, sf_dir):
     "against the batch time-range join",
 )
 def stream_stream_join(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssjoin_stage")
+    stage = _workdir("ssjoin_stage")
     return W.run_stream_stream_join(spark, read_events(spark, sf_dir), stage)
 
 
@@ -197,8 +204,8 @@ def stream_stream_join(spark, sf_dir):
     "value-checked by the oracle",
 )
 def streaming_upsert_counts(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_upsert_stage")
-    target = os.path.join(tempfile.gettempdir(), "nyetl_upsert_target")
+    stage = _workdir("upsert_stage")
+    target = _workdir("upsert_target")
     return W.run_foreachbatch_upsert(
         spark, read_events(spark, sf_dir), stage, target
     )
@@ -225,8 +232,8 @@ def streaming_upsert_counts(spark, sf_dir):
     "every replayed row double-folds and the hash compare fails",
 )
 def foreachbatch_idempotent_replay(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_replay_stage")
-    target = os.path.join(tempfile.gettempdir(), "nyetl_replay_target")
+    stage = _workdir("replay_stage")
+    target = _workdir("replay_target")
     return W.run_upsert_replay_proof(
         spark, read_events(spark, sf_dir), stage, target
     )
@@ -253,7 +260,7 @@ def foreachbatch_idempotent_replay(spark, sf_dir):
     "restarts, replicas, and batch backfills at 100 TB",
 )
 def streaming_cms_counters(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_cms_stage")
+    stage = _workdir("cms_stage")
     return W.run_streaming_cms(spark, read_events(spark, sf_dir), stage)
 
 
@@ -286,7 +293,7 @@ def streaming_static_enrich(spark, sf_dir):
     dim = spark.read.parquet(table_path(sf_dir, "nation")).select(
         "n_nationkey", "n_name"
     )
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_enrich_stage")
+    stage = _workdir("enrich_stage")
     return W.run_stream_static_enrich(
         spark, read_events(spark, sf_dir), dim, stage
     )
@@ -329,7 +336,7 @@ def streaming_decayed_scores(spark, sf_dir):
 
     ev = read_events(spark, sf_dir)
     ref = ev.agg(F.max("ts").alias("mx_ts"))
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_decay_stage")
+    stage = _workdir("decay_stage")
     return W.run_streaming_decayed_scores(spark, ev, ref, stage)
 
 
@@ -371,8 +378,8 @@ def streaming_decay_rescale(spark, sf_dir):
     import tempfile
 
     ev = read_events(spark, sf_dir)
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_rescale_stage")
-    target = os.path.join(tempfile.gettempdir(), "nyetl_rescale_state")
+    stage = _workdir("rescale_stage")
+    target = _workdir("rescale_state")
     return W.run_streaming_decay_rescale(spark, ev, stage, target)
 
 
@@ -446,7 +453,7 @@ def streaming_lsh_index_dedup(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     corpus = docs.unionAll(dups)
-    base = os.path.join(tempfile.gettempdir(), "nyetl_lshidx")
+    base = _workdir("lshidx")
     return W.run_streaming_lsh_index(
         spark, corpus, base + "_stage", base + "_index", base + "_pairs"
     )
@@ -489,7 +496,7 @@ def streaming_lsh_index_dedup(spark, sf_dir):
     "the oracle gates the watermark mechanics themselves",
 )
 def stream_stream_outer_join(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssouter_stage")
+    stage = _workdir("ssouter_stage")
     return W.run_stream_stream_outer_join(spark, read_events(spark, sf_dir), stage)
 
 
@@ -534,7 +541,7 @@ _SS_TWO_SIDED_ORACLE = """
     "value-identical to this batch FULL JOIN twin",
 )
 def stream_stream_full_outer_join(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssfull_stage")
+    stage = _workdir("ssfull_stage")
     return W.run_stream_stream_two_sided_outer(
         spark, read_events(spark, sf_dir), stage, "fullOuter"
     )
@@ -550,7 +557,7 @@ def stream_stream_full_outer_join(spark, sf_dir):
     "pinned by the oracle",
 )
 def stream_stream_right_outer_join(spark, sf_dir):
-    stage = os.path.join(tempfile.gettempdir(), "nyetl_ssright_stage")
+    stage = _workdir("ssright_stage")
     return W.run_stream_stream_two_sided_outer(
         spark, read_events(spark, sf_dir), stage, "rightOuter"
     )
@@ -600,7 +607,7 @@ if tws_available():
         "strictly-increasing count",
     )
     def transform_with_state_stats(spark, sf_dir):
-        stage = os.path.join(tempfile.gettempdir(), "nyetl_tws_stage")
+        stage = _workdir("tws_stage")
         return W.run_transform_with_state_stats(
             spark, read_events(spark, sf_dir), stage
         )
