@@ -1213,3 +1213,140 @@ def grouped_quantile_pandas_agg(spark, sf_dir):
         .select("event_type", "n", "p25", "p75", "iqr")
         .orderBy("event_type")
     )
+
+
+@register(
+    "grouped_mode_median_disc",
+    """
+    WITH freq AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    best AS (
+      SELECT event_type, user_id, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY cnt DESC, user_id) AS INT) AS rk
+      FROM freq
+    ),
+    vals AS (
+      SELECT event_type, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS BIGINT) AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, value AS median_disc
+      FROM vals WHERE pos = CAST(CEIL(n / 2.0) AS BIGINT)
+    )
+    SELECT b.event_type, b.user_id AS mode_user, b.cnt AS mode_cnt,
+           ROUND(m.median_disc, 6) AS median_disc
+    FROM best b JOIN med m ON b.event_type = m.event_type
+    WHERE b.rk = 1
+    ORDER BY b.event_type
+    """,
+    doc="DETERMINIZED mode + discrete median per group — the two order "
+    "statistics whose built-ins are tie-ambiguous across engines (Spark "
+    "mode() and DuckDB mode() both pick an arbitrary winner on equal "
+    "counts; percentile_disc semantics differ at even n), re-expressed "
+    "with explicit total orders: mode = (count DESC, user_id) rank 1 — "
+    "smallest most-frequent user; discrete median = the value at row "
+    "ceil(n/2) of (value, event_id) order — always an OBSERVED value, "
+    "unlike interpolating percentile(). Scale: mode is two map-side-"
+    "combining aggregates (events collapse to O(type x user) before the "
+    "window, which then ranks O(users) rows per type); the median "
+    "window partitions by event_type so no global sort appears.",
+)
+def grouped_mode_median_disc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    freq = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_mode = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), "user_id"
+    )
+    best = (
+        freq.withColumn("rk", F.row_number().over(w_mode))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"),
+                F.col("cnt").alias("mode_cnt"))
+    )
+    nn = ev.filter(F.col("value").isNotNull())
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    med = (
+        nn.select(
+            "event_type",
+            "value",
+            F.row_number().over(w_val).cast("bigint").alias("pos"),
+            F.count(F.lit(1)).over(w_cnt).cast("bigint").alias("n"),
+        )
+        .filter(F.col("pos") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
+        .select("event_type", F.round("value", 6).alias("median_disc"))
+    )
+    return best.join(med, "event_type").orderBy("event_type")
+
+
+@register(
+    "nucleus_user_coverage",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM per_user),
+    runs AS (
+      SELECT user_id, cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_user
+    ),
+    kept AS (
+      SELECT r.user_id, r.cnt, r.cum
+      FROM runs r CROSS JOIN tot
+      WHERE r.cum - r.cnt < 0.8 * tot.n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user) AS n_users,
+           CAST(SUM(cnt) AS BIGINT) AS covered_events,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS total_events
+    FROM kept
+    """,
+    doc="top-p (nucleus) coverage cut: the SMALLEST prefix of users, by "
+    "activity, covering >= 80% of all events — the heavy-hitter "
+    "truncation rule (keep a prefix until the cumulative mass crosses "
+    "p), the same math as nucleus sampling's token cut. The cumulative "
+    "sum stays in BIGINT over an explicit total order (count DESC, "
+    "user_id), so the boundary row is engine-exact — no float "
+    "accumulation. Scale: events reduce to O(users) map-side first; "
+    "the prefix-sum window orders that reduced table only; the 1-row "
+    "total broadcasts into the threshold predicate.",
+)
+def nucleus_user_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_user.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy(F.col("cnt").desc(), "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = per_user.withColumn("cum", F.sum("cnt").over(w))
+    kept = runs.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum") - F.col("cnt") < F.lit(0.8) * F.col("n")
+    )
+    n_users = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return (
+        kept.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept_users"),
+            F.sum("cnt").cast("bigint").alias("covered_events"),
+            F.max("n").cast("bigint").alias("total_events"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select("n_kept_users", "n_users", "covered_events", "total_events")
+    )

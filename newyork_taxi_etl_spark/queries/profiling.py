@@ -998,3 +998,129 @@ def hll_sketch_merge_gate(spark, sf_dir):
         bound("merged_users").alias("merged_within_5pct"),
         bound("direct_users").alias("direct_within_5pct"),
     )
+
+
+@register(
+    "winsorized_group_stats",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             LEAST(GREATEST(e.value, c.p05), c.p95) AS v,
+             CASE WHEN e.value < c.p05 OR e.value > c.p95 THEN 1 ELSE 0
+             END AS is_clipped
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+      WHERE e.value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(is_clipped) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+    FROM clipped
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="per-group WINSORIZATION (the robust-stats step every metric "
+    "pipeline needs before a heavy-tailed mean): exact p05/p95 per "
+    "event_type via percentile(), values clipped into the band, "
+    "clip-count + clipped mean reported. Two aggregates over one scan "
+    "lineage: the cut table is O(groups) and broadcast back onto the "
+    "row stream, so the clip itself is a zero-shuffle projection — at "
+    "100 TB the only wide exchange is the per-group percentile (and "
+    "that can downgrade to approx_percentile with one line when a "
+    "sketch bound is acceptable). Mean summed in DECIMAL(38,12) "
+    "(order-independent, functions/exact.py) then rounded.",
+)
+def winsorized_group_stats(spark, sf_dir):
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    v = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        v.alias("v"),
+        (
+            (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+        ).cast("int").alias("is_clipped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("is_clipped").cast("bigint").alias("n_clipped"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quantile_binning_feature",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(n_chars, 0.25) AS c1,
+             quantile_cont(n_chars, 0.50) AS c2,
+             quantile_cont(n_chars, 0.75) AS c3
+      FROM documents
+    ),
+    binned AS (
+      SELECT CAST(CASE WHEN n_chars <= c1 THEN 0
+                  WHEN n_chars <= c2 THEN 1
+                  WHEN n_chars <= c3 THEN 2
+                  ELSE 3 END AS INT) AS bin,
+             n_chars
+      FROM documents CROSS JOIN cuts
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="equal-frequency feature binning (quantile discretization, the "
+    "ML-features standard for heavy-tailed columns): quartile cut points "
+    "computed once via exact percentile(), broadcast, and each row "
+    "assigned bin = #cuts below it — a zero-shuffle projection, NOT a "
+    "global NTILE window (which would move 100 TB to one task ordering; "
+    "with cut points the scan stays embarrassingly parallel and only "
+    "the O(1) cut computation is wide). Ties land in the LOWER bin on "
+    "both engines (<= against the interpolated cut), so bins are only "
+    "approximately equal-count under duplicates — the honest semantics "
+    "of quantile binning. Per-bin count/min/max verify the assignment.",
+)
+def quantile_binning_feature(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    cuts = docs.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("c1"),
+        F.percentile("n_chars", F.lit(0.50)).alias("c2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("c3"),
+    )
+    binned = docs.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("n_chars") <= F.col("c1"), 0)
+        .when(F.col("n_chars") <= F.col("c2"), 1)
+        .when(F.col("n_chars") <= F.col("c3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bin"),
+        "n_chars",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )

@@ -161,3 +161,127 @@ def sample_k_per_group(spark, sf_dir):
         .select("lang", "sample_rank", "doc_id", "n_chars")
         .orderBy("lang", "sample_rank")
     )
+
+
+_BUCKET_MYRIAD = ops.BUCKET_SQL.format(key="doc_id", n=10000)
+
+
+@register(
+    "temperature_mix_sampling",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (
+      SELECT MIN(n) AS n_min FROM counts
+    ),
+    rates AS (
+      SELECT lang, n,
+             CAST(LEAST(10000, FLOOR(
+               10000.0 * sqrt(CAST(n_min AS DOUBLE) / n)
+             )) AS BIGINT) AS rate_myriad
+      FROM counts CROSS JOIN floor_n
+    ),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE {_BUCKET_MYRIAD} < r.rate_myriad
+    )
+    SELECT r.lang, r.n AS n_docs, r.rate_myriad,
+           CAST(COUNT(k.lang) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+    GROUP BY r.lang, r.n, r.rate_myriad
+    ORDER BY r.lang
+    """,
+    doc="temperature-based language rebalancing (alpha = 0.5, the "
+    "multilingual-pretraining mix rule: target share proportional to "
+    "n_lang^alpha): each language keeps rate = (n_min/n_lang)^(1-alpha), "
+    "so the SMALLEST language survives whole and high-resource languages "
+    "are flattened toward it — pure downsampling, no replication. The "
+    "rate is normalized by the integer MIN of the per-language counts "
+    "(never a cross-group float SUM, whose accumulation order is "
+    "engine-dependent and would make the FLOOR boundary ambiguous), "
+    "quantized to a per-myriad threshold against the Knuth hash bucket "
+    "of doc_id — the same deterministic, repartition-invariant draw as "
+    "sample_deterministic. Scale: one tiny per-lang count aggregate "
+    "broadcast back onto the corpus scan; the sample itself is a pure "
+    "filter, so rebalancing 100 TB is one pass with no shuffle of the "
+    "kept rows. No reference analog (limit-preview only, nb:441 (c3)).",
+)
+def temperature_mix_sampling(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.lit(10000),
+                F.floor(
+                    F.lit(10000.0)
+                    * F.sqrt(F.col("n_min").cast("double") / F.col("n"))
+                ),
+            ).cast("bigint").alias("rate_myriad"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(ops.hash_bucket("doc_id", 10000) < F.col("rate_myriad"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "rate_myriad",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "exact_n_sample",
+    f"""
+    WITH picked AS (
+      SELECT lang, n_chars
+      FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           {avg_exact_sql('n_chars')} AS avg_chars
+    FROM picked
+    """,
+    doc="EXACTLY-N uniform sample (eval sets and labeling batches need a "
+    "fixed row count, which Bernoulli/hash-rate sampling cannot promise): "
+    "order by md5(doc_id) and take the first 100 — a uniform "
+    "without-replacement draw because the hash is uniform and "
+    "key-determined, reproducible on any partitioning. Spark plans the "
+    "orderBy+limit as TakeOrderedAndProject: each task keeps a local "
+    "top-100 heap and the driver merges O(partitions x 100) rows — the "
+    "distributed reservoir; the corpus is never globally sorted "
+    "(contrast a real ORDER BY, one range-partition shuffle of 100 TB). "
+    "Summary stats keep the oracle compare value-exact.",
+)
+def exact_n_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    picked = (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            "doc_id",
+        )
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )
+    return picked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        avg_exact("n_chars").alias("avg_chars"),
+    )

@@ -1470,3 +1470,73 @@ def ann_cascade_rerank(spark, sf_dir):
             .alias("recall_cascade"),
         )
     )
+
+
+@register(
+    "semantic_dedup_buckets",
+    """
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    dup AS (
+      SELECT DISTINCT c.vec_id
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE ROUND(list_dot_product(a.v, c.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(c.v, c.v))), 4) >= 0.40
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM b LEFT JOIN dup d ON b.vec_id = d.vec_id
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="SemDeDup-style semantic deduplication over the embedding column: "
+    "vectors are coarsely partitioned by a sign-bit LSH bucket "
+    "(operators/similarity.lsh_bucket_expr — the stand-in for the "
+    "k-means cluster assignment real SemDeDup uses), pairwise cosine is "
+    "computed ONLY within a bucket, and a vector is dropped when an "
+    "earlier (smaller-id) bucket-mate sits above the threshold — the "
+    "deterministic keep-first rule, one anti-join. tau = 0.40 marks the "
+    "synthetic corpus's top percentile (its random vectors have no true "
+    "near-dups; production embeddings use ~0.95+ — the constant, not "
+    "the dataflow, changes). Scale: candidate pairs exist only inside "
+    "(bucket), so cost is sum over buckets of n_b^2, not N^2; with "
+    "k-means buckets this is exactly SemDeDup's cost model, and the "
+    "bucket key is a zero-shuffle projection.",
+)
+def semantic_dedup_buckets(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    b = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        S.lsh_bucket_expr("embedding").alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dup = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .filter(S.cosine_expr("a.v", "c.v") >= 0.40)
+        .select(F.col("c.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        b.join(dup.withColumnRenamed("vec_id", "dup_id"),
+               F.col("vec_id") == F.col("dup_id"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            (F.count(F.lit(1)) - F.count("dup_id")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("bucket")
+    )

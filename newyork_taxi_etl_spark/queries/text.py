@@ -802,3 +802,55 @@ def arrow_doc_length_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "feature_hashing_profile",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT tok,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 32
+               AS bucket
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="the HASHING TRICK (feature hashing, the vectorizer that needs no "
+    "vocabulary pass): every token maps to bucket md5(tok) mod 32, and "
+    "the per-bucket occupancy — occurrence mass plus DISTINCT-token "
+    "collision load — is the profile that tells you whether the chosen "
+    "dimensionality is collision-saturated before you train on it. "
+    "One-pass, stateless, embarrassingly parallel: no vocabulary "
+    "broadcast, no OOV handling, the properties that make it the "
+    "100 TB-safe vectorizer; the only shuffle is the 32-key final "
+    "aggregate (map-side combined). The md5-hex-prefix bucket is the "
+    "same engine-parity idiom the CMS family pins (queries/profiling).",
+)
+def feature_hashing_profile(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    hashed = toks.select(
+        "tok",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(32),
+        ).alias("bucket"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("tok").cast("bigint").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )

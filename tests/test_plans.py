@@ -520,3 +520,49 @@ def test_hll_merge_gate_mergeable_partials(spark):
     assert "partial_hll_sketch_agg" in plan
     assert "partial_hll_union_agg" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_n_sample_plans_take_ordered(spark):
+    """The exactly-N sampler is TakeOrderedAndProject (per-task top-N heap,
+    driver merges O(partitions x N)), never a global Sort+Limit."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["exact_n_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """The per-lang rate table joins back onto the corpus as a broadcast —
+    the kept-row stream itself never shuffles for the join."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["temperature_mix_sampling"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_binning_no_global_window(spark):
+    """Bin assignment is cut-point comparison (broadcast nested loop over a
+    1-row cut table), NOT a global NTILE window: no Window operator and no
+    single-partition Sort in the plan."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["quantile_binning_feature"](spark, SF_SMOKE))
+    assert "Window" not in plan
+
+
+def test_winsorize_broadcasts_cuts(spark):
+    """p05/p95 cut rows broadcast back; the row stream joins without an
+    exchange on its side."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["winsorized_group_stats"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pairs_only_within_bucket(spark):
+    """The SemDeDup self-join carries the bucket equality in a hash join —
+    never a cartesian across buckets."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["semantic_dedup_buckets"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
