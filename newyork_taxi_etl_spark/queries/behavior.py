@@ -1350,3 +1350,278 @@ def nucleus_user_coverage(spark, sf_dir):
         .crossJoin(F.broadcast(n_users))
         .select("n_kept_users", "n_users", "covered_events", "total_events")
     )
+
+
+@register(
+    "poisson_bootstrap_ci",
+    """
+    WITH rep AS (SELECT unnest(generate_series(0, 63)) AS i),
+    weighted AS (
+      SELECT e.event_type, r.i,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS yi,
+             CASE
+               WHEN u < 6172234 THEN 0 WHEN u < 12344467 THEN 1
+               WHEN u < 15430584 THEN 2 WHEN u < 16459290 THEN 3
+               WHEN u < 16716930 THEN 4 ELSE 5 END AS w
+      FROM (SELECT event_type, value, event_id,
+                   CAST(('0x' || substring(md5(concat(
+                     CAST(event_id AS VARCHAR), '|', CAST(i.i AS VARCHAR)
+                   )), 1, 6)) AS BIGINT) AS u, i.i
+            FROM events, rep i WHERE value IS NOT NULL) e(event_type, value,
+                                                          event_id, u, i)
+      JOIN rep r ON r.i = e.i
+    ),
+    replica AS (
+      SELECT event_type, i,
+             ROUND(CAST(SUM(w * yi) AS DOUBLE) / SUM(w) / 100.0, 6) AS m
+      FROM weighted GROUP BY event_type, i
+    ),
+    ranked AS (
+      SELECT event_type, m,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY m, i) AS INT) AS rn
+      FROM replica
+    ),
+    point AS (
+      SELECT event_type,
+             ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 100.0, 6) AS mean_value
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT p.event_type, p.mean_value,
+           MIN(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           MIN(CASE WHEN rn = 63 THEN m END) AS ci_hi
+    FROM point p JOIN ranked r ON p.event_type = r.event_type
+    GROUP BY p.event_type, p.mean_value
+    ORDER BY p.event_type
+    """,
+    doc="POISSON BOOTSTRAP confidence interval for the per-group mean — "
+    "the distributed bootstrap (Chamandy et al.): classic resampling "
+    "needs the whole dataset per replica, but each row's multiplicity "
+    "in a with-replacement resample is asymptotically Poisson(1), so 64 "
+    "replicas run as ONE pass with a per-(row, replica) deterministic "
+    "Poisson weight (inverse-CDF on an md5-derived uniform; integer "
+    "2^24-scaled thresholds make the draw engine-exact). Replica means "
+    "reduce map-side to O(groups x 64); the 95% CI is the 2nd/63rd "
+    "order statistic of the replica means. Values quantized at the "
+    "corpus's 2-dp tick (x100 to BIGINT) so every sum is integer-exact. "
+    "Scale: the 64x row fan-out is map-local (explode, no shuffle) and "
+    "the only exchange carries (group, replica) partials.",
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("yi"),
+        )
+    )
+    rep = ev.select(
+        "event_type",
+        "yi",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        "event_id",
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("event_id").cast("string"),
+                              F.col("i").cast("string"))), 1, 6),
+        16, 10,
+    ).cast("bigint")
+    w = (
+        F.when(u < 6172234, 0).when(u < 12344467, 1).when(u < 15430584, 2)
+        .when(u < 16459290, 3).when(u < 16716930, 4).otherwise(5)
+    )
+    replica = (
+        rep.select("event_type", "i", "yi", w.alias("w"))
+        .groupBy("event_type", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("yi")).cast("double")
+                / F.sum("w") / F.lit(100.0),
+                6,
+            ).alias("m")
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy("m", "i")
+    ranked = replica.withColumn("rn", F.row_number().over(rk))
+    point = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum("yi").cast("double") / F.count(F.lit(1)) / F.lit(100.0), 6
+        ).alias("mean_value")
+    )
+    return (
+        point.join(ranked, "event_type")
+        .groupBy("event_type", "mean_value")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == 63, F.col("m"))).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "grouped_linear_trend",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) AS x,
+             CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    origin AS (SELECT MIN(x) AS x0 FROM base),
+    c AS (
+      SELECT event_type, (x - x0) AS xr, y
+      FROM base CROSS JOIN origin
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xr) AS sx, SUM(y) AS sy,
+             SUM(xr * y) AS sxy, SUM(xr * xr) AS sxx
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS cnt,
+           ROUND(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                 * 864000000.0, 6) AS slope_per_day
+    FROM sums ORDER BY event_type
+    """,
+    doc="per-group LINEAR TREND (the regr_slope of metric drift "
+    "monitoring) computed INTEGER-EXACT: x = event time in microseconds "
+    "rebased to the corpus origin, y = value at the corpus's 2-dp tick, "
+    "slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) with every sum carried in "
+    "DECIMAL(38,0)/HUGEINT — no float accumulation anywhere, so the "
+    "result is bit-identical on any partitioning and any engine; the "
+    "single double division happens once at the end (VARCHAR-routed on "
+    "the DuckDB side, the functions/exact.py cast-parity rule). Scale: "
+    "one map-side-combined aggregate per group; the 1-row origin "
+    "broadcasts. Rebasing is what keeps n*Sxx inside 38 digits at "
+    "billions of rows.",
+)
+def grouped_linear_trend(spark, sf_dir):
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("x"),
+            F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        )
+    )
+    origin = ev.agg(F.min("x").alias("x0"))
+    dec = "decimal(38,0)"
+    c = ev.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        (F.col("x") - F.col("x0")).cast(dec).alias("xr"),
+        F.col("y").cast(dec).alias("y"),
+    )
+    sums = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("xr").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum((F.col("xr") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("xr") * F.col("xr")).cast(dec)).cast(dec).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("cnt"),
+        F.round(
+            num.cast("double") / den.cast("double") * F.lit(864000000.0), 6
+        ).alias("slope_per_day"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ab_welch_ttest",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM base GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sy / n / 100.0 AS mean,
+             (syy - sy * sy / n) / (n - 1) / 10000.0 AS var
+      FROM s
+    )
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+           ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+             AS t_stat
+    FROM m a JOIN m b
+      ON a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    doc="WELCH two-sample t statistic (the A/B-testing primitive) between "
+    "the click and purchase value distributions: per-group n, sum, "
+    "sum-of-squares carried integer-exact (2-dp tick x100; sum(y*y) "
+    "needs 128-bit — DECIMAL(38,0)/HUGEINT), means and unbiased "
+    "variances derived in double from those exact integers with the "
+    "IDENTICAL expression on both engines, so the t value matches "
+    "bit-for-bit before the ROUND. Scale: one map-side-combined "
+    "aggregate over the filtered pair of groups — the sufficient-"
+    "statistics pattern; no row ever crosses the network, only "
+    "(n, sum, sumsq) triples.",
+)
+def ab_welch_ttest(spark, sf_dir):
+    dec = "decimal(38,0)"
+    base = (
+        read_events(spark, sf_dir)
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").cast(dec).alias("y"),
+        )
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast(dec).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).cast("double")
+        .alias("syy"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sy") / F.col("n") / F.lit(100.0)).alias("mean"),
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1) / F.lit(10000.0)
+        ).alias("var"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return a.join(
+        b,
+        (F.col("a.event_type") == "click")
+        & (F.col("b.event_type") == "purchase"),
+    ).select(
+        F.col("a.event_type").alias("group_a"),
+        F.col("b.event_type").alias("group_b"),
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+        F.round("a.mean", 6).alias("mean_a"),
+        F.round("b.mean", 6).alias("mean_b"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            6,
+        ).alias("t_stat"),
+    )

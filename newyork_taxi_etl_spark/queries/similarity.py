@@ -1540,3 +1540,122 @@ def semantic_dedup_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_RRF_LEG = """
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand_id) AS INT) AS rk
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_dot_product(CAST(q.embedding[1:{d}] AS DOUBLE[]),
+                                      CAST(c.embedding[1:{d}] AS DOUBLE[])) /
+                     (sqrt(list_dot_product(CAST(q.embedding[1:{d}] AS DOUBLE[]),
+                                            CAST(q.embedding[1:{d}] AS DOUBLE[]))) *
+                      sqrt(list_dot_product(CAST(c.embedding[1:{d}] AS DOUBLE[]),
+                                            CAST(c.embedding[1:{d}] AS DOUBLE[])))),
+                     4) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) s
+      QUALIFY rk <= 20
+"""
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    f"""
+    WITH full_leg AS ({_RRF_LEG.format(d=64)}),
+    trunc_leg AS ({_RRF_LEG.format(d=16)}),
+    fused AS (
+      SELECT COALESCE(f.query_id, t.query_id) AS query_id,
+             COALESCE(f.cand_id, t.cand_id) AS cand_id,
+             ROUND(COALESCE(1.0 / (60 + f.rk), 0.0)
+                   + COALESCE(1.0 / (60 + t.rk), 0.0), 6) AS rrf
+      FROM full_leg f
+      FULL OUTER JOIN trunc_leg t
+        ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+    )
+    SELECT query_id, cand_id, rrf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, cand_id) AS INT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    ORDER BY query_id, fused_rank
+    """,
+    doc="RECIPROCAL RANK FUSION (k=60, the hybrid-retrieval standard): two "
+    "independent top-20 rankings per query — full 64-dim cosine and the "
+    "16-dim matryoshka truncation (a stand-in for any second retriever: "
+    "BM25, a different encoder) — fused by score = sum of 1/(60+rank) "
+    "over the lists a candidate appears in (full outer join; absent "
+    "leg contributes 0), re-ranked to a fused top-10. Rank positions "
+    "are integers, so the two-term reciprocal sum is engine-exact at "
+    "ROUND 6. Scale: each leg is an existing bounded top-k (broadcast "
+    "queries, per-task heaps); the fusion join touches only "
+    "O(queries x k) rows — fusing never re-scores the corpus.",
+)
+def rrf_hybrid_retrieval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+
+    def leg(dim):
+        sliced = emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(slice(embedding, 1, {dim}), x -> CAST(x AS DOUBLE))"
+            ).alias("v"),
+        )
+        q = (
+            sliced.filter(F.col("vec_id") < 5)
+            .withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("v", "q_vec")
+        )
+        c = (
+            sliced.withColumnRenamed("vec_id", "cand_id")
+            .withColumnRenamed("v", "c_vec")
+        )
+        pairs = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("cand_id")
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 20)
+            .select("query_id", "cand_id", "rk")
+        )
+
+    f_leg, t_leg = leg(64).alias("f"), leg(16).alias("t")
+    fused = (
+        f_leg.join(
+            t_leg,
+            (F.col("f.query_id") == F.col("t.query_id"))
+            & (F.col("f.cand_id") == F.col("t.cand_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("f.query_id", "t.query_id").alias("query_id"),
+            F.coalesce("f.cand_id", "t.cand_id").alias("cand_id"),
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("f.rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("t.rk")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "cand_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("fused_rank") <= 10)
+        .select("query_id", "cand_id", "rrf", "fused_rank")
+        .orderBy("query_id", "fused_rank")
+    )

@@ -566,3 +566,33 @@ def test_semantic_dedup_pairs_only_within_bucket(spark):
 
     plan = _plan(queries()["semantic_dedup_buckets"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_fanout_is_map_local(spark):
+    """The 64x Poisson-replica fan-out is a Generate (explode) inside the
+    scan stage — no shuffle carries the fanned-out rows except the
+    (group, replica) partial aggregate."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["poisson_bootstrap_ci"](spark, SF_SMOKE))
+    assert "Generate explode" in plan
+    assert "partial_sum" in plan                     # map-side combine
+
+
+def test_linear_trend_broadcasts_origin(spark):
+    """The 1-row time origin joins as a broadcast; sums are map-side
+    combined partials."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["grouped_linear_trend"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_rrf_legs_broadcast_query_side(spark):
+    """Both RRF legs broadcast the 5-query side against the corpus; the
+    fusion join touches only O(queries x k) rows."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["rrf_hybrid_retrieval"](spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
