@@ -851,3 +851,251 @@ def compaction_concurrent_read(spark, sf_dir):
         "snapshot_checksum",
         "compacted_checksum",
     )
+
+
+@register(
+    "table_diff_reconcile",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS yi,
+             ((event_id * 2654435761) % 4294967296) % 64 AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    snap AS (
+      SELECT event_id,
+             CASE WHEN event_id % 1000 = 7 THEN yi + 100 ELSE yi END AS yi,
+             bucket
+      FROM base WHERE event_id % 5000 <> 11
+    ),
+    ck_a AS (
+      SELECT bucket, COUNT(*) AS cnt,
+             SUM(CAST(('0x' || substring(md5(concat(
+               CAST(event_id AS VARCHAR), '|', CAST(yi AS VARCHAR)
+             )), 1, 8)) AS BIGINT)) AS sig
+      FROM base GROUP BY bucket
+    ),
+    ck_b AS (
+      SELECT bucket, COUNT(*) AS cnt,
+             SUM(CAST(('0x' || substring(md5(concat(
+               CAST(event_id AS VARCHAR), '|', CAST(yi AS VARCHAR)
+             )), 1, 8)) AS BIGINT)) AS sig
+      FROM snap GROUP BY bucket
+    ),
+    dirty AS (
+      SELECT a.bucket
+      FROM ck_a a FULL OUTER JOIN ck_b b ON a.bucket = b.bucket
+      WHERE a.cnt IS DISTINCT FROM b.cnt OR a.sig IS DISTINCT FROM b.sig
+    ),
+    rowdiff AS (
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+             a.yi AS y_a, b.yi AS y_b
+      FROM (SELECT * FROM base WHERE bucket IN (SELECT bucket FROM dirty)) a
+      FULL OUTER JOIN
+           (SELECT * FROM snap WHERE bucket IN (SELECT bucket FROM dirty)) b
+        ON a.event_id = b.event_id
+    )
+    SELECT CAST(64 AS BIGINT) AS buckets_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty) AS buckets_dirty,
+           CAST(SUM(CASE WHEN id_a IS NOT NULL AND id_b IS NOT NULL
+                          AND y_a <> y_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_changed,
+           CAST(SUM(CASE WHEN id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_deleted,
+           CAST(SUM(CASE WHEN id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_inserted
+    FROM rowdiff
+    """,
+    doc="TABLE DIFF / anti-entropy reconciliation (does replica B equal "
+    "snapshot A, and where?): both sides reduce to per-bucket "
+    "(count, checksum) — 64 Knuth-hash buckets, md5-prefix row "
+    "signatures summed so the checksum is order-independent — and ONLY "
+    "buckets whose fingerprints disagree graduate to a row-level full "
+    "outer join classifying changed/deleted/inserted.  This is the "
+    "Merkle-style two-phase reconcile: at 100 TB the fingerprint pass "
+    "is one map-side-combined aggregate per side (O(buckets) rows "
+    "cross the network), and the expensive row join touches only the "
+    "dirty slice — here 2/64 buckets, never the whole table.  The "
+    "'snapshot' is derived in-query (value bump on event_id%1000==7, "
+    "deletes on event_id%5000==11) so the op is fully value-oracled.",
+)
+def table_diff_reconcile(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("yi"),
+        hash_bucket("event_id", 64).alias("bucket"),
+    )
+    snap = base.filter(F.col("event_id") % 5000 != 11).select(
+        "event_id",
+        F.when(F.col("event_id") % 1000 == 7, F.col("yi") + 100)
+        .otherwise(F.col("yi"))
+        .alias("yi"),
+        "bucket",
+    )
+
+    def checksums(df):
+        sig = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("yi").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(sig).alias("sig")
+        )
+
+    a, b = checksums(base).alias("a"), checksums(snap).alias("b")
+    dirty = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"), "full_outer")
+        .filter(
+            ~F.col("a.cnt").eqNullSafe(F.col("b.cnt"))
+            | ~F.col("a.sig").eqNullSafe(F.col("b.sig"))
+        )
+        .select(F.coalesce("a.bucket", "b.bucket").alias("bucket"))
+    )
+    base_d = base.join(F.broadcast(dirty), "bucket").alias("x")
+    snap_d = snap.join(F.broadcast(dirty), "bucket").alias("y")
+    rowdiff = base_d.join(
+        snap_d, F.col("x.event_id") == F.col("y.event_id"), "full_outer"
+    ).select(
+        F.col("x.event_id").alias("id_a"),
+        F.col("y.event_id").alias("id_b"),
+        F.col("x.yi").alias("y_a"),
+        F.col("y.yi").alias("y_b"),
+    )
+    n_dirty = dirty.agg(
+        F.count(F.lit(1)).cast("bigint").alias("buckets_dirty")
+    )
+    return (
+        rowdiff.agg(
+            F.sum(
+                (
+                    F.col("id_a").isNotNull()
+                    & F.col("id_b").isNotNull()
+                    & (F.col("y_a") != F.col("y_b"))
+                ).cast("int")
+            ).cast("bigint").alias("rows_changed"),
+            F.sum(F.col("id_b").isNull().cast("int")).cast("bigint")
+            .alias("rows_deleted"),
+            F.sum(F.col("id_a").isNull().cast("int")).cast("bigint")
+            .alias("rows_inserted"),
+        )
+        .crossJoin(F.broadcast(n_dirty))
+        .select(
+            F.lit(64).cast("bigint").alias("buckets_total"),
+            "buckets_dirty",
+            "rows_changed",
+            "rows_deleted",
+            "rows_inserted",
+        )
+    )
+
+
+@register(
+    "compliance_delete_rewrite",
+    f"""
+    WITH tgt AS (
+      SELECT ((7 * 2654435761) % 4294967296) % 16 AS b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_after,
+           CAST(SUM(CASE WHEN user_id = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS target_rows_left,
+           {sum_exact_sql('value')} AS value_checksum,
+           (SELECT CAST(b AS BIGINT) FROM tgt) AS rewritten_bucket,
+           CAST(1 AS BIGINT) AS buckets_rewritten
+    FROM events
+    WHERE user_id <> 7 OR user_id IS NULL
+    """,
+    doc="COMPLIANCE DELETE (GDPR erasure) with file-level pruning: the "
+    "table lives partitioned by a 16-way Knuth hash bucket of user_id, "
+    "so erasing one user rewrites EXACTLY the one partition directory "
+    "holding that user, as remove-dir + append-files — the same commit "
+    "actions as Delta's file-pruned DELETE (dynamic "
+    "partitionOverwriteMode is deliberately NOT used: it replaces only "
+    "partitions PRESENT in the write, so a user owning a whole "
+    "partition — zero survivors — would silently keep their data; the "
+    "sf0.001 corpus hits exactly that edge). The rewrite scan reads "
+    "only the target bucket (partition pruning). Value gate: "
+    "post-delete row count, target-row count (0), decimal checksum of "
+    "every surviving row (the other 15 buckets must be byte-identical "
+    "data), and the rewritten bucket id recomputed by the oracle. At "
+    "100 TB this is the difference between rewriting 1/16th of a table "
+    "and rewriting all of it; with Delta present the same op is one "
+    "DELETE WHERE with the txn log pruning by file stats.",
+)
+def compliance_delete_rewrite(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+
+    out = _workdir("compliance_tbl")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = read_events(spark, sf_dir).withColumn(
+        "u_bucket", hash_bucket("user_id", 16)
+    )
+    ev.write.mode("overwrite").partitionBy("u_bucket").parquet(out)
+
+    # bucket lookup derives from the IMMUTABLE source (never the table dir:
+    # a lazy plan over `out` would re-list files after the rewrite below)
+    target_bucket = (
+        ev.filter(F.col("user_id") == 7).select("u_bucket").distinct()
+    )
+    # rewrite ONLY the affected partition: scan `out` pruned to the target
+    # bucket dir, stage the surviving rows (a read-modify-overwrite of the
+    # same path in one plan is the classic self-overwrite failure), then
+    # remove-files + add-files — exactly Delta DELETE's commit actions.
+    # NOT partitionOverwriteMode=dynamic: that replaces only partitions
+    # PRESENT in the write, so a bucket whose survivors are empty (a user
+    # who owned a whole partition) would silently keep its old data.
+    stage = _workdir("compliance_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        spark.read.parquet(out)
+        .join(F.broadcast(target_bucket), "u_bucket")
+        .filter(F.col("user_id") != 7)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    # the per-bucket dir list is O(buckets of one user) — planner-style
+    # 1-column fetch, same role as the join chooser's decision rows
+    for row in target_bucket.collect():
+        shutil.rmtree(
+            os.path.join(out, f"u_bucket={row['u_bucket']}"),
+            ignore_errors=True,
+        )
+    try:
+        staged = spark.read.parquet(stage)
+    except Exception:  # zero survivors: empty stage has no readable schema
+        staged = None
+    if staged is not None:
+        staged.write.mode("append").partitionBy("u_bucket").parquet(out)
+
+    back = spark.read.parquet(out)
+    stats = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum((F.col("user_id") == 7).cast("int")).cast("bigint")
+        .alias("target_rows_left"),
+        sum_exact("value").alias("value_checksum"),
+    )
+    tgt = target_bucket.agg(
+        F.max("u_bucket").cast("bigint").alias("rewritten_bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_rewritten"),
+    )
+    return stats.crossJoin(F.broadcast(tgt)).select(
+        "rows_after",
+        "target_rows_left",
+        "value_checksum",
+        "rewritten_bucket",
+        "buckets_rewritten",
+    )
+
