@@ -854,3 +854,59 @@ def feature_hashing_profile(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "array_hof_surface",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             CAST(list_aggregate(
+               list_filter(
+                 list_transform(string_split(text, ' '), t -> length(t)),
+                 x -> x > 3),
+               'sum') AS BIGINT) AS long_char_sum,
+             CAST(len(list_filter(
+               list_transform(string_split(text, ' '), t -> length(t)),
+               x -> x > 3)) AS BIGINT) AS n_long,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(long_char_sum) AS BIGINT) AS long_char_sum,
+           CAST(SUM(n_long) AS BIGINT) AS n_long_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc="array HIGHER-ORDER-FUNCTION surface (transform / filter / "
+    "aggregate lambdas): per document, token lengths are computed, "
+    "length-filtered and folded entirely INSIDE the JVM expression "
+    "engine — zero explode, zero Python, one row in one row out — then "
+    "rolled up per language. This is the idiom that keeps per-row "
+    "array work out of Generate/exploded shuffles at 100 TB: the "
+    "lambda pipeline runs inside the scan's projection (whole-stage "
+    "codegen), and the only exchange is the O(langs) final aggregate. "
+    "DuckDB's list_transform/list_filter/list_aggregate mirror the "
+    "semantics exactly.",
+)
+def array_hof_surface(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    lens = "transform(split(text, ' '), t -> length(t))"
+    longs = f"filter({lens}, x -> x > 3)"
+    per_doc = docs.select(
+        "lang",
+        F.expr(
+            f"CAST(aggregate({longs}, 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("long_char_sum"),
+        F.expr(f"CAST(size({longs}) AS BIGINT)").alias("n_long"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_toks"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("long_char_sum").cast("bigint").alias("long_char_sum"),
+            F.sum("n_long").cast("bigint").alias("n_long_tokens"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
