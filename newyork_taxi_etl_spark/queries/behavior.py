@@ -1355,21 +1355,23 @@ def nucleus_user_coverage(spark, sf_dir):
 @register(
     "poisson_bootstrap_ci",
     """
-    WITH rep AS (SELECT unnest(generate_series(0, 63)) AS i),
+    WITH grp AS (SELECT unnest(generate_series(0, 15)) AS g),
+    slot AS (SELECT unnest(generate_series(0, 3)) AS s),
+    hashed AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS yi, g,
+             md5(concat(CAST(event_id AS VARCHAR), '|',
+                        CAST(g AS VARCHAR))) AS h
+      FROM events, grp WHERE value IS NOT NULL
+    ),
     weighted AS (
-      SELECT e.event_type, r.i,
-             CAST(ROUND(e.value * 100) AS BIGINT) AS yi,
+      SELECT event_type, yi, g * 4 + s AS i,
              CASE
                WHEN u < 6172234 THEN 0 WHEN u < 12344467 THEN 1
                WHEN u < 15430584 THEN 2 WHEN u < 16459290 THEN 3
                WHEN u < 16716930 THEN 4 ELSE 5 END AS w
-      FROM (SELECT event_type, value, event_id,
-                   CAST(('0x' || substring(md5(concat(
-                     CAST(event_id AS VARCHAR), '|', CAST(i.i AS VARCHAR)
-                   )), 1, 6)) AS BIGINT) AS u, i.i
-            FROM events, rep i WHERE value IS NOT NULL) e(event_type, value,
-                                                          event_id, u, i)
-      JOIN rep r ON r.i = e.i
+      FROM (SELECT event_type, yi, g, s,
+                   CAST(('0x' || substring(h, 1 + 6 * s, 6)) AS BIGINT) AS u
+            FROM hashed, slot) t
     ),
     replica AS (
       SELECT event_type, i,
@@ -1401,7 +1403,10 @@ def nucleus_user_coverage(spark, sf_dir):
     "in a with-replacement resample is asymptotically Poisson(1), so 64 "
     "replicas run as ONE pass with a per-(row, replica) deterministic "
     "Poisson weight (inverse-CDF on an md5-derived uniform; integer "
-    "2^24-scaled thresholds make the draw engine-exact). Replica means "
+    "2^24-scaled thresholds make the draw engine-exact; each 128-bit "
+    "digest feeds FOUR independent 24-bit uniforms — hex slots 1-6 / "
+    "7-12 / 13-18 / 19-24 — via a two-level fan-out, so the hash work "
+    "is 16 md5s per row, not 64). Replica means "
     "reduce map-side to O(groups x 64); the 95% CI is the 2nd/63rd "
     "order statistic of the replica means. Values quantized at the "
     "corpus's 2-dp tick (x100 to BIGINT) so every sum is integer-exact. "
@@ -1420,17 +1425,37 @@ def poisson_bootstrap_ci(spark, sf_dir):
             F.round(F.col("value") * 100).cast("bigint").alias("yi"),
         )
     )
-    rep = ev.select(
+    # two-level fan-out: the md5 runs once per (row, g) — 16 per row — and
+    # each digest yields four independent 24-bit hex-slot uniforms
+    hashed = ev.select(
         "event_type",
         "yi",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("g"),
         "event_id",
+    ).select(
+        "event_type",
+        "yi",
+        "g",
+        F.md5(
+            F.concat_ws("|", F.col("event_id").cast("string"),
+                        F.col("g").cast("string"))
+        ).alias("h"),
+    )
+    rep = hashed.select(
+        "event_type",
+        "yi",
+        "g",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+    ).select(
+        "event_type",
+        "yi",
+        (F.col("g") * 4 + F.col("s")).alias("i"),
+        F.col("h"),
+        F.col("s"),
     )
     u = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("event_id").cast("string"),
-                              F.col("i").cast("string"))), 1, 6),
-        16, 10,
+        F.expr("substring(h, 1 + 6 * s, 6)"), 16, 10
     ).cast("bigint")
     w = (
         F.when(u < 6172234, 0).when(u < 12344467, 1).when(u < 15430584, 2)

@@ -1514,19 +1514,34 @@ def ann_cascade_rerank(spark, sf_dir):
 )
 def semantic_dedup_buckets(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    # norm precomputed ONCE per vector (norm_a = sqrt(dot(a,a)) exactly, so
+    # dot/(na*nb) is bit-identical to the oracle's three-dot formulation)
+    # — each candidate pair costs one dot product instead of three
     b = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         S.lsh_bucket_expr("embedding").alias("bucket"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, "
+            "(acc, w) -> acc + w))"
+        ),
     )
     a, c = b.alias("a"), b.alias("c")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, c.v, (x, y) -> x * y), 0D, "
+        "(acc, w) -> acc + w)"
+    )
     dup = (
         a.join(
             c,
             (F.col("a.bucket") == F.col("c.bucket"))
             & (F.col("a.vec_id") < F.col("c.vec_id")),
         )
-        .filter(S.cosine_expr("a.v", "c.v") >= 0.40)
+        .filter(
+            F.round(dot / (F.col("a.nrm") * F.col("c.nrm")), 4) >= 0.40
+        )
         .select(F.col("c.vec_id").alias("vec_id"))
         .distinct()
     )

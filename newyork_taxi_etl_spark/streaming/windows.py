@@ -1063,7 +1063,10 @@ def run_stream_stream_outer_join(
         "leftOuter",
     )
     name = f"ssouter_out_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # 4 state partitions: stream-stream join state is tiny here and each
+    # micro-batch pays per-partition state-store open/commit — fewer, fuller
+    # stores beat 8 near-empty ones (same knob a real job sizes to load)
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -1180,7 +1183,8 @@ def run_stream_stream_two_sided_outer(
         join_type,
     )
     name = f"ss2outer_out_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # 4 state partitions — see run_stream_stream_outer_join
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
