@@ -644,3 +644,57 @@ def streaming_checkpoint_recovery(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="nyetl_ckpt_recovery_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     return W.run_checkpoint_recovery(spark, read_events(spark, sf_dir), workdir)
+
+
+@register(
+    "streaming_quantile_sketch",
+    """
+    WITH vals AS (
+      SELECT value FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+             ROUND(quantile_cont(value, 0.99), 6) AS p99_exact
+      FROM vals
+    ),
+    hist AS (
+      SELECT LEAST(CAST(FLOOR(value / 2.0) AS INT), 255) AS bucket,
+             COUNT(*) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS c FROM hist
+    ),
+    est AS (
+      SELECT
+        (SELECT MIN(bucket) FROM cum, stats WHERE c >= 0.5 * n) AS b50,
+        (SELECT MIN(bucket) FROM cum, stats WHERE c >= 0.99 * n) AS b99
+    )
+    SELECT p50_exact,
+           ROUND((b50 + 0.5) * 2.0, 6) AS p50_est,
+           ROUND(abs((b50 + 0.5) * 2.0 - p50_exact) / p50_exact, 6)
+             AS p50_rel_err,
+           p99_exact,
+           ROUND((b99 + 0.5) * 2.0, 6) AS p99_est,
+           ROUND(abs((b99 + 0.5) * 2.0 - p99_exact) / p99_exact, 6)
+             AS p99_rel_err
+    FROM est, stats
+    """,
+    doc="quantile sketch MERGED AT INGEST: each micro-batch folds its "
+    "fixed-bound 256-bucket histogram into parquet state by bucket-wise "
+    "addition (sketch linearity — the property that makes one-pass "
+    "quantiles possible on an unbounded stream); additive folds are "
+    "replay-sensitive, so the applied-batch sidecar guards redelivery. "
+    "Bounds are fixed a priori ([0, 512), width 2) because a "
+    "mergeable-across-batches sketch cannot use data-dependent min/max "
+    "the way the batch gate does (production: KLL/t-digest). Drained "
+    "p50/p99 midpoint estimates sit next to the exact distributed "
+    "percentiles with relative errors as driver-gated values.",
+)
+def streaming_quantile_sketch(spark, sf_dir):
+    stage = _workdir("qsketch_stage")
+    target = _workdir("qsketch_state")
+    return W.run_streaming_quantile_sketch(
+        spark, read_events(spark, sf_dir), stage, target
+    )

@@ -1440,3 +1440,119 @@ def run_checkpoint_recovery(
         )
         .orderBy("user_id")
     )
+
+
+def run_streaming_quantile_sketch(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    target_dir: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    nb: int = 256,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Mergeable QUANTILE SKETCH folded at ingest: per micro-batch, the
+    256-bucket FIXED-BOUND equi-width histogram of ``value`` is merged
+    into parquet state by bucket-wise addition — the linearity that makes
+    one-pass quantiles possible on an unbounded stream.  Unlike the batch
+    gate (quantile_sketch_gate), the bounds CANNOT be data-dependent
+    min/max here: a mergeable-across-batches sketch must fix its bucketing
+    before the data arrives (production uses KLL/t-digest for
+    bound-free mergeability; fixed bounds are the SQL-parity choice).
+    Addition is replay-sensitive, so the applied-batch sidecar
+    (``_applied_batch_ids``) commits atomically with each swap.  After the
+    drain, p50/p99 midpoint estimates from the merged state are laid next
+    to the EXACT distributed percentiles — the same measured-not-claimed
+    gate shape as the batch twin.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.operators import profile as P
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    w = (hi - lo) / nb
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"),
+        F.lit(nb - 1),
+    )
+
+    def fold(batch_df, batch_id):
+        applied = _applied_batch_ids(target_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: additive fold must not re-apply
+        agg = (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        if os.path.exists(target_dir):
+            prev = batch_df.sparkSession.read.parquet(target_dir)
+            merged = (
+                prev.select(F.col("bucket").alias("b0"),
+                            F.col("cnt").alias("c0"))
+                .join(agg, F.col("b0") == F.col("bucket"), "full_outer")
+                .select(
+                    F.coalesce("b0", "bucket").alias("bucket"),
+                    (
+                        F.coalesce("c0", F.lit(0)) + F.coalesce("cnt", F.lit(0))
+                    ).cast("bigint").alias("cnt"),
+                )
+            )
+        else:
+            merged = agg
+        nxt = target_dir + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        _mark_applied(nxt, batch_id, applied)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        os.rename(nxt, target_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    from pyspark.sql.window import Window
+
+    hist = spark.read.parquet(target_dir)
+    n1 = hist.agg(F.sum("cnt").alias("n"))
+    cum = hist.select(
+        "bucket", F.sum("cnt").over(Window.orderBy("bucket")).alias("c")
+    ).crossJoin(F.broadcast(n1))
+    b50 = cum.filter(F.col("c") >= 0.5 * F.col("n")).agg(
+        F.min("bucket").alias("b50")
+    )
+    b99 = cum.filter(F.col("c") >= 0.99 * F.col("n")).agg(
+        F.min("bucket").alias("b99")
+    )
+    exact = P.exact_quantiles(
+        src_df.filter(F.col("value").isNotNull()), "value", [0.5, 0.99]
+    ).select(
+        F.round(F.col("p0_5"), 6).alias("p50_exact"),
+        F.round(F.col("p0_99"), 6).alias("p99_exact"),
+    )
+    row = exact.crossJoin(F.broadcast(b50)).crossJoin(F.broadcast(b99))
+    e50 = F.lit(lo) + (F.col("b50") + 0.5) * F.lit(w)
+    e99 = F.lit(lo) + (F.col("b99") + 0.5) * F.lit(w)
+    return row.select(
+        "p50_exact",
+        F.round(e50, 6).alias("p50_est"),
+        F.round(F.abs(e50 - F.col("p50_exact")) / F.col("p50_exact"), 6)
+        .alias("p50_rel_err"),
+        "p99_exact",
+        F.round(e99, 6).alias("p99_est"),
+        F.round(F.abs(e99 - F.col("p99_exact")) / F.col("p99_exact"), 6)
+        .alias("p99_rel_err"),
+    )
