@@ -698,3 +698,48 @@ def streaming_quantile_sketch(spark, sf_dir):
     return W.run_streaming_quantile_sketch(
         spark, read_events(spark, sf_dir), stage, target
     )
+
+
+@register(
+    "streaming_session_close",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="STREAMED session windows with closure semantics: sessions grow "
+    "across micro-batches in the state store (UpdatingSessions merge) "
+    "and each emits exactly once — when the watermark passes its end + "
+    "gap, the engine's proof it can no longer be extended. Time-ordered "
+    "3-slice stage + far-future sentinel (the outer-join drains' "
+    "technique) pushes the final watermark past every real session so "
+    "the bounded drain flushes them all; the appended output equals the "
+    "batch gaps-and-islands sessionization row-for-row (user, session "
+    "start, event count) under the value oracle. State is O(open "
+    "sessions inside the watermark horizon) — the production shape for "
+    "sessionization-at-ingest.",
+)
+def streaming_session_close(spark, sf_dir):
+    stage = _workdir("sessclose_stage")
+    return W.run_streaming_session_close(
+        spark, read_events(spark, sf_dir), stage
+    )

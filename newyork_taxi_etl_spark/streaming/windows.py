@@ -1556,3 +1556,92 @@ def run_streaming_quantile_sketch(
         F.round(F.abs(e99 - F.col("p99_exact")) / F.col("p99_exact"), 6)
         .alias("p99_rel_err"),
     )
+
+
+def run_streaming_session_close(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Streamed SESSION WINDOWS with real closure semantics (append mode):
+    a session row is emitted only when the watermark passes its end + gap
+    — the engine's proof that no event can still extend it.  This is the
+    streaming operator the batch twin (``session_agg`` /
+    ``session_window_agg``) evaluates eagerly: here sessions GROW ACROSS
+    micro-batches in the state store (UpdatingSessions merge) and flush
+    individually as the watermark overtakes them.
+
+    Same staging discipline as the outer-join drains: three time-ordered
+    slices (strictly increasing mtimes — the file source would otherwise
+    interleave the span and late-drop whole batches under the 1-hour
+    watermark) plus a far-future SENTINEL event staged last, which pushes
+    the final watermark beyond every real session's end so ALL of them
+    close during the bounded drain.  The sentinel's own still-open session
+    never emits and is filtered by user_id.  The drained set then equals
+    the batch gaps-and-islands sessionization, which the oracle
+    value-checks row-for-row (user, session start, event count).
+    """
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql.window import Window
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _append_stamped(df, seq):
+        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
+        df.coalesce(1).write.mode("append").parquet(stage_dir)
+        t = 1_600_000_000 + seq * 10
+        for f in os.listdir(stage_dir):
+            if f not in before:
+                os.utime(os.path.join(stage_dir, f), (t, t))
+
+    sliced = src_df.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("ts"))
+    )
+    for i in (1, 2, 3):
+        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
+
+    mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=100), -1, "click", 0.0, None)],
+        src_df.schema,
+    )
+    _append_stamped(sent, 4)
+
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"sessclose_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
