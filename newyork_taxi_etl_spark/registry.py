@@ -237,6 +237,12 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "streaming_decay_rescale",
     "foreachbatch_idempotent_replay",
     "streaming_checkpoint_recovery",
+    # r7: the time-ordered drain staging moved from a single-partition
+    # ntile sort to one distributed repartitionByRange job
+    # (_stage_time_sliced); drained results are slice-agnostic and
+    # verified identical, but the r6-verified left-outer runner's code
+    # changed, so it re-verifies.
+    "stream_stream_outer_join",
 })
 
 

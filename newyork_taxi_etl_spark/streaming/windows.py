@@ -92,6 +92,42 @@ def _drain(q, timeout_sec: int) -> None:
         )
 
 
+def _stage_time_sliced(spark, src_df, stage_dir, sentinel_rows, n_slices=3):
+    """Stage ``src_df`` as time-CONTIGUOUS parquet slices with strictly
+    increasing mtimes, plus a trailing sentinel file stamped last.
+
+    ``repartitionByRange(n, ts)`` cuts the timeline into contiguous ranges
+    in ONE distributed range-shuffle job (partition i = i-th range, written
+    as ``part-0000i``) — replacing the earlier staging ntile, whose global
+    sort ran single-partition three times.  The parquet file source orders
+    same-mtime files arbitrarily, so each slice is stamped with an
+    increasing mtime; that ordering is the only thing these bounded drains
+    lean on (a production stream arrives time-ordered by nature).  The
+    sentinel file must sort LAST: read first it would fast-forward the
+    watermark and late-drop every real row.
+    """
+    import os
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    (
+        src_df.repartitionByRange(n_slices, "ts")
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    files = sorted(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        t = 1_600_000_000 + (i + 1) * 10
+        os.utime(os.path.join(stage_dir, f), (t, t))
+    before = set(os.listdir(stage_dir))
+    sent = spark.createDataFrame(sentinel_rows, src_df.schema)
+    sent.coalesce(1).write.mode("append").parquet(stage_dir)
+    t = 1_600_000_000 + (len(files) + 1) * 10
+    for f in os.listdir(stage_dir):
+        if f not in before and f.endswith(".parquet"):
+            os.utime(os.path.join(stage_dir, f), (t, t))
+
+
 def tumbling_agg(
     df: DataFrame, ts: str = "ts", dur: str = "1 hour", value: str = "value"
 ) -> DataFrame:
@@ -983,47 +1019,22 @@ def run_stream_stream_outer_join(
     (the watermark advances as events keep arriving); state per side
     stays O(rows inside watermark + range horizon).
     """
-    import os
-    import shutil
     from datetime import timedelta
 
-    from pyspark.sql.window import Window
-
-    shutil.rmtree(stage_dir, ignore_errors=True)
-
-    # The stage MUST arrive time-ordered (file i = i-th slice of the
-    # timeline): with a 1-hour watermark, a hash-split stage would put the
-    # whole span in every file and batch 1 would fast-forward the
-    # watermark past most of batches 2-3, dropping them as late. The file
-    # source orders same-mtime files arbitrarily, so each slice is written
-    # sequentially and stamped with a strictly increasing mtime — that
-    # ordering is the ONLY thing the correctness of this drain leans on
-    # (staging artifact: a production stream arrives time-ordered by
-    # nature). The 1h delay also exceeds the 30-min join range, so no
-    # cross-slice match is ever evicted early.
-    def _append_stamped(df, seq):
-        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
-        df.coalesce(1).write.mode("append").parquet(stage_dir)
-        t = 1_600_000_000 + seq * 10
-        for f in os.listdir(stage_dir):
-            if f not in before:
-                os.utime(os.path.join(stage_dir, f), (t, t))
-
-    # ntile over a global ts order: staging-only single-partition sort of
-    # a bounded demo slice, never part of the streaming plan itself
-    sliced = src_df.withColumn(
-        "_slice", F.ntile(3).over(Window.orderBy("ts"))
-    )
-    for i in (1, 2, 3):
-        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
-
+    # The stage MUST arrive time-ordered: with a 1-hour watermark, a
+    # hash-split stage would put the whole span in every file and batch 1
+    # would fast-forward the watermark past the later batches, dropping
+    # them as late — see _stage_time_sliced. The 1h delay also exceeds the
+    # 30-min join range, so no cross-slice match is ever evicted early.
     mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
     s_ts = mx + timedelta(hours=100)
-    sent = spark.createDataFrame(
-        [(-1, s_ts, -1, "purchase", 0.0, None), (-2, s_ts, -1, "click", 0.0, None)],
-        src_df.schema,
+    _stage_time_sliced(
+        spark,
+        src_df,
+        stage_dir,
+        [(-1, s_ts, -1, "purchase", 0.0, None),
+         (-2, s_ts, -1, "click", 0.0, None)],
     )
-    _append_stamped(sent, 4)
 
     def _stream():
         return (
@@ -1114,36 +1125,18 @@ def run_stream_stream_two_sided_outer(
     the batch FULL/RIGHT JOIN with the same time-range condition, folded
     per user into (n_pairs, n_only_purchase, n_only_click).
     """
-    import os
-    import shutil
     from datetime import timedelta
 
-    from pyspark.sql.window import Window
-
     assert join_type in ("fullOuter", "rightOuter")
-    shutil.rmtree(stage_dir, ignore_errors=True)
-
-    def _append_stamped(df, seq):
-        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
-        df.coalesce(1).write.mode("append").parquet(stage_dir)
-        t = 1_600_000_000 + seq * 10
-        for f in os.listdir(stage_dir):
-            if f not in before:
-                os.utime(os.path.join(stage_dir, f), (t, t))
-
-    sliced = src_df.withColumn(
-        "_slice", F.ntile(3).over(Window.orderBy("ts"))
-    )
-    for i in (1, 2, 3):
-        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
-
     mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
     s_ts = mx + timedelta(hours=100)
-    sent = spark.createDataFrame(
-        [(-1, s_ts, -1, "purchase", 0.0, None), (-2, s_ts, -1, "click", 0.0, None)],
-        src_df.schema,
+    _stage_time_sliced(
+        spark,
+        src_df,
+        stage_dir,
+        [(-1, s_ts, -1, "purchase", 0.0, None),
+         (-2, s_ts, -1, "click", 0.0, None)],
     )
-    _append_stamped(sent, 4)
 
     def _stream():
         return (
@@ -1584,34 +1577,15 @@ def run_streaming_session_close(
     the batch gaps-and-islands sessionization, which the oracle
     value-checks row-for-row (user, session start, event count).
     """
-    import os
-    import shutil
     from datetime import timedelta
 
-    from pyspark.sql.window import Window
-
-    shutil.rmtree(stage_dir, ignore_errors=True)
-
-    def _append_stamped(df, seq):
-        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
-        df.coalesce(1).write.mode("append").parquet(stage_dir)
-        t = 1_600_000_000 + seq * 10
-        for f in os.listdir(stage_dir):
-            if f not in before:
-                os.utime(os.path.join(stage_dir, f), (t, t))
-
-    sliced = src_df.withColumn(
-        "_slice", F.ntile(3).over(Window.orderBy("ts"))
-    )
-    for i in (1, 2, 3):
-        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
-
     mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    sent = spark.createDataFrame(
+    _stage_time_sliced(
+        spark,
+        src_df,
+        stage_dir,
         [(-1, mx + timedelta(hours=100), -1, "click", 0.0, None)],
-        src_df.schema,
     )
-    _append_stamped(sent, 4)
 
     stream = (
         spark.readStream.schema(src_df.schema)
