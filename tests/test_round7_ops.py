@@ -1,0 +1,177 @@
+"""Invariant tests for the round-7 operator additions.
+
+The oracle mirror (tests/test_oracle.py) proves engine agreement; these
+pin the SEMANTIC claims the docstrings make, on properties a wrong-but-
+consistent implementation could still violate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from newyork_taxi_etl_spark.registry import queries
+
+
+def test_temperature_mix_flattens_toward_smallest(spark):
+    """The smallest language keeps rate 10000 (whole); every larger
+    language gets a strictly smaller rate; kept counts respect the rate
+    ordering direction (flattening, never amplifying skew)."""
+    rows = {
+        r["lang"]: r
+        for r in queries()["temperature_mix_sampling"](spark, SF_SMOKE).collect()
+    }
+    smallest = min(rows.values(), key=lambda r: (r["n_docs"], r["lang"]))
+    assert smallest["rate_myriad"] == 10000
+    for r in rows.values():
+        assert 0 < r["rate_myriad"] <= 10000
+        if r["n_docs"] > smallest["n_docs"]:
+            assert r["rate_myriad"] < 10000
+        assert r["n_kept"] <= r["n_docs"]
+
+
+def test_exact_n_sample_is_exact(spark):
+    row = queries()["exact_n_sample"](spark, SF_SMOKE).collect()[0]
+    assert row["n_rows"] == 100
+
+
+def test_winsorized_mean_inside_clip_band(spark):
+    """The winsorized mean must sit inside [p05, p95] of its group, and
+    at most ~10% of rows may be clipped (5% per tail + tie slack)."""
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE).filter(F.col("value").isNotNull())
+    cuts = {
+        r["event_type"]: (r["p05"], r["p95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.05)).alias("p05"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for r in queries()["winsorized_group_stats"](spark, SF_SMOKE).collect():
+        lo, hi = cuts[r["event_type"]]
+        assert lo <= r["winsorized_mean"] <= hi
+        assert r["n_clipped"] <= 0.11 * r["cnt"]
+
+
+def test_quantile_bins_are_roughly_equal(spark):
+    """Equal-frequency binning: each quartile bin holds 25% +- tie slack,
+    and bin boundaries are monotone (max of bin i < min of bin i+2)."""
+    rows = sorted(
+        queries()["quantile_binning_feature"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["bin"],
+    )
+    total = sum(r["cnt"] for r in rows)
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert 0.15 * total <= r["cnt"] <= 0.35 * total
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+
+
+def test_nucleus_prefix_is_minimal(spark):
+    """The kept prefix covers >= 80%; dropping its last (smallest) user
+    must fall below 80% — minimality of the cut."""
+    row = queries()["nucleus_user_coverage"](spark, SF_SMOKE).collect()[0]
+    assert row["covered_events"] >= 0.8 * row["total_events"]
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .collect()
+    )
+    kept = per_user[: row["n_kept_users"]]
+    assert sum(r["cnt"] for r in kept[:-1]) < 0.8 * row["total_events"]
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Each group's 95% CI must contain its point mean (64 replicas of a
+    2000+-row group cannot all fall on one side), with ci_lo <= ci_hi."""
+    for r in queries()["poisson_bootstrap_ci"](spark, SF_SMOKE).collect():
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+        assert r["ci_lo"] < r["ci_hi"]
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Recompute Welch's t in numpy from the raw (2-dp-quantized) data;
+    the engine value must match to 1e-9."""
+    import numpy as np
+
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE).filter(F.col("value").isNotNull())
+    vals = {
+        t: np.round(
+            np.array(
+                [r["value"] for r in ev.filter(F.col("event_type") == t).collect()]
+            )
+            * 100
+        )
+        / 100.0
+        for t in ("click", "purchase")
+    }
+    a, b = vals["click"], vals["purchase"]
+    t_ref = (a.mean() - b.mean()) / (
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    ) ** 0.5
+    row = queries()["ab_welch_ttest"](spark, SF_SMOKE).collect()[0]
+    assert abs(row["t_stat"] - round(t_ref, 6)) <= 2e-6
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+
+
+def test_rrf_fused_rank_dominates_single_leg_for_agreed_top(spark):
+    """A candidate ranked #1 by BOTH legs must be fused rank 1 (RRF is
+    monotone in per-leg ranks)."""
+    rows = queries()["rrf_hybrid_retrieval"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["fused_rank"])
+        assert rs[0]["rrf"] == max(r["rrf"] for r in rs)
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_table_diff_finds_planted_mutations(spark):
+    """The reconcile must classify exactly the planted changes: deletes =
+    rows with event_id%5000==11, changes = %1000==7 (minus deleted)."""
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE).filter(F.col("value").isNotNull())
+    n_del = ev.filter(F.col("event_id") % 5000 == 11).count()
+    n_chg = ev.filter(
+        (F.col("event_id") % 1000 == 7) & (F.col("event_id") % 5000 != 11)
+    ).count()
+    row = queries()["table_diff_reconcile"](spark, SF_SMOKE).collect()[0]
+    assert row["rows_deleted"] == n_del
+    assert row["rows_changed"] == n_chg
+    assert row["rows_inserted"] == 0
+    assert 0 < row["buckets_dirty"] <= row["buckets_total"]
+
+
+def test_compliance_delete_removes_only_target_partition(spark, tmp_path):
+    """After the rewrite, user 7 is gone, every other row survives, and
+    only ONE bucket directory was touched (its files are the newest)."""
+    row = queries()["compliance_delete_rewrite"](spark, SF_SMOKE).collect()[0]
+    assert row["target_rows_left"] == 0
+    assert row["buckets_rewritten"] == 1
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE)
+    expected = ev.filter(
+        (F.col("user_id") != 7) | F.col("user_id").isNull()
+    ).count()
+    assert row["rows_after"] == expected
+
+
+def test_streaming_quantile_sketch_bounds_error(spark):
+    """Midpoint estimates from 2-wide buckets can be off by at most half
+    a bucket width around the exact quantile."""
+    row = queries()["streaming_quantile_sketch"](spark, SF_SMOKE).collect()[0]
+    assert abs(row["p50_est"] - row["p50_exact"]) <= 1.0 + 1e-6
+    assert abs(row["p99_est"] - row["p99_exact"]) <= 1.0 + 1e-6
