@@ -1099,3 +1099,127 @@ def compliance_delete_rewrite(spark, sf_dir):
         "buckets_rewritten",
     )
 
+
+
+@register(
+    "time_travel_vacuum",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 3
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS rows_v0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS rows_current,
+           (SELECT {sum_exact_sql('o_totalprice')} FROM orders)
+             AS checksum_v0,
+           (SELECT {sum_exact_sql('price')} FROM v1) AS checksum_current,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 100 = 3) AS rows_differing,
+           CAST(2 AS BIGINT) AS gens_before_vacuum,
+           CAST(1 AS BIGINT) AS gens_after_vacuum,
+           TRUE AS current_intact_after_vacuum
+    """,
+    doc="TIME TRAVEL + VACUUM on the generation-pointer table "
+    "(compaction_concurrent_read's snapshot machinery taken to its "
+    "conclusion): an update writes gen1 (price bump on o_orderkey%100==3) "
+    "and atomically swaps the _current pointer — gen0's immutable files "
+    "now ARE 'VERSION AS OF 0', readable any time by naming the "
+    "generation instead of the pointer (Delta time travel degraded to "
+    "plain parquet: versions live as long as their files).  VACUUM then "
+    "removes every non-current generation (retention 0h for the demo; "
+    "production keeps a horizon so long-running readers finish) and the "
+    "CURRENT snapshot re-checksums clean afterwards — vacuum must never "
+    "touch live data.  The oracle recomputes both versions' counts and "
+    "decimal checksums, the row-level diff between them, and the "
+    "2-to-1 generation collapse.",
+)
+def time_travel_vacuum(spark, sf_dir):
+    import atexit
+
+    base = tempfile.mkdtemp(prefix="nyetl_timetravel_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    pointer = os.path.join(base, "_current")
+
+    def write_pointer(gen):
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, pointer)
+
+    def resolve():
+        with open(pointer) as f:
+            return os.path.join(base, f.read().strip())
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen0 = os.path.join(base, "gen0")
+    orders.write.mode("overwrite").parquet(gen0)
+    write_pointer("gen0")
+
+    # the UPDATE: new generation from the current one, then pointer swap
+    updated = spark.read.parquet(resolve()).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 100 == 3, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    gen1 = os.path.join(base, "gen1")
+    updated.write.mode("overwrite").parquet(gen1)
+    write_pointer("gen1")
+
+    # TIME TRAVEL: version 0 is just gen0's immutable files by name
+    v0 = spark.read.parquet(gen0)
+    cur = spark.read.parquet(resolve())
+    diff = (
+        v0.alias("a")
+        .join(cur.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+        .filter(F.col("a.o_totalprice") != F.col("b.price"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_differing"))
+    )
+    stats_v0 = v0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_v0"),
+        sum_exact("o_totalprice").alias("checksum_v0"),
+    )
+    stats_cur = cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_current"),
+        sum_exact("price").alias("checksum_current"),
+    )
+    # force both snapshots + diff to materialize BEFORE the vacuum below
+    # removes gen0 (time travel only works while the files live)
+    row_v0 = stats_v0.collect()[0]
+    row_cur = stats_cur.collect()[0]
+    row_diff = diff.collect()[0]
+
+    # VACUUM: drop every generation the pointer does not reference
+    current_gen = os.path.basename(resolve())
+    gens = sorted(
+        d for d in os.listdir(base)
+        if d.startswith("gen") and os.path.isdir(os.path.join(base, d))
+    )
+    n_before = len(gens)
+    for g in gens:
+        if g != current_gen:
+            shutil.rmtree(os.path.join(base, g))
+    n_after = len(
+        [d for d in os.listdir(base)
+         if d.startswith("gen") and os.path.isdir(os.path.join(base, d))]
+    )
+    post = spark.read.parquet(resolve()).agg(
+        sum_exact("price").alias("ck")
+    ).collect()[0]["ck"]
+
+    return spark.createDataFrame(
+        [(
+            row_v0["rows_v0"], row_cur["rows_current"],
+            float(row_v0["checksum_v0"]), float(row_cur["checksum_current"]),
+            row_diff["rows_differing"], n_before, n_after,
+            bool(post == row_cur["checksum_current"]),
+        )],
+        "rows_v0 bigint, rows_current bigint, checksum_v0 double, "
+        "checksum_current double, rows_differing bigint, "
+        "gens_before_vacuum bigint, gens_after_vacuum bigint, "
+        "current_intact_after_vacuum boolean",
+    )
