@@ -1223,3 +1223,56 @@ def time_travel_vacuum(spark, sf_dir):
         "gens_before_vacuum bigint, gens_after_vacuum bigint, "
         "current_intact_after_vacuum boolean",
     )
+
+
+@register(
+    "streaming_cdc_apply",
+    f"""
+    WITH applied AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 <> 0 AND o_orderkey % 31 = 0
+                  THEN o_totalprice + 5 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 97 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_after,
+           {sum_exact_sql('price')} AS price_checksum,
+           CAST(0 AS BIGINT) AS null_prices
+    FROM applied
+    """,
+    doc="streaming CDC APPLY (the Debezium-consumer pattern): a change "
+    "feed — tombstones for o_orderkey%97==0, price+5 updates for "
+    "%31==0 (delete wins on overlap) — drains as micro-batches and each "
+    "batch merges into the parquet target: D drops the key, U replaces "
+    "the row, untouched keys carry forward; null-safe merge key, "
+    "replay-guarded fold (applied-batch sidecar), atomic swap per batch. "
+    "The drained state must equal base − deletes ⊎ updates, which the "
+    "oracle recomputes relationally. With Delta installed the body is "
+    "one MERGE INTO ... WHEN MATCHED AND op='D' THEN DELETE. Scale: each "
+    "batch's merge is one equi join on the key — the same shuffle a "
+    "Delta MERGE pays — and state stays exactly the table.",
+)
+def streaming_cdc_apply(spark, sf_dir):
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    base = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    cdc = (
+        base.filter(
+            (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 31 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.when(
+                F.col("o_orderkey") % 97 != 0,
+                F.col("o_totalprice") + 5,
+            ).alias("new_price"),
+        )
+    )
+    stage = _workdir("cdc_stage")
+    target = _workdir("cdc_target")
+    return W.run_streaming_cdc_apply(spark, base, cdc, stage, target)

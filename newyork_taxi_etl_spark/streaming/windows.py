@@ -1619,3 +1619,84 @@ def run_streaming_session_close(
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     )
+
+
+def run_streaming_cdc_apply(
+    spark,
+    base_df: DataFrame,
+    cdc_df: DataFrame,
+    stage_dir: str,
+    target_dir: str,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Streaming CDC APPLY (the Debezium-consumer pattern): a change feed
+    with per-row ops — ``U`` (new value) / ``D`` (tombstone) — drains as
+    micro-batches and each batch MERGEs into the parquet target: deletes
+    drop the key, updates replace the row, untouched keys carry forward
+    (with Delta installed the body is ``MERGE INTO ... WHEN MATCHED AND
+    op='D' THEN DELETE WHEN MATCHED THEN UPDATE``).  The feed stages
+    hash-split (no time ordering needed — the feed carries at most one op
+    per key here; a real feed orders by LSN within key, which
+    ``maxFilesPerTrigger`` respects per file).  The merge key compares
+    null-safe and replays of a committed batch_id are no-ops
+    (``_applied_batch_ids``) — the same fold contract as the upsert
+    family.  State after the drain must equal base − deletes ⊎ updates,
+    which the oracle recomputes relationally.
+    """
+    import os
+    import shutil
+
+    base_df.write.mode("overwrite").parquet(target_dir + "_base")
+    shutil.rmtree(target_dir, ignore_errors=True)
+    shutil.copytree(target_dir + "_base", target_dir)
+    cdc_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(cdc_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def apply_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(target_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: merge already committed
+        ss = batch_df.sparkSession
+        prev = ss.read.parquet(target_dir)
+        ch = batch_df.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("op"),
+            F.col("new_price"),
+        )
+        merged = (
+            prev.join(ch, prev["o_orderkey"].eqNullSafe(ch["k"]), "left")
+            .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+            .select(
+                "o_orderkey",
+                F.when(F.col("op") == "U", F.col("new_price"))
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            )
+        )
+        nxt = target_dir + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        _mark_applied(nxt, batch_id, applied)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        os.rename(nxt, target_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    final = spark.read.parquet(target_dir)
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast("double")
+        .alias("price_checksum"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).cast("bigint")
+        .alias("null_prices"),
+    )
