@@ -175,3 +175,43 @@ def test_streaming_quantile_sketch_bounds_error(spark):
     row = queries()["streaming_quantile_sketch"](spark, SF_SMOKE).collect()[0]
     assert abs(row["p50_est"] - row["p50_exact"]) <= 1.0 + 1e-6
     assert abs(row["p99_est"] - row["p99_exact"]) <= 1.0 + 1e-6
+
+
+def test_quantile_sketch_fold_replay_is_noop(spark, tmp_path):
+    """The additive histogram fold must ignore a redelivered batch_id —
+    double-applying bucket counts would shift every quantile estimate."""
+    from newyork_taxi_etl_spark.sources.readers import read_events
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_quantile_sketch,
+    )
+
+    ev = read_events(spark, SF_SMOKE)
+    out = run_streaming_quantile_sketch(
+        spark, ev, str(tmp_path / "stage"), str(tmp_path / "state")
+    ).collect()[0]
+    # total folded mass must equal the source row count exactly — any
+    # replayed batch would inflate it
+    n_state = (
+        spark.read.parquet(str(tmp_path / "state"))
+        .agg(F.sum("cnt").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_state == ev.filter(F.col("value").isNotNull()).count()
+    assert out["p50_rel_err"] is not None
+
+
+def test_bootstrap_is_partitioning_invariant(spark):
+    """The Poisson draw depends only on (event_id, replica), never on
+    partition layout: 1-partition and 64-partition runs must be
+    row-identical."""
+    base = queries()["poisson_bootstrap_ci"](spark, SF_SMOKE).collect()
+
+    # re-run under a different shuffle parallelism: every draw is a pure
+    # function of (event_id, replica), so the layout must not matter
+    with_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = queries()["poisson_bootstrap_ci"](spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", with_conf)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, alt))
