@@ -1124,3 +1124,42 @@ def quantile_binning_feature(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "windowed_distinct_hll",
+    """
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="windowed CARDINALITY monitoring: distinct users per day computed "
+    "exactly AND by a per-window HLL sketch, the sketch gated within 5% "
+    "of exact per window (self-asserted boolean, the "
+    "grouped_distinct_approx pattern). This is the streaming-dashboard "
+    "shape — per-window sketches are mergeable ACROSS windows and "
+    "executors (hll_union_agg), so late data folds into its window "
+    "without recount; exact COUNT(DISTINCT) needs the full key multiset "
+    "per window and exists here as the verification baseline. One scan, "
+    "two aggregates over (day); the exact side shuffles (day, user) "
+    "pairs, the sketch side only fixed-width sketch bytes.",
+)
+def windowed_distinct_hll(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    per_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    return per_day.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+    ).orderBy("day")

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from newyork_taxi_etl_spark.functions.exact import avg_exact, avg_exact_sql
 from newyork_taxi_etl_spark.operators import sampling as ops
 from newyork_taxi_etl_spark.registry import register
-from newyork_taxi_etl_spark.sources.readers import table_path
+from newyork_taxi_etl_spark.sources.readers import read_events, table_path
 
 _BUCKET = ops.BUCKET_SQL.format(key="doc_id", n=100)
 
@@ -284,4 +284,59 @@ def exact_n_sample(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         avg_exact("n_chars").alias("avg_chars"),
+    )
+
+
+@register(
+    "group_aware_split",
+    f"""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN {ops.BUCKET_SQL.format(key="user_id", n=100)} < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT user_id FROM tagged GROUP BY user_id
+              HAVING COUNT(DISTINCT split) > 1)) AS n_leaked_users
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="GROUP-AWARE train/test split (leakage guard): the split key is the "
+    "USER, not the row — every event of a user lands in the same split, "
+    "the property row-level splitting violates whenever correlated rows "
+    "of one entity straddle the boundary (classic eval leakage). Same "
+    "deterministic Knuth-hash bucketing as train_test_split, keyed on "
+    "user_id; the n_leaked_users column PROVES the guarantee inside the "
+    "result (must be 0 — a user in >1 split would show here). Pure "
+    "projection + one aggregate: no shuffle for the tagging, "
+    "repartition-stable, contamination-stable as the corpus grows.",
+)
+def group_aware_split(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    tagged = ev.select(
+        "user_id",
+        F.when(ops.hash_bucket("user_id", 100) < 80, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaked = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_users"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select("split", "n_events", "n_users", "n_leaked_users")
+        .orderBy("split")
     )
