@@ -559,9 +559,7 @@ _IVF_KM_DIST = (
 )
 
 
-@register(
-    "ann_ivf_kmeans_topk",
-    f"""
+_IVF_KM_SQL = f"""
     WITH emb AS (
       SELECT vec_id, embedding,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -619,7 +617,12 @@ _IVF_KM_DIST = (
     )
     SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
+"""
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    _IVF_KM_SQL,
     doc="IVF over TRAINED centroids — closes ann_ivf_topk's documented "
     "stand-in: the coarse quantizer is one Lloyd update over the "
     "lowest-id seeds (operators.clustering.kmeans_centroids, same "
@@ -1673,4 +1676,111 @@ def rrf_hybrid_retrieval(spark, sf_dir):
         .filter(F.col("fused_rank") <= 10)
         .select("query_id", "cand_id", "rrf", "fused_rank")
         .orderBy("query_id", "fused_rank")
+    )
+
+
+@register(
+    "ann_index_persisted_probe",
+    _IVF_KM_SQL,
+    doc="PERSISTED ANN index (index-as-a-table, the serving half of IVF): "
+    "the trained coarse quantizer and the corpus assignment are WRITTEN "
+    "once — assignments partitioned BY LIST ID (cid) — and the probe "
+    "phase reads the index back touching only the probed partitions: "
+    "the probe lists (n_queries x n_probe cids, 10 values here) are "
+    "fetched planner-style and pushed as a static partition filter, so "
+    "the scan lists exactly those cid= directories (plan-tested "
+    "PartitionFilters; at 100 TB that is reading corpus/n_lists x "
+    "n_probe instead of the corpus). Search results must be IDENTICAL "
+    "to the in-memory trained-IVF query (ann_ivf_kmeans_topk — same "
+    "oracle SQL verbatim): persistence must never change retrieval. "
+    "This is the build-once/probe-many lifecycle every vector-serving "
+    "system runs; with Delta the index table would additionally get "
+    "OPTIMIZE + time travel for free.",
+)
+def ann_index_persisted_probe(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    idx_root = os.path.join(
+        tempfile.gettempdir(), f"nyetl_annidx_{os.getpid()}"
+    )
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # BUILD: train the quantizer, assign the corpus, persist both tables
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_vec"),
+            "cid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(idx_root, "assignments"))
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    # PROBE: nearest n_probe lists per query from the persisted centroids
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids")).select(
+        "cid", F.col("vec").alias("cent_vec")
+    )
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            "_v",
+        )
+        .crossJoin(F.broadcast(cent_t))
+        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "cid")
+    )
+    # planner-style fetch of the probe lists (n_queries x n_probe values)
+    # -> STATIC partition filter, so the index scan prunes to those dirs
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    idx_scan = spark.read.parquet(
+        os.path.join(idx_root, "assignments")
+    ).filter(F.col("cid").isin(probe_cids))
+
+    scored = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
     )

@@ -596,3 +596,13 @@ def test_rrf_legs_broadcast_query_side(spark):
 
     plan = _plan(queries()["rrf_hybrid_retrieval"](spark, SF_SMOKE))
     assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_persisted_ann_probe_prunes_partitions(spark):
+    """The index scan must carry the probe lists as a PartitionFilters
+    entry on cid — reading corpus/n_lists x n_probe, never the corpus."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["ann_index_persisted_probe"](spark, SF_SMOKE)
+    fmt = _formatted(df)
+    assert "PartitionFilters" in fmt and "cid" in fmt
