@@ -743,3 +743,43 @@ def streaming_session_close(spark, sf_dir):
     return W.run_streaming_session_close(
         spark, read_events(spark, sf_dir), stage
     )
+
+
+@register(
+    "streaming_late_drop",
+    """
+    WITH sliced AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ntile(3) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                  AS INT) AS s
+      FROM events
+    ),
+    kept AS (
+      SELECT ts FROM sliced
+      WHERE NOT (s = 3 AND event_id % 25 = 0)
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+            FROM kept) AS n_windows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS events_emitted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sliced
+            WHERE s = 3 AND event_id % 25 = 0) AS events_dropped_late
+    """,
+    doc="watermark LATE-DROP accounting, value-oracled: rows arriving in "
+    "the THIRD micro-batch with event_id%25==0 carry event times "
+    "stamped 2h BEFORE the corpus starts — below every possible "
+    "operative watermark once any earlier batch committed — so the "
+    "tumbling append aggregation provably drops ALL of them and "
+    "nothing else. (Batch 1 plants none — its watermark is unset; "
+    "batch 2 is avoided too: the late filter's operative watermark "
+    "empirically lags the progress-reported one by a batch.) Batch "
+    "membership is exact ntile(3) over (ts, event_id) so the oracle "
+    "reproduces the drop set relationally: emitted = the batch "
+    "aggregate over non-late rows, dropped = planted. This is the "
+    "semantic contract behind every watermark in the module — "
+    "measured, not assumed.",
+)
+def streaming_late_drop(spark, sf_dir):
+    stage = _workdir("latedrop_stage")
+    return W.run_streaming_late_drop(
+        spark, read_events(spark, sf_dir), stage
+    )

@@ -1700,3 +1700,115 @@ def run_streaming_cdc_apply(
         F.count(F.when(F.col("o_totalprice").isNull(), 1)).cast("bigint")
         .alias("null_prices"),
     )
+
+
+def run_streaming_late_drop(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    watermark: str = "1 hour",
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Watermark LATE-DATA DROP accounting — the streaming semantic every
+    other drain here deliberately avoids (their watermarks exceed the
+    corpus span, so nothing drops).  Rows arriving in batches 2-3 with
+    ``event_id % 50 == 0`` carry an event time 300 HOURS behind their
+    arrival position: far below any batch's watermark (set from the
+    PREVIOUS batches' max event time minus 1h), so the tumbling
+    aggregation MUST drop every one of them — while batch 1's planted
+    lates would survive (the first batch runs with watermark unset),
+    which is why none are planted there.  The 299h margin makes the
+    drop decision edge-free regardless of where in its batch a row
+    arrives.
+
+    Slicing here is EXACT ntile(3) over (ts, event_id) — not
+    repartitionByRange — because the oracle must reproduce batch
+    membership relationally to know which rows were late.  The drained
+    window counts therefore equal the batch tumbling aggregate over
+    NON-LATE rows only, and the dropped total is reported beside it.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    # lates live ONLY in the 3rd batch, stamped BEFORE the corpus start:
+    # below every possible operative watermark once any earlier batch has
+    # committed. (Planting in batch 2 is not robust: the late-filter's
+    # operative watermark empirically lags the progress-reported one by a
+    # batch, so batch-2 lates can still be aggregated-and-emitted.)
+    mn = src_df.agg(F.min("ts").alias("m")).collect()[0]["m"]
+    sliced = src_df.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    ).withColumn(
+        "ts",
+        F.when(
+            (F.col("_slice") == 3) & (F.col("event_id") % 25 == 0),
+            F.lit(mn) - F.expr("INTERVAL 2 HOURS"),
+        ).otherwise(F.col("ts")),
+    )
+    from datetime import timedelta
+
+    def _append_stamped(df, seq):
+        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
+        df.coalesce(1).write.mode("append").parquet(stage_dir)
+        t = 1_600_000_000 + seq * 10
+        for f in os.listdir(stage_dir):
+            if f not in before:
+                os.utime(os.path.join(stage_dir, f), (t, t))
+
+    for i in (1, 2, 3):
+        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
+
+    # APPEND mode is mandatory: complete mode never drops late rows (state
+    # is fully retained, watermark unused) — verified empirically before
+    # this runner switched. Append emits a window only once the watermark
+    # finalizes it, so a far-future sentinel (4th file) must push the
+    # final watermark past every real window; the engine's no-data
+    # micro-batch then flushes them all. The sentinel's own window is
+    # excluded from the counts below.
+    mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=100), -1, "click", 0.0, None)],
+        src_df.schema,
+    )
+    _append_stamped(sent, 4)
+
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"latedrop_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+    total = src_df.count()
+    out = (
+        spark.table(name)
+        .filter(F.col("w.start") <= F.lit(mx))  # drop the sentinel window
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("cnt").cast("bigint").alias("events_emitted"),
+        )
+    )
+    return out.select(
+        "n_windows",
+        "events_emitted",
+        (F.lit(total) - F.col("events_emitted")).cast("bigint")
+        .alias("events_dropped_late"),
+    )
