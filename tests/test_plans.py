@@ -606,3 +606,30 @@ def test_persisted_ann_probe_prunes_partitions(spark):
     df = queries()["ann_index_persisted_probe"](spark, SF_SMOKE)
     fmt = _formatted(df)
     assert "PartitionFilters" in fmt and "cid" in fmt
+
+
+def test_table_diff_fingerprints_are_partial_aggregates(spark):
+    """Both sides' bucket fingerprints must map-side combine (partial_sum /
+    partial_count) — O(buckets) rows cross the network, never the table."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["table_diff_reconcile"](spark, SF_SMOKE))
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_group_aware_split_tagging_is_shuffle_free(spark):
+    """The split tag is a pure projection: the only exchanges belong to the
+    two aggregates, and no Window operator appears."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["group_aware_split"](spark, SF_SMOKE))
+    assert "Window" not in plan
+
+
+def test_windowed_hll_sketches_are_mergeable_partials(spark):
+    """The per-day HLL runs as partial+merge sketch aggregates (executor-
+    mergeable binary state), like the sketch-merge gate."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["windowed_distinct_hll"](spark, SF_SMOKE))
+    assert "partial_hll_sketch_agg" in plan
