@@ -1650,3 +1650,153 @@ def ab_welch_ttest(spark, sf_dir):
             6,
         ).alias("t_stat"),
     )
+
+
+@register(
+    "rolling_metric_corr",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS HUGEINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    win AS (
+      SELECT day,
+             CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                 / sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)),
+                 6) AS rolling_corr
+    FROM win
+    WHERE n = 7
+    ORDER BY day
+    """,
+    doc="ROLLING CORRELATION between two metric streams (do clicks and "
+    "purchases co-move this week?): daily 2-dp-quantized sums, then a "
+    "7-day ROWS frame carrying (n, Sx, Sy, Sxy, Sxx, Syy) — every "
+    "windowed sum INTEGER-exact in DECIMAL(38,0)/HUGEINT, Pearson r "
+    "assembled in ONE double expression at the end (VARCHAR-routed on "
+    "the DuckDB side), so the value is engine- and partitioning-"
+    "bit-identical. Scale: events reduce map-side to O(days) before "
+    "any window; the frame walks that tiny series. The co-movement "
+    "monitor that pages you when a funnel decouples.",
+)
+def rolling_metric_corr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    yi = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", yi).otherwise(0))
+            .cast(dec).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", yi).otherwise(0))
+            .cast(dec).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast(dec).alias("n"),
+        F.sum("x").over(w).cast(dec).alias("sx"),
+        F.sum("y").over(w).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).over(w).cast(dec)
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).over(w).cast(dec)
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).over(w).cast(dec)
+        .alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(dec)
+    return (
+        win.filter(F.col("n") == 7)
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(dx.cast("double"))
+                / F.sqrt(dy.cast("double")),
+                6,
+            ).alias("rolling_corr"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "weekly_growth_rates",
+    """
+    WITH weekly AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 604800.0) AS BIGINT)
+               AS epoch_week,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      GROUP BY 1
+    )
+    SELECT epoch_week, n_events, n_users,
+           ROUND((CAST(n_events AS DOUBLE)
+                  / LAG(n_events) OVER (ORDER BY epoch_week) - 1) * 100,
+                 6) AS events_wow_pct,
+           ROUND((CAST(n_users AS DOUBLE)
+                  / LAG(n_users) OVER (ORDER BY epoch_week) - 1) * 100,
+                 6) AS users_wow_pct
+    FROM weekly
+    ORDER BY epoch_week
+    """,
+    doc="WEEK-OVER-WEEK growth rates (the BI growth dashboard): weekly "
+    "event and active-user counts keyed by the fixed epoch week "
+    "(floor(epoch/604800) — never date_trunc('week'), whose week-start "
+    "convention differs across engines), WoW percent change via LAG; "
+    "the first week's rate is NULL by construction, which both engines "
+    "agree on. Integer counts + one double division under ROUND keep "
+    "it engine-exact. Scale: map-side reduce to O(weeks) rows; the LAG "
+    "window walks that tiny series on one task — correct, because the "
+    "series IS small; the heavy lifting happened in the aggregate.",
+)
+def weekly_growth_rates(spark, sf_dir):
+    from pyspark.sql import Window
+
+    weekly = (
+        read_events(spark, sf_dir)
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(604800.0))
+            .cast("bigint")
+            .alias("epoch_week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    w = Window.orderBy("epoch_week")
+    pct = lambda c: F.round(  # noqa: E731 — tiny local formatter
+        (F.col(c).cast("double") / F.lag(c).over(w) - 1) * 100, 6
+    )
+    return weekly.select(
+        "epoch_week",
+        "n_events",
+        "n_users",
+        pct("n_events").alias("events_wow_pct"),
+        pct("n_users").alias("users_wow_pct"),
+    ).orderBy("epoch_week")
