@@ -215,3 +215,54 @@ def test_bootstrap_is_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", with_conf)
     assert sorted(map(tuple, base)) == sorted(map(tuple, alt))
+
+
+def test_rolling_corr_is_bounded(spark):
+    """Pearson r must lie in [-1, 1] for every 7-day window, and every
+    emitted window must be full (n_days == 7)."""
+    rows = queries()["rolling_metric_corr"](spark, SF_SMOKE).collect()
+    assert rows, "corpus spans weeks; full windows must exist"
+    for r in rows:
+        assert r["n_days"] == 7
+        assert -1.0 <= r["rolling_corr"] <= 1.0
+
+
+def test_weekly_growth_first_week_null(spark):
+    """The first week has no predecessor: its WoW rates are NULL; all
+    other weeks carry finite rates."""
+    rows = sorted(
+        queries()["weekly_growth_rates"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["epoch_week"],
+    )
+    assert rows[0]["events_wow_pct"] is None
+    assert rows[0]["users_wow_pct"] is None
+    for r in rows[1:]:
+        assert r["events_wow_pct"] is not None
+
+
+def test_time_travel_versions_diverge_exactly_on_planted_keys(spark):
+    row = queries()["time_travel_vacuum"](spark, SF_SMOKE).collect()[0]
+    assert row["rows_v0"] == row["rows_current"]          # update, not delete
+    assert row["checksum_current"] > row["checksum_v0"]   # +1 per planted key
+    assert row["rows_differing"] > 0
+    assert row["gens_after_vacuum"] == 1
+    assert row["current_intact_after_vacuum"] is True
+
+
+def test_cdc_apply_final_state_matches_relational(spark):
+    """base - deletes + updates, recomputed directly."""
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    orders = spark.read.parquet(table_path(SF_SMOKE, "orders"))
+    row = queries()["streaming_cdc_apply"](spark, SF_SMOKE).collect()[0]
+    survivors = orders.filter(F.col("o_orderkey") % 97 != 0)
+    assert row["rows_after"] == survivors.count()
+    assert row["null_prices"] == 0
+
+
+def test_late_drop_counts_planted_rows_only(spark):
+    row = queries()["streaming_late_drop"](spark, SF_SMOKE).collect()[0]
+    assert row["events_dropped_late"] > 0
+    assert row["events_emitted"] + row["events_dropped_late"] == (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    )
