@@ -13,6 +13,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from newyork_taxi_etl_spark.functions.exact import (
     avg_exact,
@@ -1050,6 +1051,15 @@ def compliance_delete_rewrite(spark, sf_dir):
     target_bucket = (
         ev.filter(F.col("user_id") == 7).select("u_bucket").distinct()
     )
+    # Fail loudly if the erasure target is absent (r7 ADVICE): the oracle
+    # asserts buckets_rewritten=1 and the Knuth bucket of user 7, so a
+    # corpus without user 7 must abort here rather than return NULL/0 and
+    # fail the parity gate with a confusing hash mismatch.
+    if target_bucket.limit(1).count() == 0:
+        raise AssertionError(
+            "compliance_delete_rewrite requires user_id=7 in the corpus; "
+            "the oracle's expected bucket is derived from that user"
+        )
     # rewrite ONLY the affected partition: scan `out` pruned to the target
     # bucket dir, stage the surviving rows (a read-modify-overwrite of the
     # same path in one plan is the classic self-overwrite failure), then
@@ -1075,7 +1085,7 @@ def compliance_delete_rewrite(spark, sf_dir):
         )
     try:
         staged = spark.read.parquet(stage)
-    except Exception:  # zero survivors: empty stage has no readable schema
+    except AnalysisException:  # zero survivors: empty stage, no schema
         staged = None
     if staged is not None:
         staged.write.mode("append").partitionBy("u_bucket").parquet(out)

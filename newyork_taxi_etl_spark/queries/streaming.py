@@ -659,7 +659,7 @@ def streaming_checkpoint_recovery(spark, sf_dir):
       FROM vals
     ),
     hist AS (
-      SELECT LEAST(CAST(FLOOR(value / 2.0) AS INT), 255) AS bucket,
+      SELECT GREATEST(0, LEAST(CAST(FLOOR(value / 2.0) AS INT), 255)) AS bucket,
              COUNT(*) AS cnt
       FROM vals GROUP BY 1
     ),

@@ -203,46 +203,59 @@ _R6_VERIFIED = frozenset({
     "text_pii_redact", "window_lead_lag",
 })
 
+# Value-verified in round 7 (the 50 names in CORRECTNESS_r07.json — all
+# rows+schema+hash green, including the 8 re-verified _CHANGED_SINCE_VERIFY
+# names of that round and the last 4 round-2-stale window queries, closing
+# the rotation's first full cycle: every registered query now holds a green
+# driver verdict from some round).
+_R7_VERIFIED = frozenset({
+    "ab_welch_ttest", "ann_cascade_rerank", "ann_index_persisted_probe",
+    "array_hof_surface", "batch_sessionize", "categorical_decode_rank",
+    "compaction_concurrent_read", "compliance_delete_rewrite",
+    "congestion_sorted_desc", "count_nonnull_by_group", "cube_slot_dow",
+    "distinct_values", "exact_n_sample", "feature_hashing_profile",
+    "foreachbatch_idempotent_replay", "group_aware_split", "group_type_stats",
+    "grouped_linear_trend", "grouped_mode_median_disc",
+    "grouped_quantile_pandas_agg", "join_auto_dispatch",
+    "nucleus_user_coverage", "pivot_slot_by_type", "poisson_bootstrap_ci",
+    "quantile_binning_feature", "rolling_metric_corr", "rollup_slot_dow",
+    "rrf_hybrid_retrieval", "semantic_dedup_buckets", "small_file_compaction",
+    "stream_stream_full_outer_join", "stream_stream_outer_join",
+    "stream_stream_right_outer_join", "streaming_cdc_apply",
+    "streaming_checkpoint_recovery", "streaming_decay_rescale",
+    "streaming_late_drop", "streaming_quantile_sketch",
+    "streaming_session_close", "streaming_upsert_counts",
+    "table_diff_reconcile", "temperature_mix_sampling", "time_travel_vacuum",
+    "topn_per_group", "weekly_growth_rates", "window_ntile_dense_rank",
+    "window_range_frame", "window_running_sum", "windowed_distinct_hll",
+    "winsorized_group_stats",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
-# the head of the window until re-checked.  Round 6 re-verified all five of
-# that round's entries (quantile partition-identity pin ×3, the
-# join_strategy_choice zero guard, and the refactored
-# streaming_upsert_counts).  Round 7 entries are added as the code changes
-# land:
+# the head of the window until re-checked.  Round 7 re-verified all eight of
+# that round's entries (join_auto_dispatch cap rewrite, the
+# grouped_quantile_pandas_agg NULL-edge change, structural
+# small_file_compaction oracle, the four eqNullSafe foreachBatch folds, and
+# the repartitionByRange drain staging).  Round 8 entries are added as code
+# changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r7: the skewed-leg subsample moved from a fixed 1-in-50 fraction to an
-    # absolute per-type row cap (O(budget) output at any scale); oracle
-    # changed identically.
-    "join_auto_dispatch",
-    # r7: empty/all-NULL group now yields SQL NULL (was NaN) from the
-    # GROUPED_AGG quartile UDF — unreachable on current data, but the
-    # semantics on that edge changed (ADVICE item).
-    "grouped_quantile_pandas_agg",
-    # r7: oracle made structural (files_reduced instead of hardcoded 16/2
-    # file-count literals; layout claims moved to tests/test_compaction.py)
-    # + mkdtemp-unique work dirs (ADVICE items).
-    "small_file_compaction",
-    # r7: the foreachBatch merge keys moved to eqNullSafe + coalesced key
-    # output (ADVICE r6 item 4) — a NULL key now folds instead of
-    # accumulating one duplicate row per micro-batch.  Unreachable on the
-    # current corpus (no NULL user_id/event_type) but the fold semantics
-    # changed; all four queries sharing the bodies re-verify.
-    "streaming_upsert_counts",
-    "streaming_decay_rescale",
-    "foreachbatch_idempotent_replay",
-    "streaming_checkpoint_recovery",
-    # r7: the time-ordered drain staging moved from a single-partition
-    # ntile sort to one distributed repartitionByRange job
-    # (_stage_time_sliced); drained results are slice-agnostic and
-    # verified identical, but the r6-verified left-outer runner's code
-    # changed, so it re-verifies.
-    "stream_stream_outer_join",
+    # r8: ADVICE item — the streamed quantile sketch's bucket expression
+    # gained a lower clamp (greatest(0, ...)) on both engines; values below
+    # lo now land in bucket 0 instead of a negative bucket.  Unreachable on
+    # the current corpus (lo is the corpus min) but the bucketing semantics
+    # changed.
+    "streaming_quantile_sketch",
+    # r8: ADVICE item — compliance_delete_rewrite now asserts the target
+    # user exists (fail-loud instead of silently NULL on a corpus without
+    # user 7) and the empty-stage read guard narrowed from bare Exception
+    # to AnalysisException.
+    "compliance_delete_rewrite",
 })
 
 

@@ -78,6 +78,29 @@ def _mark_applied(state_dir: str, batch_id: int, prior: set) -> None:
         f.write("\n".join(str(i) for i in sorted(prior | {int(batch_id)})))
 
 
+def _swap_dir(nxt: str, target_dir: str) -> None:
+    """Commit ``nxt`` as the new ``target_dir`` state, crash-safely.
+
+    A plain ``rmtree(target); rename(nxt, target)`` loses ALL state if the
+    process dies between the two calls (r7 ADVICE).  Instead the old
+    generation is renamed aside to a tombstone first — each step is a
+    single atomic rename, so at every crash point a complete generation
+    exists on disk: before step 1 the old target, between steps the
+    tombstone + next, after step 2 the new target.  The tombstone rmtree
+    at the end is pure garbage collection (Delta's transaction log +
+    VACUUM is the production analog of this whole dance).
+    """
+    import os
+    import shutil
+
+    tomb = target_dir + "_tombstone"
+    shutil.rmtree(tomb, ignore_errors=True)  # GC a prior crashed sweep
+    if os.path.exists(target_dir):
+        os.rename(target_dir, tomb)
+    os.rename(nxt, target_dir)
+    shutil.rmtree(tomb, ignore_errors=True)
+
+
 def _drain(q, timeout_sec: int) -> None:
     """Await an AvailableNow drain; fail loudly on timeout.
 
@@ -825,8 +848,7 @@ def run_streaming_decay_rescale(
         nxt = target_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
         _mark_applied(nxt, batch_id, applied)  # commits atomically with swap
-        shutil.rmtree(target_dir, ignore_errors=True)
-        os.rename(nxt, target_dir)
+        _swap_dir(nxt, target_dir)
 
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q = (
@@ -1363,8 +1385,7 @@ def _upsert_counts_fn(target_dir: str):
         nxt = target_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
         _mark_applied(nxt, batch_id, applied)  # commits atomically with swap
-        shutil.rmtree(target_dir, ignore_errors=True)
-        os.rename(nxt, target_dir)
+        _swap_dir(nxt, target_dir)
 
     return upsert
 
@@ -1474,9 +1495,16 @@ def run_streaming_quantile_sketch(
         .load()
     )
     w = (hi - lo) / nb
-    bucket = F.least(
-        F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"),
-        F.lit(nb - 1),
+    # Clamped on BOTH ends: values >= hi land in the last bucket, values
+    # below lo in bucket 0 (without the lower clamp a value < lo would
+    # yield a negative bucket that silently skews the cumulative walk —
+    # r7 ADVICE).  The oracle SQL mirrors the same GREATEST/LEAST pair.
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(nb - 1),
+        ),
     )
 
     def fold(batch_df, batch_id):
@@ -1506,8 +1534,7 @@ def run_streaming_quantile_sketch(
         nxt = target_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
         _mark_applied(nxt, batch_id, applied)
-        shutil.rmtree(target_dir, ignore_errors=True)
-        os.rename(nxt, target_dir)
+        _swap_dir(nxt, target_dir)
 
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
@@ -1682,8 +1709,7 @@ def run_streaming_cdc_apply(
         nxt = target_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
         _mark_applied(nxt, batch_id, applied)
-        shutil.rmtree(target_dir, ignore_errors=True)
-        os.rename(nxt, target_dir)
+        _swap_dir(nxt, target_dir)
 
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
@@ -1711,15 +1737,16 @@ def run_streaming_late_drop(
 ) -> DataFrame:
     """Watermark LATE-DATA DROP accounting — the streaming semantic every
     other drain here deliberately avoids (their watermarks exceed the
-    corpus span, so nothing drops).  Rows arriving in batches 2-3 with
-    ``event_id % 50 == 0`` carry an event time 300 HOURS behind their
-    arrival position: far below any batch's watermark (set from the
-    PREVIOUS batches' max event time minus 1h), so the tumbling
-    aggregation MUST drop every one of them — while batch 1's planted
-    lates would survive (the first batch runs with watermark unset),
-    which is why none are planted there.  The 299h margin makes the
-    drop decision edge-free regardless of where in its batch a row
-    arrives.
+    corpus span, so nothing drops).  Rows arriving in batch 3 ONLY, with
+    ``event_id % 25 == 0``, are re-stamped to the corpus MIN event time
+    minus 2 hours: below every possible operative watermark once any
+    earlier batch has committed, so the tumbling aggregation MUST drop
+    every one of them.  Batches 1-2 plant nothing: the first batch runs
+    with the watermark unset, and the append-mode late filter's OPERATIVE
+    watermark empirically lags the progress-reported one by a micro-batch,
+    so batch-2 lates could still be aggregated.  Stamping below the corpus
+    start makes the drop decision edge-free regardless of where in its
+    batch a row arrives.
 
     Slicing here is EXACT ntile(3) over (ts, event_id) — not
     repartitionByRange — because the oracle must reproduce batch

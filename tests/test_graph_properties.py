@@ -103,11 +103,11 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 7: the four
-    remaining round-2-stale verdicts (batch_sessionize, window_running_sum,
-    window_range_frame, window_ntile_dense_rank — tier 3) must finally land
-    in the window; the round-7 budget of (new registrations +
-    changed-since-verify) is capped so they do."""
+    of round-2 names rather than colliding with tier 1.  Round 8: the
+    rotation's first full cycle closed in round 7 (every registered query
+    holds a green verdict), so the window is (new registrations +
+    changed-since-verify) followed by the stalest standing verdicts — the
+    round-3-latest cohort (tier 4)."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -119,24 +119,18 @@ def test_registration_order_is_tiered_by_driver_verdict():
     for n in names:
         if registry._tier(n) in (0, 1):
             assert n in window, n
-    # the budget cap that guarantees the stale cohort lands: tiers 0+1
-    # together must leave >= 4 slots for the r2-stale names
+    # keep the head small enough that stale standing verdicts keep rotating
     n_head = sum(1 for t in tiers if t in (0, 1))
-    assert n_head <= 46, f"tier-0/1 head too large ({n_head}): r2-stale cohort pushed out"
-    # the four remaining round-2-stale verdicts are the stalest standing
-    # tier and must be inside the round-7 window
-    for stale in (
-        "batch_sessionize", "window_running_sum",
-        "window_range_frame", "window_ntile_dense_rank",
-    ):
-        assert stale in window, stale
+    assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
-        ("join_auto_dispatch", 1),                             # r7-changed
-        ("batch_sessionize", 3), ("window_running_sum", 3),    # r2-latest
+        ("streaming_quantile_sketch", 1),                      # r8-changed
+        ("compliance_delete_rewrite", 1),                      # r8-changed
         ("grouped_percentiles", 4), ("freq_tokens_cms", 4),    # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
         ("bpe_merge_loop", 6),                                 # r5-latest
-        ("exact_quantile", 7), ("text_stats", 7),              # r6-latest
+        ("text_stats", 7),                                     # r6-latest
+        ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
+        ("window_running_sum", 8),
     ):
         assert registry._tier(probe) == want, probe
 
