@@ -1,0 +1,252 @@
+"""Cross-table fuzzy record linkage queries (A = ``documents``, B = a
+deterministic perturbed twin derived in-query).
+
+The second corpus is DERIVED, not synthesized: every even-id document
+reappears under ``b_id = doc_id + 100000`` with ~20% of tokens
+deterministically dropped (position-and-id-phased), so ground truth is
+relational (``b_id - 100000``) and linkage PRECISION/RECALL are
+value-oracled numbers, not asserted claims.  Stage shapes and the scale
+story live in operators/linkage.py; quality floors beyond engine
+agreement live in tests/test_linkage.py.
+
+Reference parity: no analog cell in the reference notebook — this is the
+"training-data pipeline" extension track (cross-source near-dup linkage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.functions.text import shingles_sql
+from newyork_taxi_etl_spark.operators.linkage import (
+    blocked_linkage_pairs,
+    derive_perturbed_corpus,
+    lsh_linkage_candidates,
+    mutual_best_match,
+)
+from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.session import spread
+from newyork_taxi_etl_spark.sources.readers import table_path
+
+_SH = shingles_sql("text", 3)
+
+# Shared oracle pipeline: corpus derivation -> side-tagged inverted
+# shingle indexes -> union-df hot-shingle cap (10%) -> pruned sizes ->
+# candidate pairs with exact Jaccard >= 0.15 -> symmetric rank-1
+# resolution.  Mirrors operators/linkage.py stage for stage.
+_LINK_CTE = f"""
+WITH corpus_b AS (
+  SELECT doc_id + 100000 AS b_id,
+         array_to_string(list_filter(string_split(text, ' '),
+                         (x, i) -> (i + doc_id) % 5 <> 0), ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 2 = 0
+),
+sha AS (SELECT doc_id, lang, list_distinct({_SH}) AS s FROM documents),
+shb AS (SELECT b_id, lang, list_distinct({_SH}) AS s FROM corpus_b),
+inva0 AS (SELECT doc_id, lang, unnest(s) AS g FROM sha),
+invb0 AS (SELECT b_id, lang, unnest(s) AS g FROM shb),
+nd AS (
+  SELECT lang, COUNT(*) AS n_docs FROM (
+    SELECT lang FROM sha UNION ALL SELECT lang FROM shb
+  ) GROUP BY 1
+),
+hot AS (
+  SELECT d.lang, d.g FROM (
+    SELECT lang, g, COUNT(*) AS df FROM (
+      SELECT lang, g FROM inva0 UNION ALL SELECT lang, g FROM invb0
+    ) GROUP BY 1, 2
+  ) d JOIN nd USING (lang)
+  WHERE d.df > nd.n_docs * 0.10
+),
+inva AS (SELECT i.doc_id, i.lang, i.g FROM inva0 i
+         ANTI JOIN hot h ON i.lang = h.lang AND i.g = h.g),
+invb AS (SELECT i.b_id, i.lang, i.g FROM invb0 i
+         ANTI JOIN hot h ON i.lang = h.lang AND i.g = h.g),
+sza AS (SELECT doc_id, COUNT(*) AS n_a FROM inva GROUP BY 1),
+szb AS (SELECT b_id, COUNT(*) AS n_b FROM invb GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id, b.b_id, COUNT(*) AS shared
+  FROM inva a JOIN invb b ON a.lang = b.lang AND a.g = b.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, b_id,
+         CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS j
+  FROM pairs JOIN sza USING (doc_id) JOIN szb USING (b_id)
+  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.15
+),
+ranked AS (
+  SELECT doc_id, b_id, j,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY j DESC, b_id) AS ra,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY j DESC, doc_id) AS rb
+  FROM scored
+),
+matched AS (SELECT doc_id, b_id, j FROM ranked WHERE ra = 1 AND rb = 1)
+"""
+
+
+def _corpora(spark, sf_dir):
+    docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
+    return docs, derive_perturbed_corpus(docs)
+
+
+@register(
+    "linkage_blocked_candidates",
+    _LINK_CTE
+    + """
+    SELECT doc_id, b_id, ROUND(j, 6) AS jaccard
+    FROM scored
+    ORDER BY doc_id, b_id
+    """,
+    doc="record-linkage stages 1+2: cross-table candidate generation via "
+    "an inverted 3-shingle index blocked by lang with a 10% hot-shingle "
+    "cap over the UNION of both corpora, scored with exact Jaccard over "
+    "the pruned sets, thresholded at 0.15. Join mass is "
+    "sum_g f_A(g)*f_B(g) — never |A|x|B|; two hash shuffles total "
+    "(block+shingle key, then pair key). The noise band of this corpus "
+    "tops out ~0.31 vs true-pair median 0.30, so thresholding alone "
+    "cannot resolve — exactly why the one-to-one stage exists.",
+)
+def linkage_blocked_candidates(spark, sf_dir):
+    a, b = _corpora(spark, sf_dir)
+    return (
+        blocked_linkage_pairs(a, b)
+        .select("doc_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "linkage_one_to_one",
+    _LINK_CTE
+    + """
+    SELECT doc_id, b_id, ROUND(j, 6) AS jaccard,
+           (b_id - 100000 = doc_id) AS hit
+    FROM matched
+    ORDER BY doc_id
+    """,
+    doc="record-linkage stage 3: one-to-one resolution by SYMMETRIC "
+    "rank-1 (a pair survives iff it is the best candidate of its left "
+    "id AND of its right id, ties broken by the opposite id) — the "
+    "deterministic greedy core of stable marriage, two window ranks, no "
+    "iteration. Every surviving row carries its ground-truth flag; "
+    "row-level value oracle over the full match set.",
+)
+def linkage_one_to_one(spark, sf_dir):
+    a, b = _corpora(spark, sf_dir)
+    matched = mutual_best_match(blocked_linkage_pairs(a, b))
+    return matched.select(
+        "doc_id",
+        "b_id",
+        F.round("jaccard", 6).alias("jaccard"),
+        ((F.col("b_id") - F.lit(100_000)) == F.col("doc_id")).alias("hit"),
+    )
+
+
+@register(
+    "linkage_quality_gate",
+    _LINK_CTE
+    + """
+    SELECT CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS n_matched,
+           CAST((SELECT COALESCE(SUM(CASE WHEN b_id - 100000 = doc_id
+                                          THEN 1 ELSE 0 END), 0)
+                 FROM matched) AS BIGINT) AS n_correct,
+           CAST((SELECT COUNT(*) FROM corpus_b) AS BIGINT) AS n_truth,
+           ROUND(CAST((SELECT SUM(CASE WHEN b_id - 100000 = doc_id
+                                       THEN 1 ELSE 0 END) FROM matched)
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM matched), 6) AS precision,
+           ROUND(CAST((SELECT SUM(CASE WHEN b_id - 100000 = doc_id
+                                       THEN 1 ELSE 0 END) FROM matched)
+                      AS DOUBLE)
+                 / (SELECT COUNT(*) FROM corpus_b), 6) AS recall
+    """,
+    doc="end-to-end linkage quality, measured not claimed: precision and "
+    "recall of the mutual-best match set against the derived corpus's "
+    "relational ground truth, as driver-gated VALUES (tests/test_linkage "
+    "additionally floors them with planted corruptions). The only "
+    "information the pipeline sees is text; the truth ids only score it.",
+)
+def linkage_quality_gate(spark, sf_dir):
+    a, b = _corpora(spark, sf_dir)
+    matched = mutual_best_match(blocked_linkage_pairs(a, b))
+    hit = (F.col("b_id") - F.lit(100_000)) == F.col("doc_id")
+    stats = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.coalesce(F.sum(hit.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    truth = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return stats.crossJoin(F.broadcast(truth)).select(
+        "n_matched",
+        "n_correct",
+        "n_truth",
+        F.round(F.col("n_correct") / F.col("n_matched"), 6).alias("precision"),
+        F.round(F.col("n_correct") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+@register(
+    "linkage_lsh_blocking",
+    _LINK_CTE
+    + f"""
+    , banda AS (
+      SELECT doc_id, lang, i AS band_idx,
+             [{', '.join(
+                 f"list_min(list_transform(s, x -> md5(concat('{i}|', x))))"
+                 for i in range(8)
+             )}][i + 1] AS band_hash
+      FROM sha, range(8) t(i)
+    ),
+    bandb AS (
+      SELECT b_id, lang, i AS band_idx,
+             [{', '.join(
+                 f"list_min(list_transform(s, x -> md5(concat('{i}|', x))))"
+                 for i in range(8)
+             )}][i + 1] AS band_hash
+      FROM shb, range(8) t(i)
+    ),
+    lcand AS (
+      SELECT DISTINCT a.doc_id, b.b_id
+      FROM banda a JOIN bandb b
+        ON a.lang = b.lang AND a.band_idx = b.band_idx
+       AND a.band_hash = b.band_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(COALESCE(SUM(CASE WHEN b_id - 100000 = doc_id
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS true_in_cand,
+           ROUND(CAST(SUM(CASE WHEN b_id - 100000 = doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM corpus_b), 6) AS blocking_recall
+    FROM lcand
+    """,
+    doc="stage-1 alternative measured against the same truth: banded "
+    "MinHash-LSH (k=8 signatures, r=1) cross-table candidates. The "
+    "scale tradeoff vs the inverted index, stated by the numbers: LSH "
+    "explodes exactly k rows per document regardless of document LENGTH "
+    "(the inverted index explodes |shingle set| rows — unbounded for "
+    "long docs), at a measured blocking recall of 1-(1-J)^k (~0.94 "
+    "here at true-pair J~0.3). md5-seeded min-signatures keep the hash "
+    "family portable to the oracle.",
+)
+def linkage_lsh_blocking(spark, sf_dir):
+    a, b = _corpora(spark, sf_dir)
+    cand = lsh_linkage_candidates(a, b)
+    hit = (F.col("b_id") - F.lit(100_000)) == F.col("doc_id")
+    stats = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.coalesce(F.sum(hit.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("true_in_cand"),
+    )
+    truth = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return stats.crossJoin(F.broadcast(truth)).select(
+        "n_cand",
+        "true_in_cand",
+        F.round(F.col("true_in_cand") / F.col("n_truth"), 6)
+        .alias("blocking_recall"),
+    )

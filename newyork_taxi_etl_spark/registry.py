@@ -307,6 +307,7 @@ def _load_all() -> None:
     import newyork_taxi_etl_spark.queries.dedup  # noqa: F401
     import newyork_taxi_etl_spark.queries.graph  # noqa: F401
     import newyork_taxi_etl_spark.queries.joins  # noqa: F401
+    import newyork_taxi_etl_spark.queries.linkage  # noqa: F401
     import newyork_taxi_etl_spark.queries.multimodal  # noqa: F401
     import newyork_taxi_etl_spark.queries.profiling  # noqa: F401
     import newyork_taxi_etl_spark.queries.sampling  # noqa: F401
