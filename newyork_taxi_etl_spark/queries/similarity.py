@@ -1784,3 +1784,187 @@ def ann_index_persisted_probe(spark, sf_dir):
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+_IVF_APPEND_SQL = f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb WHERE vec_id % 4 <> 0
+            ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e WHERE e.vec_id % 4 <> 0
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id AS cand_id, e.embedding AS c_vec,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM emb q CROSS JOIN c1 c
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} AS cosine
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.cand_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_index_incremental_append",
+    _IVF_APPEND_SQL,
+    doc="INCREMENTAL maintenance of the persisted ANN index — the "
+    "build-once/append-many lifecycle a serving system actually runs "
+    "(ann_index_persisted_probe extended): the quantizer is trained on "
+    "the INITIAL corpus only (vec_id % 4 <> 0) and persisted with the "
+    "initial assignments (partitioned by cid); the held-out quarter then "
+    "arrives as a NEW BATCH, is assigned by the PERSISTED quantizer "
+    "(read back from the index — the appender owns no trainer state) "
+    "and APPENDED to the partitioned assignments table; the probe then "
+    "runs partition-pruned against the appended table. The oracle is a "
+    "FROM-SCRATCH rebuild (full-corpus assignment under the same "
+    "centroids in one pass), so hash equality literally proves "
+    "append == rebuild: appending must never change retrieval. At "
+    "100 TB the append touches O(batch) rows + one partitioned write "
+    "while rebuild touches the corpus — this equality is what makes "
+    "the cheap path safe to run forever (with Delta, the same append "
+    "is ACID and OPTIMIZE-compactable per partition).",
+)
+def ann_index_incremental_append(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    initial = base.filter((F.col("vec_id") % 4) != 0)
+    new_batch = base.filter((F.col("vec_id") % 4) == 0)
+    idx_root = tempfile.mkdtemp(prefix="nyetl_annidx_incr_")
+    shutil.rmtree(idx_root, ignore_errors=True)
+    assign_dir = os.path.join(idx_root, "assignments")
+
+    def assign_and_write(part, cent_row, mode):
+        (
+            part.join(F.broadcast(cent_row), how="cross")
+            .withColumn("cid", F.expr(_ARGMIN))
+            .select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_vec"),
+                "cid",
+            )
+            .write.mode(mode)
+            .partitionBy("cid")
+            .parquet(assign_dir)
+        )
+
+    # BUILD: train on the initial corpus only; persist index + quantizer
+    cent = kmeans_centroids(
+        emb.filter((F.col("vec_id") % 4) != 0), k=8, n_iter=1
+    )
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    assign_and_write(initial, cent_row, "overwrite")
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    # APPEND: the new batch is assigned by the PERSISTED quantizer (the
+    # appender reads it back — no trainer state survives the build) and
+    # lands in the same partitioned table as an append: O(batch) compute,
+    # no touch of the existing partitions' files.
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids"))
+    cent_row_persisted = cent_t.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    assign_and_write(new_batch, cent_row_persisted, "append")
+
+    # PROBE: nearest n_probe=2 lists per query from the persisted
+    # centroids, pushed as a static partition filter on the appended table
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            "_v",
+        )
+        .crossJoin(
+            F.broadcast(cent_t.select("cid", F.col("vec").alias("cent_vec")))
+        )
+        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "cid")
+    )
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    idx_scan = spark.read.parquet(assign_dir).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

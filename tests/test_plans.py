@@ -633,3 +633,14 @@ def test_windowed_hll_sketches_are_mergeable_partials(spark):
 
     plan = _plan(queries()["windowed_distinct_hll"](spark, SF_SMOKE))
     assert "partial_hll_sketch_agg" in plan
+
+
+def test_incremental_ann_append_probe_prunes_partitions(spark):
+    """After the append, the probe scan must still carry the probe lists
+    as a PartitionFilters entry on cid — appending new vectors must not
+    cost the probe its partition pruning."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["ann_index_incremental_append"](spark, SF_SMOKE)
+    fmt = _formatted(df)
+    assert "PartitionFilters" in fmt and "cid" in fmt

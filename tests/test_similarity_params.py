@@ -70,3 +70,81 @@ def test_blas_bucket_scorer_bit_equals_expression_path(spark):
     }
     assert expr_rows == blas_rows
     assert len(expr_rows) > 0  # non-vacuous at smoke SF
+
+
+def test_incremental_append_equals_from_scratch_rebuild(spark):
+    """The lifecycle claim behind ann_index_incremental_append, proven
+    directly: probing the appended index returns row-for-row the same
+    top-k as a from-scratch rebuild (full corpus assigned in one pass
+    under the same persisted quantizer)."""
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators import similarity as S
+    from pyspark.sql import Window, functions as F
+    from tests.conftest import SF_SMOKE
+
+    appended = sorted(
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+        for r in queries()["ann_index_incremental_append"](
+            spark, SF_SMOKE
+        ).collect()
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    cent = kmeans_centroids(
+        emb.filter((F.col("vec_id") % 4) != 0), k=8, n_iter=1
+    )
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    # rebuild: assign the FULL corpus in one pass, no persisted table
+    assigned = (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_vec"),
+            "cid",
+        )
+    )
+    cent_t = cent.select("cid", F.col("vec").alias("cent_vec"))
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            "_v",
+        )
+        .crossJoin(F.broadcast(cent_t))
+        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "cid")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    rebuilt = sorted(
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+        for r in (
+            assigned.join(F.broadcast(probes), "cid")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+        ).collect()
+    )
+    assert appended == rebuilt
