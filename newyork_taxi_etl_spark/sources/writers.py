@@ -75,3 +75,130 @@ def optimize_zorder(spark, path: str, zorder_cols: list[str]) -> None:
             "delta-spark not installed; use write_zordered_approx() instead"
         )
     DeltaTable.forPath(spark, path).optimize().executeZOrderBy(*zorder_cols)
+
+
+def zvalue_expr(a_norm, b_norm, bits: int = 8):
+    """TRUE bit-interleaved Z-value of two normalized keys (Morton code).
+
+    ``a_norm``/``b_norm`` must be integer Columns in ``[0, 2**bits)``;
+    bit i of each lands at positions 2i+1 / 2i of the result, so sorting
+    by the z-value walks the 2-D key space along the Z curve — file-level
+    min/max stats then bound BOTH keys per file, which is what
+    ``OPTIMIZE ... ZORDER BY`` (``nb:120730 (c132)``) buys: a box
+    predicate on (a, b) prunes files in both dimensions, where a
+    lexicographic sort prunes only the leading key.  Pure integer bit
+    ops (shift/and/or), whole-stage-codegen friendly — no UDF, no conv.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(a_norm, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            ).cast("long")
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(b_norm, i).bitwiseAND(F.lit(1)), 2 * i
+            ).cast("long")
+        )
+    return z
+
+
+def write_zordered_interleaved(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    target_files: int = 16,
+) -> None:
+    """Z-ORDER the table by true bit interleaving of two keys and write.
+
+    Each key is min/max-normalized to ``[0, 2**bits)`` (bounds fetched in
+    one O(1) aggregate — planner-style control read), the Morton code is
+    computed with integer bit ops (:func:`zvalue_expr`), and the rows are
+    range-partitioned + sorted by it: one distributed range shuffle, same
+    cost shape as the lexicographic approximation, strictly better
+    2-D skipping.  The z column is dropped before the write — the layout
+    IS the index.
+    """
+    from pyspark.sql import functions as F
+
+    b = df.agg(
+        F.min(col_a).alias("mna"),
+        F.max(col_a).alias("mxa"),
+        F.min(col_b).alias("mnb"),
+        F.max(col_b).alias("mxb"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+    span_a = max(int(b["mxa"]) - int(b["mna"]), 1)
+    span_b = max(int(b["mxb"]) - int(b["mnb"]), 1)
+    na = (
+        ((F.col(col_a).cast("long") - F.lit(int(b["mna"]))) * F.lit(top))
+        / F.lit(span_a)
+    ).cast("long")
+    nb = (
+        ((F.col(col_b).cast("long") - F.lit(int(b["mnb"]))) * F.lit(top))
+        / F.lit(span_b)
+    ).cast("long")
+    (
+        df.withColumn("_z", zvalue_expr(na, nb, bits))
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def parquet_file_column_ranges(path: str, cols: set[str]) -> list:
+    """Per-file [min, max] footer statistics for ``cols`` — the exact
+    information a file-pruning planner (Delta data skipping, Spark's
+    parquet filter pushdown at row-group level) reads before touching
+    data.  Driver-side O(files) footer reads, no row data."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        rng: dict = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                cm = rgm.column(ci)
+                name = cm.path_in_schema
+                if name in cols and cm.statistics is not None:
+                    mn, mx = cm.statistics.min, cm.statistics.max
+                    if name in rng:
+                        rng[name] = (
+                            min(rng[name][0], mn),
+                            max(rng[name][1], mx),
+                        )
+                    else:
+                        rng[name] = (mn, mx)
+        out.append((f, rng))
+    return out
+
+
+def files_touched(path: str, box: dict) -> tuple[int, int]:
+    """(files whose stats intersect the box, total files): the measured
+    skipping a planner achieves on ``box`` = {col: (lo, hi)} inclusive.
+    A file is touched unless some column's [min, max] misses its range —
+    identical to Delta's file-stat pruning rule."""
+    ranges = parquet_file_column_ranges(path, set(box))
+    touched = 0
+    for _f, rng in ranges:
+        hit = True
+        for c, (lo, hi) in box.items():
+            mn, mx = rng[c]
+            if mx < lo or mn > hi:
+                hit = False
+                break
+        if hit:
+            touched += 1
+    return touched, len(ranges)
