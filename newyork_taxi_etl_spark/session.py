@@ -72,14 +72,31 @@ def spread(df, *cols):
     real cluster the scan already provides >= shuffle-parallelism splits, in
     which case this is a no-op — an unconditional repartition there would be
     a full shuffle of the corpus for nothing.
+
+    The probe chain FAILS CLOSED (r7 verdict): classic Spark answers via
+    ``df.rdd.getNumPartitions()``; under Spark Connect ``.rdd`` is
+    unavailable, so the fallback signal is ``df.inputFiles()`` — and the
+    guard repartitions ONLY on positive evidence of an under-split input
+    (0 < files < n). A plan whose split count cannot be determined (no
+    backing files, exotic sources) is returned untouched: on a well-split
+    cluster scan a blind repartition would be exactly the full shuffle
+    this guard exists to avoid, while the cost of a wrong no-op is one
+    under-parallel local stage.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
         if df.rdd.getNumPartitions() >= n:
             return df
+        return df.repartition(n, *cols) if cols else df.repartition(n)
     except Exception:
-        pass  # exotic plans where the RDD can't be built cheaply: just spread
-    return df.repartition(n, *cols) if cols else df.repartition(n)
+        pass  # Spark Connect (no .rdd) or exotic plans: try file evidence
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df  # no signal at all: fail closed (no shuffle added)
+    if 0 < n_files < n:
+        return df.repartition(n, *cols) if cols else df.repartition(n)
+    return df
 
 
 def get_spark(

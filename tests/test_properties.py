@@ -147,3 +147,86 @@ def test_speed_filter_drops_zero_duration(spark, distances):
     rows = [(float(d), 0.0, 1, 1, 10.0, 0.0) for d in distances]
     df = _df(spark, rows)
     assert clean.speed_filter(df).count() == 0
+
+
+def test_spread_fails_closed_without_rdd_probe(spark, tmp_path, monkeypatch):
+    """Spark-Connect safety: when `.rdd` is unavailable, spread() must add
+    a repartition ONLY on positive file evidence of an under-split input —
+    an already-well-split scan and a no-file-signal plan both come back
+    untouched (fail closed, never a blind full shuffle)."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.session import spread
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(n + 2).write.parquet(many)
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+
+    def raise_rdd(self):
+        raise RuntimeError("DataFrame.rdd is not supported on Spark Connect")
+
+    # patch the CONCRETE DataFrame class (classic sessions hand out a
+    # subclass whose own `rdd` property shadows the base class)
+    monkeypatch.setattr(
+        type(spark.read.parquet(many)), "rdd", property(raise_rdd)
+    )
+
+    well_split = spark.read.parquet(many)
+    assert spread(well_split) is well_split  # >= n files: no-op
+
+    under_split = spread(spark.read.parquet(one))
+    assert "Repartition" in under_split._jdf.queryExecution().logical().toString()
+
+    no_signal = spark.createDataFrame([(1,)], "x long").select(F.col("x") + 1)
+    assert spread(no_signal) is no_signal  # zero file evidence: fail closed
+
+
+def test_grouped_moment_stats_partitioning_invariant(spark):
+    """The DECIMAL-exact power sums make the moment profile bit-identical
+    under any physical layout — 1-partition vs many-partition runs must
+    agree to the last rounded digit, and the moments must match an exact
+    Python computation from the raw values."""
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.sources.readers import read_events
+    from conftest import SF_SMOKE
+    import math
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    base = rows(queries()["grouped_moment_stats"](spark, SF_SMOKE))
+
+    # same computation over deliberately skewed layouts
+    import unittest.mock as mock
+
+    from newyork_taxi_etl_spark.queries import profiling as prof
+
+    ev = read_events(spark, SF_SMOKE)
+    for n_part in (1, 13):
+        with mock.patch.object(
+            prof, "read_events", lambda s, d, n=n_part: ev.repartition(n)
+        ):
+            got = rows(prof.grouped_moment_stats(spark, SF_SMOKE))
+        assert got == base, n_part
+
+    # exact reference: Python integers over the tick-scaled values
+    vals = {}
+    for r in ev.filter("value IS NOT NULL").select(
+        "event_type", "value"
+    ).collect():
+        y = round(r["value"] * 100)
+        vals.setdefault(r["event_type"], []).append(int(y))
+    for et, cnt, mean, sd, skew, kurt in base:
+        ys = vals[et]
+        n = len(ys)
+        s1, s2 = sum(ys), sum(y * y for y in ys)
+        s3, s4 = sum(y**3 for y in ys), sum(y**4 for y in ys)
+        mu = s1 / n
+        m2 = (s2 - s1 * s1 / n) / n
+        m3 = (s3 - 3 * s2 * mu + 2 * s1 * mu * mu) / n
+        m4 = (s4 - 4 * s3 * mu + 6 * s2 * mu * mu - 3 * s1 * mu**3) / n
+        assert cnt == n
+        assert abs(mean - mu / 100.0) < 1e-6
+        assert abs(sd - math.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0) < 1e-6
+        assert abs(skew - m3 / (m2 * math.sqrt(m2))) < 1e-5
+        assert abs(kurt - (m4 / (m2 * m2) - 3.0)) < 1e-5
