@@ -1252,10 +1252,17 @@ def grouped_quantile_pandas_agg(spark, sf_dir):
     "with explicit total orders: mode = (count DESC, user_id) rank 1 — "
     "smallest most-frequent user; discrete median = the value at row "
     "ceil(n/2) of (value, event_id) order — always an OBSERVED value, "
-    "unlike interpolating percentile(). Scale: mode is two map-side-"
-    "combining aggregates (events collapse to O(type x user) before the "
-    "window, which then ranks O(users) rows per type); the median "
-    "window partitions by event_type so no global sort appears.",
+    "unlike interpolating percentile(). Scale (r8, the NOTES.md:596 "
+    "group-skew escape hatch): BOTH legs now reduce before any window — "
+    "mode to O(type x user), and the median by FREQUENCY-BASED GROUPED "
+    "SELECTION: the value at position ceil(n/2) of (value, event_id) "
+    "order is fully determined by per-(type, value) counts (the "
+    "event_id tiebreak reorders ties WITHIN one value, never across "
+    "values), so events collapse to O(type x distinct-value) rows and "
+    "the rank walk is a cumulative sum over that reduced table — no "
+    "per-group row-level sort anywhere, robust to any group-size skew. "
+    "The oracle keeps the row_number formulation: same semantics, "
+    "independently expressed.",
 )
 def grouped_mode_median_disc(spark, sf_dir):
     from pyspark.sql import Window
@@ -1274,16 +1281,20 @@ def grouped_mode_median_disc(spark, sf_dir):
                 F.col("cnt").alias("mode_cnt"))
     )
     nn = ev.filter(F.col("value").isNotNull())
-    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w_cnt = Window.partitionBy("event_type")
+    vfreq = nn.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("event_type")
+    k = F.ceil(F.col("n") / F.lit(2.0)).cast("bigint")
     med = (
-        nn.select(
-            "event_type",
-            "value",
-            F.row_number().over(w_val).cast("bigint").alias("pos"),
-            F.count(F.lit(1)).over(w_cnt).cast("bigint").alias("n"),
-        )
-        .filter(F.col("pos") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
+        vfreq.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_n))
+        .filter((F.col("cum") >= k) & ((F.col("cum") - F.col("c")) < k))
         .select("event_type", F.round("value", 6).alias("median_disc"))
     )
     return best.join(med, "event_type").orderBy("event_type")

@@ -432,3 +432,116 @@ def corpus_pipeline_end2end(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_pipeline_decontaminated",
+    f"""
+    WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 50 <> 0
+    ),
+    gated AS (
+      SELECT doc_id, text, lang
+      FROM corpus
+      WHERE len(string_split(text, ' ')) >= 30
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.2
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated GROUP BY md5(lower(trim(text)))
+    ),
+    surv AS (
+      SELECT g.doc_id, g.text, g.lang
+      FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct({_SH})) AS sh
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    ssh AS (
+      SELECT doc_id, unnest(list_distinct({_SH})) AS sh FROM surv
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ssh GROUP BY 1),
+    hit AS (
+      SELECT s.doc_id, COUNT(*) AS n_hit
+      FROM ssh s JOIN bench USING (sh) GROUP BY 1
+    ),
+    flagged AS (
+      SELECT t.doc_id,
+             COALESCE(h.n_hit, 0) / CAST(t.n_shingles AS DOUBLE) >= 0.05
+               AS contaminated
+      FROM tot t LEFT JOIN hit h USING (doc_id)
+    ),
+    final AS (
+      SELECT s.lang, f.contaminated,
+             len(string_split(s.text, ' ')) AS n_tokens
+      FROM surv s JOIN flagged f USING (doc_id)
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN NOT contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(SUM(CASE WHEN NOT contaminated THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(CASE WHEN NOT contaminated THEN n_tokens ELSE 0 END)
+                     / 512.0) AS BIGINT) AS n_bins_512,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_contaminated
+    FROM final
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="corpus_pipeline_end2end with the DECONTAMINATION GATE composed "
+    "in (r7 verdict optional item): quality gate -> exact dedup -> "
+    "benchmark-overlap gate (drop survivors whose distinct-3-gram "
+    "overlap with the eval slice doc_id%50==0 is >= 5% — the "
+    "contamination_ngram_overlap primitive promoted from a report to a "
+    "pipeline stage) -> per-language token budget, with the per-lang "
+    "dropped count reported beside the kept budget. Plan shape: the "
+    "benchmark shingle set stays broadcast (eval suites are small), the "
+    "gate adds one broadcast lookup + one doc_id aggregate to the "
+    "pipeline — still no corpus-sized shuffle beyond the dedup "
+    "fingerprint aggregate. The training-data hygiene loop a 100 TB "
+    "nightly run actually needs: what you train on is (clean, unique, "
+    "NOT in your eval set).",
+)
+def corpus_pipeline_decontaminated(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    gated = corpus.filter((F.size(toks) >= 30) & (ttr >= 0.2))
+    keepers = dedup_exact(gated).select(F.col("keeper").alias("doc_id"))
+    surv = gated.join(F.broadcast(keepers), "doc_id")
+
+    overlap = C.ngram_contamination(surv, bench)
+    flagged = overlap.select(
+        "doc_id",
+        (
+            F.col("n_hit") / F.col("n_shingles").cast("double") >= F.lit(0.05)
+        ).alias("contaminated"),
+    )
+    final = surv.join(flagged, "doc_id").select(
+        "lang", "contaminated", F.size(toks).alias("n_tokens")
+    )
+    kept_tok = F.sum(
+        F.when(~F.col("contaminated"), F.col("n_tokens")).otherwise(F.lit(0))
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.sum((~F.col("contaminated")).cast("int"))
+            .cast("bigint")
+            .alias("n_docs"),
+            kept_tok.cast("bigint").alias("total_tokens"),
+            F.ceil(kept_tok / F.lit(512.0)).cast("bigint").alias("n_bins_512"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("n_dropped_contaminated"),
+        )
+        .orderBy("lang")
+    )

@@ -256,6 +256,11 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # user 7) and the empty-stage read guard narrowed from bare Exception
     # to AnalysisException.
     "compliance_delete_rewrite",
+    # r8: the discrete-median leg moved from a per-group row-level
+    # row_number window to frequency-based grouped selection (reduce to
+    # O(type x distinct-value), cumulative-sum walk) — value-identical,
+    # group-size-skew-robust; the r7 verdict's optional escape hatch.
+    "grouped_mode_median_disc",
 })
 
 

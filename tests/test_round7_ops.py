@@ -266,3 +266,50 @@ def test_late_drop_counts_planted_rows_only(spark):
     assert row["events_emitted"] + row["events_dropped_late"] == (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     )
+
+
+def test_median_freq_selection_equals_rowlevel_sort(spark):
+    """The r8 median rewrite: frequency-based grouped selection must
+    return exactly the row_number-formulation value on tie-heavy and
+    skewed group sizes (one group 50x the other, many duplicate
+    values)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [(i, "big", float(rng.choice([1.5, 2.25, 2.25, 3.0, 7.5])))
+            for i in range(500)]
+    rows += [(1000 + i, "small", float(rng.choice([10.0, 20.0])))
+             for i in range(9)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    # naive reference: explicit (value, event_id) order, pick ceil(n/2)
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    naive = {
+        r["event_type"]: r["value"]
+        for r in df.select(
+            "event_type", "value",
+            F.row_number().over(w_val).alias("pos"),
+            F.count(F.lit(1)).over(w_cnt).alias("n"),
+        ).filter(F.col("pos") == F.ceil(F.col("n") / 2.0)).collect()
+    }
+
+    vfreq = df.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.ceil(F.col("n") / F.lit(2.0)).cast("bigint")
+    fast = {
+        r["event_type"]: r["value"]
+        for r in vfreq.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+        .filter((F.col("cum") >= k) & ((F.col("cum") - F.col("c")) < k))
+        .collect()
+    }
+    assert fast == naive
