@@ -34,8 +34,9 @@ _SH = shingles_sql("text", 3)
 # shingle indexes -> union-df hot-shingle cap (10%) -> pruned sizes ->
 # candidate pairs with exact Jaccard >= 0.15 -> symmetric rank-1
 # resolution.  Mirrors operators/linkage.py stage for stage.
-_LINK_CTE = f"""
-WITH corpus_b AS (
+# _LINK_BODY is the WITH-less form so recursive consumers can prepend
+# WITH RECURSIVE (DuckDB wants the keyword on the clause head).
+_LINK_BODY = f"""corpus_b AS (
   SELECT doc_id + 100000 AS b_id,
          array_to_string(list_filter(string_split(text, ' '),
                          (x, i) -> (i + doc_id) % 5 <> 0), ' ') AS text,
@@ -86,6 +87,8 @@ ranked AS (
 ),
 matched AS (SELECT doc_id, b_id, j FROM ranked WHERE ra = 1 AND rb = 1)
 """
+
+_LINK_CTE = "WITH " + _LINK_BODY
 
 
 def _corpora(spark, sf_dir):
@@ -249,4 +252,66 @@ def linkage_lsh_blocking(spark, sf_dir):
         "true_in_cand",
         F.round(F.col("true_in_cand") / F.col("n_truth"), 6)
         .alias("blocking_recall"),
+    )
+
+
+@register(
+    "linkage_entity_clusters",
+    "WITH RECURSIVE " + _LINK_BODY + """,
+    sym AS (
+      SELECT doc_id AS u, b_id AS v FROM scored
+      UNION ALL
+      SELECT b_id AS u, doc_id AS v FROM scored
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT component AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN node < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(SUM(CASE WHEN node >= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b
+    FROM comp
+    GROUP BY component
+    ORDER BY entity_id
+    """,
+    doc="ENTITY RESOLUTION on top of the linkage candidates: the scored "
+    "cross-table pairs (Jaccard >= 0.15, both sides in disjoint id "
+    "namespaces) become an undirected graph and connected components "
+    "assign every record to an ENTITY (component-minimum canonical id) — "
+    "the step that turns pairwise linkage into a deduplicated entity "
+    "table when matches are transitive (A1~B1, B1~A2 => one entity). "
+    "Per-entity output: member count and the A/B-side split, so "
+    "ambiguous multi-record entities (n_a > 1 or n_b > 1) are visible "
+    "rather than silently merged. Same label-propagation machinery as "
+    "dedup_clusters (loop tables are label-sized, never corpus-sized); "
+    "oracle = recursive-CTE transitive closure over the identical pair "
+    "set.",
+)
+def linkage_entity_clusters(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.graph import connected_components
+
+    a, b = _corpora(spark, sf_dir)
+    edges = blocked_linkage_pairs(a, b).select(
+        F.col("doc_id").alias("id_a"), F.col("b_id").alias("id_b")
+    )
+    comps = connected_components(edges, loop_partitions=4, hops_per_round=5)
+    return (
+        comps.groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum((F.col("node") < 100_000).cast("int"))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum((F.col("node") >= 100_000).cast("int"))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+        .orderBy("entity_id")
     )

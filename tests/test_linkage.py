@@ -163,3 +163,26 @@ def test_hot_shingle_cap_bounds_join_mass(spark):
     precision, recall = _quality(matched, b)
     assert precision >= 0.95, precision
     assert recall >= 0.85, recall
+
+
+def test_entity_clusters_merge_transitive_matches(spark):
+    """A1~B1 and A2~B1 must land in ONE entity with the component-minimum
+    canonical id; independent pairs stay separate entities."""
+    from newyork_taxi_etl_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 100001), (2, 100001), (3, 100003), (100003, 4)],
+        "id_a long, id_b long",
+    )
+    comps = connected_components(edges)
+    got = sorted(
+        (r["component"], r["node"]) for r in comps.collect()
+    )
+    by_entity = {}
+    for c, n in got:
+        by_entity.setdefault(c, set()).add(n)
+    assert by_entity == {
+        1: {1, 2, 100001},
+        3: {3, 4, 100003},
+    }
