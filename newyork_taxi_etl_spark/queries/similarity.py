@@ -1968,3 +1968,123 @@ def ann_index_incremental_append(spark, sf_dir):
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# Seeded +-1 sign for the JL projection matrix entry (j: input dim 1-64,
+# k: output dim 0-15), identical md5-parity derivation on both engines
+# (memory rule: CONV(hex,16,10) on Spark == ('0x'||substr)::BIGINT on
+# DuckDB).  Sums are explicit LEFT FOLDS on both sides (Spark aggregate,
+# DuckDB list_reduce) so the float addition order is pinned — list_sum's
+# summation order is an implementation detail we refuse to depend on.
+_JL_SIGN_SPARK = (
+    "IF(CAST(conv(substr(md5(concat('jl|', CAST(j AS STRING), '|', "
+    "CAST(k AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0, "
+    "CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))"
+)
+_JL_SIGN_DUCK = (
+    "(CASE WHEN (CAST(('0x' || substr(md5('jl|' || CAST(j AS VARCHAR) "
+    "|| '|' || CAST(k AS VARCHAR)), 1, 1)) AS BIGINT) % 2) = 0 "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+)
+
+
+@register(
+    "jl_projection_distortion",
+    f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(range(0, 16), k ->
+               list_reduce(list_transform(range(1, 65), j ->
+                 CAST(embedding[j] AS DOUBLE) * {_JL_SIGN_DUCK}),
+                 (acc, x) -> acc + x) / 4.0) AS p
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia,
+             sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+                  (acc, x) -> acc + x)) AS d_full,
+             sqrt(list_reduce(list_transform(range(1, 17),
+                  i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])),
+                  (acc, x) -> acc + x)) AS d_proj
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 101
+    ),
+    r AS (
+      SELECT CAST(ROUND(d_proj / d_full * 1000000) AS BIGINT) AS rt
+      FROM pairs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(rt) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS mean_distortion,
+           ROUND(MIN(rt) / 1000000.0, 6) AS min_distortion,
+           ROUND(MAX(rt) / 1000000.0, 6) AS max_distortion,
+           ROUND(CAST(SUM(CASE WHEN rt BETWEEN 800000 AND 1200000
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_within_20pct
+    FROM r
+    """,
+    doc="JOHNSON-LINDENSTRAUSS random projection 64 -> 16 dims with "
+    "MEASURED distance distortion: the projection matrix is seeded "
+    "+-1/sqrt(16) (Achlioptas signs from md5 parity — no matrix is "
+    "stored or shipped, every executor derives entries locally, which "
+    "is the 100 TB property: a dense random matrix never exists), "
+    "applied as an in-JVM higher-order fold per row. Distortion "
+    "||Pa-Pb|| / ||a-b|| over a deterministic pair sample "
+    "(vec_id, vec_id+101) is quantized to a 1e-6 integer tick per pair "
+    "BEFORE the cross-row aggregate (cross-row float sums are "
+    "order-dependent; integer sums are not), giving mean/min/max and "
+    "the within-+-20% fraction as driver-gated values — ~0.98 mean and "
+    "~0.78 within-band at 4x compression, the textbook JL tradeoff. "
+    "All folds are explicit LEFT folds on both engines so IEEE addition "
+    "order is pinned. Downstream, this is the cheap front of every "
+    "embedding pipeline here (ANN shortlists, LSH bucketing, dedup "
+    "pre-filters) when 100 TB of float32 won't fit the budget.",
+)
+def jl_projection_distortion(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    proj = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "transform(sequence(0, 15), k -> "
+            "aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), "
+            "(acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE) * "
+            + _JL_SIGN_SPARK
+            + ") / CAST(4.0 AS DOUBLE))"
+        ).alias("p"),
+    )
+    a = proj.alias("a")
+    b = proj.select(
+        (F.col("vec_id") - F.lit(101)).alias("join_id"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    ).alias("b")
+    sq_fold = (
+        "sqrt(aggregate(sequence(1, {n}), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + (element_at({x}, i) - element_at({y}, i)) "
+        "* (element_at({x}, i) - element_at({y}, i))))"
+    )
+    pairs = a.join(b, F.col("a.vec_id") == F.col("b.join_id")).select(
+        F.expr(sq_fold.format(n=64, x="a.v", y="b.vb")).alias("d_full"),
+        F.expr(sq_fold.format(n=16, x="a.p", y="b.pb")).alias("d_proj"),
+    )
+    r = pairs.select(
+        F.round(F.col("d_proj") / F.col("d_full") * 1_000_000)
+        .cast("bigint")
+        .alias("rt")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("rt").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("mean_distortion"),
+        F.round(F.min("rt") / F.lit(1_000_000.0), 6).alias("min_distortion"),
+        F.round(F.max("rt") / F.lit(1_000_000.0), 6).alias("max_distortion"),
+        F.round(
+            F.sum(F.col("rt").between(800_000, 1_200_000).cast("int"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_within_20pct"),
+    )
