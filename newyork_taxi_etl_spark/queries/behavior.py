@@ -1811,3 +1811,123 @@ def weekly_growth_rates(spark, sf_dir):
         pct("n_events").alias("events_wow_pct"),
         pct("n_users").alias("users_wow_pct"),
     ).orderBy("epoch_week")
+
+
+@register(
+    "attribution_multitouch",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS p_ticks
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS t_id, user_id, CAST(ts AS TIMESTAMP) AS t_ts,
+             event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    tp AS (
+      SELECT p.p_id, p.p_ticks, t.t_id, t.event_type,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS k,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts, t.t_id) AS pos
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts >= p.p_ts - INTERVAL '24 hours' AND t.t_ts < p.p_ts
+    ),
+    credit AS (
+      SELECT event_type, p_id,
+             CAST(ROUND(p_ticks * 10000.0 / k) AS BIGINT)
+               AS linear_microticks,
+             CASE WHEN k = 1 THEN p_ticks * 10000
+                  WHEN k = 2
+                    THEN CAST(ROUND(p_ticks * 10000.0 * 0.5) AS BIGINT)
+                  WHEN pos = 1 OR pos = k
+                    THEN CAST(ROUND(p_ticks * 10000.0 * 0.4) AS BIGINT)
+                  ELSE CAST(ROUND(p_ticks * 10000.0 * 0.2 / (k - 2))
+                            AS BIGINT) END AS ushape_microticks
+      FROM tp
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions_touched,
+           ROUND(SUM(linear_microticks) / 1000000.0, 6) AS linear_credit,
+           ROUND(SUM(ushape_microticks) / 1000000.0, 6) AS ushape_credit
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+    doc="MULTI-TOUCH attribution (completes purchase_attribution's "
+    "last-touch): every click/view in the 24h window before a purchase "
+    "earns credit under TWO standard models at once — LINEAR (value/k) "
+    "and U-SHAPE (40% first, 40% last, 20% split over middles; 50/50 at "
+    "k=2, 100% at k=1 — the k=2 edge is where naive U-shape leaks 20% "
+    "of the credit). Per-touch credit is quantized to integer "
+    "MICROTICKS (value x 100 x 10000, rounded once per touch) before "
+    "the cross-row sum, so totals are partitioning- and engine-exact — "
+    "float credit sums would be order-dependent. Dataflow: per-user "
+    "time-range join (bounded by user activity, never cross-user), two "
+    "windows keyed on the purchase (k and position), one aggregate on "
+    "touch type. The marketing-analytics twin of purchase_attribution's "
+    "as-of machinery.",
+)
+def attribution_multitouch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 100)
+        .cast("bigint")
+        .alias("p_ticks"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    tp = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    )
+    w_k = Window.partitionBy("p_id")
+    w_pos = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    tp = tp.select(
+        "p_id",
+        "p_ticks",
+        "event_type",
+        F.count(F.lit(1)).over(w_k).alias("k"),
+        F.row_number().over(w_pos).alias("pos"),
+    )
+    micro = F.col("p_ticks") * F.lit(10000.0)
+    credit = tp.select(
+        "event_type",
+        "p_id",
+        F.round(micro / F.col("k")).cast("bigint").alias("linear_microticks"),
+        F.when(F.col("k") == 1, (F.col("p_ticks") * F.lit(10000)).cast("bigint"))
+        .when(F.col("k") == 2, F.round(micro * 0.5).cast("bigint"))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")),
+            F.round(micro * 0.4).cast("bigint"),
+        )
+        .otherwise(
+            F.round(micro * 0.2 / (F.col("k") - 2)).cast("bigint")
+        )
+        .alias("ushape_microticks"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.countDistinct("p_id").cast("bigint")
+            .alias("n_conversions_touched"),
+            F.round(F.sum("linear_microticks") / F.lit(1_000_000.0), 6)
+            .alias("linear_credit"),
+            F.round(F.sum("ushape_microticks") / F.lit(1_000_000.0), 6)
+            .alias("ushape_credit"),
+        )
+        .orderBy("event_type")
+    )

@@ -315,3 +315,63 @@ def linkage_entity_clusters(spark, sf_dir):
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "streaming_linkage_ingest",
+    _LINK_CTE.replace(
+        """hot AS (
+  SELECT d.lang, d.g FROM (
+    SELECT lang, g, COUNT(*) AS df FROM (
+      SELECT lang, g FROM inva0 UNION ALL SELECT lang, g FROM invb0
+    ) GROUP BY 1, 2
+  ) d JOIN nd USING (lang)
+  WHERE d.df > nd.n_docs * 0.10
+),""",
+        """hot AS (
+  SELECT d.lang, d.g FROM (
+    SELECT lang, g, COUNT(*) AS df FROM inva0 GROUP BY 1, 2
+  ) d JOIN (SELECT lang, COUNT(*) AS n_docs FROM sha GROUP BY 1) nda
+    ON d.lang = nda.lang
+  WHERE d.df > nda.n_docs * 0.10
+),""",
+    )
+    + """
+    , best AS (
+      SELECT b_id, doc_id, j FROM (
+        SELECT doc_id, b_id, j,
+               row_number() OVER (PARTITION BY b_id
+                                  ORDER BY j DESC, doc_id) AS rb
+        FROM scored
+      ) WHERE rb = 1
+    )
+    SELECT b_id, doc_id, ROUND(j, 6) AS jaccard,
+           (b_id - 100000 = doc_id) AS hit
+    FROM best ORDER BY b_id
+    """,
+    doc="record LINKAGE AT INGEST (master-data-management shape): B "
+    "records stream in micro-batches and each batch links against the "
+    "STATIC reference corpus's PERSISTED inverted index (built once "
+    "before the stream: pruned shingles + per-doc sizes + hot list, "
+    "A-side-only 10% cap — the only side that exists before data "
+    "arrives). Per-record best-A match (rank-1 by jaccard desc, doc_id) "
+    "depends only on the static index, so the drained match table is "
+    "IDENTICAL under any micro-batch partitioning — one relational "
+    "oracle covers every possible batching, no batch bookkeeping needed "
+    "(contrast streaming_late_drop, where batch membership IS the "
+    "semantics). Appends replay-guarded by the applied-batch sidecar. "
+    "Per batch: one equi-join of the batch's shingles against the "
+    "index — at 100 TB the index is a partitioned table and only the "
+    "batch shuffles.",
+)
+def streaming_linkage_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    a, b = _corpora(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="nyetl_linkingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_linkage_ingest(spark, a, b, work)

@@ -1839,3 +1839,137 @@ def run_streaming_late_drop(
         (F.lit(total) - F.col("events_emitted")).cast("bigint")
         .alias("events_dropped_late"),
     )
+
+
+def run_streaming_linkage_ingest(
+    spark,
+    docs_df,
+    b_df,
+    work_dir: str,
+    threshold: float = 0.15,
+    max_df_frac: float = 0.10,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Record LINKAGE AT INGEST: incoming records stream in micro-batches
+    and each batch is linked against a STATIC reference corpus's
+    persisted inverted index — the master-data-management shape (new
+    records resolve against the golden table the moment they arrive).
+
+    Determinism by construction: each B record appears exactly once, and
+    its best-A match (rank-1 by jaccard desc, doc_id) depends only on the
+    static A index — so the drained match table is identical under ANY
+    micro-batch partitioning, and one relational oracle covers every
+    possible batching.  The hot-shingle cap is computed from the A side
+    alone (the only side that exists before the stream starts); appends
+    are guarded by the applied-batch sidecar (append-style commit —
+    non-atomic, documented in _mark_applied).
+
+    Scale shape: the A index (pruned inverted shingles + per-doc sizes +
+    hot list) is built ONCE and persisted; each micro-batch does one
+    equi-join of its own shingles against it — at 100 TB the index is a
+    partitioned table and the per-batch join shuffles only the batch.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    idx_dir = os.path.join(work_dir, "a_index")
+    stage_dir = os.path.join(work_dir, "b_stage")
+    target_dir = os.path.join(work_dir, "matches")
+    for d in (idx_dir, stage_dir, target_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # -- static A-side index, built once and persisted ------------------
+    sh_a = with_shingles(docs_df, "text", 3).select(
+        "doc_id",
+        F.col("lang").alias("blk"),
+        F.array_distinct("sh").alias("s"),
+    )
+    inv_a0 = sh_a.select("doc_id", "blk", F.explode("s").alias("g"))
+    n_docs = sh_a.groupBy("blk").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        inv_a0.groupBy("blk", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(n_docs, "blk")
+        .filter(F.col("df") > F.col("n_docs") * F.lit(max_df_frac))
+        .select("blk", "g")
+    )
+    inv_a = inv_a0.join(F.broadcast(hot), ["blk", "g"], "left_anti")
+    inv_a.write.parquet(os.path.join(idx_dir, "inv"))
+    hot.write.parquet(os.path.join(idx_dir, "hot"))
+    (
+        inv_a.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .write.parquet(os.path.join(idx_dir, "sizes"))
+    )
+
+    b_df.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(b_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def link_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(target_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its appends are already committed
+        ss = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        inv = ss.read.parquet(os.path.join(idx_dir, "inv"))
+        hot_t = ss.read.parquet(os.path.join(idx_dir, "hot"))
+        sz_a = ss.read.parquet(os.path.join(idx_dir, "sizes"))
+        sh_b = with_shingles(batch_df, "text", 3).select(
+            "b_id",
+            F.col("lang").alias("blk"),
+            F.array_distinct("sh").alias("s"),
+        )
+        inv_b = (
+            sh_b.select("b_id", "blk", F.explode("s").alias("g"))
+            .join(F.broadcast(hot_t), ["blk", "g"], "left_anti")
+        )
+        sz_b = inv_b.groupBy("b_id").agg(F.count(F.lit(1)).alias("n_b"))
+        pairs = (
+            inv_b.join(inv, ["blk", "g"])
+            .groupBy("b_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        j = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        scored = (
+            pairs.join(sz_a, "doc_id")
+            .join(sz_b, "b_id")
+            .filter(j >= F.lit(threshold))
+            .select("b_id", "doc_id", j.alias("jaccard"))
+        )
+        w = Window.partitionBy("b_id").orderBy(
+            F.desc("jaccard"), F.col("doc_id")
+        )
+        best = (
+            scored.withColumn("rb", F.row_number().over(w))
+            .filter(F.col("rb") == 1)
+            .drop("rb")
+        )
+        os.makedirs(target_dir, exist_ok=True)
+        best.write.mode("append").parquet(target_dir)
+        _mark_applied(target_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            stream.writeStream.foreachBatch(link_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    out = spark.read.parquet(target_dir)
+    return out.select(
+        "b_id",
+        "doc_id",
+        F.round("jaccard", 6).alias("jaccard"),
+        ((F.col("b_id") - F.lit(100_000)) == F.col("doc_id")).alias("hit"),
+    ).orderBy("b_id")

@@ -186,3 +186,25 @@ def test_entity_clusters_merge_transitive_matches(spark):
         1: {1, 2, 100001},
         3: {3, 4, 100003},
     }
+
+
+def test_streaming_linkage_is_batching_invariant(spark, tmp_path):
+    """The determinism claim behind streaming_linkage_ingest: per-record
+    best-A matches depend only on the static index, so 1-batch and
+    5-batch drains of the same B corpus produce the identical match
+    table."""
+    from newyork_taxi_etl_spark.sources.readers import table_path
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    b = derive_perturbed_corpus(docs)
+    results = []
+    for n in (1, 5):
+        out = W.run_streaming_linkage_ingest(
+            spark, docs, b, str(tmp_path / f"w{n}"), n_slices=n
+        )
+        results.append(
+            sorted((r["b_id"], r["doc_id"], r["jaccard"]) for r in out.collect())
+        )
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
