@@ -1931,3 +1931,102 @@ def attribution_multitouch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "categorical_mi_profile",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    gt AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+    hx AS (
+      SELECT SUM(CAST(CAST(ROUND(-(t / n) * ln(t / n), 12) AS VARCHAR)
+                 AS DECIMAL(38,12))) AS h
+      FROM (SELECT CAST(SUM(o) AS DOUBLE) AS t FROM obs
+            GROUP BY event_type), gt
+    ),
+    hy AS (
+      SELECT SUM(CAST(CAST(ROUND(-(t / n) * ln(t / n), 12) AS VARCHAR)
+                 AS DECIMAL(38,12))) AS h
+      FROM (SELECT CAST(SUM(o) AS DOUBLE) AS t FROM obs GROUP BY dow), gt
+    ),
+    hxy AS (
+      SELECT SUM(CAST(CAST(ROUND(-(o / n) * ln(o / n), 12) AS VARCHAR)
+                 AS DECIMAL(38,12))) AS h
+      FROM obs, gt
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM obs) AS n_cells,
+           ROUND(CAST(CAST(hx.h AS VARCHAR) AS DOUBLE), 6) AS h_event_type,
+           ROUND(CAST(CAST(hy.h AS VARCHAR) AS DOUBLE), 6) AS h_dow,
+           ROUND(CAST(CAST(hxy.h AS VARCHAR) AS DOUBLE), 6) AS h_joint,
+           ROUND(CAST(CAST(hx.h + hy.h - hxy.h AS VARCHAR) AS DOUBLE), 6)
+             AS mutual_info,
+           ROUND(CAST(CAST(hx.h + hy.h - hxy.h AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(LEAST(hx.h, hy.h) AS VARCHAR) AS DOUBLE), 6)
+             AS nmi
+    FROM hx, hy, hxy
+    """,
+    doc="MUTUAL INFORMATION profile of event_type x day-of-week "
+    "(completes the chi-square independence test with the "
+    "information-theoretic view — MI is the quantity label-leakage and "
+    "feature-redundancy checks in a training pipeline actually "
+    "threshold): marginal entropies H(X), H(Y), joint H(X,Y) each from "
+    "-p ln p terms rounded at 12 dp and DECIMAL-summed (the "
+    "psi_value_drift ln discipline — accumulation-order-independent "
+    "cross-engine), MI = H(X)+H(Y)-H(X,Y), normalized by min(H). One "
+    "grouped aggregate builds the O(types x 7) contingency table; the "
+    "three entropy sums run over THAT, never over events. Spark "
+    "dayofweek is 1-based Sunday vs DuckDB 0-based — normalized "
+    "Spark-side like the chi-square twin. nmi ~ 0 here: event type is "
+    "independent of weekday on this corpus, and the gate VALUE proves "
+    "it rather than asserting it.",
+)
+def categorical_mi_profile(spark, sf_dir):
+    dec = "decimal(38,12)"
+    ev = read_events(spark, sf_dir)
+    obs = (
+        ev.groupBy(
+            "event_type", (F.dayofweek(F.to_date("ts")) - 1).alias("dow")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    n = obs.agg(F.sum("o").cast("double").alias("n"))
+
+    def ent(grouped):
+        p = F.col("t") / F.col("n")
+        return grouped.crossJoin(F.broadcast(n)).agg(
+            F.sum(F.round(-p * F.log(p), 12).cast(dec)).alias("h")
+        )
+
+    hx = ent(
+        obs.groupBy("event_type").agg(F.sum("o").cast("double").alias("t"))
+    ).withColumnRenamed("h", "hx")
+    hy = ent(
+        obs.groupBy("dow").agg(F.sum("o").cast("double").alias("t"))
+    ).withColumnRenamed("h", "hy")
+    hxy = ent(obs.select(F.col("o").cast("double").alias("t"))).withColumnRenamed(
+        "h", "hxy"
+    )
+    cells = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    mi = F.col("hx") + F.col("hy") - F.col("hxy")
+    return (
+        cells.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+        .select(
+            "n_cells",
+            F.round(F.col("hx").cast("double"), 6).alias("h_event_type"),
+            F.round(F.col("hy").cast("double"), 6).alias("h_dow"),
+            F.round(F.col("hxy").cast("double"), 6).alias("h_joint"),
+            F.round(mi.cast("double"), 6).alias("mutual_info"),
+            F.round(
+                mi.cast("double")
+                / F.least(F.col("hx"), F.col("hy")).cast("double"),
+                6,
+            ).alias("nmi"),
+        )
+    )

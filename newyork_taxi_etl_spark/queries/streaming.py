@@ -783,3 +783,38 @@ def streaming_late_drop(spark, sf_dir):
     return W.run_streaming_late_drop(
         spark, read_events(spark, sf_dir), stage
     )
+
+
+@register(
+    "streaming_reservoir_sample",
+    """
+    WITH picked AS (
+      SELECT event_id, user_id, value,
+             md5(CAST(event_id AS VARCHAR)) AS h
+      FROM events
+      ORDER BY h, event_id
+      LIMIT 64
+    )
+    SELECT CAST(row_number() OVER (ORDER BY h, event_id) AS INT) AS rk,
+           event_id, user_id, value
+    FROM picked
+    ORDER BY rk
+    """,
+    doc="bounded UNIFORM SAMPLE maintained at ingest — the deterministic "
+    "distributed reservoir: state is the k=64 smallest md5(event_id) "
+    "ranks, per micro-batch merge = union + re-top-k. The fold is "
+    "IDEMPOTENT (top-k of a union is unchanged by re-merging the same "
+    "batch), so at-least-once replay needs no applied-batch sidecar — "
+    "the deliberate contrast with the additive folds, whose sidecar "
+    "guard exists precisely because they are NOT idempotent. The hash "
+    "rank is key-determined, so the drained sample equals the batch "
+    "top-k draw over the whole corpus row-for-row under ANY batching; "
+    "state is O(k) and each batch reduces map-side in the TakeOrdered "
+    "heap before anything shuffles.",
+)
+def streaming_reservoir_sample(spark, sf_dir):
+    stage = _workdir("reservoir_stage")
+    target = _workdir("reservoir_state")
+    return W.run_streaming_reservoir_sample(
+        spark, read_events(spark, sf_dir), stage, target
+    )

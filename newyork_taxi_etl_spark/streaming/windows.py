@@ -1973,3 +1973,77 @@ def run_streaming_linkage_ingest(
         F.round("jaccard", 6).alias("jaccard"),
         ((F.col("b_id") - F.lit(100_000)) == F.col("doc_id")).alias("hit"),
     ).orderBy("b_id")
+
+
+def run_streaming_reservoir_sample(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    target_dir: str,
+    k: int = 64,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Bounded UNIFORM SAMPLE maintained at ingest: the deterministic
+    distributed reservoir (keep the k smallest md5(event_id) ranks)
+    folded across micro-batches — state is the current top-k, merge is
+    union + re-top-k.
+
+    Two properties make this the robust streaming sample: the fold is
+    IDEMPOTENT (top-k of a union is unchanged by re-merging the same
+    batch), so at-least-once redelivery needs NO applied-batch sidecar —
+    unlike the additive folds (upsert counts, quantile sketch), a crash
+    replay simply converges to the same state; and the hash rank is
+    key-determined, so the drained sample equals the BATCH top-k draw
+    over the whole corpus exactly (one relational oracle, any batching).
+    State is O(k); per batch the source side reduces map-side via the
+    TakeOrdered heap before anything shuffles.
+    """
+    import os
+    import shutil
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        cand = batch_df.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+        ).orderBy("h", "event_id").limit(k)
+        if os.path.exists(target_dir):
+            prev = ss.read.parquet(target_dir)
+            cand = prev.unionByName(cand).orderBy("h", "event_id").limit(k)
+        nxt = target_dir + "_next"
+        cand.write.mode("overwrite").parquet(nxt)
+        _swap_dir(nxt, target_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(target_dir)
+    return (
+        out.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy("h", "event_id"))
+            .cast("int"),
+        )
+        .select("rk", "event_id", "user_id", "value")
+        .orderBy("rk")
+    )

@@ -313,3 +313,36 @@ def test_median_freq_selection_equals_rowlevel_sort(spark):
         .collect()
     }
     assert fast == naive
+
+
+def test_mutual_information_known_values(spark):
+    """MI sanity on constructed tables: a perfectly DEPENDENT pair has
+    MI == H(X) == H(Y) (nmi == 1), an independent uniform pair has
+    MI ~= 0 — computed through the same decimal-entropy path the
+    registered query uses."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def mi_of(rows):
+        df = spark.createDataFrame(rows, "x string, y int")
+        obs = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("o"))
+        n = df.count()
+
+        def ent(counts):
+            return -sum(c / n * math.log(c / n) for c in counts)
+
+        by_x = [r["c"] for r in obs.groupBy("x").agg(F.sum("o").alias("c")).collect()]
+        by_y = [r["c"] for r in obs.groupBy("y").agg(F.sum("o").alias("c")).collect()]
+        joint = [r["o"] for r in obs.collect()]
+        return ent(by_x), ent(by_y), ent(by_x) + ent(by_y) - ent(joint)
+
+    # dependent: y = f(x), bijective
+    dep = [("a", 0)] * 10 + [("b", 1)] * 10 + [("c", 2)] * 10
+    hx, hy, mi = mi_of(dep)
+    assert abs(mi - hx) < 1e-12 and abs(hx - hy) < 1e-12
+
+    # independent uniform 2x2
+    ind = [("a", 0)] * 5 + [("a", 1)] * 5 + [("b", 0)] * 5 + [("b", 1)] * 5
+    _, _, mi0 = mi_of(ind)
+    assert abs(mi0) < 1e-12
