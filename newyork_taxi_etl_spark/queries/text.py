@@ -910,3 +910,172 @@ def array_hof_surface(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bigram_lm_compare",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    utot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab
+      FROM uni GROUP BY lang
+    ),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN list_transform(
+                      range(1, len(string_split(text, ' '))),
+                      i -> string_split(text, ' ')[i] || ' '
+                           || string_split(text, ' ')[i + 1])
+               ELSE [] END) AS bg
+      FROM documents
+    ),
+    blm AS (SELECT lang, bg, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+    firsts AS (
+      SELECT lang, string_split(bg, ' ')[1] AS w1,
+             CAST(SUM(cnt) AS BIGINT) AS c1
+      FROM blm GROUP BY 1, 2
+    ),
+    uni_nll AS (
+      SELECT t.doc_id, t.lang,
+             ROUND(-ln((u.cnt + 1)
+                       / CAST(ut.total + ut.vocab AS DOUBLE)), 12) AS nll
+      FROM toks t
+      JOIN uni u ON t.lang = u.lang AND t.tok = u.tok
+      JOIN utot ut ON t.lang = ut.lang
+    ),
+    bi_nll AS (
+      SELECT b.doc_id, b.lang,
+             ROUND(-ln((bl.cnt + 1)
+                       / CAST(f.c1 + ut.vocab AS DOUBLE)), 12) AS nll
+      FROM bi b
+      JOIN blm bl ON b.lang = bl.lang AND b.bg = bl.bg
+      JOIN firsts f ON b.lang = f.lang
+                   AND string_split(b.bg, ' ')[1] = f.w1
+      JOIN utot ut ON b.lang = ut.lang
+    ),
+    du AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS s
+      FROM uni_nll GROUP BY 1, 2
+    ),
+    db AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS s
+      FROM bi_nll GROUP BY 1, 2
+    )
+    SELECT du.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(du.s AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nll_uni,
+           ROUND(CAST(CAST(SUM(CAST(db.s AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nll_bi,
+           ROUND(CAST(CAST(SUM(CAST(du.s AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*)
+                 - CAST(CAST(SUM(CAST(db.s AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS nll_reduction
+    FROM du JOIN db ON du.doc_id = db.doc_id AND du.lang = db.lang
+    GROUP BY du.lang
+    ORDER BY du.lang
+    """,
+    doc="BIGRAM LM vs unigram baseline (the model-order upgrade of "
+    "lm_perplexity_score, whose add-1 discipline both legs reuse): "
+    "P(w2|w1) = (C(w1 w2)+1)/(C(w1 .)+V) per language, each doc scored "
+    "by mean bigram NLL next to its mean unigram NLL, per-language "
+    "averages and the NLL REDUCTION out — the measured payoff of "
+    "conditioning on one token of context (0 would mean the corpus has "
+    "no sequential structure; the gate records the number instead of "
+    "assuming it). Dataflow: one extra (lang, bigram) count and a "
+    "(lang, w1) first-token marginal beyond the unigram tables — all "
+    "lang x vocab-sized broadcasts onto the exploded streams; ln at "
+    "ROUND(12), decimal sums, VARCHAR-routed out-casts throughout.",
+)
+def bigram_lm_compare(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    utot = uni.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    bi = with_shingles(docs, "text", 2, out="bgs").select(
+        "doc_id", "lang", F.explode("bgs").alias("bg")
+    )
+    blm = bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    firsts = (
+        blm.select(
+            "lang",
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            "cnt",
+        )
+        .groupBy("lang", "w1")
+        .agg(F.sum("cnt").cast("bigint").alias("c1"))
+    )
+    uni_nll = (
+        toks.join(F.broadcast(uni), ["lang", "tok"])
+        .join(F.broadcast(utot), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + 1)
+                    / (F.col("total") + F.col("vocab")).cast("double")
+                ),
+                12,
+            ).alias("nll"),
+        )
+    )
+    bi_nll = (
+        bi.join(F.broadcast(blm), ["lang", "bg"])
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(firsts), ["lang", "w1"])
+        .join(F.broadcast(utot), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + 1)
+                    / (F.col("c1") + F.col("vocab")).cast("double")
+                ),
+                12,
+            ).alias("nll"),
+        )
+    )
+
+    def doc_mean(nll_df):
+        return nll_df.groupBy("doc_id", "lang").agg(
+            F.round(
+                F.sum(F.col("nll").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("s")
+        )
+
+    du = doc_mean(uni_nll).withColumnRenamed("s", "su")
+    db = doc_mean(bi_nll).withColumnRenamed("s", "sb")
+    avg_u = F.sum(F.col("su").cast(dec)).cast("double") / F.count(F.lit(1))
+    avg_b = F.sum(F.col("sb").cast(dec)).cast("double") / F.count(F.lit(1))
+    return (
+        du.join(db, ["doc_id", "lang"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(avg_u, 6).alias("avg_nll_uni"),
+            F.round(avg_b, 6).alias("avg_nll_bi"),
+            F.round(avg_u - avg_b, 6).alias("nll_reduction"),
+        )
+        .orderBy("lang")
+    )
