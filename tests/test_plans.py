@@ -644,3 +644,33 @@ def test_incremental_ann_append_probe_prunes_partitions(spark):
     df = queries()["ann_index_incremental_append"](spark, SF_SMOKE)
     fmt = _formatted(df)
     assert "PartitionFilters" in fmt and "cid" in fmt
+
+
+def test_attribution_join_is_hashed_not_nested_loop(spark):
+    """The per-user time-range join must hash on the user equality key
+    (range as residual) — never a nested-loop/cartesian over events."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["attribution_multitouch"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_grouped_moments_are_one_combining_aggregate(spark):
+    """All four power sums must map-side combine in ONE aggregate —
+    partial_sum partials present, no Python boundary, no join."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["grouped_moment_stats"](spark, SF_SMOKE))
+    assert plan.count("partial_sum") >= 4
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+
+
+def test_jl_projection_stays_in_jvm(spark):
+    """The 64x16 projection fold and both distance folds are higher-order
+    functions — zero Python evaluation nodes anywhere in the plan."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["jl_projection_distortion"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
