@@ -340,3 +340,165 @@ def group_aware_split(spark, sf_dir):
         .select("split", "n_events", "n_users", "n_leaked_users")
         .orderBy("split")
     )
+
+
+@register(
+    "temporal_holdout_audit",
+    """
+    WITH tagged AS (
+      SELECT user_id, value,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-24' THEN 'train'
+                  ELSE 'eval' END AS split
+      FROM events
+    ),
+    users AS (
+      SELECT user_id,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS in_eval
+      FROM tagged GROUP BY user_id
+    ),
+    binned AS (
+      SELECT split, LEAST(CAST(FLOOR(COALESCE(value, -1) / 100) AS INT), 9)
+               AS bin
+      FROM tagged
+    ),
+    counts AS (
+      SELECT split, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN split = 'train' THEN n ELSE 0 END) AS t_tr,
+             SUM(CASE WHEN split = 'eval' THEN n ELSE 0 END) AS t_ev
+      FROM counts
+    ),
+    frac AS (
+      SELECT bin,
+             (COALESCE(MAX(CASE WHEN split = 'train' THEN n END), 0) + 0.5)
+               / (MAX(t.t_tr) + 5.0) AS p_tr,
+             (COALESCE(MAX(CASE WHEN split = 'eval' THEN n END), 0) + 0.5)
+               / (MAX(t.t_ev) + 5.0) AS p_ev
+      FROM counts CROSS JOIN tot t GROUP BY bin
+    ),
+    psi AS (
+      SELECT ROUND(CAST(CAST(SUM(CAST(
+               ROUND((p_ev - p_tr) * ln(p_ev / p_tr), 12)
+             AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS v
+      FROM frac
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tagged WHERE split = 'train')
+        AS n_train,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tagged WHERE split = 'eval')
+        AS n_eval,
+      CAST(SUM(in_train * in_eval) AS BIGINT) AS n_overlap_users,
+      ROUND(CAST(SUM(in_train * in_eval) AS DOUBLE)
+            / NULLIF(SUM(in_eval), 0), 6) AS user_overlap_frac,
+      (SELECT v FROM psi) AS value_psi
+    FROM users
+    """,
+    doc="TEMPORAL HOLDOUT audit (the time-based split every forecasting/"
+    "recsys eval needs, next to group_aware_split's group-keyed one): "
+    "train = before 2024-01-24, eval = after, and the two numbers that "
+    "decide whether the split is USABLE measured in the same pass — "
+    "user leakage (fraction of eval users also in train: 1.0 on this "
+    "corpus, every user spans the boundary — the audit FINDING, not a "
+    "bug) and value-distribution drift across the boundary (PSI, the "
+    "psi_value_drift smoothed-bin discipline). Dataflow: one user "
+    "aggregate (O(users)), one 10-bin histogram pivot, decimal-exact "
+    "PSI terms; nothing event-sized crosses the network twice.",
+)
+def temporal_holdout_audit(spark, sf_dir):
+    import datetime
+
+    dec = "decimal(38,12)"
+    ev = read_events(spark, sf_dir)
+    tagged = ev.select(
+        "user_id",
+        "value",
+        F.when(
+            F.to_date("ts") < F.lit(datetime.date(2024, 1, 24)), "train"
+        )
+        .otherwise("eval")
+        .alias("split"),
+    )
+    users = tagged.groupBy("user_id").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") == "eval").cast("int")).alias("in_eval"),
+    )
+    binned = tagged.select(
+        "split",
+        F.least(
+            F.floor(F.coalesce(F.col("value"), F.lit(-1)) / 100).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("split", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.when(F.col("split") == "train", F.col("n")).otherwise(0))
+        .alias("t_tr"),
+        F.sum(F.when(F.col("split") == "eval", F.col("n")).otherwise(0))
+        .alias("t_ev"),
+    )
+    frac = (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            (
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("split") == "train", F.col("n"))),
+                        F.lit(0),
+                    )
+                    + 0.5
+                )
+                / (F.max("t_tr") + 5.0)
+            ).alias("p_tr"),
+            (
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("split") == "eval", F.col("n"))),
+                        F.lit(0),
+                    )
+                    + 0.5
+                )
+                / (F.max("t_ev") + 5.0)
+            ).alias("p_ev"),
+        )
+    )
+    psi = frac.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("p_ev") - F.col("p_tr"))
+                    * F.log(F.col("p_ev") / F.col("p_tr")),
+                    12,
+                ).cast(dec)
+            ).cast("double"),
+            6,
+        ).alias("value_psi")
+    )
+    splits = tagged.agg(
+        F.sum((F.col("split") == "train").cast("int")).cast("bigint")
+        .alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("int")).cast("bigint")
+        .alias("n_eval"),
+    )
+    overlap = users.agg(
+        F.sum(F.col("in_train") * F.col("in_eval")).cast("bigint")
+        .alias("n_overlap_users"),
+        F.round(
+            F.sum(F.col("in_train") * F.col("in_eval")).cast("double")
+            / F.nullif(F.sum("in_eval"), F.lit(0)),
+            6,
+        ).alias("user_overlap_frac"),
+    )
+    return (
+        splits.crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(psi))
+        .select(
+            "n_train",
+            "n_eval",
+            "n_overlap_users",
+            "user_overlap_frac",
+            "value_psi",
+        )
+    )

@@ -148,3 +148,38 @@ def test_incremental_append_equals_from_scratch_rebuild(spark):
         ).collect()
     )
     assert appended == rebuilt
+
+
+def test_gram_power_iteration_approximates_numpy_eigmales(spark):
+    """3 power steps on the exact Gram matrix must land close to numpy's
+    true top eigenvalue (the iterate is nearly converged at step 3 when
+    the spectrum has any gap), and the reported trace must equal the
+    exact total variance."""
+    import numpy as np
+
+    from newyork_taxi_etl_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    row = queries()["gram_power_iteration_pc1"](spark, SF_SMOKE).collect()[0]
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    gram = emb.T @ emb
+    true_top = float(np.linalg.eigvalsh(gram)[-1])
+    assert abs(row["trace_total"] - float(np.trace(gram))) < 1e-3
+    # never above the true lambda_1 (||Gx|| <= lambda_1 for unit x)
+    assert row["lambda_top"] <= true_top + 1e-6
+    # equals the SAME 3-step power iteration run in numpy (tolerance for
+    # the 12-dp per-step quantization the engines apply)
+    x = np.full(64, 0.125)
+    for _ in range(3):
+        y = gram @ x
+        lam = float(np.linalg.norm(y))
+        x = y / lam
+    assert abs(row["lambda_top"] - lam) < 1e-4, (row["lambda_top"], lam)
