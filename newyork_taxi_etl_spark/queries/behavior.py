@@ -2030,3 +2030,120 @@ def categorical_mi_profile(spark, sf_dir):
             ).alias("nmi"),
         )
     )
+
+
+@register(
+    "ks_two_sample_drift",
+    """
+    WITH tagged AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 'a' ELSE 'b' END AS grp,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM tagged GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM counts
+    ),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS fa,
+             SUM(cb) OVER (ORDER BY v) AS fb
+      FROM counts
+    ),
+    d AS (
+      SELECT MAX(abs(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na))
+               AS dnum
+      FROM cum, tot
+    )
+    SELECT (SELECT na FROM tot) AS n_a,
+           (SELECT nb FROM tot) AS n_b,
+           ROUND(CAST(CAST((SELECT dnum FROM d) AS VARCHAR) AS DOUBLE)
+                 / ((SELECT na FROM tot) * CAST((SELECT nb FROM tot)
+                    AS DOUBLE)), 6) AS ks_stat,
+           ROUND(sqrt(((SELECT na FROM tot) + CAST((SELECT nb FROM tot)
+                       AS DOUBLE))
+                      / ((SELECT na FROM tot) * CAST((SELECT nb FROM tot)
+                         AS DOUBLE))) * 1.358, 6) AS crit_05,
+           (CAST(CAST((SELECT dnum FROM d) AS VARCHAR) AS DOUBLE)
+            / ((SELECT na FROM tot) * CAST((SELECT nb FROM tot) AS DOUBLE)))
+           > (sqrt(((SELECT na FROM tot) + CAST((SELECT nb FROM tot)
+                    AS DOUBLE))
+                   / ((SELECT na FROM tot) * CAST((SELECT nb FROM tot)
+                      AS DOUBLE))) * 1.358) AS reject_05
+    """,
+    doc="EXACT two-sample Kolmogorov-Smirnov drift test (the "
+    "nonparametric complement to psi_value_drift's binned divergence): "
+    "first vs second half-month value distributions at the corpus's "
+    "2-dp tick. The supremum |F_a - F_b| is computed in PURE INTEGERS — "
+    "D = max |cum_a * n_b - cum_b * n_a| / (n_a * n_b), 128-bit "
+    "products — so the statistic is exact on any partitioning and both "
+    "engines agree to the bit BEFORE the single final division. "
+    "Reduces events to O(distinct ticks) counts first; the CDF walk is "
+    "one cumulative window over that reduced table. The 5% critical "
+    "value 1.358 * sqrt((n_a+n_b)/(n_a*n_b)) and the reject decision "
+    "ride along as driver-gated values.",
+)
+def ks_two_sample_drift(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    tagged = ev.select(
+        F.when(F.to_date("ts") < F.lit(datetime.date(2024, 1, 16)), "a")
+        .otherwise("b")
+        .alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum((F.col("grp") == "a").cast("int")).alias("ca"),
+        F.sum((F.col("grp") == "b").cast("int")).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("fa").cast(dec) * F.col("nb")
+                - F.col("fb").cast(dec) * F.col("na")
+            ).alias("dn")
+        )
+        .agg(F.max("dn").alias("dnum"))
+    )
+    ks = F.col("dnum").cast("double") / (
+        F.col("na") * F.col("nb").cast("double")
+    )
+    crit = (
+        F.sqrt(
+            (F.col("na") + F.col("nb").cast("double"))
+            / (F.col("na") * F.col("nb").cast("double"))
+        )
+        * 1.358
+    )
+    return (
+        tot.crossJoin(F.broadcast(d))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(ks, 6).alias("ks_stat"),
+            F.round(crit, 6).alias("crit_05"),
+            (ks > crit).alias("reject_05"),
+        )
+    )

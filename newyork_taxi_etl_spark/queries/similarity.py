@@ -2166,20 +2166,29 @@ def gram_power_iteration_pc1(spark, sf_dir):
 
     dec = "decimal(38,12)"
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    # one-pass Gram: flatten the 64x64 per-row outer-product terms and
-    # decimal-sum per (i, j)
+    # one-pass Gram over the UPPER TRIANGLE only (2080 terms/row instead
+    # of 4096 — G is symmetric and round(v_i*v_j) == round(v_j*v_i)
+    # exactly, so mirroring after the aggregate is value-identical to
+    # the full grid the oracle computes), then decimal-sum per (i, j)
     terms = emb.select(
         F.explode(
             F.expr(
                 "flatten(transform(sequence(1, 64), i -> "
-                "transform(sequence(1, 64), j -> struct(i AS i, j AS j, "
+                "transform(sequence(i, 64), j -> struct(i AS i, j AS j, "
                 "round(CAST(element_at(embedding, i) AS DOUBLE) * "
                 "CAST(element_at(embedding, j) AS DOUBLE), 12) AS p))))"
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p")
-    g = terms.groupBy("i", "j").agg(
+    g_half = terms.groupBy("i", "j").agg(
         F.sum(F.col("p").cast(dec)).cast("double").alias("g")
+    )
+    g = (
+        g_half.unionByName(
+            g_half.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
+        )
     ).localCheckpoint(eager=True)
 
     def norm_of(y_df):
@@ -2196,6 +2205,10 @@ def gram_power_iteration_pc1(spark, sf_dir):
         F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x")
     )
     for _ in range(3):
+        # checkpoint each 64-row iterate: x is referenced by BOTH the next
+        # matvec and its own normalizer, and without truncation the lazy
+        # tree re-evaluates every earlier step once per reference
+        # (2^steps blowup of tiny-but-overheadful jobs)
         y = (
             g.join(F.broadcast(x.select(F.col("i").alias("j"), "x")), "j")
             .groupBy("i")
@@ -2204,10 +2217,12 @@ def gram_power_iteration_pc1(spark, sf_dir):
                 .cast("double")
                 .alias("y")
             )
-        )
+        ).localCheckpoint(eager=True)
         n = norm_of(y)
-        x = y.crossJoin(F.broadcast(n)).select(
-            "i", F.round(F.col("y") / F.col("n"), 12).alias("x")
+        x = (
+            y.crossJoin(F.broadcast(n))
+            .select("i", F.round(F.col("y") / F.col("n"), 12).alias("x"))
+            .localCheckpoint(eager=True)
         )
         last_norm = n
     tr = emb.select(
@@ -2240,4 +2255,105 @@ def gram_power_iteration_pc1(spark, sf_dir):
             "top_coord",
             "top_coord_val",
         )
+    )
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS cand_id, c.label AS pred_label,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 5 = 0
+    ),
+    nn AS (
+      SELECT query_id, true_label, pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand_id) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT CAST(true_label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = true_label
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM nn
+    GROUP BY true_label
+    ORDER BY label
+    """,
+    doc="1-NN LABEL ACCURACY, leave-one-out (the evaluation harness of "
+    "every embedding space: if nearest neighbors don't share labels, no "
+    "retrieval stack built on the space will): each query vector "
+    "(1-in-5 deterministic slice) is classified by its nearest OTHER "
+    "vector's label, per-class accuracy out. Deterministic ranking: "
+    "cosine at 4 dp, ties by candidate id — the exact discipline of "
+    "the ANN family whose quality this measures. This brute-force pass "
+    "is the capped EXACT baseline (queries x corpus, per-task "
+    "TakeOrdered heaps); at 100 TB the same evaluation swaps in the "
+    "partition-pruned persisted-index probe (ann_index_persisted_probe) "
+    "as the candidate generator, and the accuracy delta between the "
+    "two IS the index's quality cost. Near-chance accuracy here "
+    "(isotropic synthetic embeddings, 4 labels) is the recorded truth "
+    "of this corpus, not a defect.",
+)
+def knn_label_accuracy(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.similarity import _DOT
+
+    # norms precomputed ONCE per vector (the semantic_dedup_buckets r7
+    # lesson: one dot per pair, not three) — sqrt(dot(v,v)) here is the
+    # same expression subtree cosine_expr would inline per pair, so the
+    # rounded cosine is bit-identical to the oracle's formulation
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).withColumn(
+        "nrm", F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
+    )
+    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("pred_label"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "pred_label",
+            F.expr(
+                f"round({_DOT.format(a='q_vec', b='c_vec')}"
+                " / (q_nrm * c_nrm), 4)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    nn = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", "true_label", "pred_label")
+    )
+    hit = (F.col("pred_label") == F.col("true_label")).cast("int")
+    return (
+        nn.groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6)
+            .alias("accuracy"),
+        )
+        .orderBy("label")
     )

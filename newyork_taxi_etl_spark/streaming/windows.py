@@ -1882,12 +1882,17 @@ def run_streaming_linkage_ingest(
         shutil.rmtree(d, ignore_errors=True)
 
     # -- static A-side index, built once and persisted ------------------
+    # one shingle pass: the inverted index feeds THREE consumers (hot
+    # computation, the persisted index, per-doc sizes) — materialize it
+    # once instead of re-tokenizing the corpus per consumer
     sh_a = with_shingles(docs_df, "text", 3).select(
         "doc_id",
         F.col("lang").alias("blk"),
         F.array_distinct("sh").alias("s"),
     )
-    inv_a0 = sh_a.select("doc_id", "blk", F.explode("s").alias("g"))
+    inv_a0 = sh_a.select(
+        "doc_id", "blk", F.explode("s").alias("g")
+    ).localCheckpoint(eager=True)
     n_docs = sh_a.groupBy("blk").agg(F.count(F.lit(1)).alias("n_docs"))
     hot = (
         inv_a0.groupBy("blk", "g")
@@ -1958,7 +1963,7 @@ def run_streaming_linkage_ingest(
         best.write.mode("append").parquet(target_dir)
         _mark_applied(target_dir, batch_id, applied)
 
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
         q = (
             stream.writeStream.foreachBatch(link_batch)
             .trigger(availableNow=True)
