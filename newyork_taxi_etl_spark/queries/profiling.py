@@ -1363,3 +1363,87 @@ def k_anonymity_profile(spark, sf_dir):
         )
         .orderBy("level")
     )
+
+
+@register(
+    "quantile_dkw_ci",
+    """
+    WITH vals AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+      WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    eps AS (SELECT sqrt(ln(2 / 0.05) / (2 * n)) AS e, n FROM tot),
+    targets AS (
+      SELECT CAST(CEIL(n * 0.5) AS BIGINT) AS k_med,
+             GREATEST(CAST(CEIL(n * (0.5 - e)) AS BIGINT), 1) AS k_lo,
+             LEAST(CAST(CEIL(n * (0.5 + e)) AS BIGINT), n) AS k_hi
+      FROM eps
+    ),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS f FROM counts)
+    SELECT (SELECT n FROM tot) AS n_rows,
+           ROUND((SELECT MIN(v) FROM cum, targets WHERE f >= k_med)
+                 / 100.0, 6) AS median,
+           ROUND((SELECT MIN(v) FROM cum, targets WHERE f >= k_lo)
+                 / 100.0, 6) AS ci_lo,
+           ROUND((SELECT MIN(v) FROM cum, targets WHERE f >= k_hi)
+                 / 100.0, 6) AS ci_hi,
+           ROUND((SELECT e FROM eps), 6) AS dkw_eps
+    """,
+    doc="DISTRIBUTION-FREE median confidence interval via the "
+    "Dvoretzky-Kiefer-Wolfowitz bound: with probability 95% the "
+    "empirical CDF is everywhere within eps = sqrt(ln(2/alpha)/(2n)) "
+    "of the truth, so the order statistics at ranks n*(0.5 +- eps) "
+    "bracket the true median — no normality assumption, no bootstrap "
+    "resampling (the frequentist complement to poisson_bootstrap_ci, "
+    "which this corpus can check it against). Selection is "
+    "frequency-based (the r8 grouped-median machinery): events reduce "
+    "to O(distinct ticks) counts, ranks walk a cumulative window over "
+    "that — exact integers until the one final scale division.",
+)
+def quantile_dkw_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    counts = (
+        ev.select(F.round(F.col("value") * 100).cast("bigint").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    eps = tot.select(
+        "n", F.sqrt(F.log(F.lit(2) / 0.05) / (2 * F.col("n"))).alias("e")
+    )
+    targets = eps.select(
+        "n",
+        "e",
+        F.ceil(F.col("n") * 0.5).cast("bigint").alias("k_med"),
+        F.greatest(
+            F.ceil(F.col("n") * (0.5 - F.col("e"))).cast("bigint"), F.lit(1)
+        ).alias("k_lo"),
+        F.least(
+            F.ceil(F.col("n") * (0.5 + F.col("e"))).cast("bigint"), F.col("n")
+        ).alias("k_hi"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("v", F.sum("c").over(w).alias("f")).crossJoin(
+        F.broadcast(targets)
+    )
+
+    def sel(kcol, out):
+        return (
+            cum.filter(F.col("f") >= F.col(kcol))
+            .agg(F.min("v").alias("_v"))
+            .select(F.round(F.col("_v") / 100.0, 6).alias(out))
+        )
+
+    return (
+        targets.select(
+            F.col("n").alias("n_rows"), F.round("e", 6).alias("dkw_eps")
+        )
+        .crossJoin(F.broadcast(sel("k_med", "median")))
+        .crossJoin(F.broadcast(sel("k_lo", "ci_lo")))
+        .crossJoin(F.broadcast(sel("k_hi", "ci_hi")))
+        .select("n_rows", "median", "ci_lo", "ci_hi", "dkw_eps")
+    )

@@ -2357,3 +2357,107 @@ def knn_label_accuracy(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "label_noise_consensus",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS cand_id, c.label AS pred_label,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 5 = 0
+    ),
+    nn AS (
+      SELECT query_id, true_label,
+             CAST(SUM(CASE WHEN pred_label <> true_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disagree
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand_id) AS r
+        FROM scored
+      ) WHERE r <= 3
+      GROUP BY query_id, true_label
+    )
+    SELECT CAST(true_label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN n_disagree >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           ROUND(CAST(SUM(n_disagree) AS DOUBLE) / (3 * COUNT(*)), 6)
+             AS avg_disagree_frac
+    FROM nn GROUP BY true_label ORDER BY label
+    """,
+    doc="LABEL-NOISE detection by neighborhood consensus (the "
+    "confident-learning primitive of dataset curation): each query "
+    "vector's 3 nearest neighbors vote, and a point whose majority "
+    "disagrees with its own label is flagged as suspected noise — "
+    "per-class flag counts and the mean disagreement fraction out. On "
+    "these isotropic synthetic embeddings the disagreement sits at the "
+    "4-class chance level (~0.75) and the flag rate near its binomial "
+    "expectation — the gate RECORDS the no-signal baseline; on a real "
+    "space the flagged slice is the relabel/drop queue. Same capped "
+    "exact kNN machinery (precomputed norms, deterministic "
+    "cosine/id ranking) as knn_label_accuracy; integer disagreement "
+    "sums, one final division.",
+)
+def label_noise_consensus(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.similarity import _DOT
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).withColumn(
+        "nrm", F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
+    )
+    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("pred_label"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "pred_label",
+            F.expr(
+                f"round({_DOT.format(a='q_vec', b='c_vec')}"
+                " / (q_nrm * c_nrm), 4)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    nn = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .groupBy("query_id", "true_label")
+        .agg(
+            F.sum((F.col("pred_label") != F.col("true_label")).cast("int"))
+            .cast("bigint")
+            .alias("n_disagree")
+        )
+    )
+    return (
+        nn.groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum((F.col("n_disagree") >= 2).cast("int")).cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.sum("n_disagree").cast("double")
+                / (3 * F.count(F.lit(1))),
+                6,
+            ).alias("avg_disagree_frac"),
+        )
+        .orderBy("label")
+    )
