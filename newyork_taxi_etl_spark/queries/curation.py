@@ -545,3 +545,101 @@ def corpus_pipeline_decontaminated(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "weighted_median_doclen",
+    """
+    WITH counts AS (
+      SELECT lang, n_chars,
+             COUNT(*) AS c,
+             CAST(SUM(n_chars) AS BIGINT) AS wsum
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(wsum) AS BIGINT) AS w
+      FROM counts GROUP BY lang
+    ),
+    cum AS (
+      SELECT lang, n_chars,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS fc,
+             SUM(wsum) OVER (PARTITION BY lang ORDER BY n_chars) AS fw
+      FROM counts
+    ),
+    med AS (
+      SELECT c.lang, MIN(c.n_chars) AS median_len
+      FROM cum c JOIN tot USING (lang)
+      WHERE c.fc >= CAST(CEIL(tot.n / 2.0) AS BIGINT)
+      GROUP BY c.lang
+    ),
+    wmed AS (
+      SELECT c.lang, MIN(c.n_chars) AS char_weighted_median_len
+      FROM cum c JOIN tot USING (lang)
+      WHERE c.fw >= CAST(CEIL(tot.w / 2.0) AS BIGINT)
+      GROUP BY c.lang
+    )
+    SELECT tot.lang, tot.n AS n_docs,
+           CAST(med.median_len AS BIGINT) AS median_len,
+           CAST(wmed.char_weighted_median_len AS BIGINT)
+             AS char_weighted_median_len
+    FROM tot JOIN med USING (lang) JOIN wmed USING (lang)
+    ORDER BY tot.lang
+    """,
+    doc="GROUPED WEIGHTED MEDIAN (weight = document length): the doc "
+    "length below which half the corpus's CHARACTERS sit, next to the "
+    "plain count-median — the number a packing/sharding plan actually "
+    "needs (long docs carry the bytes: the weighted median is "
+    "systematically above the count median, and the gap measures "
+    "length skew). Same frequency-reduction selection as the r8 "
+    "grouped median — reduce to O(lang x distinct lengths) rows "
+    "carrying (count, weight-sum), one cumulative walk selects both "
+    "medians; exact integers throughout (integer weights make the "
+    "weighted rank walk exact, no float accumulation anywhere).",
+)
+def weighted_median_doclen(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    counts = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_chars").cast("bigint").alias("wsum"),
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("wsum").cast("bigint").alias("w"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(win).alias("fc"),
+        F.sum("wsum").over(win).alias("fw"),
+    ).join(F.broadcast(tot), "lang")
+    med = (
+        cum.filter(
+            F.col("fc") >= F.ceil(F.col("n") / F.lit(2.0)).cast("bigint")
+        )
+        .groupBy("lang")
+        .agg(F.min("n_chars").cast("bigint").alias("median_len"))
+    )
+    wmed = (
+        cum.filter(
+            F.col("fw") >= F.ceil(F.col("w") / F.lit(2.0)).cast("bigint")
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").cast("bigint")
+            .alias("char_weighted_median_len")
+        )
+    )
+    return (
+        tot.select("lang", F.col("n").alias("n_docs"))
+        .join(med, "lang")
+        .join(wmed, "lang")
+        .orderBy("lang")
+    )
