@@ -643,3 +643,103 @@ def weighted_median_doclen(spark, sf_dir):
         .join(wmed, "lang")
         .orderBy("lang")
     )
+
+
+@register(
+    "passage_chunking_plan",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, lang, n,
+             list_distinct(
+               list_append(
+                 range(1, GREATEST(n - 32 + 1, 1) + 1, 24),
+                 CASE WHEN n > 32 AND ((n - 32) % 24) <> 0
+                      THEN n - 32 + 1 ELSE 1 END)) AS ss
+      FROM d
+    ),
+    chunks AS (
+      SELECT doc_id, lang, n, unnest(ss) AS s FROM starts
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6)
+             AS avg_chunks_per_doc,
+           CAST(SUM(LEAST(32, n)) AS BIGINT) AS total_chunk_tokens,
+           ROUND(1.0 - CAST((SELECT SUM(n) FROM d d2
+                             WHERE d2.lang = chunks.lang) AS DOUBLE)
+                 / SUM(LEAST(32, n)), 6) AS dup_token_frac
+    FROM chunks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="PASSAGE CHUNKING plan (the RAG/embedding preprocessing step: "
+    "fixed 32-token windows, stride 24, RIGHT-ALIGNED full-size tail "
+    "when the last stride doesn't land flush — the convention that "
+    "never emits a degenerate short tail chunk): per-language chunk "
+    "counts, average chunks per doc, total chunk tokens, and the "
+    "DUPLICATED-token fraction the 8-token overlap costs (~25-30% "
+    "here — the price of overlap stated as a number; storage and "
+    "embedding spend scale by exactly this factor). The chunk-start "
+    "table is computed in-JVM from token counts (sequence + "
+    "conditional tail, one explode); slicing the actual token arrays "
+    "is a trivial slice() on top of these starts. Exact integers plus "
+    "two final divisions.",
+)
+def passage_chunking_plan(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    starts = d.withColumn(
+        "ss",
+        F.array_distinct(
+            F.concat(
+                F.expr("sequence(1, greatest(n - 32 + 1, 1), 24)"),
+                F.array(
+                    F.when(
+                        (F.col("n") > 32) & (((F.col("n") - 32) % 24) != 0),
+                        F.col("n") - 32 + 1,
+                    ).otherwise(F.lit(1))
+                ),
+            )
+        ),
+    )
+    chunks = starts.select(
+        "doc_id", "lang", "n", F.explode("ss").alias("s")
+    )
+    doc_tokens = d.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("lang_doc_tokens")
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id"),
+                6,
+            ).alias("avg_chunks_per_doc"),
+            F.sum(F.least(F.lit(32), F.col("n"))).cast("bigint")
+            .alias("total_chunk_tokens"),
+        )
+        .join(F.broadcast(doc_tokens), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_chunks",
+            "avg_chunks_per_doc",
+            "total_chunk_tokens",
+            F.round(
+                1.0
+                - F.col("lang_doc_tokens").cast("double")
+                / F.col("total_chunk_tokens"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("lang")
+    )

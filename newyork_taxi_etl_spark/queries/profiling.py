@@ -1447,3 +1447,96 @@ def quantile_dkw_ci(spark, sf_dir):
         .crossJoin(F.broadcast(sel("k_hi", "ci_hi")))
         .select("n_rows", "median", "ci_lo", "ci_hi", "dkw_eps")
     )
+
+
+@register(
+    "ams_f2_sketch_gate",
+    f"""
+    WITH signs AS (
+      SELECT e.i AS est,
+             SUM(CASE WHEN (CAST(('0x' || substr(md5(CAST(e.i AS VARCHAR)
+                       || '|' || CAST(user_id AS VARCHAR)), 1, 1))
+                       AS BIGINT) % 2) = 0 THEN 1 ELSE -1 END) AS x
+      FROM events, range(0, 16) e(i)
+      GROUP BY e.i
+    ),
+    est AS (
+      SELECT CAST(x AS HUGEINT) * x AS sq FROM signs
+    ),
+    med AS (
+      SELECT sq FROM (
+        SELECT sq, row_number() OVER (ORDER BY sq) AS r FROM est
+      ) WHERE r = 8
+    ),
+    exact AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+      FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+    )
+    SELECT CAST(CAST((SELECT f2 FROM exact) AS VARCHAR) AS BIGINT)
+             AS f2_exact,
+           CAST(CAST((SELECT sq FROM med) AS VARCHAR) AS BIGINT) AS f2_est,
+           ROUND(abs(CAST(CAST((SELECT sq FROM med) AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST((SELECT f2 FROM exact) AS VARCHAR)
+                            AS DOUBLE))
+                 / CAST(CAST((SELECT f2 FROM exact) AS VARCHAR) AS DOUBLE),
+                 6) AS rel_err
+    """,
+    doc="AMS (Alon-Matias-Szegedy) SECOND-MOMENT sketch with its error "
+    "MEASURED against the exact F2 — completing the sketch family's "
+    "coverage map (CMS: point frequency; HLL: distinct count; AMS: "
+    "sum-of-squared-frequencies, i.e. SELF-JOIN SIZE, the quantity the "
+    "join planner's histogram estimate prices exactly and a one-pass "
+    "sketch must estimate on a stream): 16 independent +-1 md5-sign "
+    "estimators, each X_e = sum of signs over events (ONE map-side-"
+    "combined integer aggregate for all 16 — the sketch state is 16 "
+    "integers regardless of corpus size), estimate = lower-median of "
+    "X_e^2. The whole sketch is INTEGER-EXACT (sign sums and squares "
+    "never touch a float), so both engines agree to the bit and the "
+    "relative error is a genuinely measured gate value, ~0.3 at 16 "
+    "estimators on this 150-key corpus (AMS variance is 2*F2^2/k — "
+    "the recorded error IS the textbook tradeoff).",
+)
+def ams_f2_sketch_gate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = read_events(spark, sf_dir)
+    signs = (
+        ev.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 15), e -> struct(e AS est, "
+                    "IF(CAST(conv(substr(md5(concat(CAST(e AS STRING), '|', "
+                    "CAST(user_id AS STRING))), 1, 1), 16, 10) AS BIGINT) "
+                    "% 2 = 0, 1, -1) AS s))"
+                )
+            ).alias("t")
+        )
+        .select("t.est", "t.s")
+        .groupBy("est")
+        .agg(F.sum("s").alias("x"))
+    )
+    est = signs.select((F.col("x").cast(dec) * F.col("x")).alias("sq"))
+    med = (
+        est.withColumn("r", F.row_number().over(Window.orderBy("sq")))
+        .filter(F.col("r") == 8)
+        .select(F.col("sq").cast("bigint").alias("f2_est"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c").cast(dec) * F.col("c"))
+            .cast("bigint")
+            .alias("f2_exact")
+        )
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "f2_exact",
+        "f2_est",
+        F.round(
+            F.abs(F.col("f2_est").cast("double") - F.col("f2_exact"))
+            / F.col("f2_exact"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -818,3 +818,35 @@ def streaming_reservoir_sample(spark, sf_dir):
     return W.run_streaming_reservoir_sample(
         spark, read_events(spark, sf_dir), stage, target
     )
+
+
+@register(
+    "streaming_group_reservoir",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                         event_id) AS rk
+      FROM events
+    )
+    SELECT event_type, CAST(rk AS INT) AS rk, event_id, user_id
+    FROM ranked WHERE rk <= 8
+    ORDER BY event_type, rk
+    """,
+    doc="per-GROUP bounded uniform sample at ingest (the streaming twin "
+    "of sample_k_per_group): state is the k=8 smallest md5(event_id) "
+    "ranks PER event_type, merged per micro-batch by a per-group "
+    "windowed top-k — map-side WindowGroupLimit prunes each batch "
+    "before the O(groups x k) state union, and the fold is IDEMPOTENT "
+    "(replay-safe without the sidecar). Hash ranks are key-determined, "
+    "so the drained stratified sample equals the batch per-group draw "
+    "row-for-row under any batching — one relational oracle, no batch "
+    "bookkeeping.",
+)
+def streaming_group_reservoir(spark, sf_dir):
+    stage = _workdir("gres_stage")
+    target = _workdir("gres_state")
+    return W.run_streaming_group_reservoir(
+        spark, read_events(spark, sf_dir), stage, target
+    )

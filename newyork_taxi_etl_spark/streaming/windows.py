@@ -2052,3 +2052,74 @@ def run_streaming_reservoir_sample(
         .select("rk", "event_id", "user_id", "value")
         .orderBy("rk")
     )
+
+
+def run_streaming_group_reservoir(
+    spark,
+    src_df: DataFrame,
+    stage_dir: str,
+    target_dir: str,
+    k: int = 8,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Per-GROUP bounded uniform sample maintained at ingest: the
+    k-smallest-md5-rank reservoir of run_streaming_reservoir_sample,
+    stratified by event_type — state is O(groups x k), the merge is a
+    per-group windowed top-k (map-side WindowGroupLimit prunes each
+    batch before the tiny state union), and the fold stays IDEMPOTENT,
+    so replay needs no sidecar.  The streaming twin of the batch
+    sample_k_per_group; the drained sample equals the batch per-group
+    draw row-for-row under any batching."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    shutil.rmtree(target_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+
+    def topk(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+
+    def fold(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        cand = topk(
+            batch_df.select(
+                "event_type",
+                "event_id",
+                "user_id",
+                F.md5(F.col("event_id").cast("string")).alias("h"),
+            )
+        )
+        if os.path.exists(target_dir):
+            cand = topk(ss.read.parquet(target_dir).unionByName(cand))
+        nxt = target_dir + "_next"
+        cand.write.mode("overwrite").parquet(nxt)
+        _swap_dir(nxt, target_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    out = spark.read.parquet(target_dir)
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("int"))
+        .select("event_type", "rk", "event_id", "user_id")
+        .orderBy("event_type", "rk")
+    )
