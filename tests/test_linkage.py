@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import random
 
-import pytest
 from pyspark.sql import functions as F
 
 from newyork_taxi_etl_spark.operators.linkage import (
