@@ -231,9 +231,35 @@ _R7_VERIFIED = frozenset({
     "winsorized_group_stats",
 })
 
+# Value-verified in round 8 (the 50 names in CORRECTNESS_r08.json — all
+# rows+schema+hash green, including the 3 re-verified _CHANGED_SINCE_VERIFY
+# names of that round: the quantile-sketch lower clamp, the fail-loud
+# compliance delete, and the frequency-based discrete median).
+_R8_VERIFIED = frozenset({
+    "ams_f2_sketch_gate", "ann_index_incremental_append",
+    "attribution_multitouch", "bigram_lm_compare", "categorical_mi_profile",
+    "clean_keep_drop", "clean_sign_fix", "clean_speed_filter",
+    "compliance_delete_rewrite", "conformal_interval_coverage",
+    "corpus_pipeline_decontaminated", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_prefix_block", "dedup_simhash",
+    "dow_seasonality_strength", "fare_validation", "feature_slots",
+    "gram_power_iteration_pc1", "grouped_mode_median_disc",
+    "grouped_moment_stats", "grouped_percentiles", "grouping_sets_report",
+    "jl_projection_distortion", "json_props_stats", "k_anonymity_profile",
+    "knn_label_accuracy", "ks_two_sample_drift", "label_noise_consensus",
+    "linkage_blocked_candidates", "linkage_entity_clusters",
+    "linkage_lsh_blocking", "linkage_one_to_one", "linkage_quality_gate",
+    "null_propagation_filter", "null_safe_join_agg", "order_extremes",
+    "passage_chunking_plan", "pricing_summary", "quantile_dkw_ci",
+    "streaming_group_reservoir", "streaming_linkage_ingest",
+    "streaming_quantile_sketch", "streaming_reservoir_sample",
+    "temporal_holdout_audit", "unpivot_melt", "user_event_profile",
+    "weighted_median_doclen", "zorder_interleaved_skipping",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED, _R7_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
@@ -242,25 +268,20 @@ _VERIFIED_ROUNDS = (
 # that round's entries (join_auto_dispatch cap rewrite, the
 # grouped_quantile_pandas_agg NULL-edge change, structural
 # small_file_compaction oracle, the four eqNullSafe foreachBatch folds, and
-# the repartitionByRange drain staging).  Round 8 entries are added as code
+# the repartitionByRange drain staging).  Round 8 re-verified all three of
+# its entries (quantile-sketch lower clamp, fail-loud compliance delete,
+# frequency-based discrete median).  Round 9 entries are added as code
 # changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r8: ADVICE item — the streamed quantile sketch's bucket expression
-    # gained a lower clamp (greatest(0, ...)) on both engines; values below
-    # lo now land in bucket 0 instead of a negative bucket.  Unreachable on
-    # the current corpus (lo is the corpus min) but the bucketing semantics
-    # changed.
-    "streaming_quantile_sketch",
-    # r8: ADVICE item — compliance_delete_rewrite now asserts the target
-    # user exists (fail-loud instead of silently NULL on a corpus without
-    # user 7) and the empty-stage read guard narrowed from bare Exception
-    # to AnalysisException.
-    "compliance_delete_rewrite",
-    # r8: the discrete-median leg moved from a per-group row-level
-    # row_number window to frequency-based grouped selection (reduce to
-    # O(type x distinct-value), cumulative-sum walk) — value-identical,
-    # group-size-skew-robust; the r7 verdict's optional escape hatch.
-    "grouped_mode_median_disc",
+    # r9 ADVICE items — empty-edge engine consistency: the two linkage
+    # oracles now COALESCE their recall numerators (NULL -> 0.0 on an
+    # empty match set, matching Spark's coalesced division), and
+    # zorder_interleaved_skipping coalesces its two row counts like its
+    # checksums.  All unreachable on the current corpus, but the
+    # edge semantics changed on one engine each.
+    "linkage_quality_gate",
+    "linkage_lsh_blocking",
+    "zorder_interleaved_skipping",
 })
 
 

@@ -103,9 +103,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 8: the
-    rotation's first full cycle closed in round 7 (every registered query
-    holds a green verdict), so the window is (new registrations +
+    of round-2 names rather than colliding with tier 1.  Round 9: every
+    registered query holds a green verdict and round 8 re-verified all
+    three changed names, so the window is (new registrations +
     changed-since-verify) followed by the stalest standing verdicts — the
     round-3-latest cohort (tier 4)."""
     from newyork_taxi_etl_spark import registry
@@ -123,14 +123,15 @@ def test_registration_order_is_tiered_by_driver_verdict():
     n_head = sum(1 for t in tiers if t in (0, 1))
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
-        ("streaming_quantile_sketch", 1),                      # r8-changed
-        ("compliance_delete_rewrite", 1),                      # r8-changed
-        ("grouped_percentiles", 4), ("freq_tokens_cms", 4),    # r3-latest
+        ("freq_tokens_cms", 4),                                # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
         ("bpe_merge_loop", 6),                                 # r5-latest
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
+        ("streaming_quantile_sketch", 9),                      # r8-reverified
+        ("compliance_delete_rewrite", 9),                      # r8-reverified
+        ("grouped_percentiles", 9), ("knn_label_accuracy", 9), # r8-latest
     ):
         assert registry._tier(probe) == want, probe
 
