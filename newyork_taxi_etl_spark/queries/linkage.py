@@ -161,8 +161,9 @@ def linkage_one_to_one(spark, sf_dir):
                                        THEN 1 ELSE 0 END) FROM matched)
                       AS DOUBLE)
                  / (SELECT COUNT(*) FROM matched), 6) AS precision,
-           ROUND(CAST((SELECT SUM(CASE WHEN b_id - 100000 = doc_id
-                                       THEN 1 ELSE 0 END) FROM matched)
+           ROUND(CAST((SELECT COALESCE(SUM(CASE WHEN b_id - 100000 = doc_id
+                                                THEN 1 ELSE 0 END), 0)
+                       FROM matched)
                       AS DOUBLE)
                  / (SELECT COUNT(*) FROM corpus_b), 6) AS recall
     """,
@@ -222,8 +223,8 @@ def linkage_quality_gate(spark, sf_dir):
            CAST(COALESCE(SUM(CASE WHEN b_id - 100000 = doc_id
                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
              AS true_in_cand,
-           ROUND(CAST(SUM(CASE WHEN b_id - 100000 = doc_id
-                               THEN 1 ELSE 0 END) AS DOUBLE)
+           ROUND(CAST(COALESCE(SUM(CASE WHEN b_id - 100000 = doc_id
+                                        THEN 1 ELSE 0 END), 0) AS DOUBLE)
                  / (SELECT COUNT(*) FROM corpus_b), 6) AS blocking_recall
     FROM lcand
     """,
@@ -317,25 +318,37 @@ def linkage_entity_clusters(spark, sf_dir):
     )
 
 
-@register(
-    "streaming_linkage_ingest",
-    _LINK_CTE.replace(
-        """hot AS (
+# The ingest oracle is _LINK_CTE with ONE swap: the union-side hot-shingle
+# cap becomes A-side-only (the only side that exists before data arrives).
+# The swap is textual, so guard it — a whitespace edit to _LINK_BODY that
+# stops the pattern matching would otherwise silently leave the union-side
+# cap in the oracle while Spark uses the A-side cap, surfacing as a
+# hash-parity failure far from the cause (r8 ADVICE).
+_INGEST_HOT_OLD = """hot AS (
   SELECT d.lang, d.g FROM (
     SELECT lang, g, COUNT(*) AS df FROM (
       SELECT lang, g FROM inva0 UNION ALL SELECT lang, g FROM invb0
     ) GROUP BY 1, 2
   ) d JOIN nd USING (lang)
   WHERE d.df > nd.n_docs * 0.10
-),""",
-        """hot AS (
+),"""
+_INGEST_HOT_NEW = """hot AS (
   SELECT d.lang, d.g FROM (
     SELECT lang, g, COUNT(*) AS df FROM inva0 GROUP BY 1, 2
   ) d JOIN (SELECT lang, COUNT(*) AS n_docs FROM sha GROUP BY 1) nda
     ON d.lang = nda.lang
   WHERE d.df > nda.n_docs * 0.10
-),""",
-    )
+),"""
+assert _INGEST_HOT_OLD in _LINK_CTE, (
+    "streaming_linkage_ingest oracle surgery: hot-CTE pattern no longer "
+    "matches _LINK_CTE — update _INGEST_HOT_OLD alongside _LINK_BODY"
+)
+_INGEST_CTE = _LINK_CTE.replace(_INGEST_HOT_OLD, _INGEST_HOT_NEW)
+
+
+@register(
+    "streaming_linkage_ingest",
+    _INGEST_CTE
     + """
     , best AS (
       SELECT b_id, doc_id, j FROM (

@@ -1380,11 +1380,15 @@ def zorder_interleaved_skipping(spark, sf_dir):
     in_tr = F.col("l_suppkey").between(lo_b, hi_b)
     back = spark.read.parquet(zdir)
     return back.agg(
-        F.sum(in_2d.cast("int")).cast("bigint").alias("rows_box2d"),
+        F.coalesce(F.sum(in_2d.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("rows_box2d"),
         F.coalesce(F.sum(F.when(in_2d, F.col("l_orderkey"))), F.lit(0))
         .cast("bigint")
         .alias("key_checksum_box2d"),
-        F.sum(in_tr.cast("int")).cast("bigint").alias("rows_trailing"),
+        F.coalesce(F.sum(in_tr.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("rows_trailing"),
         F.coalesce(F.sum(F.when(in_tr, F.col("l_orderkey"))), F.lit(0))
         .cast("bigint")
         .alias("key_checksum_trailing"),

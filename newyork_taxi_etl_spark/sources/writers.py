@@ -172,7 +172,16 @@ def parquet_file_column_ranges(path: str, cols: set[str]) -> list:
             for ci in range(rgm.num_columns):
                 cm = rgm.column(ci)
                 name = cm.path_in_schema
-                if name in cols and cm.statistics is not None:
+                # an all-null column carries a statistics object with NO
+                # min/max (has_min_max False, or None values) — treat it
+                # as stat-less so files_touched cannot prune on it
+                if (
+                    name in cols
+                    and cm.statistics is not None
+                    and cm.statistics.has_min_max
+                    and cm.statistics.min is not None
+                    and cm.statistics.max is not None
+                ):
                     mn, mx = cm.statistics.min, cm.statistics.max
                     if name in rng:
                         rng[name] = (
@@ -189,13 +198,19 @@ def files_touched(path: str, box: dict) -> tuple[int, int]:
     """(files whose stats intersect the box, total files): the measured
     skipping a planner achieves on ``box`` = {col: (lo, hi)} inclusive.
     A file is touched unless some column's [min, max] misses its range —
-    identical to Delta's file-stat pruning rule."""
+    identical to Delta's file-stat pruning rule, including the conservative
+    edge: a footer with NO statistics for a queried column (all-null
+    column, or a writer that skipped stats) cannot justify a skip, so the
+    file counts as touched (r8 ADVICE — was an unguarded ``rng[c]``)."""
     ranges = parquet_file_column_ranges(path, set(box))
     touched = 0
     for _f, rng in ranges:
         hit = True
         for c, (lo, hi) in box.items():
-            mn, mx = rng[c]
+            stats = rng.get(c)
+            if stats is None:
+                continue  # no footer stats -> cannot prune on this column
+            mn, mx = stats
             if mx < lo or mn > hi:
                 hit = False
                 break

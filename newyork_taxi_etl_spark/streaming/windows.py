@@ -60,6 +60,11 @@ def _applied_batch_ids(state_dir: str) -> set:
     """
     import os
 
+    # Every fold reads this before touching state, so this is the one
+    # choke-point where a crash between _swap_dir's two renames (live dir
+    # missing, tombstone holding the only surviving generation) can be
+    # healed before anything observes the hole (r8 ADVICE).
+    _recover_dir(state_dir)
     marker = os.path.join(state_dir, "_applied_batches")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -94,11 +99,33 @@ def _swap_dir(nxt: str, target_dir: str) -> None:
     import shutil
 
     tomb = target_dir + "_tombstone"
-    shutil.rmtree(tomb, ignore_errors=True)  # GC a prior crashed sweep
     if os.path.exists(target_dir):
+        shutil.rmtree(tomb, ignore_errors=True)  # GC a prior crashed sweep
         os.rename(target_dir, tomb)
+    elif os.path.exists(tomb):
+        # Crash landed between the two renames of a PRIOR sweep: the
+        # tombstone is the only surviving generation.  It is about to be
+        # superseded by ``nxt`` (which was folded on top of a recovered
+        # read — see _recover_dir), so GC it rather than resurrect it
+        # under the new generation.
+        shutil.rmtree(tomb, ignore_errors=True)
     os.rename(nxt, target_dir)
     shutil.rmtree(tomb, ignore_errors=True)
+
+
+def _recover_dir(target_dir: str) -> None:
+    """Restore the tombstone as the live generation if a crash between
+    ``_swap_dir``'s two renames left ``target_dir`` missing (r8 ADVICE:
+    without this, the next fold silently restarts from EMPTY state — and
+    an empty applied-batch sidecar — then garbage-collects the only
+    surviving generation).  Call at the top of any fold that reads
+    ``target_dir`` as prior state.  A single atomic rename; no-op when the
+    live dir exists or there is nothing to restore."""
+    import os
+
+    tomb = target_dir + "_tombstone"
+    if not os.path.exists(target_dir) and os.path.exists(tomb):
+        os.rename(tomb, target_dir)
 
 
 def _drain(q, timeout_sec: int) -> None:

@@ -118,3 +118,53 @@ def test_upsert_fold_is_nullsafe_on_key(spark, tmp_path):
     assert state[None] == (3, 7.0)
     assert state[7] == (2, 11.0)
     assert state[8] == (1, 5.0)
+
+
+def test_swap_crash_between_renames_recovers_from_tombstone(spark, tmp_path):
+    """If the process dies between _swap_dir's two renames, the tombstone
+    holds the only surviving generation (live dir missing).  The next fold
+    must resume from IT — not silently restart from empty state and then
+    GC the survivor (r8 ADVICE).  Simulate the crash point by renaming the
+    live state aside, then fold one more batch."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        _applied_batch_ids,
+        _upsert_counts_fn,
+    )
+    import os
+
+    target = str(tmp_path / "state")
+    fold = _upsert_counts_fn(target)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id bigint, value double"
+    )
+    fold(mk([(7, 10.0)]), 0)
+    # crash point: old generation renamed aside, new never renamed in
+    os.rename(target, target + "_tombstone")
+    assert _applied_batch_ids(target) == {0}  # recovery at the choke-point
+    assert os.path.exists(target)
+    assert not os.path.exists(target + "_tombstone")
+    fold(mk([(7, 1.0), (8, 5.0)]), 1)
+    fold(mk([(7, 1.0), (8, 5.0)]), 1)  # replay: sidecar survived recovery
+    state = {
+        r["user_id"]: (r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert state[7] == (2, 11.0)  # batch-0 state survived the crash
+    assert state[8] == (1, 5.0)
+
+
+def test_files_touched_missing_footer_stats_is_conservative(spark, tmp_path):
+    """A parquet file whose footer lacks statistics for a queried column
+    must count as TOUCHED (cannot prune) — Delta's conservative rule; was
+    a KeyError (r8 ADVICE).  An all-null column writes no min/max stats."""
+    from newyork_taxi_etl_spark.sources.writers import files_touched
+
+    d = str(tmp_path / "nostats")
+    spark.createDataFrame(
+        [(i, None) for i in range(10)], "a bigint, b bigint"
+    ).coalesce(1).write.parquet(d)
+    touched, total = files_touched(d, {"b": (0, 5)})
+    assert (touched, total) == (1, 1)
+    # a prunable column still prunes alongside the stat-less one
+    touched2, _ = files_touched(d, {"a": (100, 200), "b": (0, 5)})
+    assert touched2 == 0
