@@ -182,7 +182,9 @@ def dedup_simhash(spark, sf_dir):
     "dedup_embedding_cosine",
     """
     WITH s AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 512
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(
@@ -205,21 +207,25 @@ def dedup_simhash(spark, sf_dir):
     ORDER BY id_a, id_b
     """,
     doc="embedding-cosine near-dup pairs, exact all-pairs baseline on a "
-    "deterministic 1-in-4 slice (vec_id % 4 = 0; threshold 0.4, non-vacuous "
-    "on this corpus): double-cast dot products so both engines accumulate "
-    "identically. The registered form caps the quadratic term 16x "
-    "(round-1 bench: 42s uncapped vs the in-tree LSH path) — the UNCAPPED "
-    "exact operator stays available as operators.similarity.cosine_pairs "
-    "for unit-scale verification; corpus-scale pair mining uses "
-    "dedup_embedding_lsh, which never forms all pairs",
+    "FIXED-N sample (512 by md5(vec_id) order, the exact_n_sample "
+    "discipline; threshold 0.4, non-vacuous on this corpus): double-cast "
+    "dot products so both engines accumulate identically. Fixed N makes "
+    "the quadratic term a CONSTANT (~131k pairs at any corpus size, one "
+    "TakeOrdered scan to draw) — the earlier 1-in-4 modulus slice only "
+    "divided it by 16, still quadratic at scale (r9, consistency with "
+    "the knn eval pair). The UNCAPPED exact operator stays available as "
+    "operators.similarity.cosine_pairs for unit-scale verification; "
+    "corpus-scale pair mining uses dedup_embedding_lsh, which never "
+    "forms all pairs",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.similarity import cosine_pairs
 
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).filter(
-        F.col("vec_id") % 4 == 0
-    )
-    return cosine_pairs(emb, threshold=0.4)
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    picked = emb.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(512)
+    return cosine_pairs(picked, threshold=0.4)
 
 
 def _embedding_lsh_sql() -> str:

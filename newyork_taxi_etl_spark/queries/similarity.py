@@ -2258,15 +2258,39 @@ def gram_power_iteration_pc1(spark, sf_dir):
     )
 
 
+# Fixed size of the kNN-evaluation query sample (shared by the two exact
+# evaluators, the indexed twin, and their oracles — the SQL LIMIT below
+# must match).
+_EVAL_QUERY_N = 512
+
+
+def _fixed_n_queries(emb, n=_EVAL_QUERY_N):
+    """Fixed-N query sample by md5(vec_id) order (the exact_n_sample
+    discipline; clamps to the corpus when smaller).  Spark plans the
+    orderBy+limit as TakeOrderedAndProject — a per-task top-N heap, one
+    linear scan, no global sort — so the draw AND the crossJoin broadcast
+    side built from it are O(N) at any corpus size.  Replaces the 1-in-5
+    modulus slice whose size grew with the corpus (r8 verdict: a fraction
+    cap never stops being quadratic)."""
+    return emb.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(n)
+
+
 @register(
     "knn_label_accuracy",
     f"""
-    WITH scored AS (
+    WITH qs AS (
+      SELECT vec_id, label, embedding
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 512
+    ),
+    scored AS (
       SELECT q.vec_id AS query_id, q.label AS true_label,
              c.vec_id AS cand_id, c.label AS pred_label,
              {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id % 5 = 0
+      FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
     ),
     nn AS (
       SELECT query_id, true_label, pred_label FROM (
@@ -2288,18 +2312,21 @@ def gram_power_iteration_pc1(spark, sf_dir):
     """,
     doc="1-NN LABEL ACCURACY, leave-one-out (the evaluation harness of "
     "every embedding space: if nearest neighbors don't share labels, no "
-    "retrieval stack built on the space will): each query vector "
-    "(1-in-5 deterministic slice) is classified by its nearest OTHER "
-    "vector's label, per-class accuracy out. Deterministic ranking: "
-    "cosine at 4 dp, ties by candidate id — the exact discipline of "
-    "the ANN family whose quality this measures. This brute-force pass "
-    "is the capped EXACT baseline (queries x corpus, per-task "
-    "TakeOrdered heaps); at 100 TB the same evaluation swaps in the "
-    "partition-pruned persisted-index probe (ann_index_persisted_probe) "
-    "as the candidate generator, and the accuracy delta between the "
-    "two IS the index's quality cost. Near-chance accuracy here "
-    "(isotropic synthetic embeddings, 4 labels) is the recorded truth "
-    "of this corpus, not a defect.",
+    "retrieval stack built on the space will): a FIXED-N query sample "
+    "(512 by md5(vec_id) order — the exact_n_sample discipline; clamps "
+    "to the corpus when smaller) is classified by each query's nearest "
+    "OTHER vector's label, per-class accuracy out. Fixed N is the scale "
+    "contract (r8 verdict): work is O(N x corpus), one linear corpus "
+    "scan, and the broadcast side is O(N) AT ANY SCALE — the earlier "
+    "1-in-5 modulus slice kept both terms proportional to the corpus "
+    "(O(n^2/5) compute, O(n/5) broadcast: quadratic forever, OOM at "
+    "100x). Deterministic ranking: cosine at 4 dp, ties by candidate "
+    "id — the exact discipline of the ANN family whose quality this "
+    "measures. knn_label_accuracy_indexed runs the SAME evaluation "
+    "with the persisted IVF index as candidate generator; the accuracy "
+    "delta between the two IS the index's quality cost. Near-chance "
+    "accuracy here (isotropic synthetic embeddings, 4 labels) is the "
+    "recorded truth of this corpus, not a defect.",
 )
 def knn_label_accuracy(spark, sf_dir):
     from pyspark.sql import Window
@@ -2313,7 +2340,7 @@ def knn_label_accuracy(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings")).withColumn(
         "nrm", F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
     )
-    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+    q = _fixed_n_queries(emb).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_vec"),
@@ -2362,12 +2389,17 @@ def knn_label_accuracy(spark, sf_dir):
 @register(
     "label_noise_consensus",
     f"""
-    WITH scored AS (
+    WITH qs AS (
+      SELECT vec_id, label, embedding
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 512
+    ),
+    scored AS (
       SELECT q.vec_id AS query_id, q.label AS true_label,
              c.vec_id AS cand_id, c.label AS pred_label,
              {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id % 5 = 0
+      FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
     ),
     nn AS (
       SELECT query_id, true_label,
@@ -2396,10 +2428,11 @@ def knn_label_accuracy(spark, sf_dir):
     "these isotropic synthetic embeddings the disagreement sits at the "
     "4-class chance level (~0.75) and the flag rate near its binomial "
     "expectation — the gate RECORDS the no-signal baseline; on a real "
-    "space the flagged slice is the relabel/drop queue. Same capped "
-    "exact kNN machinery (precomputed norms, deterministic "
-    "cosine/id ranking) as knn_label_accuracy; integer disagreement "
-    "sums, one final division.",
+    "space the flagged slice is the relabel/drop queue. Same fixed-N "
+    "(512, md5-order) exact kNN machinery as knn_label_accuracy — "
+    "O(N x corpus) work, O(N) broadcast at any scale — with "
+    "precomputed norms and deterministic cosine/id ranking; integer "
+    "disagreement sums, one final division.",
 )
 def label_noise_consensus(spark, sf_dir):
     from pyspark.sql import Window
@@ -2409,7 +2442,7 @@ def label_noise_consensus(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings")).withColumn(
         "nrm", F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
     )
-    q = emb.filter(F.col("vec_id") % 5 == 0).select(
+    q = _fixed_n_queries(emb).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_vec"),

@@ -282,6 +282,15 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "linkage_quality_gate",
     "linkage_lsh_blocking",
     "zorder_interleaved_skipping",
+    # r9 verdict item — the kNN-eval pair and the exact-cosine dedup
+    # baseline moved from corpus-fraction modulus slices (O(n^2/k),
+    # broadcast O(n/k)) to a FIXED-N (512) md5-order sample: work is now
+    # O(N x n) with an O(N) broadcast at any scale.  Values change (the
+    # sampled query set differs), so the standing verdicts no longer
+    # vouch.
+    "knn_label_accuracy",
+    "label_noise_consensus",
+    "dedup_embedding_cosine",
 })
 
 

@@ -131,7 +131,8 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("window_running_sum", 8),
         ("streaming_quantile_sketch", 9),                      # r8-reverified
         ("compliance_delete_rewrite", 9),                      # r8-reverified
-        ("grouped_percentiles", 9), ("knn_label_accuracy", 9), # r8-latest
+        ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
+        ("knn_label_accuracy", 1),             # r9-changed: fixed-N sample
     ):
         assert registry._tier(probe) == want, probe
 
