@@ -2494,3 +2494,270 @@ def label_noise_consensus(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_KNN_IDX_EVAL_SQL = f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id AS cand_id, e.label AS pred_label,
+             e.embedding AS c_vec,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    qs AS (
+      SELECT vec_id, label, embedding, v
+      FROM emb
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 512
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM qs q CROSS JOIN c1 c
+      ) WHERE r <= 2
+    ),
+    idx_nn AS (
+      SELECT query_id, cand_id AS idx_cand, pred_label AS idx_pred FROM (
+        SELECT p.query_id, a.cand_id, a.pred_label,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} DESC,
+                          a.cand_id) AS r
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.cand_id <> p.query_id
+      ) WHERE r = 1
+    ),
+    exact_nn AS (
+      SELECT query_id, true_label, cand_id AS exact_cand,
+             pred_label AS exact_pred FROM (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.vec_id AS cand_id, c.label AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.format(a='q.embedding',
+                                           b='c.embedding')} DESC,
+                          c.vec_id) AS r
+        FROM qs q JOIN emb c ON c.vec_id <> q.vec_id
+      ) WHERE r = 1
+    )
+    SELECT CAST(e.true_label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN e.exact_pred = e.true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_exact,
+           CAST(SUM(CASE WHEN i.idx_pred = e.true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_index,
+           CAST(SUM(CASE WHEN i.idx_cand = e.exact_cand
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nn_agree,
+           ROUND(CAST(SUM(CASE WHEN e.exact_pred = e.true_label
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy_exact,
+           ROUND(CAST(SUM(CASE WHEN i.idx_pred = e.true_label
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy_index,
+           ROUND((CAST(SUM(CASE WHEN e.exact_pred = e.true_label
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  - CAST(SUM(CASE WHEN i.idx_pred = e.true_label
+                                  THEN 1 ELSE 0 END) AS DOUBLE))
+                 / COUNT(*), 6) AS accuracy_delta
+    FROM exact_nn e LEFT JOIN idx_nn i USING (query_id)
+    GROUP BY e.true_label
+    ORDER BY label
+"""
+
+
+@register(
+    "knn_label_accuracy_indexed",
+    _KNN_IDX_EVAL_SQL,
+    doc="INDEX-PROBE evaluation twin of knn_label_accuracy (the "
+    "measurement its docstring promises, r8 verdict item): the SAME "
+    "fixed-N (512, md5-order) query sample is 1-NN-classified twice — "
+    "once brute-force against the whole corpus (the exact baseline, "
+    "O(N x corpus)) and once with candidates generated by the PERSISTED "
+    "IVF index of ann_index_persisted_probe (same trained quantizer, "
+    "k=8 lists / 1 k-means iteration, assignments partitioned by cid, "
+    "n_probe=2 lists per query pushed as a static partition filter). "
+    "Per class: both accuracies, their DELTA (the index's measured "
+    "quality cost — the number a serving team actually tracks), and the "
+    "exact-vs-index nearest-neighbor agreement count (recall@1 of the "
+    "index, the per-query twin of ann_recall_at_k's gate). A query "
+    "whose probed lists hold no candidate counts as wrong and "
+    "non-agreeing (LEFT JOIN, NULL never equals). Scale shape: one "
+    "corpus pass to assign, one O(N) TakeOrdered draw, O(N) broadcasts "
+    "into both candidate joins; nothing quadratic in the corpus.",
+)
+def knn_label_accuracy_indexed(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    idx_root = os.path.join(
+        tempfile.gettempdir(), f"nyetl_knnidx_{os.getpid()}"
+    )
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # BUILD: identical lifecycle to ann_index_persisted_probe — train the
+    # coarse quantizer, assign the corpus, persist partitioned by cid
+    # (labels ride along as the payload a serving index would carry)
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("pred_label"),
+            F.col("embedding").alias("c_vec"),
+            "cid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(idx_root, "assignments"))
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    qs = _fixed_n_queries(base).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+        "_v",
+    )
+
+    # PROBE: nearest n_probe=2 lists per query from persisted centroids
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids")).select(
+        "cid", F.col("vec").alias("cent_vec")
+    )
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cent_t))
+        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "cid")
+    )
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    idx_scan = spark.read.parquet(
+        os.path.join(idx_root, "assignments")
+    ).filter(F.col("cid").isin(probe_cids))
+
+    widx = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    idx_nn = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "pred_label",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+        .withColumn("r", F.row_number().over(widx))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("idx_cand"),
+            F.col("pred_label").alias("idx_pred"),
+        )
+    )
+
+    c = base.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("pred_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    exact_nn = (
+        F.broadcast(qs.select("query_id", "true_label", "q_vec"))
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "pred_label",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+        .withColumn("r", F.row_number().over(widx))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_id").alias("exact_cand"),
+            F.col("pred_label").alias("exact_pred"),
+        )
+    )
+
+    j = exact_nn.join(idx_nn, "query_id", "left")
+    hit_e = (F.col("exact_pred") == F.col("true_label")).cast("int")
+    hit_i = F.coalesce(
+        (F.col("idx_pred") == F.col("true_label")).cast("int"), F.lit(0)
+    )
+    agree = F.coalesce(
+        (F.col("idx_cand") == F.col("exact_cand")).cast("int"), F.lit(0)
+    )
+    n = F.count(F.lit(1))
+    return (
+        j.groupBy(F.col("true_label").cast("int").alias("label"))
+        .agg(
+            n.cast("bigint").alias("n_queries"),
+            F.sum(hit_e).cast("bigint").alias("n_correct_exact"),
+            F.sum(hit_i).cast("bigint").alias("n_correct_index"),
+            F.sum(agree).cast("bigint").alias("n_nn_agree"),
+            F.round(F.sum(hit_e).cast("double") / n, 6)
+            .alias("accuracy_exact"),
+            F.round(F.sum(hit_i).cast("double") / n, 6)
+            .alias("accuracy_index"),
+            F.round(
+                (F.sum(hit_e).cast("double") - F.sum(hit_i).cast("double"))
+                / n,
+                6,
+            ).alias("accuracy_delta"),
+        )
+        .orderBy("label")
+    )

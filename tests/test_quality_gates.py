@@ -309,3 +309,32 @@ def test_cascade_rerank_lift_floor(spark):
     row = queries()["ann_cascade_rerank"](spark, SF_ORACLE).collect()[0]
     assert row["total"] > 0
     assert row["recall_cascade"] >= row["recall_direct"] + 0.2, row
+
+
+def test_knn_indexed_eval_delta_bounded_by_agreement(spark):
+    """The index-probe eval twin's accuracy delta is CAUSED by neighbor
+    disagreement: when the index returns the exact 1-NN, the predicted
+    labels are identical, so |n_correct_exact - n_correct_index| can
+    never exceed (n_queries - n_nn_agree).  Assert that invariant per
+    class, floor the overall NN agreement (recall@1 of the 2-probe/8-list
+    IVF index, measured ~0.50 at sf0.01 — the per-query twin of
+    ann_recall_trained's gate), and pin the sample contract: exactly
+    min(512, corpus) queries, each counted once."""
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    rows = (
+        queries()["knn_label_accuracy_indexed"](spark, SF_ORACLE).collect()
+    )
+    n_corpus = spark.read.parquet(
+        table_path(SF_ORACLE, "embeddings")
+    ).count()
+    assert sum(r["n_queries"] for r in rows) == min(512, n_corpus)
+    for r in rows:
+        assert abs(r["n_correct_exact"] - r["n_correct_index"]) <= (
+            r["n_queries"] - r["n_nn_agree"]
+        ), r
+    agree = sum(r["n_nn_agree"] for r in rows) / sum(
+        r["n_queries"] for r in rows
+    )
+    assert agree >= 0.35, agree  # broken probe/quantizer -> near 0
