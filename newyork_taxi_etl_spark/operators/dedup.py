@@ -332,3 +332,138 @@ def hamming_pairs(
         )
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def passage_dup_pairs(
+    docs: DataFrame,
+    boundary_mod: int = 8,
+    min_tokens: int = 5,
+    threshold: float = 0.8,
+    max_band_size: int | None = 64,
+) -> DataFrame:
+    """Cross-document PASSAGE-level near-dup pairs via CONTENT-DEFINED
+    chunking + MinHash-LSH.
+
+    Fixed-grid windows cannot catch a boilerplate section shared at
+    different offsets (the chunk grids misalign), so passages are cut at
+    CONTENT-DEFINED boundaries instead — a token opens a new segment when
+    ``int(md5(token)[:4], 16) % boundary_mod == 0`` (the rsync/CDC
+    discipline): identical sections segment identically wherever they sit
+    in a document.  Segments shorter than ``min_tokens`` are dropped (a
+    small-vocabulary corpus genuinely repeats tiny spans — those are not
+    boilerplate), each surviving segment gets 4 MinHash signatures over
+    its distinct 3-gram shingles, banded 2x2 into LSH buckets (hot-bucket
+    cap as in :func:`lsh_candidate_pairs`), and CROSS-DOC segment pairs
+    from shared buckets are gated at exact shingle-Jaccard >=
+    ``threshold``.  Output per doc pair: duplicated-segment count + max
+    segment jaccard.  Planted-section recall (arbitrary alignment) is
+    floored in tests/test_dedup.py.  Segment ids are
+    ``doc_id * 1000 + seg_index`` (seg_index < token count << 1000; the
+    id is only a join key).
+    """
+    from newyork_taxi_etl_spark.functions.text import (
+        minhash_expr,
+        with_shingles,
+    )
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).withColumn(
+        "b",
+        (
+            F.expr("CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS BIGINT)")
+            % boundary_mod
+            == 0
+        ).cast("int"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tok_rows.withColumn("sid", F.sum("b").over(wseg))
+    chunks = (
+        seg.groupBy("doc_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("ntok"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("ctext"),
+        )
+        .filter(F.col("ntok") >= min_tokens)
+        .select(
+            (F.col("doc_id") * 1000 + F.col("sid")).alias("chunk_id"),
+            "doc_id",
+            "ctext",
+        )
+    )
+    csh = (
+        with_shingles(chunks, "ctext", 3, out="sh_raw")
+        .select("chunk_id", "doc_id", F.array_distinct("sh_raw").alias("s"))
+        .filter(F.size("s") > 0)
+        .localCheckpoint(eager=True)  # referenced by sigs + both pair sides
+    )
+    sigs = csh.select(
+        "chunk_id",
+        "doc_id",
+        *[minhash_expr("s", i).alias(f"mh_{i}") for i in range(4)],
+    )
+    bands = lsh_band_rows(sigs, id_col="chunk_id", k=4, rows_per_band=2)
+    bands = bands.withColumn(
+        "doc_id", F.expr("chunk_id div 1000")
+    ).localCheckpoint(eager=True)  # hot agg + both join sides
+    if max_band_size is not None:
+        hot = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > max_band_size)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.chunk_id").alias("ca"), F.col("b.chunk_id").alias("cb")
+        )
+        .distinct()
+    )
+    sa = csh.select(
+        F.col("chunk_id").alias("ca"),
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+    )
+    sb = csh.select(
+        F.col("chunk_id").alias("cb"),
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    j = F.round(
+        inter.cast("double") / (F.size("s_a") + F.size("s_b") - inter), 6
+    )
+    return (
+        cand.join(sa, "ca")
+        .join(sb, "cb")
+        .select("id_a", "id_b", j.alias("j"))
+        .filter(F.col("j") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_chunks"),
+            F.max("j").alias("max_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -93,3 +93,52 @@ def test_band_cap_noop_when_no_hot_buckets(spark):
     capped = {(r.id_a, r.id_b)
               for r in D.lsh_candidate_pairs(sigs, max_band_size=64).collect()}
     assert base == capped
+
+
+def test_passage_dedup_finds_planted_shared_section(spark):
+    """Two LONG documents that are globally distinct but share ONE
+    32-token boilerplate section at DIFFERENT offsets (48 vs 56 tokens
+    in — fixed-grid chunking misaligns here; content-defined boundaries
+    do not): doc-level shingle Jaccard stays far below any dedup
+    threshold, yet passage-level CDC+LSH must surface the pair with a
+    jaccard-1.0 segment.  Also asserts the negative: unrelated docs
+    produce no pairs."""
+    from newyork_taxi_etl_spark.operators.dedup import (
+        passage_dup_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    # tmpl11/12/14/20/26 are CDC boundary tokens (md5[:4] % 8 == 0), so
+    # the section's interior contains the full segments tmpl14..19 and
+    # tmpl20..25 — identical in both docs wherever the section sits
+    shared = " ".join(f"tmpl{i}" for i in range(32))
+    doca = (
+        " ".join(f"alpha{i}" for i in range(48))
+        + " " + shared + " "
+        + " ".join(f"beta{i}" for i in range(40))
+    )
+    docb = (
+        " ".join(f"gamma{i}" for i in range(56))
+        + " " + shared + " "
+        + " ".join(f"delta{i}" for i in range(36))
+    )
+    docc = " ".join(f"omega{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, doca, "en"), (2, docb, "en"), (3, docc, "en")],
+        "doc_id long, text string, lang string",
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in passage_dup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs, pairs  # the misaligned planted section is found
+    assert pairs[(1, 2)]["max_jaccard"] >= 0.99
+    assert pairs[(1, 2)]["n_dup_chunks"] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # and doc-level dedup PROVABLY misses it at any realistic threshold
+    doc_level = shingle_jaccard_pairs(
+        docs, "lang", threshold=0.5, max_df_frac=1.1
+    )
+    assert doc_level.count() == 0
