@@ -2090,6 +2090,61 @@ def jl_projection_distortion(spark, sf_dir):
     )
 
 
+def _gram_checkpointed(emb):
+    """64x64 Gram as a checkpointed 4096-row table from ONE corpus pass
+    (upper-triangle terms quantized at 12 dp, DECIMAL-summed, mirrored
+    after the aggregate) — shared by gram_power_iteration_pc1 and
+    gram_subspace_topk so the two queries cannot drift."""
+    dec = "decimal(38,12)"
+    terms = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 64), i -> "
+                "transform(sequence(i, 64), j -> struct(i AS i, j AS j, "
+                "round(CAST(element_at(embedding, i) AS DOUBLE) * "
+                "CAST(element_at(embedding, j) AS DOUBLE), 12) AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    g_half = terms.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast(dec)).cast("double").alias("g")
+    )
+    return (
+        g_half.unionByName(
+            g_half.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
+        )
+    ).localCheckpoint(eager=True)
+
+
+def _gram_trace(emb):
+    """Exact embedding-variance trace (one linear pass, decimal-summed)."""
+    dec = "decimal(38,12)"
+    return emb.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "round(CAST(element_at(embedding, i) AS DOUBLE) * "
+                "CAST(element_at(embedding, i) AS DOUBLE), 12))"
+            )
+        ).alias("p")
+    ).agg(F.sum(F.col("p").cast(dec)).cast("double").alias("trace"))
+
+
+def _gram_norm_of(y_df):
+    """Ordered left-fold 2-norm of a (i, y) vector table (== DuckDB
+    list_reduce over list(... ORDER BY i))."""
+    return y_df.agg(
+        F.sqrt(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(i, y))), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s.y * s.y)"
+            )
+        ).alias("n")
+    )
+
+
 def _gram_iter_sql(t: int, p: int) -> str:
     v = "CAST(CAST(SUM(CAST(ROUND(g.g * xx.x, 12) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
     return f"""
@@ -2170,36 +2225,8 @@ def gram_power_iteration_pc1(spark, sf_dir):
     # of 4096 — G is symmetric and round(v_i*v_j) == round(v_j*v_i)
     # exactly, so mirroring after the aggregate is value-identical to
     # the full grid the oracle computes), then decimal-sum per (i, j)
-    terms = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, 64), i -> "
-                "transform(sequence(i, 64), j -> struct(i AS i, j AS j, "
-                "round(CAST(element_at(embedding, i) AS DOUBLE) * "
-                "CAST(element_at(embedding, j) AS DOUBLE), 12) AS p))))"
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    g_half = terms.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast(dec)).cast("double").alias("g")
-    )
-    g = (
-        g_half.unionByName(
-            g_half.filter(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "g"
-            )
-        )
-    ).localCheckpoint(eager=True)
-
-    def norm_of(y_df):
-        return y_df.agg(
-            F.sqrt(
-                F.expr(
-                    "aggregate(array_sort(collect_list(struct(i, y))), "
-                    "CAST(0.0 AS DOUBLE), (a, s) -> a + s.y * s.y)"
-                )
-            ).alias("n")
-        )
+    g = _gram_checkpointed(emb)
+    norm_of = _gram_norm_of
 
     x = spark.range(1, 65).select(
         F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x")
@@ -2225,15 +2252,7 @@ def gram_power_iteration_pc1(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
         last_norm = n
-    tr = emb.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, 64), i -> "
-                "round(CAST(element_at(embedding, i) AS DOUBLE) * "
-                "CAST(element_at(embedding, i) AS DOUBLE), 12))"
-            )
-        ).alias("p")
-    ).agg(F.sum(F.col("p").cast(dec)).cast("double").alias("trace"))
+    tr = _gram_trace(emb)
     top = (
         x.withColumn(
             "r",
@@ -2760,4 +2779,236 @@ def knn_label_accuracy_indexed(spark, sf_dir):
             ).alias("accuracy_delta"),
         )
         .orderBy("label")
+    )
+
+
+def _gram_subspace_sql(n_pc: int = 3, steps: int = 3) -> str:
+    """Unrolled DuckDB twin of gram_subspace_topk: one materialized Gram,
+    then per component a power-iteration CTE chain with per-step
+    Gram-Schmidt projection against the previous components' FINAL
+    vectors.  Every CTE is MATERIALIZED — the matvec references would
+    otherwise re-inline the corpus-sized Gram aggregate once per use."""
+    # Quantize PRODUCTS at the decimal-cast itself (VARCHAR-routed, ==
+    # Spark's BigDecimal.valueOf shortest-repr HALF_UP) rather than with a
+    # pre-ROUND: a product of two 12-dp-quantized factors is a ~24-digit
+    # decimal whose 13th digit is routinely an exact 5, and ROUND's two
+    # engine views (shortest repr vs true binary) split on that boundary —
+    # measured as a last-unit ortho_absdot mismatch before this change.
+    mv = (
+        "CAST(CAST(SUM(CAST(CAST(g.g * xx.x AS VARCHAR)"
+        " AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    )
+
+    def dot(ya, xb):
+        return (
+            f"CAST(CAST(SUM(CAST(CAST({ya}.y * {xb}.x AS VARCHAR)"
+            f" AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+        )
+
+    parts = [
+        """g1 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[j] AS DOUBLE), 12) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS g
+      FROM embeddings, range(1, 65) ri(i), range(1, 65) rj(j)
+      GROUP BY i, j
+    ),
+    tr AS MATERIALIZED (
+      SELECT CAST(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS trace
+      FROM embeddings, range(1, 65) ri(i)
+    )"""
+    ]
+    for c in range(1, n_pc + 1):
+        parts.append(
+            f"xc{c}_0 AS MATERIALIZED "
+            f"(SELECT i, 0.125 AS x FROM range(1, 65) t(i))"
+        )
+        for t in range(1, steps + 1):
+            parts.append(f"""ym{c}_{t} AS MATERIALIZED (
+      SELECT g.i, {mv} AS y
+      FROM g1 g JOIN xc{c}_{t - 1} xx ON g.j = xx.i GROUP BY g.i
+    )""")
+            cur = f"ym{c}_{t}"
+            for m in range(1, c):
+                parts.append(f"""dp{c}_{t}_{m} AS MATERIALIZED (
+      SELECT {dot('y', 'v')} AS d
+      FROM {cur} y JOIN xc{m}_{steps} v ON y.i = v.i
+    ),
+    yp{c}_{t}_{m} AS MATERIALIZED (
+      SELECT y.i, ROUND(y.y - d.d * v.x, 12) AS y
+      FROM {cur} y JOIN xc{m}_{steps} v ON y.i = v.i
+      CROSS JOIN dp{c}_{t}_{m} d
+    )""")
+                cur = f"yp{c}_{t}_{m}"
+            parts.append(f"""nc{c}_{t} AS MATERIALIZED (
+      SELECT sqrt(list_reduce(list(y * y ORDER BY i), (a, b) -> a + b))
+        AS n
+      FROM {cur}
+    ),
+    xc{c}_{t} AS MATERIALIZED (
+      SELECT y.i, ROUND(y.y / n.n, 12) AS x FROM {cur} y, nc{c}_{t} n
+    )""")
+        parts.append(f"""topc{c} AS MATERIALIZED (
+      SELECT i AS top_coord, ROUND(x, 6) AS top_coord_val
+      FROM (SELECT *, row_number() OVER (ORDER BY abs(x) DESC, i) AS r
+            FROM xc{c}_{steps})
+      WHERE r = 1
+    )""")
+        if c >= 2:
+            parts.append(f"""ortho{c} AS MATERIALIZED (
+      SELECT abs(CAST(CAST(SUM(CAST(CAST(a.x * b.x AS VARCHAR)
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) AS d
+      FROM xc{c}_{steps} a JOIN xc{c - 1}_{steps} b ON a.i = b.i
+    )""")
+    selects = []
+    for c in range(1, n_pc + 1):
+        ortho_expr = "0.0" if c == 1 else "ROUND(o.d, 12)"
+        ortho_from = "" if c == 1 else f", ortho{c} o"
+        selects.append(f"""SELECT CAST({c} AS INT) AS pc,
+           ROUND(n.n, 6) AS lambda_est,
+           ROUND(n.n / tr.trace, 6) AS explained_frac,
+           CAST(t.top_coord AS INT) AS top_coord, t.top_coord_val,
+           {ortho_expr} AS ortho_absdot
+    FROM nc{c}_{steps} n, tr, topc{c} t{ortho_from}""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT * FROM (\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ) ORDER BY pc"
+    )
+
+
+@register(
+    "gram_subspace_topk",
+    _gram_subspace_sql(n_pc=3, steps=3),
+    doc="TOP-3 PRINCIPAL SUBSPACE by projected power iteration on the "
+    "cached Gram (r8 verdict item 7 — gram_power_iteration_pc1 "
+    "extended: embedding-drift monitoring needs a subspace, not one "
+    "direction): the 64x64 Gram is built in the SAME single corpus "
+    "pass, then component c runs 3 power steps in which every matvec "
+    "result is Gram-Schmidt-projected off the previous components' "
+    "final vectors BEFORE normalization — orthogonality holds BY "
+    "CONSTRUCTION even when 3 steps have not converged (this "
+    "near-isotropic spectrum: plain deflation left |v2.v1| ~0.19; the "
+    "projected iterate reports ~1e-13, emitted at 12 dp as the "
+    "measured residual). 9 matvecs + 9 projection dots, ALL on O(d^2) "
+    "broadcast state, zero further corpus passes. Per component: "
+    "lambda estimate (norm of the projected response — the Rayleigh "
+    "estimate within the orthogonal complement), explained fraction vs "
+    "the exact trace, dominant coordinate, measured |v_c . v_(c-1)|. "
+    "On this corpus the three fractions are ~equal (~2%) — the "
+    "no-structure baseline a drift monitor alerts AGAINST (numpy eigh "
+    "bounds in tests). Oracle: identical unrolled CTE chain, every CTE "
+    "materialized (inlining would recompute the corpus-sized Gram "
+    "aggregate per matvec).",
+)
+def gram_subspace_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    dec = "decimal(38,12)"
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    g = _gram_checkpointed(emb)
+    tr = _gram_trace(emb).localCheckpoint(eager=True)
+
+    comps = []
+    finals: list = []
+    for c in range(1, 4):
+        x = spark.range(1, 65).select(
+            F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x")
+        )
+        last_n = None
+        for _ in range(3):
+            y = (
+                g.join(
+                    F.broadcast(x.select(F.col("i").alias("j"), "x")), "j"
+                )
+                .groupBy("i")
+                .agg(
+                    F.sum((F.col("g") * F.col("x")).cast(dec))
+                    .cast("double")
+                    .alias("y")
+                )
+            ).localCheckpoint(eager=True)
+            for v in finals:
+                d = y.join(
+                    F.broadcast(v.select("i", F.col("x").alias("vx"))), "i"
+                ).agg(
+                    F.sum((F.col("y") * F.col("vx")).cast(dec))
+                    .cast("double")
+                    .alias("d")
+                )
+                y = (
+                    y.join(
+                        F.broadcast(
+                            v.select("i", F.col("x").alias("vx"))
+                        ),
+                        "i",
+                    )
+                    .crossJoin(F.broadcast(d))
+                    .select(
+                        "i",
+                        F.round(
+                            F.col("y") - F.col("d") * F.col("vx"), 12
+                        ).alias("y"),
+                    )
+                ).localCheckpoint(eager=True)
+            last_n = _gram_norm_of(y).localCheckpoint(eager=True)
+            x = (
+                y.crossJoin(F.broadcast(last_n))
+                .select("i", F.round(F.col("y") / F.col("n"), 12).alias("x"))
+                .localCheckpoint(eager=True)
+            )
+        top = (
+            x.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.orderBy(F.abs(F.col("x")).desc(), "i")
+                ),
+            )
+            .filter(F.col("r") == 1)
+            .select(
+                F.col("i").cast("int").alias("top_coord"),
+                F.round("x", 6).alias("top_coord_val"),
+            )
+        )
+        if not finals:
+            ortho_col = F.lit(0.0)
+            row = last_n.crossJoin(F.broadcast(tr)).crossJoin(
+                F.broadcast(top)
+            )
+        else:
+            ortho = x.join(
+                finals[-1].select("i", F.col("x").alias("xp")), "i"
+            ).agg(
+                F.abs(
+                    F.sum((F.col("x") * F.col("xp")).cast(dec)).cast(
+                        "double"
+                    )
+                ).alias("d")
+            )
+            ortho_col = F.round(F.col("d"), 12)
+            row = (
+                last_n.crossJoin(F.broadcast(tr))
+                .crossJoin(F.broadcast(top))
+                .crossJoin(F.broadcast(ortho))
+            )
+        comps.append(
+            row.select(
+                F.lit(c).cast("int").alias("pc"),
+                F.round(F.col("n"), 6).alias("lambda_est"),
+                F.round(F.col("n") / F.col("trace"), 6).alias(
+                    "explained_frac"
+                ),
+                "top_coord",
+                "top_coord_val",
+                ortho_col.alias("ortho_absdot"),
+            )
+        )
+        finals.append(x)
+    return (
+        comps[0].unionByName(comps[1]).unionByName(comps[2]).orderBy("pc")
     )

@@ -183,3 +183,55 @@ def test_gram_power_iteration_approximates_numpy_eigmales(spark):
         lam = float(np.linalg.norm(y))
         x = y / lam
     assert abs(row["lambda_top"] - lam) < 1e-4, (row["lambda_top"], lam)
+
+
+def test_gram_subspace_orthogonal_and_bounded_by_numpy(spark):
+    """The projected power iteration's 3 components: (a) pairwise
+    orthogonality holds BY CONSTRUCTION (reported |v_c . v_(c-1)| at
+    1e-12 scale — the quantization residual, not a convergence
+    artifact), (b) every lambda estimate sits inside the true spectrum
+    [lambda_min, lambda_1] (a projected ||Gx|| can never exceed
+    lambda_1), (c) estimates are non-increasing, and (d) each equals
+    the SAME projected iteration run in numpy."""
+    import numpy as np
+
+    from newyork_taxi_etl_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = queries()["gram_subspace_topk"](spark, SF_SMOKE).collect()
+    assert [r["pc"] for r in rows] == [1, 2, 3]
+    assert rows[0]["ortho_absdot"] == 0.0
+    for r in rows[1:]:
+        assert abs(r["ortho_absdot"]) < 1e-9, r
+
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    gram = emb.T @ emb
+    ev = np.linalg.eigvalsh(gram)
+    lams = [r["lambda_est"] for r in rows]
+    assert lams == sorted(lams, reverse=True), lams
+    for lam in lams:
+        assert ev[0] - 1e-6 <= lam <= ev[-1] + 1e-6, (lam, ev[0], ev[-1])
+
+    # same projected iteration in numpy
+    finals = []
+    np_lams = []
+    for _ in range(3):
+        x = np.full(64, 0.125)
+        for _ in range(3):
+            y = gram @ x
+            for v in finals:
+                y = y - (v @ y) * v
+            lam = float(np.linalg.norm(y))
+            x = y / lam
+        finals.append(x)
+        np_lams.append(lam)
+    for got, want in zip(lams, np_lams):
+        assert abs(got - want) < 1e-4, (lams, np_lams)
