@@ -3012,3 +3012,37 @@ def gram_subspace_topk(spark, sf_dir):
     return (
         comps[0].unionByName(comps[1]).unionByName(comps[2]).orderBy("pc")
     )
+
+
+@register(
+    "streaming_ann_ingest",
+    _IVF_APPEND_SQL,
+    doc="STREAMING ANN INGEST (r8 verdict optional item — "
+    "ann_index_incremental_append composed with the foreachBatch "
+    "applied-batch discipline): the quantizer is trained once on the "
+    "initial corpus (vec_id % 4 <> 0) and persisted; the held-out "
+    "quarter ARRIVES AS A STREAM and every micro-batch is assigned by "
+    "the PERSISTED quantizer (read back inside the fold — the appender "
+    "owns no trainer state) and appended to the cid-partitioned "
+    "assignments table, replay-guarded by the applied-batch sidecar. "
+    "The post-drain partition-pruned probe must be IDENTICAL to the "
+    "from-scratch rebuild — the oracle is literally "
+    "ann_index_incremental_append's (_IVF_APPEND_SQL): each vector's "
+    "cid depends only on the persisted centroids, so the drained index "
+    "is batching-invariant by construction (1-vs-3-slice equality also "
+    "pinned in tests/test_similarity_params.py). Per batch: one 8-row "
+    "centroid broadcast + one O(batch) partitioned append; at 100 TB "
+    "only the batch ever shuffles and the probe reads "
+    "corpus/n_lists x n_probe.",
+)
+def streaming_ann_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    work = tempfile.mkdtemp(prefix="nyetl_annstream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_ann_ingest(spark, emb, work)

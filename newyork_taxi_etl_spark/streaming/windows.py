@@ -2150,3 +2150,167 @@ def run_streaming_group_reservoir(
         .select("event_type", "rk", "event_id", "user_id")
         .orderBy("event_type", "rk")
     )
+
+
+def run_streaming_ann_ingest(
+    spark,
+    emb_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """VECTOR APPENDS AT INGEST against a persisted IVF index — the
+    streaming composition of ``ann_index_incremental_append``: the
+    quantizer is trained ONCE on the initial corpus (vec_id % 4 <> 0)
+    and persisted with the initial assignments (partitioned by cid);
+    the held-out quarter then ARRIVES AS A STREAM, and each micro-batch
+    is assigned by the persisted quantizer (read back inside the fold —
+    the appender owns no trainer state) and appended to the partitioned
+    assignments table, replay-guarded by the applied-batch sidecar
+    (append-style commit, non-atomic — documented in _mark_applied).
+
+    Determinism by construction: each appended vector's cid depends only
+    on the persisted centroids, so the drained assignments table — and
+    therefore the partition-pruned probe run after the drain — is
+    IDENTICAL under any micro-batch partitioning, and the from-scratch
+    rebuild oracle (_IVF_APPEND_SQL) covers every possible batching.
+    Scale shape: per batch one broadcast of the 8-row centroid table +
+    one O(batch) partitioned append; the probe reads only the probed
+    cid= directories.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators import similarity as S
+
+    idx_root = os.path.join(work_dir, "index")
+    stage_dir = os.path.join(work_dir, "vec_stage")
+    assign_dir = os.path.join(idx_root, "assignments")
+    cent_dir = os.path.join(idx_root, "centroids")
+    for d in (idx_root, stage_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    base = emb_df.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    initial = base.filter((F.col("vec_id") % 4) != 0)
+    arriving = base.filter((F.col("vec_id") % 4) == 0)
+
+    # -- build once: train on the initial corpus, persist both tables ---
+    cent = kmeans_centroids(
+        emb_df.filter((F.col("vec_id") % 4) != 0), k=8, n_iter=1
+    )
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    (
+        initial.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_vec"),
+            "cid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(assign_dir)
+    )
+    cent.write.mode("overwrite").parquet(cent_dir)
+
+    arriving.drop("_v").repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(arriving.drop("_v").schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def append_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(assign_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its appends are already committed
+        ss = batch_df.sparkSession
+        cent_row_persisted = (
+            ss.read.parquet(cent_dir)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias(
+                    "cents"
+                )
+            )
+        )
+        (
+            batch_df.withColumn(
+                "_v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            )
+            .join(F.broadcast(cent_row_persisted), how="cross")
+            .withColumn("cid", F.expr(_ARGMIN))
+            .select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_vec"),
+                "cid",
+            )
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(assign_dir)
+        )
+        _mark_applied(assign_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    # -- probe the drained table, partition-pruned ----------------------
+    cent_t = spark.read.parquet(cent_dir)
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            "_v",
+        )
+        .crossJoin(
+            F.broadcast(cent_t.select("cid", F.col("vec").alias("cent_vec")))
+        )
+        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "cid")
+    )
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    idx_scan = spark.read.parquet(assign_dir).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -235,3 +235,24 @@ def test_gram_subspace_orthogonal_and_bounded_by_numpy(spark):
         np_lams.append(lam)
     for got, want in zip(lams, np_lams):
         assert abs(got - want) < 1e-4, (lams, np_lams)
+
+
+def test_streaming_ann_ingest_batching_invariant(spark, tmp_path):
+    """The drained index — and therefore the probe — must be identical
+    whether the arriving vectors stream as 1 micro-batch or 3: every
+    appended vector's cid depends only on the persisted quantizer, so
+    batching can only change file layout, never content."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_ann_ingest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    one = run_streaming_ann_ingest(
+        spark, emb, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    three = run_streaming_ann_ingest(
+        spark, emb, str(tmp_path / "three"), n_slices=3
+    ).collect()
+    assert one == three
+    assert len(one) > 0
