@@ -2535,3 +2535,153 @@ def ks_weekly_drift_monitor(spark, sf_dir):
         )
         .orderBy("week_start")
     )
+
+
+@register(
+    "grouped_mad_outliers",
+    """
+    WITH t AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c1 AS (
+      SELECT event_type, v, COUNT(*) AS cnt FROM t GROUP BY event_type, v
+    ),
+    n1 AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM c1 GROUP BY event_type
+    ),
+    cum1 AS (
+      SELECT event_type, v,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c1
+    ),
+    med AS (
+      SELECT c.event_type, MIN(c.v) AS med
+      FROM cum1 c JOIN n1 ON c.event_type = n1.event_type
+      WHERE c.cum >= (n1.n + 1) // 2
+      GROUP BY c.event_type
+    ),
+    c2 AS (
+      SELECT c.event_type, abs(c.v - m.med) AS ad,
+             CAST(SUM(c.cnt) AS BIGINT) AS cnt
+      FROM c1 c JOIN med m ON c.event_type = m.event_type
+      GROUP BY c.event_type, abs(c.v - m.med)
+    ),
+    cum2 AS (
+      SELECT event_type, ad,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c2
+    ),
+    mad AS (
+      SELECT c.event_type, MIN(c.ad) AS mad
+      FROM cum2 c JOIN n1 ON c.event_type = n1.event_type
+      WHERE c.cum >= (n1.n + 1) // 2
+      GROUP BY c.event_type
+    ),
+    outl AS (
+      SELECT c.event_type,
+             CAST(SUM(CASE WHEN c.ad * 10000 > 44478 * md.mad
+                           THEN c.cnt ELSE 0 END) AS BIGINT) AS n_out
+      FROM c2 c JOIN mad md ON c.event_type = md.event_type
+      GROUP BY c.event_type
+    )
+    SELECT n1.event_type, n1.n,
+           ROUND(m.med / 100.0, 6) AS median_value,
+           ROUND(md.mad / 100.0, 6) AS mad_value,
+           outl.n_out AS n_outliers,
+           ROUND(CAST(outl.n_out AS DOUBLE) / n1.n, 6) AS outlier_frac
+    FROM n1
+    JOIN med m ON n1.event_type = m.event_type
+    JOIN mad md ON n1.event_type = md.event_type
+    JOIN outl ON n1.event_type = outl.event_type
+    ORDER BY n1.event_type
+    """,
+    doc="ROBUST outlier detection per group by MEDIAN/MAD — the "
+    "breakdown-resistant twin of value_zscore_outliers (mean/std have "
+    "a 0% breakdown point: one corrupt value moves both; median/MAD "
+    "tolerate 50% corruption — the robust-statistics default for "
+    "data-quality gates on dirty corpora): values quantize to the "
+    "corpus's 2-dp tick, the discrete median is frequency-based "
+    "grouped selection (smallest tick whose cumulative count reaches "
+    "ceil(n/2) — the grouped_mode_median_disc discipline), MAD repeats "
+    "the SAME walk on |v - median| counts derived from the FIRST "
+    "aggregate (never a second event pass), and the outlier gate "
+    "|v - med| > 3 * 1.4826 * MAD is evaluated in PURE INTEGERS "
+    "(ad * 10000 > 44478 * mad) so both engines agree to the bit with "
+    "no float threshold anywhere. Everything after one map-side-"
+    "combinable aggregate runs on O(type x distinct-tick) rows.",
+)
+def grouped_mad_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    c1 = t.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    c1 = c1.localCheckpoint(eager=True)  # feeds n1, cum1, c2
+    n1 = c1.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum1 = c1.select("event_type", "v", F.sum("cnt").over(wcum).alias("cum"))
+    target = F.expr("(n + 1) div 2")
+    med = (
+        cum1.join(F.broadcast(n1), "event_type")
+        .filter(F.col("cum") >= target)
+        .groupBy("event_type")
+        .agg(F.min("v").alias("med"))
+    )
+    c2 = (
+        c1.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("v") - F.col("med")).alias("ad"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    c2 = c2.localCheckpoint(eager=True)  # feeds cum2 + outl
+    wad = Window.partitionBy("event_type").orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum2 = c2.select(
+        "event_type", "ad", F.sum("cnt").over(wad).alias("cum")
+    )
+    mad = (
+        cum2.join(F.broadcast(n1), "event_type")
+        .filter(F.col("cum") >= target)
+        .groupBy("event_type")
+        .agg(F.min("ad").alias("mad"))
+    )
+    outl = (
+        c2.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ad") * 10000 > 44478 * F.col("mad"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_out")
+        )
+    )
+    return (
+        n1.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(outl, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("med") / 100.0, 6).alias("median_value"),
+            F.round(F.col("mad") / 100.0, 6).alias("mad_value"),
+            F.col("n_out").alias("n_outliers"),
+            F.round(F.col("n_out").cast("double") / F.col("n"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+        .orderBy("event_type")
+    )

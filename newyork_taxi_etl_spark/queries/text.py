@@ -1079,3 +1079,146 @@ def bigram_lm_compare(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH p AS (
+      SELECT lang AS labeled,
+             CASE
+               WHEN {marker_count_sql(_TOKS_SQL, 'the')} >= {marker_count_sql(_TOKS_SQL, 'scan')}
+                AND {marker_count_sql(_TOKS_SQL, 'the')} >= {marker_count_sql(_TOKS_SQL, 'join')}
+                AND {marker_count_sql(_TOKS_SQL, 'the')} >= {marker_count_sql(_TOKS_SQL, 'group')}
+                 THEN 'en'
+               WHEN {marker_count_sql(_TOKS_SQL, 'scan')} >= {marker_count_sql(_TOKS_SQL, 'join')}
+                AND {marker_count_sql(_TOKS_SQL, 'scan')} >= {marker_count_sql(_TOKS_SQL, 'group')}
+                 THEN 'de'
+               WHEN {marker_count_sql(_TOKS_SQL, 'join')} >= {marker_count_sql(_TOKS_SQL, 'group')}
+                 THEN 'es'
+               ELSE 'fr'
+             END AS predicted
+      FROM documents
+    ),
+    cm AS (
+      SELECT labeled, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+    ),
+    langs AS (
+      SELECT labeled AS lang FROM cm
+      UNION SELECT predicted FROM cm
+    ),
+    act AS (SELECT labeled AS lang, CAST(SUM(n) AS BIGINT) AS n_actual
+            FROM cm GROUP BY 1),
+    prd AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_predicted
+            FROM cm GROUP BY 1),
+    tp AS (SELECT labeled AS lang, CAST(SUM(n) AS BIGINT) AS n_correct
+           FROM cm WHERE labeled = predicted GROUP BY 1),
+    m AS (
+      SELECT l.lang,
+             COALESCE(a.n_actual, 0) AS n_actual,
+             COALESCE(pr.n_predicted, 0) AS n_predicted,
+             COALESCE(t.n_correct, 0) AS n_correct,
+             CASE WHEN COALESCE(pr.n_predicted, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(t.n_correct, 0) AS DOUBLE)
+                       / pr.n_predicted END AS p,
+             CASE WHEN COALESCE(a.n_actual, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(t.n_correct, 0) AS DOUBLE)
+                       / a.n_actual END AS r
+      FROM langs l
+      LEFT JOIN act a ON l.lang = a.lang
+      LEFT JOIN prd pr ON l.lang = pr.lang
+      LEFT JOIN tp t ON l.lang = t.lang
+    )
+    SELECT lang, n_actual, n_predicted, n_correct,
+           ROUND(p, 6) AS precision_c,
+           ROUND(r, 6) AS recall_c,
+           CASE WHEN p + r = 0 THEN 0.0
+                ELSE ROUND(2 * p * r / (p + r), 6) END AS f1
+    FROM m
+    ORDER BY lang
+    """,
+    doc="LANG-ID CONFUSION METRICS — text_lang_id's heuristic scored "
+    "against the corpus labels (both engines agreeing on predictions "
+    "proves the classifier runs, not that it classifies; this query "
+    "reports the per-class precision/recall/F1 a model card actually "
+    "needs, with the marker-count CASE inlined so the measured "
+    "classifier IS the measured one): per language the actual / "
+    "predicted / correct counts and P/R/F1 with zero-denominator "
+    "edges pinned to 0.0 on both engines. Dataflow: one grouped "
+    "aggregate to the confusion matrix (O(langs^2) rows), three "
+    "O(langs) rollups, a lang-spine outer join — nothing event-sized "
+    "after the first aggregate.",
+)
+def langid_confusion(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    cnt = {lang: marker_count(toks, w) for lang, w in MARKERS}
+    pred = (
+        F.when(
+            (cnt["en"] >= cnt["de"])
+            & (cnt["en"] >= cnt["es"])
+            & (cnt["en"] >= cnt["fr"]),
+            "en",
+        )
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]), "de")
+        .when(cnt["es"] >= cnt["fr"], "es")
+        .otherwise("fr")
+    )
+    cm = (
+        df.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # feeds langs/act/prd/tp
+    )
+    langs = (
+        cm.select(F.col("labeled").alias("lang"))
+        .union(cm.select(F.col("predicted").alias("lang")))
+        .distinct()
+    )
+    act = cm.groupBy(F.col("labeled").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_actual")
+    )
+    prd = cm.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_predicted")
+    )
+    tp = (
+        cm.filter(F.col("labeled") == F.col("predicted"))
+        .groupBy(F.col("labeled").alias("lang"))
+        .agg(F.sum("n").cast("bigint").alias("n_correct"))
+    )
+    m = (
+        langs.join(act, "lang", "left")
+        .join(prd, "lang", "left")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+        .withColumn(
+            "p",
+            F.when(F.col("n_predicted") == 0, 0.0).otherwise(
+                F.col("n_correct").cast("double") / F.col("n_predicted")
+            ),
+        )
+        .withColumn(
+            "r",
+            F.when(F.col("n_actual") == 0, 0.0).otherwise(
+                F.col("n_correct").cast("double") / F.col("n_actual")
+            ),
+        )
+    )
+    return m.select(
+        "lang",
+        "n_actual",
+        "n_predicted",
+        "n_correct",
+        F.round("p", 6).alias("precision_c"),
+        F.round("r", 6).alias("recall_c"),
+        F.when(F.col("p") + F.col("r") == 0, 0.0)
+        .otherwise(
+            F.round(2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")), 6)
+        )
+        .alias("f1"),
+    ).orderBy("lang")
