@@ -745,8 +745,11 @@ def passage_chunking_plan(spark, sf_dir):
     )
 
 
-def _logreg_sql(steps: int = 16, lr: float = 4.0) -> str:
-    """Unrolled DuckDB twin of the logistic-GD training loop.
+def _logreg_train_ctes(steps: int = 16, lr: float = 4.0) -> str:
+    """Unrolled DuckDB twin of the logistic-GD training loop, as a CTE
+    chain ``feats, it0, p1, g1, it1, ..., it{steps}`` (no WITH, no final
+    SELECT) so both the standalone filter and the learned pipeline embed
+    the IDENTICAL training.
 
     One CTE pair per step: ``p{k}`` scores every doc under the previous
     weights (CROSS JOIN against the 1-row weight CTE), ``it{k}`` derives
@@ -754,7 +757,7 @@ def _logreg_sql(steps: int = 16, lr: float = 4.0) -> str:
     kept bit-aligned with operators/logreg.py: left-associative linear
     response ROUNDed at 6, sigmoid ROUNDed at 6, per-row gradient terms
     ROUNDed at 12 into DECIMAL(38,12) sums (VARCHAR-routed casts), and a
-    raw-double ``w - g/n`` update.
+    raw-double ``w - lr * (g/n)`` update.
     """
     from newyork_taxi_etl_spark.functions.exact import dec_in_sql, dec_out_sql
 
@@ -805,9 +808,22 @@ def _logreg_sql(steps: int = 16, lr: float = 4.0) -> str:
              w.w3 - {lr} * (g.g3 / g.n) AS w3
       FROM it{k - 1} w CROSS JOIN g{k} g
     )""")
-    parts.append(f"""
+    return ",".join(parts)
+
+
+#: the engine-portable scoring expression over a row aliased ``f`` under
+#: the 1-row weight CTE aliased ``w`` (shared by every _logreg consumer)
+_LOGREG_P = (
+    "ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 + w.w1 * f.x1 + w.w2 * f.x2"
+    " + w.w3 * f.x3, 6))), 6)"
+)
+
+
+def _logreg_sql(steps: int = 16, lr: float = 4.0) -> str:
+    """Full standalone-filter oracle: train CTEs + summary SELECT."""
+    return f"""WITH {_logreg_train_ctes(steps, lr)},
     scored AS (
-      SELECT f.y, {p} AS p
+      SELECT f.y, {_LOGREG_P} AS p
       FROM feats f CROSS JOIN it{steps} w
     )
     SELECT ROUND((SELECT w0 FROM it{steps}), 6) AS w_intercept,
@@ -823,8 +839,7 @@ def _logreg_sql(steps: int = 16, lr: float = 4.0) -> str:
            ROUND(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0)
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS agreement
-    FROM scored""")
-    return "WITH " + ",".join(parts)
+    FROM scored"""
 
 
 @register(
@@ -886,4 +901,168 @@ def quality_logreg_filter(spark, sf_dir):
         F.sum(agree.cast("int")).cast("bigint").alias("n_agree"),
         F.round(F.sum(agree.cast("int")).cast("double") / n, 6)
         .alias("agreement"),
+    )
+
+
+_LEARNED_PIPE_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
+    scored_docs AS (
+      SELECT f.doc_id, f.text, f.lang, {_LOGREG_P} AS p
+      FROM (
+        SELECT doc_id, text, lang,
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+                 / 30.0 AS x1,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+               CASE WHEN n_chars BETWEEN 100 AND 400
+                    THEN 1.0 ELSE 0.0 END AS x3
+        FROM documents WHERE doc_id % 50 <> 0
+      ) f CROSS JOIN it16 w
+    ),
+    gated AS (
+      SELECT doc_id, text, lang FROM scored_docs WHERE p >= 0.5
+    ),
+    qdrop AS (
+      SELECT lang, CAST(SUM(CASE WHEN p < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_quality
+      FROM scored_docs GROUP BY lang
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated GROUP BY md5(lower(trim(text)))
+    ),
+    surv AS (
+      SELECT g.doc_id, g.text, g.lang
+      FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct({_SH})) AS sh
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    ssh AS (
+      SELECT doc_id, unnest(list_distinct({_SH})) AS sh FROM surv
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ssh GROUP BY 1),
+    hit AS (
+      SELECT s.doc_id, COUNT(*) AS n_hit
+      FROM ssh s JOIN bench USING (sh) GROUP BY 1
+    ),
+    flagged AS (
+      SELECT t.doc_id,
+             COALESCE(h.n_hit, 0) / CAST(t.n_shingles AS DOUBLE) >= 0.05
+               AS contaminated
+      FROM tot t LEFT JOIN hit h USING (doc_id)
+    ),
+    final AS (
+      SELECT s.lang, f.contaminated,
+             len(string_split(s.text, ' ')) AS n_tokens
+      FROM surv s JOIN flagged f USING (doc_id)
+    )
+    SELECT final.lang,
+           CAST(SUM(CASE WHEN NOT contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(SUM(CASE WHEN NOT contaminated THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(CASE WHEN NOT contaminated THEN n_tokens ELSE 0 END)
+                     / 512.0) AS BIGINT) AS n_bins_512,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_contaminated,
+           ANY_VALUE(q.n_dropped_quality) AS n_dropped_quality
+    FROM final JOIN qdrop q ON final.lang = q.lang
+    GROUP BY final.lang
+    ORDER BY final.lang"""
+
+
+@register(
+    "corpus_pipeline_learned",
+    _LEARNED_PIPE_SQL,
+    doc="corpus_pipeline_decontaminated with the LEARNED quality gate "
+    "composed in (the r8 verdict's stated endpoint for item 4): the "
+    "logistic scorer of quality_logreg_filter — IDENTICAL training, 16 "
+    "decimal-sufficient-statistic gradient steps over the full corpus, "
+    "shared CTE chain so the two oracles cannot drift — replaces the "
+    "hand-written keep/drop rule as stage 1; then exact dedup, "
+    "benchmark decontamination (5% distinct-3-gram overlap with the "
+    "doc_id%50==0 eval slice), and the per-language token budget, with "
+    "BOTH drop ledgers reported (n_dropped_quality from the model "
+    "gate, n_dropped_contaminated from the overlap gate; a language "
+    "whose EVERY doc failed the gate would leave the report with its "
+    "ledger — an inner-join edge both engines share, unreachable at "
+    "any real keep rate). The learned "
+    "gate keeps ~79% of docs where the rule keeps ~79% too but they "
+    "disagree on the borderline 2-3% — the pipeline output measures "
+    "what that disagreement costs downstream in tokens. Scale shape "
+    "unchanged from the rule-based pipeline plus 16 O(d)-state "
+    "training aggregates over the checkpointed feature projection.",
+)
+def corpus_pipeline_learned(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.dedup import dedup_exact
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    x1 = ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1")
+    x2 = ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2")
+    x3 = (
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3")
+    )
+    train_feats = docs.select(
+        x1,
+        x2,
+        x3,
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(train_feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    # logistic_prob references x1..x3 as columns: attach them first
+    scored = (
+        corpus.select("doc_id", "text", "lang", x1, x2, x3)
+        .withColumn("p", logistic_prob(w, ["x1", "x2", "x3"]))
+        .localCheckpoint(eager=True)  # gate + per-lang drop ledger
+    )
+    gated = scored.filter(F.col("p") >= 0.5).select("doc_id", "text", "lang")
+    qdrop = scored.groupBy("lang").agg(
+        F.sum((F.col("p") < 0.5).cast("int"))
+        .cast("bigint")
+        .alias("n_dropped_quality")
+    )
+    keepers = dedup_exact(gated).select(F.col("keeper").alias("doc_id"))
+    surv = gated.join(F.broadcast(keepers), "doc_id")
+
+    overlap = C.ngram_contamination(surv, bench)
+    flagged = overlap.select(
+        "doc_id",
+        (
+            F.col("n_hit") / F.col("n_shingles").cast("double") >= F.lit(0.05)
+        ).alias("contaminated"),
+    )
+    final = surv.join(flagged, "doc_id").select(
+        "lang", "contaminated", F.size(toks).alias("n_tokens")
+    )
+    kept_tok = F.sum(
+        F.when(~F.col("contaminated"), F.col("n_tokens")).otherwise(F.lit(0))
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.sum((~F.col("contaminated")).cast("int"))
+            .cast("bigint")
+            .alias("n_docs"),
+            kept_tok.cast("bigint").alias("total_tokens"),
+            F.ceil(kept_tok / F.lit(512.0)).cast("bigint").alias("n_bins_512"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("n_dropped_contaminated"),
+        )
+        .join(qdrop, "lang")
+        .orderBy("lang")
     )
