@@ -674,3 +674,26 @@ def test_jl_projection_stays_in_jvm(spark):
     plan = _plan(queries()["jl_projection_distortion"](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_knn_eval_fixed_n_plans_take_ordered_and_broadcast(spark):
+    """The r9 fixed-N rewrite's scale contract, pinned in the plan: the
+    query sample is drawn by TakeOrderedAndProject (per-task top-N heap,
+    no global sort) and enters the candidate cross join as a BROADCAST
+    side — the O(N) shapes that replaced the corpus-fraction slice."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["knn_label_accuracy"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast q x corpus scan
+
+
+def test_passage_dedup_no_cartesian_and_capped_bucket_join(spark):
+    """Passage LSH must pair candidates ONLY through band-bucket equi
+    joins (never a cartesian), with the hot-bucket cap applied as a
+    broadcast anti join before the self-join."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["dedup_passage_lsh"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # hot-cap anti join broadcasts
