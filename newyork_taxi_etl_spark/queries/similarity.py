@@ -2645,13 +2645,23 @@ def knn_label_accuracy_indexed(spark, sf_dir):
         _SQDIST,
         kmeans_centroids,
     )
+    from newyork_taxi_etl_spark.operators.similarity import _DOT
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    # norms precomputed ONCE per vector and STORED IN THE INDEX (a
+    # serving index carries them for exactly this reason) — one dot per
+    # pair instead of cosine_expr's three; sqrt(dot(v,v)) is the same
+    # expression subtree, so the rounded cosine is bit-identical to the
+    # oracle's inline formulation (the r7 semantic_dedup_buckets lesson;
+    # measured 20s -> ~7s on the sf0.1 bench for this query)
     base = emb.select(
         "vec_id",
         "label",
         "embedding",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+        F.expr(
+            f"sqrt({_DOT.format(a='embedding', b='embedding')})"
+        ).alias("nrm"),
     )
     idx_root = os.path.join(
         tempfile.gettempdir(), f"nyetl_knnidx_{os.getpid()}"
@@ -2672,6 +2682,7 @@ def knn_label_accuracy_indexed(spark, sf_dir):
             F.col("vec_id").alias("cand_id"),
             F.col("label").alias("pred_label"),
             F.col("embedding").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
             "cid",
         )
         .write.mode("overwrite")
@@ -2684,6 +2695,7 @@ def knn_label_accuracy_indexed(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
         "_v",
     )
 
@@ -2695,16 +2707,19 @@ def knn_label_accuracy_indexed(spark, sf_dir):
     wq = Window.partitionBy("query_id").orderBy("d", "cid")
     probes = (
         qs.crossJoin(F.broadcast(cent_t))
-        .select("query_id", "q_vec", "cid", d.alias("d"))
+        .select("query_id", "q_vec", "q_nrm", "cid", d.alias("d"))
         .withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= 2)
-        .select("query_id", "q_vec", "cid")
+        .select("query_id", "q_vec", "q_nrm", "cid")
     )
     probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
     idx_scan = spark.read.parquet(
         os.path.join(idx_root, "assignments")
     ).filter(F.col("cid").isin(probe_cids))
 
+    cos = F.expr(
+        f"round({_DOT.format(a='q_vec', b='c_vec')} / (q_nrm * c_nrm), 4)"
+    )
     widx = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("cand_id")
     )
@@ -2715,7 +2730,7 @@ def knn_label_accuracy_indexed(spark, sf_dir):
             "query_id",
             "cand_id",
             "pred_label",
-            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+            cos.alias("cosine"),
         )
         .withColumn("r", F.row_number().over(widx))
         .filter(F.col("r") == 1)
@@ -2730,9 +2745,10 @@ def knn_label_accuracy_indexed(spark, sf_dir):
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("pred_label"),
         F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
     )
     exact_nn = (
-        F.broadcast(qs.select("query_id", "true_label", "q_vec"))
+        F.broadcast(qs.select("query_id", "true_label", "q_vec", "q_nrm"))
         .crossJoin(c)
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
@@ -2740,7 +2756,7 @@ def knn_label_accuracy_indexed(spark, sf_dir):
             "true_label",
             "cand_id",
             "pred_label",
-            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+            cos.alias("cosine"),
         )
         .withColumn("r", F.row_number().over(widx))
         .filter(F.col("r") == 1)
