@@ -234,3 +234,140 @@ def similarity_triangle_count(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.graph import triangle_count
 
     return triangle_count(_multiband_pairs(spark, sf_dir))
+
+
+@register(
+    "semantic_dedup_quality_keeper",
+    f"""
+    WITH RECURSIVE {_multiband_pairs_sql()},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+               + 0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE)
+                        / len(string_split(text, ' ')))
+               + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 400
+                             THEN 1.0 ELSE 0.0 END),
+               4) AS quality
+      FROM documents
+    ),
+    m AS (
+      SELECT c.component, c.node, q.quality
+      FROM comp c JOIN q ON c.node = q.doc_id
+    ),
+    pick AS (
+      SELECT component, node AS keeper_id, quality AS keeper_quality
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY quality DESC, node) AS r FROM m)
+      WHERE r = 1
+    ),
+    base AS (
+      SELECT component, MIN(node) AS minid_keeper,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM m GROUP BY component
+    )
+    SELECT b.component AS entity_id, b.n_members,
+           p.keeper_id, p.keeper_quality,
+           b.minid_keeper,
+           mq.quality AS minid_quality,
+           ROUND(p.keeper_quality - mq.quality, 4) AS quality_gain,
+           p.keeper_id <> b.minid_keeper AS keeper_changed
+    FROM base b
+    JOIN pick p ON b.component = p.component
+    JOIN m mq ON b.component = mq.component AND b.minid_keeper = mq.node
+    ORDER BY entity_id
+    """,
+    doc="QUALITY-AWARE canonical selection for semantic dup clusters — "
+    "the cross-table composition a real curation stack runs (SemDeDup "
+    "finds the groups; something must decide WHICH copy trains): the "
+    "multiband-LSH near-dup components (same edge set as "
+    "dedup_clusters) join the documents table (vec_id == doc_id on "
+    "this corpus) and each cluster keeps its HIGHEST-text_quality_score "
+    "member (ties to smallest id) instead of the blind min-id rule, "
+    "reporting both keepers side by side with the measured "
+    "quality_gain — the value of looking at content before discarding "
+    "it, stated per cluster (keeper_changed marks where the two rules "
+    "disagree). Scale shape: component labels from the iterative "
+    "join+min propagation (O(edges) per round), quality is a per-row "
+    "projection, selection is one ranking window over cluster members "
+    "— cluster-sized, never corpus-sized.",
+)
+def semantic_dedup_quality_keeper(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    comp = connected_components(
+        _multiband_pairs(spark, sf_dir), loop_partitions=4, hops_per_round=5
+    )
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    q = docs.select(
+        "doc_id",
+        F.round(
+            0.4 * F.least(F.size(toks) / 50.0, F.lit(1.0))
+            + 0.4 * ttr
+            + 0.2
+            * F.when(F.col("n_chars").between(100, 400), 1.0).otherwise(0.0),
+            4,
+        ).alias("quality"),
+    )
+    m = comp.join(q, comp["node"] == q["doc_id"]).select(
+        "component", "node", "quality"
+    )
+    m = m.localCheckpoint(eager=True)  # pick + base + minid-quality join
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.col("node")
+    )
+    pick = (
+        m.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keeper_id"),
+            F.col("quality").alias("keeper_quality"),
+        )
+    )
+    base = m.groupBy("component").agg(
+        F.min("node").alias("minid_keeper"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    mq = m.select(
+        F.col("component").alias("component"),
+        F.col("node").alias("minid_keeper"),
+        F.col("quality").alias("minid_quality"),
+    )
+    return (
+        base.join(pick, "component")
+        .join(mq, ["component", "minid_keeper"])
+        .select(
+            F.col("component").alias("entity_id"),
+            "n_members",
+            "keeper_id",
+            "keeper_quality",
+            "minid_keeper",
+            "minid_quality",
+            F.round(
+                F.col("keeper_quality") - F.col("minid_quality"), 4
+            ).alias("quality_gain"),
+            (F.col("keeper_id") != F.col("minid_keeper")).alias(
+                "keeper_changed"
+            ),
+        )
+        .orderBy("entity_id")
+    )
