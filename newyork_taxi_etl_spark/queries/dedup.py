@@ -554,3 +554,88 @@ def dedup_passage_lsh(spark, sf_dir):
     return D.passage_dup_pairs(
         docs, boundary_mod=8, min_tokens=5, threshold=0.8, max_band_size=64
     )
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH fp AS (
+      SELECT md5(lower(trim(text))) AS h, source, doc_id FROM documents
+    ),
+    per_src AS (
+      SELECT h, source, COUNT(*) AS n_copies FROM fp GROUP BY h, source
+    ),
+    cross_pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fingerprints,
+             CAST(SUM(a.n_copies * b.n_copies) AS BIGINT) AS dup_doc_pairs
+      FROM per_src a JOIN per_src b
+        ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    within AS (
+      SELECT source AS src_a, source AS src_b,
+             CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_fingerprints,
+             CAST(SUM(n_copies * (n_copies - 1) / 2) AS BIGINT)
+               AS dup_doc_pairs
+      FROM per_src GROUP BY source
+    )
+    SELECT * FROM cross_pairs
+    UNION ALL
+    SELECT * FROM within
+    ORDER BY src_a, src_b
+    """,
+    doc="INTER-SOURCE REDUNDANCY MATRIX (the data-ablation bookkeeping a "
+    "multi-source training mix needs: how much of source A already "
+    "lives in source B decides what deduplicating the union actually "
+    "removes from each): exact content fingerprints grouped per "
+    "(hash, source), then source-pair overlap as shared fingerprint "
+    "counts AND total duplicate doc pairs (copies multiply), with the "
+    "diagonal rows carrying each source's internal duplication "
+    "(n_copies-choose-2). Join mass is bounded by fingerprint "
+    "multiplicity across sources — the self-join runs on the per-"
+    "(hash, source) AGGREGATE, never on documents. One corpus pass, "
+    "O(distinct-hash x sources) afterwards.",
+)
+def source_overlap_matrix(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    per_src = (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("h"), "source"
+        )
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .localCheckpoint(eager=True)  # both self-join sides + diagonal
+    )
+    a, b = per_src.alias("a"), per_src.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"),
+            F.sum(F.col("a.n_copies") * F.col("b.n_copies"))
+            .cast("bigint")
+            .alias("dup_doc_pairs"),
+        )
+    )
+    within = per_src.groupBy(F.col("source").alias("src_a")).agg(
+        F.sum((F.col("n_copies") > 1).cast("int"))
+        .cast("bigint")
+        .alias("shared_fingerprints"),
+        F.sum(F.col("n_copies") * (F.col("n_copies") - 1) / 2)
+        .cast("bigint")
+        .alias("dup_doc_pairs"),
+    ).select(
+        "src_a",
+        F.col("src_a").alias("src_b"),
+        "shared_fingerprints",
+        "dup_doc_pairs",
+    )
+    return cross.unionByName(within).orderBy("src_a", "src_b")

@@ -3062,3 +3062,134 @@ def streaming_ann_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="nyetl_annstream_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return W.run_streaming_ann_ingest(spark, emb, work)
+
+
+@register(
+    "embedding_class_separation",
+    """
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT label, t.i AS i, v[t.i] AS x
+      FROM e, unnest(range(1, 65)) t(i)
+    ),
+    cs AS (
+      SELECT label, i,
+             CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM dims GROUP BY label, i
+    ),
+    tot AS (
+      SELECT i,
+             CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM dims GROUP BY i
+    ),
+    muc AS (SELECT label, i, s / n AS mu FROM cs),
+    mug AS (SELECT i, s / n AS mu FROM tot),
+    ssq AS (
+      SELECT label,
+             CAST(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS ss,
+             COUNT(*) / 64 AS n
+      FROM dims GROUP BY label
+    ),
+    btw AS (
+      SELECT m.label,
+             CAST(CAST(SUM(CAST(ROUND((m.mu - g.mu) * (m.mu - g.mu), 12)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS between_c
+      FROM muc m JOIN mug g ON m.i = g.i GROUP BY m.label
+    ),
+    mu2 AS (
+      SELECT label,
+             CAST(CAST(SUM(CAST(ROUND(mu * mu, 12) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS m2
+      FROM muc GROUP BY label
+    )
+    SELECT CAST(b.label AS INT) AS label,
+           CAST(s.n AS BIGINT) AS n,
+           ROUND(b.between_c, 6) AS between_var,
+           ROUND(s.ss / s.n - m.m2, 6) AS within_var,
+           ROUND(b.between_c / (s.ss / s.n - m.m2), 6) AS fisher_ratio
+    FROM btw b JOIN ssq s ON b.label = s.label
+    JOIN mu2 m ON b.label = m.label
+    ORDER BY label
+    """,
+    doc="EMBEDDING CLASS SEPARATION — per-label Fisher discriminant "
+    "ratio ||mu_c - mu||^2 / within-class variance, the one-pass "
+    "sufficient-statistics answer to 'does this embedding space "
+    "separate my labels at all?' (the cheap global complement of the "
+    "per-query knn_label_accuracy evaluation): per-(label, dim) decimal "
+    "sums and per-label squared-norm sums are ONE map-side-combinable "
+    "pass over the corpus; means, the between-class distance and the "
+    "within-class variance (E||x||^2 - ||mu_c||^2) all derive from "
+    "that O(labels x d) state. Near-zero ratios here (~0.003, "
+    "isotropic synthetic labels) are the recorded no-signal baseline — "
+    "a real space shows 0.1+; monitoring this per training snapshot "
+    "catches embedding-collapse regressions for the cost of one scan. "
+    "All cross-row sums are 12-dp-quantized decimals (order-free, "
+    "engine-exact); divisions and rounds mirrored expression-for-"
+    "expression.",
+)
+def embedding_class_separation(spark, sf_dir):
+    dec = "decimal(38,12)"
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    dims = emb.select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("i", "x"),
+    )
+    dims = dims.localCheckpoint(eager=True)  # cs + tot + ssq scans
+    cs = dims.groupBy("label", "i").agg(
+        F.sum(F.col("x").cast(dec)).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = dims.groupBy("i").agg(
+        F.sum(F.col("x").cast(dec)).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    muc = cs.select("label", "i", (F.col("s") / F.col("n")).alias("mu"))
+    mug = tot.select("i", (F.col("s") / F.col("n")).alias("mu_g"))
+    ssq = dims.groupBy("label").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec))
+        .cast("double")
+        .alias("ss"),
+        (F.count(F.lit(1)) / 64).alias("n"),
+    )
+    btw = (
+        muc.join(F.broadcast(mug), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("mu") - F.col("mu_g"))
+                    * (F.col("mu") - F.col("mu_g")),
+                    12,
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("between_c")
+        )
+    )
+    mu2 = muc.groupBy("label").agg(
+        F.sum(F.round(F.col("mu") * F.col("mu"), 12).cast(dec))
+        .cast("double")
+        .alias("m2")
+    )
+    within = F.col("ss") / F.col("n") - F.col("m2")
+    return (
+        btw.join(ssq, "label")
+        .join(mu2, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("between_c", 6).alias("between_var"),
+            F.round(within, 6).alias("within_var"),
+            F.round(F.col("between_c") / within, 6).alias("fisher_ratio"),
+        )
+        .orderBy("label")
+    )
