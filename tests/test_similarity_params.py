@@ -256,3 +256,35 @@ def test_streaming_ann_ingest_batching_invariant(spark, tmp_path):
     ).collect()
     assert one == three
     assert len(one) > 0
+
+
+def test_class_separation_matches_numpy(spark):
+    """Fisher ratios from the distributed sufficient statistics must
+    equal a direct numpy computation of ||mu_c - mu||^2 and the
+    within-class variance to ~1e-6 (decimal quantization tolerance)."""
+    import numpy as np
+
+    from newyork_taxi_etl_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["label"]: r
+        for r in queries()["embedding_class_separation"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    data = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").select(
+        "label", "embedding"
+    ).collect()
+    X = np.array([r["embedding"] for r in data], dtype=np.float64)
+    y = np.array([r["label"] for r in data])
+    mu = X.mean(axis=0)
+    for c in np.unique(y):
+        xc = X[y == c]
+        mu_c = xc.mean(axis=0)
+        between = float(((mu_c - mu) ** 2).sum())
+        within = float((xc ** 2).sum() / len(xc) - (mu_c ** 2).sum())
+        got = rows[int(c)]
+        assert abs(got["between_var"] - between) < 1e-5, (c, got, between)
+        assert abs(got["within_var"] - within) < 1e-5, (c, got, within)
+        assert abs(got["fisher_ratio"] - between / within) < 1e-4
