@@ -1179,3 +1179,54 @@ def boilerplate_segment_strip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "streaming_quality_ingest",
+    f"""WITH {_logreg_train_ctes(16, 4.0)},
+    scored AS (
+      SELECT f.lang, CASE WHEN {_LOGREG_P} >= 0.5 THEN 1 ELSE 0 END AS keep
+      FROM (
+        SELECT lang,
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+                 / 30.0 AS x1,
+               (CAST(len(list_distinct(string_split(text, ' ')))
+                     AS DOUBLE)
+                 / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+               CASE WHEN n_chars BETWEEN 100 AND 400
+                    THEN 1.0 ELSE 0.0 END AS x3
+        FROM documents
+      ) f CROSS JOIN it16 w
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_frac
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang""",
+    doc="QUALITY GATING AT INGEST with persisted learned weights — the "
+    "third build-once/apply-per-batch composition (after the persisted "
+    "ANN index and the linkage index; the pattern, not the artifact, "
+    "is the point): the logistic quality scorer is trained ONCE "
+    "(identical 16-step decimal-sufficient-statistic chain as "
+    "quality_logreg_filter, shared CTEs) and its 4 weights persisted "
+    "as a table; documents then stream in micro-batches and each batch "
+    "is scored by the weights READ BACK from the table and appended "
+    "under the applied-batch replay guard. Per-language keep rates "
+    "out. Batching-invariant by construction (each doc's score depends "
+    "only on the persisted weights), so the batch-scored oracle covers "
+    "every possible batching; per batch nothing moves but a 4-row "
+    "broadcast and the batch's own rows.",
+)
+def streaming_quality_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_qingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_quality_ingest(spark, docs, work)

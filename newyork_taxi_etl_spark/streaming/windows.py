@@ -2314,3 +2314,124 @@ def run_streaming_ann_ingest(
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def run_streaming_quality_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """QUALITY GATING AT INGEST with a PERSISTED learned scorer — the
+    third instance of the build-once/apply-per-batch pattern (after the
+    ANN index and the linkage index): the logistic quality filter of
+    quality_logreg_filter is trained ONCE on the reference corpus and
+    its weights persisted as a 4-row table; documents then ARRIVE AS A
+    STREAM and each micro-batch is scored by the weights READ BACK from
+    the table (the scorer owns no trainer state) and its keep/drop
+    decisions appended, replay-guarded by the applied-batch sidecar.
+
+    Determinism by construction: each doc's score depends only on the
+    persisted weights, so the drained decision table is identical under
+    any batching and the batch-scored relational oracle covers every
+    possible batching.  Per batch: one 4-row broadcast + a per-row
+    projection — nothing shuffles but the batch's own per-lang counts.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    weights_dir = os.path.join(work_dir, "weights")
+    target_dir = os.path.join(work_dir, "decisions")
+    for d in (stage_dir, weights_dir, target_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    x1 = ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1")
+    x2 = ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2")
+    x3 = (
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3")
+    )
+    feats = docs_df.select(
+        x1,
+        x2,
+        x3,
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    spark.createDataFrame(
+        [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
+    ).coalesce(1).write.parquet(weights_dir)
+
+    staged = docs_df.select("doc_id", "text", "lang", "n_chars")
+    staged.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def score_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(target_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: decisions already committed
+        ss = batch_df.sparkSession
+        wrow = {
+            r["j"]: r["w"] for r in ss.read.parquet(weights_dir).collect()
+        }
+        wv = [wrow[j] for j in range(4)]
+        t = F.split(F.col("text"), " ")
+        tt = F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        scored = batch_df.select(
+            "doc_id",
+            "lang",
+            ((F.size(t) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+            ((tt - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+            F.when(F.col("n_chars").between(100, 400), 1.0)
+            .otherwise(0.0)
+            .alias("x3"),
+        ).select(
+            "doc_id",
+            "lang",
+            (logistic_prob(wv, ["x1", "x2", "x3"]) >= F.lit(0.5)).alias(
+                "keep"
+            ),
+        )
+        os.makedirs(target_dir, exist_ok=True)
+        scored.write.mode("append").parquet(target_dir)
+        _mark_applied(target_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    out = spark.read.parquet(target_dir)
+    n = F.count(F.lit(1))
+    return (
+        out.groupBy("lang")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum(F.col("keep").cast("int")).cast("double") / n, 6
+            ).alias("keep_frac"),
+        )
+        .orderBy("lang")
+    )
