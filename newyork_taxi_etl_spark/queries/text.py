@@ -1222,3 +1222,151 @@ def langid_confusion(spark, sf_dir):
         )
         .alias("f1"),
     ).orderBy("lang")
+
+
+@register(
+    "novel_ngram_growth",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    inst AS (
+      SELECT doc_id,
+             LEAST(9, doc_id * 10 // (mx.m + 1)) AS dec,
+             unnest({shingles_sql('text', 3)}) AS g
+      FROM documents, mx
+    ),
+    per_dec AS (
+      SELECT dec, COUNT(*) AS n_inst FROM inst GROUP BY dec
+    ),
+    first_seen AS (
+      SELECT g, MIN(dec) AS d0 FROM inst GROUP BY g
+    ),
+    novel AS (
+      SELECT d0 AS dec, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+    ),
+    cum AS (
+      SELECT p.dec,
+             CAST(p.n_inst AS BIGINT) AS n_instances,
+             CAST(COALESCE(v.n_new, 0) AS BIGINT) AS new_ngrams,
+             CAST(SUM(p.n_inst) OVER (ORDER BY p.dec
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_instances,
+             CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY p.dec
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM per_dec p LEFT JOIN novel v ON p.dec = v.dec
+    ),
+    pts AS (
+      SELECT ROUND(ln(CAST(cum_instances AS DOUBLE)), 12) AS x,
+             ROUND(ln(CAST(cum_vocab AS DOUBLE)), 12) AS y
+      FROM cum
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             {{sx}} AS sx, {{sy}} AS sy, {{sxy}} AS sxy, {{sxx}} AS sxx
+      FROM pts
+    )
+    SELECT CAST(c.dec AS INT) AS decile,
+           c.n_instances, c.new_ngrams, c.cum_instances, c.cum_vocab,
+           ROUND(CAST(c.new_ngrams AS DOUBLE) / c.n_instances, 6)
+             AS novelty_rate,
+           ROUND((f.n * f.sxy - f.sx * f.sy)
+                 / (f.n * f.sxx - f.sx * f.sx), 6) AS heaps_beta
+    FROM cum c, fit f
+    ORDER BY decile
+    """.format(
+        sx="CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)",
+        sy="CAST(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)",
+        sxy="CAST(CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))"
+        " AS VARCHAR) AS DOUBLE)",
+        sxx="CAST(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))"
+        " AS VARCHAR) AS DOUBLE)",
+    ),
+    doc="NOVEL-N-GRAM GROWTH CURVE + Heaps-law exponent — the corpus "
+    "DIVERSITY diagnostic of data acquisition (when the novelty rate "
+    "flattens, more of the same source buys no new content; the curve "
+    "is the evidence behind 'we need a new domain, not more crawl'): "
+    "docs are cut into 10 doc-id deciles, every 3-gram shingle instance "
+    "is counted per decile, each DISTINCT shingle attributes to the "
+    "decile that first saw it (one MIN aggregate — the distributed "
+    "first-occurrence trick; no quadratic prefix-distinct anywhere), "
+    "and the cumulative (instances, vocab) points get the Heaps-law "
+    "OLS fit ln V = k + beta ln N (zipf_token_slope's 12-dp decimal "
+    "discipline). Per decile: instance/new-ngram counts, cumulative "
+    "curve, novelty rate, and the fitted beta (constant column — the "
+    "summary of the displayed curve). Scale shape: two shingle "
+    "aggregates (map-side combinable) + O(10) everything else.",
+)
+def novel_ngram_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    inst = (
+        with_shingles(docs, "text", 3, out="sh")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(9), F.expr("doc_id * 10 div (m + 1)")
+            ).alias("dec"),
+            F.explode("sh").alias("g"),
+        )
+    )
+    inst = inst.localCheckpoint(eager=True)  # per-dec + first-seen scans
+    per_dec = inst.groupBy("dec").agg(F.count(F.lit(1)).alias("n_inst"))
+    novel = (
+        inst.groupBy("g")
+        .agg(F.min("dec").alias("d0"))
+        .groupBy(F.col("d0").alias("dec"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_dec.join(novel, "dec", "left")
+        .select(
+            "dec",
+            F.col("n_inst").cast("bigint").alias("n_instances"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("new_ngrams"),
+        )
+        .withColumn(
+            "cum_instances",
+            F.sum("n_instances").over(w).cast("bigint"),
+        )
+        .withColumn("cum_vocab", F.sum("new_ngrams").over(w).cast("bigint"))
+    )
+    cum = cum.localCheckpoint(eager=True)  # output + fit scans
+    pts = cum.select(
+        F.round(F.log(F.col("cum_instances").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 12).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("dec").cast("int").alias("decile"),
+            "n_instances",
+            "new_ngrams",
+            "cum_instances",
+            "cum_vocab",
+            F.round(
+                F.col("new_ngrams").cast("double") / F.col("n_instances"), 6
+            ).alias("novelty_rate"),
+            beta.alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )
