@@ -1230,3 +1230,216 @@ def streaming_quality_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="nyetl_qingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return W.run_streaming_quality_ingest(spark, docs, work)
+
+
+_AUC_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
+    scored AS (
+      SELECT f.y, {_LOGREG_P} AS p
+      FROM feats f CROSS JOIN it16 w
+    ),
+    by_p AS (
+      SELECT p,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM scored GROUP BY p
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM by_p
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+           ROUND(CAST(CAST(SUM(pos * (2 * cnb + neg)) AS VARCHAR) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+    FROM cum"""
+
+
+@register(
+    "quality_auc_rank",
+    _AUC_SQL,
+    doc="Distributed rank-based AUC (Mann-Whitney U) of the learned "
+    "logistic quality score against its teacher rule labels — the "
+    "serving-team metric for a ranking filter (agreement at one "
+    "threshold, which quality_logreg_filter reports, hides ranking "
+    "quality; AUC integrates over all thresholds). Scale shape: the "
+    "corpus reduces FIRST via groupBy(p) to per-distinct-score "
+    "(pos, neg) counts (map-side combinable; the 6-dp score has at "
+    "most 1e6+1 distinct values, so the subsequent unpartitioned "
+    "cumulative window runs on a bounded table regardless of corpus "
+    "size — never a global rank over rows). Tie handling is the exact "
+    "midrank formula: AUC = sum_s pos_s*(2*cum_neg_below_s + neg_s) / "
+    "(2*P*N), all-integer numerator carried as DECIMAL(38,0) so the "
+    "result is order-independent and engine-exact.",
+)
+def quality_auc_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+
+    by_p = (
+        feats.select(
+            logistic_prob(w, ["x1", "x2", "x3"]).alias("p"), "y"
+        )
+        .groupBy("p")
+        .agg(
+            F.sum((F.col("y") == 1.0).cast("bigint")).alias("pos"),
+            F.sum((F.col("y") != 1.0).cast("bigint")).alias("neg"),
+        )
+    )
+    win = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_p.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(win), F.lit(0)).alias("cnb"),
+    )
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_scores"),
+        F.round(
+            F.sum(
+                (F.col("pos") * (2 * F.col("cnb") + F.col("neg"))).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / (2.0 * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_CALIB_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
+    scored AS (
+      SELECT f.y, {_LOGREG_P} AS p
+      FROM feats f CROSS JOIN it16 w
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+             CAST(ROUND(p * 1000000) AS BIGINT) AS p_ticks,
+             CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS pos
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(CAST(SUM(p_ticks) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+               AS mean_p,
+             ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+      FROM binned GROUP BY bin
+    ),
+    gaps AS (
+      SELECT bin, n_docs, mean_p, frac_pos,
+             ROUND(ABS(mean_p - frac_pos), 6) AS gap,
+             CAST(ROUND(ABS(mean_p - frac_pos) * 1000000) AS BIGINT)
+               AS gap_ticks
+      FROM bins
+    )
+    SELECT bin, n_docs, mean_p, frac_pos, gap,
+           ROUND(CAST(SUM(n_docs * gap_ticks) OVER () AS DOUBLE)
+                 / (1000000.0 * SUM(n_docs) OVER ()), 6) AS ece
+    FROM gaps
+    ORDER BY bin"""
+
+
+@register(
+    "quality_calibration_ece",
+    _CALIB_SQL,
+    doc="Reliability diagram + expected calibration error (ECE) for the "
+    "learned quality scorer: fixed-width deciles of the predicted "
+    "probability, per-bin mean prediction vs empirical positive rate, "
+    "and the n-weighted mean absolute gap. A filter whose scores feed "
+    "downstream sampling temperatures must be calibrated, not just "
+    "discriminative (AUC is invariant to any monotone miscalibration). "
+    "Engine-exactness: the 6-dp score becomes integer ticks BEFORE any "
+    "cross-row sum (the round-8 discipline), per-bin gaps are computed "
+    "from the already-rounded columns, and the ECE numerator is an "
+    "integer sum over the 10 bin rows — no float accumulation "
+    "anywhere. Scale: one map-side-combinable groupBy(bin) pass; the "
+    "window runs over 10 rows.",
+)
+def quality_calibration_ece(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    p = logistic_prob(w, ["x1", "x2", "x3"])
+
+    binned = feats.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(p * 1000000).cast("bigint").alias("p_ticks"),
+        (F.col("y") == 1.0).cast("int").alias("pos"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("p_ticks").cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1))),
+            6,
+        ).alias("mean_p"),
+        F.round(F.sum("pos").cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_pos"
+        ),
+    )
+    gaps = bins.select(
+        "bin",
+        "n_docs",
+        "mean_p",
+        "frac_pos",
+        F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6).alias("gap"),
+        F.round(F.abs(F.col("mean_p") - F.col("frac_pos")) * 1000000)
+        .cast("bigint")
+        .alias("gap_ticks"),
+    )
+    win = Window.partitionBy()
+    return gaps.select(
+        "bin",
+        "n_docs",
+        "mean_p",
+        "frac_pos",
+        "gap",
+        F.round(
+            F.sum(F.col("n_docs") * F.col("gap_ticks")).over(win).cast(
+                "double"
+            )
+            / (F.lit(1000000.0) * F.sum("n_docs").over(win)),
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")
