@@ -513,3 +513,94 @@ def dedup_aware_split(spark, sf_dir):
         "naive_cross_pairs",
         "aware_cross_pairs",
     )
+
+
+def _two_core_sql(peels: int = 8) -> str:
+    """Unrolled k-core (k=2) peel chain over the multiband pair graph.
+
+    One CTE triple per peel: degrees over the surviving symmetric edge
+    set, the >= k node set, the edge set restricted to kept endpoints.
+    Both engines unroll the IDENTICAL fixed number of peels (no
+    fixpoint detection — engine-fair determinism); the per-iteration
+    stats rows make convergence visible in the result itself.
+    """
+    parts = [
+        f"""e0 AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    )"""
+    ]
+    for i in range(1, peels + 1):
+        parts.append(f"""
+    d{i} AS (SELECT u, COUNT(*) AS c FROM e{i - 1} GROUP BY u),
+    n{i} AS (SELECT u FROM d{i} WHERE c >= 2),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v
+      FROM e{i - 1} e JOIN n{i} a ON e.u = a.u JOIN n{i} b ON e.v = b.u
+    )""")
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS iteration,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+        FROM e{i}"""
+        for i in range(0, peels + 1)
+    )
+    return ",".join(parts) + f" SELECT * FROM ({stats}) ORDER BY iteration"
+
+
+@register(
+    "graph_two_core",
+    f"""
+    WITH {_multiband_pairs_sql()},
+    {_two_core_sql(8)}
+    """,
+    doc="2-core decomposition of the near-dup pair graph: iteratively "
+    "peel nodes of degree < 2 until only the dense core remains — "
+    "separates genuine dup CLUSTERS (every member >= 2 neighbors) "
+    "from the weak chains/pendants that transitive closure alone "
+    "(dedup_clusters) conflates with them, which is the difference "
+    "between 'delete all but one' and 'needs human review' in a "
+    "dedup pipeline. Both engines run the IDENTICAL 8 unrolled "
+    "peels (constant-bounded, no data-dependent fixpoint probe); "
+    "the output is the per-iteration (n_nodes, n_edges) decay curve, "
+    "so convergence is visible as a flat tail in the result itself. "
+    "Scale shape: each peel is one map-side-combinable degree "
+    "aggregate plus two semi-joins against the (node-sized, "
+    "broadcastable) kept set; edge tables only shrink; lineage is "
+    "truncated per peel (localCheckpoint) exactly like the "
+    "connected-components loop.",
+)
+def graph_two_core(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    pairs = _multiband_pairs(spark, sf_dir)
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint()
+    )
+
+    def _stats(df, i):
+        return df.agg(
+            F.lit(i).alias("iteration"),
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        )
+
+    out = _stats(e, 0)
+    for i in range(1, 9):
+        keep = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("u")
+        )
+        e = (
+            e.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.withColumnRenamed("u", "v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        out = out.union(_stats(e, i))
+    return out.orderBy("iteration")
