@@ -1370,3 +1370,93 @@ def novel_ngram_growth(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+_BG_SQL = shingles_sql("text", 2)
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+      GROUP BY w
+    ),
+    bc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM (SELECT unnest({_BG_SQL}) AS bigram FROM documents)
+      GROUP BY bigram
+    ),
+    tot AS (
+      SELECT CAST((SELECT SUM(c) FROM uc) AS BIGINT) AS t_uni,
+             CAST((SELECT SUM(c_xy) FROM bc) AS BIGINT) AS t_bi
+    )
+    SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+           ROUND(ln((CAST(c_xy AS DOUBLE) * t_uni * t_uni)
+                    / (CAST(t_bi AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+    FROM bc
+    JOIN uc ux ON string_split(bigram, ' ')[1] = ux.w
+    JOIN uc uy ON string_split(bigram, ' ')[2] = uy.w
+    CROSS JOIN tot
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 15
+    """,
+    doc="collocation extraction: top adjacent-bigram pairs by pointwise "
+    "mutual information, PMI = ln(P(xy)/(P(x)P(y))), with a min-count "
+    "floor of 5 so rare-pair noise (PMI's classic failure mode) never "
+    "ranks. The multiword-expression miner a tokenizer-training "
+    "pipeline runs before merge selection: high-PMI pairs are merge "
+    "candidates that pure frequency (bpe_top_merges) under-ranks. "
+    "Scale shape: two map-side-combinable token/bigram counts, a "
+    "vocab-sized join (broadcastable: vocab << corpus), a 1-row "
+    "totals broadcast, TakeOrderedAndProject top-15. The ln argument "
+    "is built from identical left-associative double arithmetic on "
+    "exact integer counts in both engines; PMI rounds at 6 dp (the "
+    "sigmoid discipline: a last-ulp libm divergence cannot flip a "
+    "6-dp digit except on a ~1e-17 boundary).",
+)
+def pmi_collocations(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big = (
+        with_shingles(docs, "text", 2, "bg")
+        .select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("t_uni")).crossJoin(
+        big.agg(F.sum("c_xy").cast("bigint").alias("t_bi"))
+    )
+    sp = F.split("bigram", " ")
+    out = (
+        big.withColumn("x", sp.getItem(0))
+        .withColumn("y", sp.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("w", "x")
+                          .withColumnRenamed("c", "c_x")), "x")
+        .join(F.broadcast(uni.withColumnRenamed("w", "y")
+                          .withColumnRenamed("c", "c_y")), "y")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_xy") >= 5)
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("t_uni") * F.col("t_uni"))
+                    / (F.col("t_bi").cast("double") * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), "bigram").limit(15)
