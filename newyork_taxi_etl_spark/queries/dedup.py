@@ -639,3 +639,108 @@ def source_overlap_matrix(spark, sf_dir):
         "dup_doc_pairs",
     )
     return cross.unionByName(within).orderBy("src_a", "src_b")
+
+
+@register(
+    "hll_overlap_sketch_matrix",
+    """
+    WITH fp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS h, source FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ns
+      FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p1.source AS src_a, p2.source AS src_b,
+           p1.n AS exact_a, p2.n AS exact_b,
+           COALESCE(s.ns, 0) AS exact_shared,
+           true AS union_within_5pct,
+           true AS inter_within_5pct
+    FROM per p1 JOIN per p2 ON p1.source < p2.source
+    LEFT JOIN shared s ON s.sa = p1.source AND s.sb = p2.source
+    ORDER BY src_a, src_b
+    """,
+    doc="SKETCH twin of source_overlap_matrix — the 100 TB shape for "
+    "pairwise source overlap: per-source DataSketches HLL sketches "
+    "over content fingerprints (one corpus pass, O(sources x 2^lgK) "
+    "bytes of state), pairwise union cardinality by register-wise "
+    "sketch union, intersection by inclusion-exclusion "
+    "(|A|+|B|-|A u B|). The exact matrix joins per-(hash, source) "
+    "aggregates — fine when shared mass is small, but its join mass "
+    "grows with cross-source duplication; the sketch path is "
+    "duplication-independent and mergeable across any executor "
+    "topology. Both sketch estimates are self-asserted within 5% of "
+    "the exact answer IN THE SAME ROW (the profile_distinct_approx "
+    "discipline — the booleans are driver-gated against DuckDB's "
+    "exact counts); the inclusion-exclusion bound is relative to the "
+    "pair's exact UNION size, the quantity HLL error actually scales "
+    "with (intersection-relative error is unbounded for small "
+    "overlaps — documented, not asserted).",
+)
+def hll_overlap_sketch_matrix(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    fp = docs.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"), "source"
+    ).distinct()
+    per = (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.hll_sketch_agg("h").alias("sk"),
+        )
+        .localCheckpoint(eager=True)  # both pair sides
+    )
+    shared = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    )
+    p1, p2 = per.alias("p1"), per.alias("p2")
+    pairs = (
+        p1.join(p2, F.col("p1.source") < F.col("p2.source"))
+        .join(
+            shared,
+            (F.col("p1.source") == F.col("sa"))
+            & (F.col("p2.source") == F.col("sb")),
+            "left",
+        )
+        .select(
+            F.col("p1.source").alias("src_a"),
+            F.col("p2.source").alias("src_b"),
+            F.col("p1.n").alias("exact_a"),
+            F.col("p2.n").alias("exact_b"),
+            F.coalesce(F.col("ns"), F.lit(0)).cast("bigint")
+            .alias("exact_shared"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("p1.sk"), F.col("p2.sk"))
+            ).alias("est_union"),
+            F.hll_sketch_estimate(F.col("p1.sk")).alias("est_a"),
+            F.hll_sketch_estimate(F.col("p2.sk")).alias("est_b"),
+        )
+    )
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_shared")
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "exact_a",
+        "exact_b",
+        "exact_shared",
+        (F.abs(F.col("est_union") - exact_union) <= 0.05 * exact_union)
+        .alias("union_within_5pct"),
+        (F.abs(est_inter - F.col("exact_shared")) <= 0.05 * exact_union)
+        .alias("inter_within_5pct"),
+    ).orderBy("src_a", "src_b")
