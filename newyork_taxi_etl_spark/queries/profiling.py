@@ -1680,3 +1680,83 @@ def k_anonymity_ladder(spark, sf_dir):
         )
         .orderBy("level")
     )
+
+
+@register(
+    "dp_noisy_histogram",
+    """
+    WITH hist AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count FROM documents
+      GROUP BY lang
+    ),
+    noised AS (
+      SELECT lang, true_count,
+             ROUND(-2.0 * SIGN(((CAST(('0x' || substr(md5('dp1|' || lang), 1, 6))
+                                   AS BIGINT) + 0.5) / 16777216.0) - 0.5)
+                   * ln(1.0 - 2.0 * ABS(((CAST(('0x' || substr(md5('dp1|' || lang), 1, 6))
+                                   AS BIGINT) + 0.5) / 16777216.0) - 0.5)), 6)
+               AS noise
+      FROM hist
+    ),
+    released AS (
+      SELECT lang, true_count, noise,
+             GREATEST(true_count + CAST(ROUND(noise) AS BIGINT), 0)
+               AS noisy_count
+      FROM noised
+    )
+    SELECT lang, true_count, noise, noisy_count,
+           CAST(SUM(ABS(noisy_count - true_count)) OVER () AS BIGINT)
+             AS total_l1_error
+    FROM released
+    ORDER BY lang
+    """,
+    doc="Differentially-private histogram release (eps = 0.5, "
+    "sensitivity 1): per-language counts plus integer-rounded Laplace "
+    "noise drawn by inverse CDF from a deterministic md5 24-bit "
+    "uniform (the Poisson-bootstrap discipline — seeded hex-slot "
+    "uniforms make the 'random' draw engine-exact and replayable, "
+    "which a governance audit trail wants anyway), non-negativity "
+    "clamp as DP post-processing, and the realized total L1 error as "
+    "the utility number next to the privacy parameter. Complements "
+    "k_anonymity_profile: k-anonymity bounds re-identification of the "
+    "RELEASED rows, DP bounds what any released AGGREGATE reveals. "
+    "Scale: one map-side-combinable count; noise is a per-group "
+    "projection, the window runs over O(langs) rows. The ln sits "
+    "under ROUND(.,6) then integer rounding (sigmoid discipline).",
+)
+def dp_noisy_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    hist = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp1|"), F.col("lang"))), 1, 6), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + 0.5
+    ) / 16777216.0
+    c = u - 0.5
+    noise = F.round(
+        F.lit(-2.0) * F.signum(c) * F.log(F.lit(1.0) - 2.0 * F.abs(c)), 6
+    )
+    released = hist.select(
+        "lang",
+        "true_count",
+        noise.alias("noise"),
+        F.greatest(
+            F.col("true_count") + F.round(noise).cast("bigint"), F.lit(0)
+        ).cast("bigint").alias("noisy_count"),
+    )
+    win = Window.partitionBy()
+    return released.select(
+        "lang",
+        "true_count",
+        "noise",
+        "noisy_count",
+        F.sum(F.abs(F.col("noisy_count") - F.col("true_count")))
+        .over(win)
+        .cast("bigint")
+        .alias("total_l1_error"),
+    ).orderBy("lang")
