@@ -1760,3 +1760,105 @@ def dp_noisy_histogram(spark, sf_dir):
         .cast("bigint")
         .alias("total_l1_error"),
     ).orderBy("lang")
+
+
+#: 6-dp Benford expected first-digit probabilities (log10(1 + 1/d)),
+#: shared literals so both engines compare against the identical constants
+_BENFORD_P = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(FLOOR(c / POW(10, LENGTH(CAST(c AS VARCHAR)) - 1)) AS INT)
+               AS digit
+      FROM cents
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      FROM digits GROUP BY digit
+    ),
+    terms AS (
+      SELECT digit, n_obs, n,
+             ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS obs_frac,
+             {_BENFORD_CASE} AS benford_p,
+             ROUND(POW(n_obs - n * ({_BENFORD_CASE}), 2)
+                   / (n * ({_BENFORD_CASE})), 6) AS chi_term
+      FROM obs
+    )
+    SELECT digit, n_obs, obs_frac, benford_p, chi_term,
+           ROUND(CAST(SUM(CAST(ROUND(chi_term * 1000000) AS BIGINT))
+                      OVER () AS DOUBLE) / 1000000.0, 6) AS chi_square
+    FROM terms
+    ORDER BY digit
+    """,
+    doc="Benford first-digit audit over order totals — the classic "
+    "fabricated-data / unit-mismatch detector a financial data-quality "
+    "pipeline runs (a corpus whose leading digits drift from "
+    "log10(1+1/d) was filtered, capped, or synthesized; TPC-H totals "
+    "are range-limited, so the reported chi-square IS large — the "
+    "point is the measurement, not conformity). Exactness: the "
+    "leading digit comes from the CENTS INTEGER (length of the bigint "
+    "string, never float log10 whose x=10^k boundaries round apart); "
+    "expected probabilities are shared 6-dp literals; the chi-square "
+    "total is an integer tick sum over the 9 digit rows. Scale: one "
+    "map-side-combinable digit count, windows over 9 rows.",
+)
+def benford_first_digit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(
+            c / F.pow(F.lit(10.0), F.length(c.cast("string")) - 1)
+        ).cast("int").alias("digit")
+    )
+    win = Window.partitionBy()
+    obs = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .withColumn("n", F.sum("n_obs").over(win).cast("bigint"))
+    )
+    bp = F.expr(_BENFORD_CASE)
+    terms = obs.select(
+        "digit",
+        "n_obs",
+        "n",
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+            "obs_frac"
+        ),
+        bp.cast("double").alias("benford_p"),
+        F.round(
+            F.pow(F.col("n_obs") - F.col("n") * bp, 2) / (F.col("n") * bp), 6
+        ).alias("chi_term"),
+    )
+    return terms.select(
+        "digit",
+        "n_obs",
+        "obs_frac",
+        "benford_p",
+        "chi_term",
+        F.round(
+            F.sum(F.round(F.col("chi_term") * 1000000).cast("bigint"))
+            .over(win)
+            .cast("double")
+            / 1000000.0,
+            6,
+        ).alias("chi_square"),
+    ).orderBy("digit")
