@@ -1443,3 +1443,121 @@ def quality_calibration_ece(spark, sf_dir):
             6,
         ).alias("ece"),
     ).orderBy("bin")
+
+
+_CURR_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
+    scored AS (
+      SELECT f.doc_id, f.n_tokens, f.y, {_LOGREG_P} AS p
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+                 / 30.0 AS x1,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+               CASE WHEN n_chars BETWEEN 100 AND 400
+                    THEN 1.0 ELSE 0.0 END AS x3,
+               CASE WHEN len(string_split(text, ' ')) >= 30
+                     AND CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE) / len(string_split(text, ' ')) >= 0.2
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+      ) f CROSS JOIN it16 w
+    ),
+    staged AS (
+      SELECT CAST(NTILE(4) OVER (ORDER BY p DESC, doc_id) AS INT) AS stage,
+             CAST(ROUND(p * 1000000) AS BIGINT) AS p_ticks,
+             n_tokens, y, p
+      FROM scored
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(p_ticks) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+             AS mean_p,
+           MAX(p) AS max_p,
+           MIN(p) AS min_p,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+             AS mean_tokens,
+           ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_frac
+    FROM staged
+    GROUP BY stage
+    ORDER BY stage"""
+
+
+@register(
+    "curriculum_quality_stages",
+    _CURR_SQL,
+    doc="Quality-curriculum schedule: every document scored by the "
+    "trained logistic quality model, totally ordered by (score DESC, "
+    "doc_id) — deterministic, no rand() — and cut into 4 equal-count "
+    "curriculum stages (highest-quality quartile trains first), with "
+    "per-stage count, mean/min/max score, mean length, and the "
+    "teacher-rule keep fraction as the stage-quality audit. Scale "
+    "note: NTILE over a global order is a range-partitioned sort "
+    "followed by per-partition numbering at real scale; the stage "
+    "CUTS can equivalently come from the distributed selection "
+    "machinery (operators/profile.exact_quantiles over (p, doc_id)) "
+    "when a full sort is unwanted — per-stage aggregation itself is "
+    "map-side combinable either way. Score ticks are summed as "
+    "integers (order-independent); min/max compare exact 6-dp "
+    "doubles.",
+)
+def curriculum_quality_stages(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+
+    scored = feats.select(
+        "doc_id",
+        "n_tokens",
+        "y",
+        logistic_prob(w, ["x1", "x2", "x3"]).alias("p"),
+    )
+    stage_w = Window.orderBy(F.desc("p"), "doc_id")
+    staged = scored.select(
+        F.ntile(4).over(stage_w).cast("int").alias("stage"),
+        F.round(F.col("p") * 1000000).cast("bigint").alias("p_ticks"),
+        "n_tokens",
+        "y",
+        "p",
+    )
+    n = F.count(F.lit(1))
+    return (
+        staged.groupBy("stage")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("p_ticks").cast("double") / (F.lit(1000000.0) * n), 6
+            ).alias("mean_p"),
+            F.max("p").alias("max_p"),
+            F.min("p").alias("min_p"),
+            F.round(F.sum("n_tokens").cast("double") / n, 6).alias(
+                "mean_tokens"
+            ),
+            F.round(
+                F.sum((F.col("y") == 1.0).cast("int")).cast("double") / n, 6
+            ).alias("keep_frac"),
+        )
+        .orderBy("stage")
+    )
