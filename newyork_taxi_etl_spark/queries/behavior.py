@@ -2685,3 +2685,132 @@ def grouped_mad_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "target_encoding_loo",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    grp AS (
+      SELECT event_type, CAST(SUM(y) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY event_type
+    ),
+    enc AS (
+      SELECT b.y,
+             CAST(ROUND(CAST(g.s AS DOUBLE) / g.n) AS BIGINT) AS xn,
+             CAST(ROUND(CAST(g.s - b.y AS DOUBLE) / (g.n - 1)) AS BIGINT)
+               AS xl
+      FROM base b JOIN grp g USING (event_type) WHERE g.n >= 2
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(xn) AS VARCHAR) AS DOUBLE) AS sxn,
+             CAST(CAST(SUM(xn * xn) AS VARCHAR) AS DOUBLE) AS sxnn,
+             CAST(CAST(SUM(y * xn) AS VARCHAR) AS DOUBLE) AS syxn,
+             CAST(CAST(SUM(xl) AS VARCHAR) AS DOUBLE) AS sxl,
+             CAST(CAST(SUM(xl * xl) AS VARCHAR) AS DOUBLE) AS sxll,
+             CAST(CAST(SUM(y * xl) AS VARCHAR) AS DOUBLE) AS syxl
+      FROM enc
+    )
+    SELECT n AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM grp WHERE n >= 2)
+             AS n_groups,
+           ROUND((n * syxn - sy * sxn)
+                 / SQRT((n * sxnn - sxn * sxn) * (n * syy - sy * sy)), 6)
+             AS corr_naive,
+           ROUND((n * syxl - sy * sxl)
+                 / SQRT((n * sxll - sxl * sxl) * (n * syy - sy * sy)), 6)
+             AS corr_loo,
+           ROUND(ROUND((n * syxn - sy * sxn)
+                 / SQRT((n * sxnn - sxn * sxn) * (n * syy - sy * sy)), 6)
+                 - ROUND((n * syxl - sy * sxl)
+                 / SQRT((n * sxll - sxl * sxl) * (n * syy - sy * sy)), 6), 6)
+             AS leakage_delta
+    FROM s
+    """,
+    doc="Leave-one-out target encoding audit — the leakage-free "
+    "categorical encoding of ML feature pipelines, with the leakage "
+    "MEASURED rather than assumed: every event's type is encoded as "
+    "(a) the naive group mean of the target (which contains the row's "
+    "own label — train-time leakage) and (b) the leave-one-out mean "
+    "(group sum minus own label over n-1), and the query reports "
+    "corr(target, encode) for both; the naive-minus-LOO delta IS the "
+    "per-row self-correlation the naive encode would leak into "
+    "training. Scale shape: one map-side-combinable group aggregate, "
+    "the O(groups) table broadcast back onto the row stream "
+    "(zero-shuffle projection), one moment aggregate; all moment sums "
+    "are integer-tick (value x100, encodes rounded to the same tick) "
+    "carried exactly, converted to double once via the VARCHAR route, "
+    "then one identical IEEE formula per engine.",
+)
+def target_encoding_loo(spark, sf_dir):
+    base = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        )
+    )
+    grp = base.groupBy("event_type").agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    enc = (
+        base.join(F.broadcast(grp.filter(F.col("n") >= 2)), "event_type")
+        .select(
+            "y",
+            F.round(F.col("s").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("xn"),
+            F.round(
+                (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1)
+            )
+            .cast("bigint")
+            .alias("xl"),
+        )
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    s = enc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("xn")).alias("sxn"),
+        dsum(F.col("xn") * F.col("xn")).alias("sxnn"),
+        dsum(F.col("y") * F.col("xn")).alias("syxn"),
+        dsum(F.col("xl")).alias("sxl"),
+        dsum(F.col("xl") * F.col("xl")).alias("sxll"),
+        dsum(F.col("y") * F.col("xl")).alias("syxl"),
+    )
+    ngroups = grp.filter(F.col("n") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    )
+    corr_naive = F.round(
+        (F.col("n") * F.col("syxn") - F.col("sy") * F.col("sxn"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxnn") - F.col("sxn") * F.col("sxn"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        6,
+    )
+    corr_loo = F.round(
+        (F.col("n") * F.col("syxl") - F.col("sy") * F.col("sxl"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxll") - F.col("sxl") * F.col("sxl"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        6,
+    )
+    return s.crossJoin(F.broadcast(ngroups)).select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        corr_naive.alias("corr_naive"),
+        corr_loo.alias("corr_loo"),
+        F.round(corr_naive - corr_loo, 6).alias("leakage_delta"),
+    )
