@@ -1,0 +1,122 @@
+"""Invariant tests for the late-round-9 additions.
+
+Engine agreement (the oracle mirror) proves both engines compute the same
+number; these tests pin the SEMANTIC claims each docstring makes — the
+floors, orderings, and self-consistencies that would silently break even
+with both engines agreeing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _rows(spark, name, sf=SF_ORACLE):
+    from newyork_taxi_etl_spark.registry import queries
+
+    return [r.asDict() for r in queries()[name](spark, sf).collect()]
+
+
+def test_quality_auc_discriminates(spark):
+    (r,) = _rows(spark, "quality_auc_rank")
+    # the scorer is trained to reproduce the teacher rule; its ranking
+    # must be far above chance on its own training labels
+    assert r["auc"] >= 0.95, r
+    assert r["n_pos"] > 0 and r["n_neg"] > 0, r
+    # distinct 6-dp scores can never exceed the doc count
+    assert r["n_distinct_scores"] <= r["n_pos"] + r["n_neg"], r
+
+
+def test_calibration_bins_partition_and_ece_consistent(spark):
+    rows = _rows(spark, "quality_calibration_ece")
+    n = sum(r["n_docs"] for r in rows)
+    assert n > 0
+    # every bin's mean prediction sits inside the bin (float-boundary
+    # slack: the FLOOR(p*10) binning follows double arithmetic)
+    for r in rows:
+        lo, hi = r["bin"] / 10 - 1e-9, (r["bin"] + 1) / 10 + 1e-9
+        assert lo <= r["mean_p"] <= hi, r
+    # the single ECE value equals the n-weighted mean absolute gap
+    ece = sum(r["n_docs"] * r["gap"] for r in rows) / n
+    assert math.isclose(rows[0]["ece"], ece, abs_tol=2e-6), (rows[0], ece)
+
+
+def test_two_core_peels_monotone_and_converged(spark):
+    rows = _rows(spark, "graph_two_core")
+    assert [r["iteration"] for r in rows] == list(range(9))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"], (a, b)
+        assert b["n_edges"] <= a["n_edges"], (a, b)
+    last, prev = rows[-1], rows[-2]
+    # flat tail = converged within the 8 unrolled peels
+    assert (last["n_nodes"], last["n_edges"]) == (
+        prev["n_nodes"],
+        prev["n_edges"],
+    ), rows
+    # 2-core property: min degree 2 means sum(deg) >= 2n, i.e. edges >= nodes
+    if last["n_nodes"]:
+        assert last["n_edges"] >= last["n_nodes"], last
+
+
+def test_pmi_ordering_and_floor(spark):
+    rows = _rows(spark, "pmi_collocations")
+    assert 0 < len(rows) <= 15
+    assert all(r["c_xy"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True), pmis
+
+
+def test_dp_histogram_release_consistent(spark):
+    rows = _rows(spark, "dp_noisy_histogram")
+    assert all(r["noisy_count"] >= 0 for r in rows)
+    l1 = sum(abs(r["noisy_count"] - r["true_count"]) for r in rows)
+    assert rows[0]["total_l1_error"] == l1, (rows[0], l1)
+    # integer-rounded Laplace noise must actually be applied as rounded
+    for r in rows:
+        released = max(r["true_count"] + round(r["noise"]), 0)
+        assert r["noisy_count"] == released, r
+
+
+def test_benford_partition_and_chi_consistent(spark):
+    rows = _rows(spark, "benford_first_digit")
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-4
+    chi = sum(round(r["chi_term"] * 1e6) for r in rows) / 1e6
+    assert math.isclose(rows[0]["chi_square"], chi, abs_tol=2e-6)
+
+
+def test_target_encoding_loo_removes_leakage(spark):
+    (r,) = _rows(spark, "target_encoding_loo")
+    # naive encode contains the row's own label: its corr must dominate
+    assert r["corr_naive"] >= r["corr_loo"], r
+    assert r["leakage_delta"] >= 0, r
+    # event_type is uninformative of value on this corpus: LOO ~ chance
+    assert abs(r["corr_loo"]) < 0.05, r
+
+
+def test_hll_overlap_covers_all_pairs(spark):
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    rows = _rows(spark, "hll_overlap_sketch_matrix")
+    n_src = (
+        spark.read.parquet(table_path(SF_ORACLE, "documents"))
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2, (len(rows), n_src)
+    assert all(r["union_within_5pct"] and r["inter_within_5pct"] for r in rows)
+
+
+def test_curriculum_stages_ordered_cut(spark):
+    rows = _rows(spark, "curriculum_quality_stages", SF_SMOKE)
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    for a, b in zip(rows, rows[1:]):
+        # ordered cut: everything in stage i scores >= everything in i+1
+        assert a["min_p"] >= b["max_p"], (a, b)
+        assert a["mean_p"] >= b["mean_p"], (a, b)
