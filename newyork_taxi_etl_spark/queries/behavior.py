@@ -2814,3 +2814,150 @@ def target_encoding_loo(spark, sf_dir):
         corr_loo.alias("corr_loo"),
         F.round(corr_naive - corr_loo, 6).alias("leakage_delta"),
     )
+
+
+@register(
+    "kaplan_meier_conversion",
+    """
+    WITH sec AS (
+      SELECT user_id, event_type,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, MIN(s) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN s END) AS tp
+      FROM sec GROUP BY user_id
+    ),
+    flagged AS (
+      SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600
+                  ELSE ((SELECT MAX(s) FROM sec) - t0) // 3600 END AS dur,
+             CASE WHEN tp IS NOT NULL THEN 0 ELSE 1 END AS censored
+      FROM per_user
+    ),
+    exits AS (
+      SELECT dur,
+             CAST(COUNT(*) AS BIGINT) AS e,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS c
+      FROM flagged GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, c,
+             CAST((SELECT COUNT(*) FROM flagged)
+               - COALESCE(SUM(e) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM exits
+    ),
+    terms AS (
+      SELECT dur, n_risk, d, c,
+             CASE WHEN d < n_risk
+                  THEN CAST(CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk),
+                                       12) AS VARCHAR) AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END AS lns,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dies_out
+      FROM risk
+    )
+    SELECT dur AS t_hours, n_risk, d AS n_converted, c AS n_censored,
+           ROUND(CASE WHEN SUM(dies_out) OVER (ORDER BY dur) > 0 THEN 0.0
+                      ELSE exp(CAST(CAST(SUM(lns) OVER (ORDER BY dur)
+                                         AS VARCHAR) AS DOUBLE)) END, 6)
+             AS surv_unconverted
+    FROM terms
+    ORDER BY t_hours
+    """,
+    doc="Kaplan-Meier time-to-first-purchase — survival analysis as "
+    "dataflow, WITH right-censoring: users who never purchase are "
+    "censored at (corpus end - first activity) instead of being "
+    "dropped, which is exactly the bias in funnel_time_to_convert's "
+    "converters-only latency (that query measures 'how fast do "
+    "converters convert'; this one measures 'how likely is anyone to "
+    "have converted by hour t' — the two disagree whenever slow "
+    "prospects are still open at the observation edge). Hour-grain "
+    "durations, risk sets from one cumulative walk over O(distinct "
+    "hours) rows, S(t) = prod(1 - d_i/n_i) as exp of a "
+    "DECIMAL(38,12) cumulative sum of 12-dp ln terms "
+    "(order-independent where a float product is not), d = n_risk "
+    "boundary pinned to exact 0. Scale shape: the stream reduces to "
+    "O(users) in one map-side-combinable aggregate, then to "
+    "O(distinct durations); the windows walk a bounded series.",
+)
+def kaplan_meier_conversion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    sec = ev.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    per_user = sec.groupBy("user_id").agg(
+        F.min("s").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("s"))).alias(
+            "tp"
+        ),
+    )
+    corpus = sec.agg(
+        F.max("s").alias("cmax"),
+    )
+    n_users = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    flagged = per_user.crossJoin(F.broadcast(corpus)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.floor((F.col("tp") - F.col("t0")) / 3600),
+        )
+        .otherwise(F.floor((F.col("cmax") - F.col("t0")) / 3600))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 0).otherwise(1).alias("censored"),
+    )
+    exits = (
+        flagged.groupBy("dur")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("e"),
+            F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+            F.sum("censored").cast("bigint").alias("c"),
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("dur")
+    risk = exits.select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("e").over(prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    lns = (
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+                12,
+            ).cast("decimal(38,12)"),
+        ).otherwise(F.lit(0).cast("decimal(38,12)"))
+    )
+    terms = risk.select(
+        "dur",
+        "n_risk",
+        "d",
+        "c",
+        lns.alias("lns"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("dies_out"),
+    )
+    return terms.select(
+        F.col("dur").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.when(F.sum("dies_out").over(upto) > 0, F.lit(0.0)).otherwise(
+                F.exp(F.sum("lns").over(upto).cast("double"))
+            ),
+            6,
+        ).alias("surv_unconverted"),
+    ).orderBy("t_hours")

@@ -120,3 +120,21 @@ def test_curriculum_stages_ordered_cut(spark):
         # ordered cut: everything in stage i scores >= everything in i+1
         assert a["min_p"] >= b["max_p"], (a, b)
         assert a["mean_p"] >= b["mean_p"], (a, b)
+
+
+def test_kaplan_meier_monotone_and_conserved(spark):
+    rows = _rows(spark, "kaplan_meier_conversion")
+    surv = [r["surv_unconverted"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:])), surv
+    risks = [r["n_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:])), risks
+    # risk-set conservation: every user leaves exactly once
+    assert risks[0] == sum(r["n_converted"] + r["n_censored"] for r in rows)
+    # KM with zero censoring must equal the empirical survival fraction
+    if not any(r["n_censored"] for r in rows):
+        n = risks[0]
+        left = n
+        for r in rows:
+            left -= r["n_converted"]
+            assert abs(r["surv_unconverted"] - left / n) < 5e-6, r
