@@ -55,16 +55,20 @@ def logistic_gd(
     label_col: str = "y",
     steps: int = 3,
     lr: float = 1.0,
-) -> list[float]:
+    trajectory: bool = False,
+) -> list[float] | list[list[float]]:
     """Train by ``steps`` full-batch gradient-descent steps from w=0.
 
     ``feats`` must hold double-typed feature columns and a 0.0/1.0 double
     label.  Each step is ONE aggregate job over ``feats`` (collecting d+2
     scalars — a control-plane read); returns the weight vector
     ``[intercept, w_1, ...]`` as plain Python floats, bit-reproducible
-    against the unrolled SQL twin.
+    against the unrolled SQL twin.  With ``trajectory=True`` returns the
+    list of weight vectors AFTER each step (``steps`` entries) — same
+    training, every intermediate observable (learning-curve queries).
     """
     w = [0.0] * (len(feature_cols) + 1)
+    traj: list[list[float]] = []
     for _ in range(steps):
         resid = logistic_prob(w, feature_cols) - F.col(label_col)
         aggs = [
@@ -78,4 +82,6 @@ def logistic_gd(
         row = feats.agg(*aggs, F.count(F.lit(1)).alias("n")).collect()[0]
         n = row["n"]
         w = [w[j] - lr * (row[f"g{j}"] / n) for j in range(len(w))]
-    return w
+        if trajectory:
+            traj.append(list(w))
+    return traj if trajectory else w

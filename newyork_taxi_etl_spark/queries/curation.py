@@ -746,7 +746,9 @@ def passage_chunking_plan(spark, sf_dir):
     )
 
 
-def _logreg_train_ctes(steps: int = 16, lr: float = 4.0) -> str:
+def _logreg_train_ctes(
+    steps: int = 16, lr: float = 4.0, where: str = ""
+) -> str:
     """Unrolled DuckDB twin of the logistic-GD training loop, as a CTE
     chain ``feats, it0, p1, g1, it1, ..., it{steps}`` (no WITH, no final
     SELECT) so both the standalone filter and the learned pipeline embed
@@ -777,7 +779,7 @@ def _logreg_train_ctes(steps: int = 16, lr: float = 4.0) -> str:
                    AND CAST(len(list_distinct({toks})) AS DOUBLE)
                        / len({toks}) >= 0.2
                   THEN 1.0 ELSE 0.0 END AS y
-      FROM documents
+      FROM documents{where}
     ),
     it0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
                    CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""
@@ -1561,3 +1563,126 @@ def curriculum_quality_stages(spark, sf_dir):
         )
         .orderBy("stage")
     )
+
+
+_CURVE_STEPS = (1, 2, 4, 8, 16)
+
+_CURVE_ACC = " UNION ALL ".join(
+    f"""SELECT {k} AS step,
+        ROUND(CAST(SUM(CASE WHEN NOT f.is_val
+                             AND (({_LOGREG_P}) >= 0.5) = (f.y = 1.0)
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+              / SUM(CASE WHEN NOT f.is_val THEN 1 ELSE 0 END), 6)
+          AS train_acc,
+        ROUND(CAST(SUM(CASE WHEN f.is_val
+                             AND (({_LOGREG_P}) >= 0.5) = (f.y = 1.0)
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+              / SUM(CASE WHEN f.is_val THEN 1 ELSE 0 END), 6) AS val_acc
+    FROM allfeats f CROSS JOIN it{k} w"""
+    for k in _CURVE_STEPS
+)
+
+_CURVE_SQL = f"""WITH {_logreg_train_ctes(16, 4.0, " WHERE doc_id % 5 <> 0")},
+    allfeats AS MATERIALIZED (
+      SELECT doc_id % 5 = 0 AS is_val,
+             (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+               / 30.0 AS x1,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+             CASE WHEN n_chars BETWEEN 100 AND 400
+                  THEN 1.0 ELSE 0.0 END AS x3,
+             CASE WHEN len(string_split(text, ' ')) >= 30
+                   AND CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) / len(string_split(text, ' ')) >= 0.2
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    curve AS ({_CURVE_ACC})
+    SELECT step, train_acc, val_acc,
+           ROUND(train_acc - val_acc, 6) AS overfit_gap
+    FROM curve ORDER BY step"""
+
+
+@register(
+    "logreg_learning_curve",
+    _CURVE_SQL,
+    doc="Train/validation learning curve for the logistic quality "
+    "scorer — overfitting MEASURED as dataflow: the model trains only "
+    "on the 80% hash split (doc_id % 5 <> 0; every other quality "
+    "query trains on the full corpus), and accuracy against the "
+    "teacher rule is evaluated at steps 1/2/4/8/16 on train AND the "
+    "held-out 20%, with the per-step train-minus-val gap as the "
+    "overfitting number (a 3-parameter linear model on 10k+ docs "
+    "should show ~zero gap — a nonzero trend here means the feature "
+    "pipeline leaked or the split broke). Cost shape: the training "
+    "loop is unchanged (one d+2-scalar decimal aggregate per step — "
+    "intermediate weights are free observables of the same loop, "
+    "trajectory=True); the 10 accuracy numbers come from ONE extra "
+    "pass over the feature projection (all 5 weight vectors are "
+    "driver-side constants folded into a single aggregate). Oracle "
+    "unrolls the identical training on the identical WHERE-filtered "
+    "CTE chain and reads accuracies from the same it_k tables.",
+)
+def logreg_learning_curve(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    allfeats = docs.select(
+        (F.col("doc_id") % 5 == 0).alias("is_val"),
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    traj = logistic_gd(
+        allfeats.filter(~F.col("is_val")),
+        ["x1", "x2", "x3"],
+        "y",
+        steps=16,
+        lr=4.0,
+        trajectory=True,
+    )
+
+    aggs = []
+    for k in _CURVE_STEPS:
+        ok = (
+            (logistic_prob(traj[k - 1], ["x1", "x2", "x3"]) >= 0.5)
+            == (F.col("y") == 1.0)
+        ).cast("int")
+        aggs.append(
+            F.round(
+                F.sum(F.when(~F.col("is_val"), ok)).cast("double")
+                / F.sum((~F.col("is_val")).cast("int")),
+                6,
+            ).alias(f"t{k}")
+        )
+        aggs.append(
+            F.round(
+                F.sum(F.when(F.col("is_val"), ok)).cast("double")
+                / F.sum(F.col("is_val").cast("int")),
+                6,
+            ).alias(f"v{k}")
+        )
+    one = allfeats.agg(*aggs)
+    stack_args = ", ".join(f"{k}, t{k}, v{k}" for k in _CURVE_STEPS)
+    curve = one.selectExpr(
+        f"stack({len(_CURVE_STEPS)}, {stack_args})"
+        " as (step, train_acc, val_acc)"
+    )
+    return curve.select(
+        "step",
+        "train_acc",
+        "val_acc",
+        F.round(F.col("train_acc") - F.col("val_acc"), 6).alias(
+            "overfit_gap"
+        ),
+    ).orderBy("step")
