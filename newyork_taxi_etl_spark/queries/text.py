@@ -1460,3 +1460,56 @@ def pmi_collocations(spark, sf_dir):
         )
     )
     return out.orderBy(F.desc("pmi"), "bigram").limit(15)
+
+
+@register(
+    "token_fertility_by_lang",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]{{1,4}}'))) AS BIGINT)
+             AS subword_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]{{1,4}}')))
+                      AS DOUBLE) / SUM(len({_TOKS_SQL})), 6) AS fertility,
+           ROUND(CAST(SUM(length(replace(text, ' ', ''))) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text, '[a-z0-9]{{1,4}}'))), 6)
+             AS chars_per_subword
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Tokenizer fertility by language — the cross-lingual token-budget "
+    "fairness number (a language whose words shatter into more subwords "
+    "pays more context per sentence; fertility = subwords per "
+    "whitespace word decides per-language token budgets and flags "
+    "tokenizer bias): whitespace tokens vs a greedy <=4-char regex "
+    "subword segmentation (the same ceil(len/4)-family surrogate as "
+    "text_token_count, realized as an actual RE2-subset segmentation "
+    "identical in both engines), plus chars-per-subword compression. "
+    "One map-side-combinable aggregate, integer counts, two rounded "
+    "divisions at the end.",
+)
+def token_fertility_by_lang(spark, sf_dir):
+    df = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    sub = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]{1,4}"), 0))
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(toks)).cast("bigint").alias("ws_tokens"),
+            F.sum(sub).cast("bigint").alias("subword_tokens"),
+            F.round(
+                F.sum(sub).cast("double") / F.sum(F.size(toks)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length(F.regexp_replace("text", " ", ""))).cast(
+                    "double"
+                )
+                / F.sum(sub),
+                6,
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("lang")
+    )
