@@ -3193,3 +3193,129 @@ def embedding_class_separation(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _scurve_sql() -> str:
+    keys = ",\n             ".join(
+        f"{band_bucket_sql('v', dims)} AS k{i}"
+        for i, dims in enumerate(LSH_BANDS)
+    )
+    any_band = " OR ".join(f"a.k{i} = b.k{i}" for i in range(len(LSH_BANDS)))
+    cos = (
+        "ROUND(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))), 4)"
+    )
+    theory = (
+        "ROUND(1 - POW(1 - POW(1 - ACOS(cos) / 3.141592653589793, 4), 12), 6)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 64
+    ),
+    k AS (
+      SELECT vec_id, v,
+             {keys}
+      FROM s
+    ),
+    pairs AS (
+      SELECT {cos} AS cos,
+             CASE WHEN {any_band} THEN 1 ELSE 0 END AS collide
+      FROM k a JOIN k b ON a.vec_id < b.vec_id
+    ),
+    t AS (
+      SELECT CAST(FLOOR(cos * 5) AS INT) AS bucket, collide,
+             CAST(ROUND({theory} * 1000000) AS BIGINT) AS th_ticks
+      FROM pairs
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(collide) AS BIGINT) AS n_collide,
+           ROUND(CAST(SUM(collide) AS DOUBLE) / COUNT(*), 6) AS emp_rate,
+           ROUND(CAST(SUM(th_ticks) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+             AS mean_theory,
+           ROUND(ABS(ROUND(CAST(SUM(collide) AS DOUBLE) / COUNT(*), 6)
+                     - ROUND(CAST(SUM(th_ticks) AS DOUBLE)
+                             / (1000000.0 * COUNT(*)), 6)), 6) AS calib_gap
+    FROM t
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@register(
+    "lsh_scurve_calibration",
+    _scurve_sql(),
+    doc="Measured vs theoretical S-curve for the multiband sign-LSH "
+    "family (12 bands x 4 bits, the exact LSH_BANDS the ANN/dedup "
+    "paths run): over a fixed 64-vector / 2016-pair grid, each pair's "
+    "empirical any-band collision is compared per cosine bucket "
+    "against the closed-form 1-(1-p^4)^12 with p = 1 - acos(cos)/pi "
+    "— the calibration that justifies the bits/bands operating point "
+    "(NOTES.md derives WHY 4-bit bands are near-vacuous at low "
+    "cosine; this query turns that derivation into a driver-gated "
+    "measurement, so a band-parameter edit that silently broke "
+    "selectivity or recall shifts a value-checked number). Scale: the "
+    "grid is constant-size (the fixed-N discipline); band keys are "
+    "projections; theory terms quantize to integer ticks before the "
+    "per-bucket mean. ACOS sits under ROUND(.,6) (sigmoid "
+    "discipline).",
+)
+def lsh_scurve_calibration(spark, sf_dir):
+    from functools import reduce
+
+    from newyork_taxi_etl_spark.operators.similarity import (
+        cosine_expr,
+        lsh_bucket_expr,
+    )
+
+    emb = (
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < 64)
+        .select(
+            "vec_id",
+            "embedding",
+            *[
+                lsh_bucket_expr("embedding", dims).alias(f"k{i}")
+                for i, dims in enumerate(LSH_BANDS)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_expr("a.embedding", "b.embedding", 4)
+    collide = reduce(
+        lambda x, y: x | y,
+        [
+            (F.col(f"a.k{i}") == F.col(f"b.k{i}"))
+            for i in range(len(LSH_BANDS))
+        ],
+    )
+    p_bit = F.lit(1.0) - F.acos(F.col("cos")) / F.lit(3.141592653589793)
+    theory = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(p_bit, 4), 12), 6
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(cos.alias("cos"), collide.cast("int").alias("collide"))
+        .select(
+            F.floor(F.col("cos") * 5).cast("int").alias("bucket"),
+            "collide",
+            F.round(theory * 1000000).cast("bigint").alias("th_ticks"),
+        )
+    )
+    n = F.count(F.lit(1))
+    emp = F.round(F.sum("collide").cast("double") / n, 6)
+    th = F.round(F.sum("th_ticks").cast("double") / (F.lit(1000000.0) * n), 6)
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            n.cast("bigint").alias("n_pairs"),
+            F.sum("collide").cast("bigint").alias("n_collide"),
+            emp.alias("emp_rate"),
+            th.alias("mean_theory"),
+            F.round(F.abs(emp - th), 6).alias("calib_gap"),
+        )
+        .orderBy("bucket")
+    )
