@@ -138,3 +138,23 @@ def test_kaplan_meier_monotone_and_conserved(spark):
         for r in rows:
             left -= r["n_converted"]
             assert abs(r["surv_unconverted"] - left / n) < 5e-6, r
+
+
+def test_lsh_scurve_monotone_and_calibrated(spark):
+    rows = _rows(spark, "lsh_scurve_calibration")
+    assert sum(r["n_pairs"] for r in rows) == 64 * 63 // 2
+    # empirical collision rate must rise with cosine (on populated buckets)
+    pop = [r for r in rows if r["n_pairs"] >= 50]
+    emps = [r["emp_rate"] for r in pop]
+    assert emps == sorted(emps), emps
+    # theory tracks measurement within 0.1 wherever the estimate has mass
+    assert all(r["calib_gap"] <= 0.1 for r in pop), pop
+
+
+def test_token_fertility_sane(spark):
+    rows = _rows(spark, "token_fertility_by_lang")
+    for r in rows:
+        # a <=4-char greedy segmentation can only split words, never merge
+        assert r["subword_tokens"] >= r["ws_tokens"], r
+        assert r["fertility"] >= 1.0, r
+        assert 0 < r["chars_per_subword"] <= 4.0, r
