@@ -697,3 +697,41 @@ def test_passage_dedup_no_cartesian_and_capped_bucket_join(spark):
     plan = _plan(queries()["dedup_passage_lsh"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # hot-cap anti join broadcasts
+
+
+def test_pmi_joins_broadcast_vocab_and_take_ordered(spark):
+    """The unigram join sides are vocab-sized: they must broadcast, the
+    totals row must broadcast (nested-loop on a 1-row build is fine),
+    and the top-15 must be TakeOrderedAndProject, never a global sort."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["pmi_collocations"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_encoding_broadcasts_group_table(spark):
+    """The O(groups) encode table must broadcast back onto the event
+    stream — the encode projection itself adds no shuffle."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["target_encoding_loo"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_auc_window_runs_on_aggregated_scores(spark):
+    """The AUC cumulative window must sit ABOVE the groupBy(p) aggregate
+    (bounded input), never over raw corpus rows — and the aggregate
+    must have a map-side partial."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["quality_auc_rank"](spark, SF_SMOKE))
+    win = plan.index("Window")
+    keyed = plan.index("HashAggregate(keys=[p")
+    # executedPlan prints top-down: the groupBy(p) aggregate must sit
+    # BELOW the Window (appear after it), i.e. the window input is the
+    # bounded per-distinct-score table, not raw corpus rows
+    assert win < keyed, plan[:2000]
+    assert "partial_sum" in plan  # the score aggregate map-side combines
