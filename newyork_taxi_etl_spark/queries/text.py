@@ -1513,3 +1513,68 @@ def token_fertility_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "chao1_vocab_richness",
+    f"""
+    WITH occ AS (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({shingles_sql('text', 3)}) AS sh FROM documents)
+      GROUP BY sh
+    ),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(SUM(c) AS BIGINT) AS n_tokens
+      FROM occ
+    )
+    SELECT d_obs, f1, f2, n_tokens,
+           ROUND(d_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 6)
+             AS chao1_estimate,
+           ROUND(CAST(d_obs AS DOUBLE)
+                 / (d_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1))),
+                 6) AS coverage_frac
+    FROM f
+    """,
+    doc="Chao1 species-richness estimate over the 3-shingle vocabulary — "
+    "'how much vocabulary has the crawl NOT seen yet', the "
+    "unseen-mass companion to novel_ngram_growth's Heaps curve (Heaps "
+    "extrapolates the growth trend; Chao1 lower-bounds the asymptote "
+    "from singleton/doubleton counts alone: D + f1(f1-1)/(2(f2+1)), "
+    "the bias-corrected form that stays defined at f2 = 0). Observed "
+    "distinct, f1, f2, the estimate, and observed/estimated coverage. "
+    "Scale: one map-side-combinable occurrence count over exploded "
+    "shingles, then one scalar aggregate — the frequency-of-frequency "
+    "reduction is O(distinct shingles).",
+)
+def chao1_vocab_richness(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    occ = (
+        with_shingles(docs, "text", 3, "sh")
+        .select(F.explode("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    f = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_obs"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    chao1 = F.col("d_obs") + (F.col("f1") * (F.col("f1") - 1)).cast(
+        "double"
+    ) / (2.0 * (F.col("f2") + 1))
+    return f.select(
+        "d_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.round(chao1, 6).alias("chao1_estimate"),
+        F.round(F.col("d_obs").cast("double") / chao1, 6).alias(
+            "coverage_frac"
+        ),
+    )
