@@ -1862,3 +1862,132 @@ def benford_first_digit(spark, sf_dir):
             6,
         ).alias("chi_square"),
     ).orderBy("digit")
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey,
+             COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                           AS BIGINT), 0) AS cents
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS BIGINT)
+               AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(CAST(SUM(cents) AS VARCHAR) AS DOUBLE) AS tot,
+             CAST(SUM(cents) AS BIGINT) AS tot_i,
+             CAST(CAST(SUM(i * cents) AS VARCHAR) AS DOUBLE) AS iy,
+             CAST(SUM(CASE WHEN i > (SELECT COUNT(*) FROM rev)
+                                    - ((SELECT COUNT(*) FROM rev) + 99) // 100
+                           THEN cents ELSE 0 END) AS BIGINT) AS top1,
+             CAST(SUM(CASE WHEN i > (SELECT COUNT(*) FROM rev)
+                                    - ((SELECT COUNT(*) FROM rev) + 9) // 10
+                           THEN cents ELSE 0 END) AS BIGINT) AS top10
+      FROM ranked
+    )
+    SELECT n AS n_customers, n_zero AS n_zero_revenue, tot_i AS total_cents,
+           ROUND(2.0 * iy / (n * tot) - CAST(n + 1 AS DOUBLE) / n, 6)
+             AS gini,
+           ROUND(CAST(top1 AS DOUBLE) / tot_i, 6) AS top1pct_share,
+           ROUND(CAST(top10 AS DOUBLE) / tot_i, 6) AS top10pct_share
+    FROM s
+    """,
+    doc="Gini coefficient + Lorenz top-shares of customer revenue "
+    "concentration — the inequality audit for data-mix and revenue "
+    "skew (a Gini near 0 says uniform contribution; near 1 says a "
+    "few heavy keys dominate — the same signal skew_diagnostics "
+    "reads per join key, here as the economy-wide scalar). "
+    "Zero-revenue customers INCLUDED via the left join (dropping "
+    "them understates inequality). Exactness: revenue in integer "
+    "cents, rank-weighted sum i*y carried exactly (HUGEINT / "
+    "DECIMAL(38,0)) and VARCHAR-routed to double once; Gini = "
+    "2*sum(i*y)/(n*sum(y)) - (n+1)/n on the (cents, custkey)-sorted "
+    "ascending order (tie-stable). Scale note: the rank runs over "
+    "the O(customers) aggregate, not order rows; at extreme key "
+    "cardinality the same statistic folds from range-partitioned "
+    "per-partition (count, sum, weighted-sum) offsets — the "
+    "exact_quantile machinery's discipline.",
+)
+def gini_revenue_concentration(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(table_path(sf_dir, "customer"))
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    rev = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "c_custkey"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    win = Window.partitionBy()
+    with_n = ranked.withColumn("n_all", F.count(F.lit(1)).over(win))
+    k1 = F.floor((F.col("n_all") + 99) / 100)
+    k10 = F.floor((F.col("n_all") + 9) / 10)
+    s = with_n.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("cents") == 0).cast("int")).cast("bigint").alias(
+            "n_zero"
+        ),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("tot"),
+        F.sum("cents").cast("bigint").alias("tot_i"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("iy"),
+        F.sum(
+            F.when(F.col("i") > F.col("n_all") - k1, F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("top1"),
+        F.sum(
+            F.when(F.col("i") > F.col("n_all") - k10, F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("top10"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("n_zero").alias("n_zero_revenue"),
+        F.col("tot_i").alias("total_cents"),
+        F.round(
+            2.0 * F.col("iy") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top1").cast("double") / F.col("tot_i"), 6).alias(
+            "top1pct_share"
+        ),
+        F.round(F.col("top10").cast("double") / F.col("tot_i"), 6).alias(
+            "top10pct_share"
+        ),
+    )
