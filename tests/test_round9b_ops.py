@@ -158,3 +158,22 @@ def test_token_fertility_sane(spark):
         assert r["subword_tokens"] >= r["ws_tokens"], r
         assert r["fertility"] >= 1.0, r
         assert 0 < r["chars_per_subword"] <= 4.0, r
+
+
+def test_chao1_bounds(spark):
+    (r,) = _rows(spark, "chao1_vocab_richness")
+    # Chao1 is a lower-bound ESTIMATE of total richness: never below
+    # observed, and coverage consistent with it
+    assert r["chao1_estimate"] >= r["d_obs"], r
+    assert 0 < r["coverage_frac"] <= 1.0, r
+    assert r["f1"] >= 0 and r["f2"] >= 0 and r["n_tokens"] >= r["d_obs"], r
+
+
+def test_gini_bounds_and_shares(spark):
+    (r,) = _rows(spark, "gini_revenue_concentration")
+    assert 0.0 <= r["gini"] <= 1.0, r
+    # Lorenz shares nest and dominate uniformity
+    assert r["top1pct_share"] <= r["top10pct_share"] <= 1.0, r
+    assert r["top10pct_share"] >= 0.1 - 1e-6, r
+    # zero-revenue customers exist on this corpus and are counted
+    assert 0 <= r["n_zero_revenue"] < r["n_customers"], r
