@@ -148,6 +148,7 @@ def shingle_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df_frac: float | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard via an inverted-index candidate join.
 
@@ -254,6 +255,24 @@ def shingle_jaccard_pairs(
                 F.col("b.n_sh").alias("n_b"),
             )
             .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    if metric == "containment":
+        # Asymmetric containment against the SMALLER set: shared/min(|A|,|B|)
+        # = max(C(A->B), C(B->A)). Catches quote/subset duplication (a short
+        # doc embedded verbatim in a longer one) that symmetric Jaccard
+        # provably misses: a 10-shingle doc inside a 200-shingle doc has
+        # containment 1.0 but Jaccard 0.05.
+        m = F.col("shared").cast("double") / F.least(
+            F.col("n_a"), F.col("n_b")
+        )
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                F.col("shared").cast("bigint").alias("shared"),
+                F.round(m, 6).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
         )
     j = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")

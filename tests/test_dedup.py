@@ -179,3 +179,30 @@ def test_cdc_segments_identical_across_offsets_and_df_gate(spark):
         .collect()
     )
     assert sorted(r["doc_id"] for r in hit_docs) == [1, 2, 3]
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    # doc 11 (short) is embedded VERBATIM in doc 12 (long): containment
+    # against the smaller set is 1.0 while Jaccard is ~|A|/|B| (tiny) —
+    # the exact failure mode dedup_containment exists for.
+    short = " ".join(f"quote{i}" for i in range(12))
+    long = (
+        " ".join(f"body{i}" for i in range(120))
+        + " " + short + " "
+        + " ".join(f"tail{i}" for i in range(120))
+    )
+    rows = [
+        (11, short, "en"),
+        (12, long, "en"),
+        (13, " ".join(f"other{i}" for i in range(40)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cont = D.shingle_jaccard_pairs(
+        docs, "lang", threshold=0.5, metric="containment"
+    ).collect()
+    got = {(r.id_a, r.id_b): r.containment for r in cont}
+    assert got.get((11, 12)) == 1.0, got
+    assert (11, 13) not in got and (12, 13) not in got
+    # the symmetric-Jaccard twin at the same threshold does NOT pair them
+    jac = D.shingle_jaccard_pairs(docs, "lang", threshold=0.5).collect()
+    assert not any((r.id_a, r.id_b) == (11, 12) for r in jac)
