@@ -711,3 +711,54 @@ def user_event_profile(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pareto_skyline_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT p_partkey, p_retailprice, p_size FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+    doc="2-D Pareto skyline (cheapest-price / largest-size frontier): the "
+    "multi-objective 'best tradeoff set' query. The oracle is the textbook "
+    "O(n^2) NOT-EXISTS dominance test; the Spark plan is the scale shape — "
+    "reduce the corpus to DISTINCT (price, size) cells (map-side combine, "
+    "state bounded by the value domain, not row count), run ONE windowed "
+    "running-max over the cells sorted (price asc, size desc) — a cell is "
+    "on the frontier iff no preceding cell's size reaches it — then "
+    "broadcast the tiny frontier back onto the scan. The only global sort "
+    "touches O(cells) rows; the corpus is scanned exactly once.",
+)
+def pareto_skyline_parts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(table_path(sf_dir, "part")).filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    cells = part.select("p_retailprice", "p_size").distinct()
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a preceding cell has (price < mine) OR (price = mine AND size > mine);
+    # in either case its size >= mine implies it dominates me (strict in at
+    # least one dim because distinct cells with equal price differ in size)
+    frontier = (
+        cells.withColumn("max_prev", F.max("p_size").over(w))
+        .filter(F.col("max_prev").isNull() | (F.col("max_prev") < F.col("p_size")))
+        .select("p_retailprice", "p_size")
+    )
+    return (
+        part.join(F.broadcast(frontier), ["p_retailprice", "p_size"])
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )

@@ -177,3 +177,33 @@ def test_gini_bounds_and_shares(spark):
     assert r["top10pct_share"] >= 0.1 - 1e-6, r
     # zero-revenue customers exist on this corpus and are counted
     assert 0 <= r["n_zero_revenue"] < r["n_customers"], r
+
+
+def test_pareto_skyline_is_exactly_the_nondominated_set(spark):
+    rows = _rows(spark, "pareto_skyline_parts")
+    assert rows, "frontier must be non-empty"
+    pts = [(r["p_retailprice"], r["p_size"]) for r in rows]
+    # no frontier member dominates another (internal consistency)
+    for a in pts:
+        for b in pts:
+            if a != b:
+                assert not (
+                    a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+                ), (a, b)
+    # every excluded part is dominated by some frontier member
+    import duckdb
+
+    con = duckdb.connect()
+    allp = con.execute(
+        "SELECT p_partkey, p_retailprice, p_size FROM "
+        f"read_parquet('{SF_ORACLE}/part.parquet')"
+    ).fetchall()
+    con.close()
+    keys = {r["p_partkey"] for r in rows}
+    for pk, price, size in allp:
+        if pk in keys:
+            continue
+        assert any(
+            q[0] <= price and q[1] >= size and (q[0] < price or q[1] > size)
+            for q in pts
+        ), pk
