@@ -1578,3 +1578,88 @@ def chao1_vocab_richness(spark, sf_dir):
             "coverage_frac"
         ),
     )
+
+
+@register(
+    "good_turing_smoothing",
+    f"""
+    WITH occ AS (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({shingles_sql('text', 3)}) AS sh FROM documents)
+      GROUP BY sh
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM occ),
+    ff AS (
+      SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM occ GROUP BY c
+    ),
+    grid AS (SELECT unnest(range(0, 6)) AS r)
+    SELECT g.r,
+           COALESCE(f0.n_r, 0) AS n_r,
+           COALESCE(f1.n_r, 0) AS n_r1,
+           CASE WHEN g.r = 0 OR COALESCE(f0.n_r, 0) = 0 THEN NULL
+                ELSE ROUND((g.r + 1) * CAST(COALESCE(f1.n_r, 0) AS DOUBLE)
+                           / f0.n_r, 6) END AS r_star,
+           ROUND(CASE WHEN g.r = 0
+                      THEN CAST(COALESCE(f1.n_r, 0) AS DOUBLE) / tot.n
+                      ELSE (g.r + 1) * CAST(COALESCE(f1.n_r, 0) AS DOUBLE)
+                           / tot.n END, 6) AS gt_mass
+    FROM grid g
+    LEFT JOIN ff f0 ON f0.r = g.r
+    LEFT JOIN ff f1 ON f1.r = g.r + 1
+    CROSS JOIN tot
+    ORDER BY g.r
+    """,
+    doc="GOOD-TURING frequency smoothing over the 3-shingle vocabulary — "
+    "the discounting core of Katz/Kneser-Ney LM smoothing and the "
+    "probability-mass companion to chao1_vocab_richness (Chao1 estimates "
+    "how many SPECIES are unseen; Good-Turing estimates how much "
+    "PROBABILITY MASS they carry: P0 = N1/N). For r = 0..5: the "
+    "frequency-of-frequency N_r, the adjusted count r* = (r+1)N_{{r+1}}/N_r "
+    "(NULL where undefined), and the total smoothed mass (r+1)N_{{r+1}}/N "
+    "assigned to the r-count bucket (= N1/N unseen mass at r = 0). "
+    "Scale: occurrence counts map-side combine to O(distinct shingles), "
+    "the frequency-of-frequency table is O(max count), and the 6-row grid "
+    "join is a broadcast — nothing wide after the first aggregate.",
+)
+def good_turing_smoothing(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    occ = (
+        with_shingles(docs, "text", 3, "sh")
+        .select(F.explode("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = occ.agg(F.sum("c").cast("bigint").alias("n"))
+    ff = occ.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    grid = spark.range(0, 6).select(F.col("id").cast("bigint").alias("r"))
+    f0 = ff.select(F.col("r").alias("r0"), F.col("n_r").alias("nr0"))
+    f1 = ff.select((F.col("r") - 1).alias("r1"), F.col("n_r").alias("nr1"))
+    j = (
+        grid.join(F.broadcast(f0), grid.r == F.col("r0"), "left")
+        .join(F.broadcast(f1), grid.r == F.col("r1"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.coalesce("nr0", F.lit(0)).cast("bigint").alias("n_r"),
+            F.coalesce("nr1", F.lit(0)).cast("bigint").alias("n_r1"),
+            F.col("n"),
+        )
+    )
+    r_star = F.when(
+        (F.col("r") == 0) | (F.col("n_r") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round((F.col("r") + 1) * F.col("n_r1").cast("double") / F.col("n_r"), 6)
+    )
+    gt_mass = F.round(
+        F.when(
+            F.col("r") == 0, F.col("n_r1").cast("double") / F.col("n")
+        ).otherwise((F.col("r") + 1) * F.col("n_r1").cast("double") / F.col("n")),
+        6,
+    )
+    return j.select(
+        "r", "n_r", "n_r1", r_star.alias("r_star"), gt_mass.alias("gt_mass")
+    ).orderBy("r")

@@ -207,3 +207,20 @@ def test_pareto_skyline_is_exactly_the_nondominated_set(spark):
             q[0] <= price and q[1] >= size and (q[0] < price or q[1] > size)
             for q in pts
         ), pk
+
+
+def test_good_turing_mass_accounting(spark):
+    rows = {r["r"]: r for r in _rows(spark, "good_turing_smoothing")}
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    # unseen mass equals singleton share and is strictly positive here
+    assert rows[0]["gt_mass"] > 0
+    assert rows[0]["n_r1"] == rows[1]["n_r"]
+    # adjusted counts discount: r* < r for the low-r buckets on a
+    # heavy-tailed shingle distribution (N_{r+1} < N_r)
+    for r in (1, 2):
+        if rows[r]["r_star"] is not None and rows[r]["n_r"] > 0:
+            assert rows[r]["r_star"] == round(
+                (r + 1) * rows[r]["n_r1"] / rows[r]["n_r"], 6
+            )
+    # every bucket's mass fraction is a valid probability share
+    assert all(0 <= v["gt_mass"] <= 1 for v in rows.values())
