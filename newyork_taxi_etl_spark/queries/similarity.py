@@ -3319,3 +3319,150 @@ def lsh_scurve_calibration(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+def moment_mmd2_split(emb, side_col):
+    """MMD^2 under the degree-2 moment kernel k(x,y) = 2<x,y> + <x^2,y^2>
+    (elementwise squares), between side_col=1 and side_col=0 rows.
+
+    For this kernel the MMD has a CLOSED FORM in first/second marginal
+    moments: MMD^2 = 2*||E_A[x] - E_B[x]||^2 + ||E_A[x^2] - E_B[x^2]||^2 —
+    so the whole two-sample kernel statistic reduces to O(d) decimal
+    sufficient statistics per side (one corpus pass, map-side combined),
+    with no pairwise kernel evaluations and no transcendentals (the usual
+    RBF-feature MMD needs cos(), whose last-ulp behavior is not
+    engine-portable). Returns one row: n_a, n_b, mean_term, var_term, mmd2.
+    """
+    dec = "decimal(38,12)"
+    dims = emb.select(
+        F.col(side_col).alias("side"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 64), i -> struct(i AS i, "
+                "round(CAST(element_at(embedding, i) AS DOUBLE), 12) AS x, "
+                "round(CAST(element_at(embedding, i) AS DOUBLE) * "
+                "CAST(element_at(embedding, i) AS DOUBLE), 12) AS xx))"
+            )
+        ).alias("t"),
+    ).select("side", "t.i", "t.x", "t.xx")
+    s = dims.groupBy("side", "i").agg(
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("xx").cast(dec)).cast("double").alias("sxx"),
+    )
+    n = emb.groupBy(F.col(side_col).alias("side")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = s.filter(F.col("side") == 1).join(
+        F.broadcast(n.filter(F.col("side") == 1)), "side"
+    ).select("i", F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"),
+             F.col("n").alias("n_a"))
+    b = s.filter(F.col("side") == 0).join(
+        F.broadcast(n.filter(F.col("side") == 0)), "side"
+    ).select("i", F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"),
+             F.col("n").alias("n_b"))
+    dmu = F.col("sxa") / F.col("n_a") - F.col("sxb") / F.col("n_b")
+    dm2 = F.col("sxxa") / F.col("n_a") - F.col("sxxb") / F.col("n_b")
+    terms = a.join(b, "i").select(
+        "n_a",
+        "n_b",
+        F.round(2 * dmu * dmu, 12).alias("mt"),
+        F.round(dm2 * dm2, 12).alias("vt"),
+    )
+    return terms.groupBy("n_a", "n_b").agg(
+        F.round(F.sum(F.col("mt").cast(dec)).cast("double"), 6).alias(
+            "mean_term"
+        ),
+        F.round(F.sum(F.col("vt").cast(dec)).cast("double"), 6).alias(
+            "var_term"
+        ),
+        F.round(
+            (
+                F.sum(F.col("mt").cast(dec)) + F.sum(F.col("vt").cast(dec))
+            ).cast("double"),
+            6,
+        ).alias("mmd2"),
+    )
+
+
+def _mmd_oracle_branch(split: str, side_expr: str) -> str:
+    v = "CAST(CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    return f"""
+    tag_{split} AS (
+      SELECT {side_expr} AS side, embedding FROM embeddings
+    ),
+    dims_{split} AS (
+      SELECT side, i,
+             ROUND(CAST(embedding[i] AS DOUBLE), 12) AS x,
+             ROUND(CAST(embedding[i] AS DOUBLE)
+                   * CAST(embedding[i] AS DOUBLE), 12) AS xx
+      FROM tag_{split}, range(1, 65) r(i)
+    ),
+    s_{split} AS (
+      SELECT side, i, {v.format(x='x')} AS sx, {v.format(x='xx')} AS sxx
+      FROM dims_{split} GROUP BY side, i
+    ),
+    n_{split} AS (
+      SELECT side, CAST(COUNT(*) AS BIGINT) AS n FROM tag_{split} GROUP BY side
+    ),
+    t_{split} AS (
+      SELECT na.n AS n_a, nb.n AS n_b,
+             ROUND(2 * (a.sx / na.n - b.sx / nb.n)
+                     * (a.sx / na.n - b.sx / nb.n), 12) AS mt,
+             ROUND((a.sxx / na.n - b.sxx / nb.n)
+                     * (a.sxx / na.n - b.sxx / nb.n), 12) AS vt
+      FROM s_{split} a JOIN s_{split} b ON a.i = b.i
+      JOIN n_{split} na ON na.side = 1
+      JOIN n_{split} nb ON nb.side = 0
+      WHERE a.side = 1 AND b.side = 0
+    ),
+    out_{split} AS (
+      SELECT '{split}' AS split, n_a, n_b,
+             ROUND(CAST(CAST(SUM(CAST(mt AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE), 6) AS mean_term,
+             ROUND(CAST(CAST(SUM(CAST(vt AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE), 6) AS var_term,
+             ROUND(CAST(CAST(SUM(CAST(mt AS DECIMAL(38,12)))
+                             + SUM(CAST(vt AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE), 6) AS mmd2
+      FROM t_{split} GROUP BY n_a, n_b
+    )"""
+
+
+@register(
+    "mmd_moment_drift",
+    f"""
+    WITH {_mmd_oracle_branch('parity_null', 'CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END')[5:]},
+    {_mmd_oracle_branch('label0', 'CASE WHEN label = 0 THEN 1 ELSE 0 END')[5:]}
+    SELECT * FROM out_parity_null
+    UNION ALL
+    SELECT * FROM out_label0
+    ORDER BY split
+    """,
+    doc="TWO-SAMPLE KERNEL DRIFT (MMD) between embedding populations under "
+    "the degree-2 moment kernel k(x,y) = 2<x,y> + <x^2,y^2>, for which "
+    "MMD^2 = 2||dmu||^2 + ||d E[x^2]||^2 has a closed form in per-side "
+    "first/second marginal moments — O(d) decimal sufficient statistics "
+    "per side, ONE corpus pass, no pairwise kernel evaluations (the "
+    "quadratic-time U-statistic estimator can never ship at 100 TB) and "
+    "no transcendentals (RBF random features need cos(), which is not "
+    "last-ulp engine-portable). Two splits side by side: vec_id parity "
+    "(the permutation-null scale — what MMD sampling noise looks like "
+    "when nothing drifted) and label-0-vs-rest (a real subpopulation); "
+    "drift detection compares a production split against the null row. "
+    "Planted-shift sensitivity is pinned in tests/test_round9b_ops.py.",
+)
+def mmd_moment_drift(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    par = moment_mmd2_split(
+        emb.withColumn(
+            "side", F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)
+        ),
+        "side",
+    ).select(F.lit("parity_null").alias("split"), "*")
+    lab = moment_mmd2_split(
+        emb.withColumn(
+            "side", F.when(F.col("label") == 0, 1).otherwise(0)
+        ),
+        "side",
+    ).select(F.lit("label0").alias("split"), "*")
+    return par.unionByName(lab).orderBy("split")

@@ -224,3 +224,35 @@ def test_good_turing_mass_accounting(spark):
             )
     # every bucket's mass fraction is a valid probability share
     assert all(0 <= v["gt_mass"] <= 1 for v in rows.values())
+
+
+def test_mmd_moment_drift_detects_planted_shift(spark):
+    import random
+
+    from newyork_taxi_etl_spark.queries.similarity import moment_mmd2_split
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(200):
+        base = [round(rng.gauss(0, 0.1), 4) for _ in range(64)]
+        shifted = vid % 2 == 0
+        if shifted:
+            base[0] = round(base[0] + 0.5, 4)  # mean shift in dim 1
+        rows.append((vid, [float(x) for x in base], 1 if shifted else 0,
+                     1 if rng.random() < 0.5 else 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, side int, null_side int"
+    )
+    (drift,) = moment_mmd2_split(emb, "side").collect()
+    (null,) = moment_mmd2_split(emb, "null_side").collect()
+    # planted 0.5 mean shift in one dim -> mmd2 ~ 2*0.25; null split is
+    # sampling noise orders of magnitude below
+    assert drift.mmd2 > 0.3, drift
+    assert null.mmd2 < 0.05, null
+    assert drift.mmd2 > 10 * null.mmd2
+    # registered query invariants: both rows present, components sum
+    regs = _rows(spark, "mmd_moment_drift")
+    assert {r["split"] for r in regs} == {"parity_null", "label0"}
+    for r in regs:
+        assert abs(r["mmd2"] - (r["mean_term"] + r["var_term"])) < 2e-6
+        assert r["mmd2"] >= 0
