@@ -3466,3 +3466,187 @@ def mmd_moment_drift(spark, sf_dir):
         "side",
     ).select(F.lit("label0").alias("split"), "*")
     return par.unionByName(lab).orderBy("split")
+
+
+def _mmr_oracle_sql(k: int = 5, n_cand: int = 12, lam: float = 0.7) -> str:
+    """Unrolled k-step MMR selection. Chained CTEs are MATERIALIZED —
+    DuckDB re-inlines a CTE per reference, which explodes 2^steps on an
+    iteration chain (NOTES round-9)."""
+    steps = []
+    for t in range(2, k + 1):
+        prev = f"selu{t - 1}"
+        steps.append(f"""
+    pen{t} AS MATERIALIZED (
+      SELECT c.query_id, c.cand_id, c.simq, MAX(p.sim) AS pen
+      FROM cands c
+      JOIN pair p ON p.query_id = c.query_id AND p.a = c.cand_id
+      JOIN {prev} s ON s.query_id = p.query_id AND s.cand_id = p.b
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                        WHERE s2.query_id = c.query_id
+                          AND s2.cand_id = c.cand_id)
+      GROUP BY c.query_id, c.cand_id, c.simq
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT query_id, {t} AS step, cand_id, simq,
+             {lam} * simq - {1 - lam:.1f} * pen AS mmr_raw
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {lam} * simq - {1 - lam:.1f} * pen DESC, cand_id)
+                 AS rn
+            FROM pen{t})
+      WHERE rn = 1
+    ),
+    selu{t} AS MATERIALIZED (
+      SELECT query_id, step, cand_id, simq, mmr_raw FROM {prev}
+      UNION ALL
+      SELECT query_id, step, cand_id, simq, mmr_raw FROM sel{t}
+    )""")
+    chain = ",".join(steps)
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    ccos = _COS_SQL.format(a="x.embedding", b="y.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {cos} AS simq
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 3
+    ),
+    cands AS MATERIALIZED (
+      SELECT query_id, cand_id, simq
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY simq DESC, cand_id) AS rn FROM scored)
+      WHERE rn <= {n_cand}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id AS a, b.cand_id AS b, {ccos} AS sim
+      FROM cands a
+      JOIN cands b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN embeddings x ON x.vec_id = a.cand_id
+      JOIN embeddings y ON y.vec_id = b.cand_id
+    ),
+    selu1 AS MATERIALIZED (
+      SELECT query_id, 1 AS step, cand_id, simq, {lam} * simq AS mmr_raw
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY simq DESC, cand_id) AS rn FROM cands)
+      WHERE rn = 1
+    ),{chain}
+    SELECT query_id, step, cand_id, simq, ROUND(mmr_raw, 6) AS mmr_score
+    FROM selu{k}
+    ORDER BY query_id, step
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    _mmr_oracle_sql(),
+    doc="MAXIMAL MARGINAL RELEVANCE re-ranking (the standard "
+    "diversity-aware retrieval stage after ANN candidate generation, "
+    "Carbonell-Goldstein 1998): per query, take the top-12 cosine "
+    "candidates, then greedily select 5 maximizing "
+    "0.7*sim(q,d) - 0.3*max_{s in S} sim(d,s) with deterministic "
+    "(score desc, id) tie-breaks. The scale shape: relevance scoring is "
+    "the existing broadcast-query brute/indexed ANN pass over the corpus; "
+    "everything AFTER candidate generation — the pairwise candidate sims "
+    "and the k greedy steps — runs on O(queries x n_cand) rows "
+    "(candidate-local, corpus never touched again), which is why MMR is "
+    "viable at 100 TB even though it is inherently sequential in k. "
+    "Iterates localCheckpoint per step (lazy-tree truncation, NOTES r8). "
+    "Oracle unrolls the identical 5 greedy steps as materialized CTEs.",
+)
+def mmr_diverse_topk(spark, sf_dir, k: int = 5, n_cand: int = 12):
+    from pyspark.sql import Window
+
+    lam = 0.7
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = S.cosine_expr("qv", "embedding")
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cos, 4).alias("simq"),
+            "embedding",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("simq").desc(), F.col("cand_id")
+    )
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    ccos = S.cosine_expr("x_emb", "y_emb")
+    pair = (
+        cands.select("query_id", F.col("cand_id").alias("a"),
+                     F.col("embedding").alias("x_emb"))
+        .join(
+            cands.select(F.col("query_id").alias("qb"),
+                         F.col("cand_id").alias("b"),
+                         F.col("embedding").alias("y_emb")),
+            (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")),
+        )
+        .select("query_id", "a", "b", F.round(ccos, 4).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    cands = cands.drop("embedding")
+    sel = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("step"),
+            "cand_id",
+            "simq",
+            (F.lit(lam) * F.col("simq")).alias("mmr_raw"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, k + 1):
+        rem = cands.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"],
+            "left_anti",
+        )
+        pairr = pair.select(
+            F.col("query_id").alias("qp"), "a", "b", "sim"
+        )
+        sels = sel.select(
+            F.col("query_id").alias("qs"), F.col("cand_id").alias("s_id")
+        )
+        pen = (
+            rem.join(
+                pairr,
+                (F.col("query_id") == F.col("qp"))
+                & (F.col("cand_id") == F.col("a")),
+            )
+            .join(
+                sels,
+                (F.col("qp") == F.col("qs")) & (F.col("b") == F.col("s_id")),
+            )
+            .groupBy("query_id", "cand_id", "simq")
+            .agg(F.max("sim").alias("pen"))
+        )
+        mmr = F.lit(lam) * F.col("simq") - F.lit(1 - lam) * F.col("pen")
+        wp = Window.partitionBy("query_id").orderBy(
+            mmr.desc(), F.col("cand_id")
+        )
+        pick = (
+            pen.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).alias("step"),
+                "cand_id",
+                "simq",
+                mmr.alias("mmr_raw"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id", "step", "cand_id", "simq",
+        F.round("mmr_raw", 6).alias("mmr_score"),
+    ).orderBy("query_id", "step")

@@ -256,3 +256,58 @@ def test_mmd_moment_drift_detects_planted_shift(spark):
     for r in regs:
         assert abs(r["mmd2"] - (r["mean_term"] + r["var_term"])) < 2e-6
         assert r["mmd2"] >= 0
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    import math
+
+    # planted geometry: probe 0; vecs 10/11 near-identical, both ~cos 0.9
+    # to the probe; vec 12 slightly less relevant but orthogonal to 10/11.
+    # Pure relevance ranks 10, 11, 12; MMR must skip the near-dup 11 at
+    # step 2 and take 12 — the exact redundancy-collapse MMR exists for.
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [float(x / n) for x in v]
+
+    d = 64
+    e = [[0.0] * d for _ in range(5)]
+    probe = [0.0] * d
+    probe[0] = 1.0
+    a = [0.0] * d; a[0] = 0.9; a[1] = 0.436          # cos ~0.9 to probe
+    b = [0.0] * d; b[0] = 0.9; b[1] = 0.43; b[2] = 0.073   # ~= a
+    c = [0.0] * d; c[0] = 0.85; c[2] = -0.527        # orthogonal-ish to a, b
+    fillers = []
+    for i in range(6):
+        f = [0.0] * d
+        f[3 + i] = 1.0                                # cos 0 to everything
+        fillers.append(f)
+    rows = (
+        [(0, unit(probe), 0), (1, unit(fillers[0]), 0), (2, unit(fillers[1]), 0),
+         (10, unit(a), 0), (11, unit(b), 0), (12, unit(c), 0)]
+        + [(20 + i, unit(f), 0) for i, f in enumerate(fillers[2:])]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from newyork_taxi_etl_spark.registry import queries
+
+    out = [
+        r.asDict()
+        for r in queries()["mmr_diverse_topk"](spark, str(tmp_path)).collect()
+        if r.query_id == 0
+    ]
+    by_step = {r["step"]: r["cand_id"] for r in out}
+    assert by_step[1] == 10, by_step          # most relevant first
+    assert by_step[2] == 12, by_step          # diversity beats redundancy
+    assert 11 not in (by_step[2],), by_step
+    # mmr scores non-increasing in step (shrinking set, growing penalty)
+    scores = [r["mmr_score"] for r in sorted(out, key=lambda r: r["step"])]
+    assert all(scores[i] >= scores[i + 1] - 1e-9 for i in range(len(scores) - 1))
+    # registered corpus run: 5 distinct picks per query, step-1 = argmax simq
+    reg = _rows(spark, "mmr_diverse_topk")
+    for qid in {r["query_id"] for r in reg}:
+        picks = [r for r in reg if r["query_id"] == qid]
+        assert len({r["cand_id"] for r in picks}) == 5
+        s1 = [r for r in picks if r["step"] == 1][0]
+        assert s1["simq"] == max(r["simq"] for r in picks)
