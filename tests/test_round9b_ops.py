@@ -311,3 +311,27 @@ def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
         assert len({r["cand_id"] for r in picks}) == 5
         s1 = [r for r in picks if r["step"] == 1][0]
         assert s1["simq"] == max(r["simq"] for r in picks)
+
+
+def test_wasserstein_matches_scipy_and_planted_shift(spark):
+    (r,) = _rows(spark, "wasserstein_value_drift")
+    assert r["w1"] >= 0 and 0 <= r["w1_norm"] <= 1
+    # independent numpy recomputation of W1 on the same split
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT CAST(ts AS DATE) < DATE '2024-01-16' AS a, value "
+        f"FROM read_parquet('{SF_ORACLE}/events.parquet') "
+        "WHERE value IS NOT NULL"
+    ).fetchdf()
+    con.close()
+    va = np.round(df[df.a].value.values * 100).astype(np.int64)
+    vb = np.round(df[~df.a].value.values * 100).astype(np.int64)
+    ticks = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(np.sort(va), ticks, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), ticks, side="right") / len(vb)
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(ticks))) / 100.0
+    assert abs(r["w1"] - w1) < 1e-5, (r["w1"], w1)
+    assert r["n_a"] == len(va) and r["n_b"] == len(vb)
