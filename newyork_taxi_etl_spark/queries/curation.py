@@ -747,7 +747,7 @@ def passage_chunking_plan(spark, sf_dir):
 
 
 def _logreg_train_ctes(
-    steps: int = 16, lr: float = 4.0, where: str = ""
+    steps: int = 16, lr: float = 4.0, where: str = "", sfx: str = ""
 ) -> str:
     """Unrolled DuckDB twin of the logistic-GD training loop, as a CTE
     chain ``feats, it0, p1, g1, it1, ..., it{steps}`` (no WITH, no final
@@ -769,7 +769,7 @@ def _logreg_train_ctes(
     p = f"ROUND(1.0 / (1.0 + exp(-{z})), 6)"
     parts = [
         f"""
-    feats AS MATERIALIZED (
+    feats{sfx} AS MATERIALIZED (
       SELECT (CAST(len({toks}) AS DOUBLE) - 30.0) / 30.0 AS x1,
              (CAST(len(list_distinct({toks})) AS DOUBLE)
                / len({toks}) - 0.2) * 5.0 AS x2,
@@ -781,7 +781,7 @@ def _logreg_train_ctes(
                   THEN 1.0 ELSE 0.0 END AS y
       FROM documents{where}
     ),
-    it0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+    it{sfx}0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
                    CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""
     ]
     for k in range(1, steps + 1):
@@ -795,21 +795,21 @@ def _logreg_train_ctes(
             )
         }
         parts.append(f"""
-    p{k} AS (
+    p{sfx}{k} AS (
       SELECT f.x1, f.x2, f.x3, f.y, {p} AS p
-      FROM feats f CROSS JOIN it{k - 1} w
+      FROM feats{sfx} f CROSS JOIN it{sfx}{k - 1} w
     ),
-    g{k} AS (
+    g{sfx}{k} AS (
       SELECT {g[0]} AS g0, {g[1]} AS g1, {g[2]} AS g2, {g[3]} AS g3,
              COUNT(*) AS n
-      FROM p{k}
+      FROM p{sfx}{k}
     ),
-    it{k} AS MATERIALIZED (
+    it{sfx}{k} AS MATERIALIZED (
       SELECT w.w0 - {lr} * (g.g0 / g.n) AS w0,
              w.w1 - {lr} * (g.g1 / g.n) AS w1,
              w.w2 - {lr} * (g.g2 / g.n) AS w2,
              w.w3 - {lr} * (g.g3 / g.n) AS w3
-      FROM it{k - 1} w CROSS JOIN g{k} g
+      FROM it{sfx}{k - 1} w CROSS JOIN g{sfx}{k} g
     )""")
     return ",".join(parts)
 
@@ -1686,3 +1686,119 @@ def logreg_learning_curve(spark, sf_dir):
             "overfit_gap"
         ),
     ).orderBy("step")
+
+
+def _kfold_cv_sql(steps: int = 8, lr: float = 4.0) -> str:
+    chains = ",".join(
+        _logreg_train_ctes(steps, lr, f" WHERE doc_id % 3 <> {f}", sfx)
+        for f, sfx in ((0, "a"), (1, "b"), (2, "c"))
+    )
+    branches = []
+    for f, sfx in ((0, "a"), (1, "b"), (2, "c")):
+        ok = f"CASE WHEN ({_LOGREG_P} >= 0.5) = (f.y = 1.0) THEN 1 ELSE 0 END"
+        branches.append(f"""
+    SELECT {f} AS fold,
+           CAST(SUM(CASE WHEN f.fold <> {f} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN f.fold = {f} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           ROUND(CAST(SUM(CASE WHEN f.fold <> {f} THEN {ok} ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN f.fold <> {f} THEN 1 ELSE 0 END), 6)
+             AS train_acc,
+           ROUND(CAST(SUM(CASE WHEN f.fold = {f} THEN {ok} ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN f.fold = {f} THEN 1 ELSE 0 END), 6)
+             AS val_acc
+    FROM af f CROSS JOIN it{sfx}{steps} w""")
+    u = "\n    UNION ALL\n".join(branches)
+    return f"""WITH {chains},
+    af AS MATERIALIZED (
+      SELECT doc_id % 3 AS fold,
+             (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+               / 30.0 AS x1,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+             CASE WHEN n_chars BETWEEN 100 AND 400
+                  THEN 1.0 ELSE 0.0 END AS x3,
+             CASE WHEN len(string_split(text, ' ')) >= 30
+                   AND CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) / len(string_split(text, ' ')) >= 0.2
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    )
+    {u}
+    ORDER BY fold"""
+
+
+@register(
+    "logreg_kfold_cv",
+    _kfold_cv_sql(),
+    doc="3-FOLD CROSS-VALIDATION of the learned logistic quality scorer "
+    "— the model-selection primitive the single holdout "
+    "(logreg_learning_curve) can't provide: three disjoint hash folds "
+    "(doc_id % 3), three independent trainings each on 2/3 of the "
+    "corpus (8 decimal-exact GD steps, the quality_logreg_filter "
+    "machinery with a WHERE-filtered training chain per fold), "
+    "per-fold train and held-out accuracy side by side; the spread "
+    "across val_acc rows IS the variance estimate of the scorer's "
+    "generalization. Cost shape: each GD step stays one d+2-scalar "
+    "decimal aggregate over the training slice — 3 folds x 8 steps of "
+    "control-plane-sized reads, never a collect of data rows; all "
+    "three fold evaluations fold into ONE pass over the shared "
+    "feature projection. Oracle unrolls all three trainings as "
+    "suffix-disambiguated materialized CTE chains (a/b/c) and "
+    "evaluates from the same it-tables.",
+)
+def logreg_kfold_cv(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    af = docs.select(
+        (F.col("doc_id") % 3).alias("fold"),
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    outs = []
+    for f in (0, 1, 2):
+        w = logistic_gd(
+            af.filter(F.col("fold") != f),
+            ["x1", "x2", "x3"],
+            "y",
+            steps=8,
+            lr=4.0,
+        )
+        ok = (
+            (logistic_prob(w, ["x1", "x2", "x3"]) >= 0.5)
+            == (F.col("y") == 1.0)
+        ).cast("int")
+        is_tr = (F.col("fold") != f).cast("int")
+        is_va = (F.col("fold") == f).cast("int")
+        outs.append(
+            af.agg(
+                F.lit(f).alias("fold"),
+                F.sum(is_tr).cast("bigint").alias("n_train"),
+                F.sum(is_va).cast("bigint").alias("n_val"),
+                F.round(
+                    F.sum(ok * is_tr).cast("double") / F.sum(is_tr), 6
+                ).alias("train_acc"),
+                F.round(
+                    F.sum(ok * is_va).cast("double") / F.sum(is_va), 6
+                ).alias("val_acc"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fold")

@@ -335,3 +335,18 @@ def test_wasserstein_matches_scipy_and_planted_shift(spark):
     w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(ticks))) / 100.0
     assert abs(r["w1"] - w1) < 1e-5, (r["w1"], w1)
     assert r["n_a"] == len(va) and r["n_b"] == len(vb)
+
+
+def test_kfold_cv_folds_partition_and_generalize(spark):
+    rows = _rows(spark, "logreg_kfold_cv")
+    assert [r["fold"] for r in rows] == [0, 1, 2]
+    n = rows[0]["n_train"] + rows[0]["n_val"]
+    for r in rows:
+        assert r["n_train"] + r["n_val"] == n      # folds partition the corpus
+        assert r["n_val"] > 0 and r["n_train"] > r["n_val"]
+        # the 3-param scorer learns the teacher rule well on every fold
+        assert r["val_acc"] >= 0.8, r
+        # linear model on disjoint hash folds: no material overfit
+        assert abs(r["train_acc"] - r["val_acc"]) < 0.1, r
+    accs = [r["val_acc"] for r in rows]
+    assert max(accs) - min(accs) < 0.15            # CV spread is bounded
