@@ -735,3 +735,42 @@ def test_auc_window_runs_on_aggregated_scores(spark):
     # bounded per-distinct-score table, not raw corpus rows
     assert win < keyed, plan[:2000]
     assert "partial_sum" in plan  # the score aggregate map-side combines
+
+
+def test_skyline_sorts_cells_and_broadcasts_frontier(spark):
+    """Pareto skyline's scale contract: the only global sort feeds the
+    window over DISTINCT (price, size) cells — the corpus-side join with
+    the frontier is a BROADCAST hash join, and the distinct reduction
+    map-side combines (partial aggregate before the exchange)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["pareto_skyline_parts"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_mmd_is_one_pass_no_python(spark):
+    """The MMD sufficient statistics must stay JVM-side (no Python eval
+    nodes) and aggregate with map-side partials; the only joins are on
+    the O(d)-row moment tables."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["mmd_moment_drift"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+
+
+def test_wasserstein_window_runs_on_tick_counts(spark):
+    """W1 must reduce the corpus to per-tick counts BEFORE the cumulative
+    window: the window's child contains the hash aggregate on v, so the
+    sort touches O(distinct ticks) rows, never raw events."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["wasserstein_value_drift"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Window" in plan
+    # the aggregate on the tick key sits below the window
+    win_pos = plan.index("Window")
+    assert "HashAggregate(keys=[v" in plan[win_pos:], plan[win_pos:win_pos + 400]
+    assert "BatchEvalPython" not in plan
