@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import functions as F
 
 from newyork_taxi_etl_spark.functions.exact import avg_exact_sql
@@ -3650,3 +3652,310 @@ def mmr_diverse_topk(spark, sf_dir, k: int = 5, n_cand: int = 12):
         "query_id", "step", "cand_id", "simq",
         F.round("mmr_raw", 6).alias("mmr_score"),
     ).orderBy("query_id", "step")
+
+
+# --- ANN ranking quality: MRR@K / NDCG@K / recall@K of the IVF probe ----
+#
+# Integer-exact metric plumbing: the rank->discount and rank->reciprocal
+# tables are BIGINT constants scaled by 1e12, generated ONCE in Python and
+# embedded as literals in BOTH the Spark expressions and the DuckDB oracle
+# (identical by construction — no engine ever evaluates log2), so every
+# per-query DCG/MRR numerator and every cross-query sum is exact integer
+# arithmetic; floats appear only in the three final constant divisions.
+_RANK_K = 10
+_RANK_QUERY_N = 128
+_DISC_I = tuple(
+    int(round(1e12 / _math.log2(r + 1))) for r in range(1, _RANK_K + 1)
+)
+_MRR_I = tuple(int(round(1e12 / r)) for r in range(1, _RANK_K + 1))
+_IDCG_I = sum(_DISC_I)
+
+
+def _rank_case(col: str, table: tuple) -> str:
+    """Simple-CASE rank lookup (shared text for Spark SQL and DuckDB);
+    a NULL scrutinee (query with no relevant hit) falls to ELSE 0."""
+    whens = " ".join(f"WHEN {r} THEN {v}" for r, v in enumerate(table, 1))
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+_ANN_RANK_SQL = f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id AS cand_id, e.embedding AS c_vec,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    qs AS (
+      SELECT vec_id, embedding, v
+      FROM emb
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_RANK_QUERY_N}
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM qs q CROSS JOIN c1 c
+      ) WHERE r <= 2
+    ),
+    exact10 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.format(a='q.embedding',
+                                           b='c.embedding')} DESC,
+                          c.vec_id) AS r
+        FROM qs q JOIN emb c ON c.vec_id <> q.vec_id
+      ) WHERE r <= {_RANK_K}
+    ),
+    idx10 AS (
+      SELECT query_id, cand_id, r AS ri FROM (
+        SELECT p.query_id, a.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} DESC,
+                          a.cand_id) AS r
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.cand_id <> p.query_id
+      ) WHERE r <= {_RANK_K}
+    ),
+    scored AS (
+      SELECT i.query_id, i.ri,
+             CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM idx10 i LEFT JOIN exact10 e
+        ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+    ),
+    perq AS (
+      SELECT q.vec_id AS query_id,
+             COALESCE(CAST(SUM(s.rel) AS BIGINT), 0) AS hits,
+             COALESCE(CAST(SUM(s.rel * {_rank_case('s.ri', _DISC_I)})
+                      AS BIGINT), 0) AS dcg_i,
+             {_rank_case('MIN(CASE WHEN s.rel = 1 THEN s.ri END)', _MRR_I)}
+               AS mrr_i
+      FROM qs q LEFT JOIN scored s ON s.query_id = q.vec_id
+      GROUP BY q.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_hit,
+           CAST(SUM(hits) AS BIGINT) AS n_hits_total,
+           ROUND(CAST(CAST(SUM(hits) AS BIGINT) AS DOUBLE)
+                 / ({_RANK_K}.0 * COUNT(*)), 6) AS recall_at10,
+           ROUND(CAST(CAST(SUM(mrr_i) AS BIGINT) AS DOUBLE)
+                 / (1000000000000.0 * COUNT(*)), 6) AS mrr_at10,
+           ROUND(CAST(CAST(SUM(dcg_i) AS BIGINT) AS DOUBLE)
+                 / ({_IDCG_I}.0 * COUNT(*)), 6) AS ndcg_at10
+    FROM perq
+"""
+
+
+@register(
+    "ann_ranking_quality",
+    _ANN_RANK_SQL,
+    doc="GRADED RANKING QUALITY of the persisted IVF index — MRR@10, "
+    "NDCG@10 (binary relevance = membership in the brute-force exact "
+    "top-10) and recall@10, the three IR metrics a retrieval/RAG stack "
+    "tracks that the existing gates (recall@k sets, 1-NN accuracy "
+    "delta) do not: they grade WHERE in the returned list the true "
+    "neighbors sit, not just whether they appear. Same serving "
+    "lifecycle as knn_label_accuracy_indexed (train k=8/1-iter coarse "
+    "quantizer, persist cid-partitioned assignments with precomputed "
+    "norms, probe n_probe=2 lists as a static partition filter); a "
+    "fixed-N (128, md5-order) query sample keeps exact-truth work "
+    "O(N x corpus) with an O(N) broadcast at any scale. Integer-exact "
+    "metric plumbing: rank->discount (1e12/log2(r+1)) and "
+    "rank->reciprocal (1e12/r) BIGINT tables are Python-generated "
+    "literals shared verbatim by both engines, so DCG/MRR numerators "
+    "and all cross-query sums are exact integers; floats enter only in "
+    "the three final constant divisions (IDCG is a constant because "
+    "the exact top-10 always has 10 members on a corpus > K+1). A "
+    "query whose probed lists return no candidate contributes zero to "
+    "every numerator and is counted in n_zero_hit (fail-safe LEFT "
+    "JOIN from the query sample).",
+)
+def ann_ranking_quality(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators.similarity import _DOT
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    # norms precomputed once per vector and stored in the index (the r7
+    # semantic_dedup_buckets lesson): sqrt(dot(v,v)) is the same subtree
+    # the oracle's inline cosine evaluates, so the 4-dp cosine matches
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+        F.expr(
+            f"sqrt({_DOT.format(a='embedding', b='embedding')})"
+        ).alias("nrm"),
+    )
+    idx_root = os.path.join(
+        tempfile.gettempdir(), f"nyetl_rankidx_{os.getpid()}"
+    )
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # BUILD: the ann_index_persisted_probe lifecycle — train the coarse
+    # quantizer, assign the corpus, persist partitioned by cid
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+            "cid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(idx_root, "assignments"))
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    qs = _fixed_n_queries(base, n=_RANK_QUERY_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        "_v",
+    )
+
+    # PROBE: nearest n_probe=2 lists per query from persisted centroids,
+    # pushed as a static partition filter on the assignments read
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids")).select(
+        "cid", F.col("vec").alias("cent_vec")
+    )
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cent_t))
+        .select("query_id", "q_vec", "q_nrm", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_vec", "q_nrm", "cid")
+    )
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    idx_scan = spark.read.parquet(
+        os.path.join(idx_root, "assignments")
+    ).filter(F.col("cid").isin(probe_cids))
+
+    cos = F.expr(
+        f"round({_DOT.format(a='q_vec', b='c_vec')} / (q_nrm * c_nrm), 4)"
+    )
+    w10 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    idx10 = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("ri", F.row_number().over(w10))
+        .filter(F.col("ri") <= _RANK_K)
+        .select("query_id", "cand_id", "ri")
+    )
+
+    c = base.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    exact10 = (
+        F.broadcast(qs.select("query_id", "q_vec", "q_nrm"))
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("r", F.row_number().over(w10))
+        .filter(F.col("r") <= _RANK_K)
+        .select("query_id", "cand_id", F.lit(1).alias("rel"))
+    )
+
+    scored = idx10.join(
+        F.broadcast(exact10), ["query_id", "cand_id"], "left"
+    ).select(
+        "query_id", "ri", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+
+    perq = (
+        qs.select("query_id")
+        .join(scored, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("rel"), F.lit(0)).cast("bigint").alias("hits"),
+            F.coalesce(
+                F.sum(F.col("rel") * F.expr(_rank_case("ri", _DISC_I))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dcg_i"),
+            F.min(F.when(F.col("rel") == 1, F.col("ri"))).alias(
+                "first_rank"
+            ),
+        )
+        .select(
+            "query_id",
+            "hits",
+            "dcg_i",
+            F.expr(_rank_case("first_rank", _MRR_I))
+            .cast("bigint")
+            .alias("mrr_i"),
+        )
+    )
+
+    n = F.count(F.lit(1))
+    return perq.agg(
+        n.cast("bigint").alias("n_queries"),
+        F.sum((F.col("hits") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_zero_hit"),
+        F.sum("hits").cast("bigint").alias("n_hits_total"),
+        F.round(
+            F.sum("hits").cast("double") / (F.lit(float(_RANK_K)) * n), 6
+        ).alias("recall_at10"),
+        F.round(
+            F.sum("mrr_i").cast("double") / (F.lit(1.0e12) * n), 6
+        ).alias("mrr_at10"),
+        F.round(
+            F.sum("dcg_i").cast("double") / (F.lit(float(_IDCG_I)) * n), 6
+        ).alias("ndcg_at10"),
+    )

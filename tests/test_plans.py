@@ -774,3 +774,18 @@ def test_wasserstein_window_runs_on_tick_counts(spark):
     win_pos = plan.index("Window")
     assert "HashAggregate(keys=[v" in plan[win_pos:], plan[win_pos:win_pos + 400]
     assert "BatchEvalPython" not in plan
+
+
+def test_ann_ranking_quality_prunes_and_broadcasts(spark):
+    """The ranking-quality probe reads only the probed cid partitions
+    (PartitionFilters on the assignments scan) and every candidate join
+    keeps the O(N) query sample on the broadcast side — the exact-truth
+    cross join must never shuffle the corpus."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["ann_ranking_quality"](spark, SF_SMOKE)
+    fmt = _formatted(df)
+    assert "PartitionFilters" in fmt and "cid" in fmt
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # exact side: broadcast x corpus
+    assert plan.count("BroadcastHashJoin") >= 2  # probes->idx, rel, per-query

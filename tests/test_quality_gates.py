@@ -338,3 +338,50 @@ def test_knn_indexed_eval_delta_bounded_by_agreement(spark):
         r["n_queries"] for r in rows
     )
     assert agree >= 0.35, agree  # broken probe/quantizer -> near 0
+
+
+def test_ann_ranking_quality_invariants_and_floors(spark):
+    """The graded ranking metrics must respect their algebra — with
+    binary relevance, every hit is worth between disc(10) and disc(1),
+    so NDCG is pinched between recall-derived bounds; a query with any
+    hit has first relevant rank <= 10, so MRR >= 0.1 x hit-rate — and
+    the measured quality of the 2-probe/8-list IVF index (recall@10
+    0.46, MRR 1.0, NDCG 0.60 at sf0.01) is floored so a broken
+    quantizer/probe fails even when both engines agree."""
+    from newyork_taxi_etl_spark.queries.similarity import (
+        _DISC_I,
+        _IDCG_I,
+        _MRR_I,
+        _RANK_QUERY_N,
+    )
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    assert _IDCG_I == sum(_DISC_I)
+    assert list(_DISC_I) == sorted(_DISC_I, reverse=True)
+    assert _MRR_I[0] == 10**12
+
+    row = queries()["ann_ranking_quality"](spark, SF_ORACLE).collect()[0]
+    n_corpus = spark.read.parquet(
+        table_path(SF_ORACLE, "embeddings")
+    ).count()
+    assert row["n_queries"] == min(_RANK_QUERY_N, n_corpus)
+    for m in ("recall_at10", "mrr_at10", "ndcg_at10"):
+        assert 0.0 <= row[m] <= 1.0, (m, row)
+    # hit-count consistency: recall is exactly hits / (10 n)
+    assert abs(
+        row["recall_at10"]
+        - row["n_hits_total"] / (10.0 * row["n_queries"])
+    ) < 1e-6, row
+    # NDCG pinched by per-hit discount bounds (worst/best placement)
+    lo = row["recall_at10"] * 10 * _DISC_I[-1] / _IDCG_I
+    hi = row["recall_at10"] * 10 * _DISC_I[0] / _IDCG_I
+    assert lo - 1e-6 <= row["ndcg_at10"] <= hi + 1e-6, (lo, hi, row)
+    # any-hit queries have first relevant rank <= 10
+    hit_rate = (row["n_queries"] - row["n_zero_hit"]) / row["n_queries"]
+    assert row["mrr_at10"] >= 0.1 * hit_rate - 1e-6, row
+    assert row["mrr_at10"] <= hit_rate + 1e-6, row
+    # measured-quality floors for THIS index config on THIS corpus
+    assert row["recall_at10"] >= 0.30, row
+    assert row["mrr_at10"] >= 0.70, row
+    assert row["ndcg_at10"] >= 0.45, row
