@@ -385,3 +385,21 @@ def test_ann_ranking_quality_invariants_and_floors(spark):
     assert row["recall_at10"] >= 0.30, row
     assert row["mrr_at10"] >= 0.70, row
     assert row["ndcg_at10"] >= 0.45, row
+
+
+def test_ann_ranking_quality_partitioning_invariant(spark):
+    """Every ranking-metric numerator is an exact integer sum and every
+    rank is deterministically tie-broken (4-dp cosine, then cand_id), so
+    the emitted row must be identical under a different shuffle
+    parallelism — a layout-dependent result would mean a nondeterministic
+    quantizer assignment or an unstable top-K somewhere in the probe."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    base = queries()["ann_ranking_quality"](spark, SF_ORACLE).collect()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = queries()["ann_ranking_quality"](spark, SF_ORACLE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, alt))
