@@ -1,0 +1,182 @@
+"""Semantic invariants for round-9 queries the oracle differential can't
+see: the DuckDB oracle proves both engines compute the same thing, these
+tests pin that the thing computed has the properties the docstrings
+claim (monotone ladders, conserved totals, numpy-recomputed robust
+statistics, batching invariance of the ingest fold)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from newyork_taxi_etl_spark.registry import queries
+from tests.conftest import SF_ORACLE
+
+
+def test_ks_weekly_drift_baseline_accumulates_and_gate_consistent(spark):
+    """The trailing baseline of week i+1 must be exactly baseline(i) +
+    week(i) — an off-by-one here silently compares each week against the
+    wrong history — and the reject flag must be the stat/critical-value
+    comparison it claims (crit = c(0.05) * sqrt((na+nb)/(na*nb)))."""
+    rows = sorted(
+        queries()["ks_weekly_drift_monitor"](spark, SF_ORACLE).collect(),
+        key=lambda r: str(r["week_start"]),
+    )
+    assert len(rows) >= 3, rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_base"] == a["n_base"] + a["n_week"], (a, b)
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0, r
+        na, nb = r["n_base"], r["n_week"]
+        crit = 1.358 * ((na + nb) / (na * nb)) ** 0.5
+        assert abs(r["crit_05"] - crit) < 5e-6, (r, crit)
+        assert r["reject_05"] == (r["ks_stat"] > r["crit_05"]), r
+
+
+def test_grouped_mad_outliers_matches_numpy(spark):
+    """Full numpy recomputation of the discrete median / MAD / integer
+    outlier gate on the same 2-dp ticks — median rank ceil(n/2), MAD as
+    the same walk on |v - med|, outliers ad*10000 > 44478*mad."""
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    rows = {
+        r["event_type"]: r
+        for r in queries()["grouped_mad_outliers"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    pdf = (
+        read_events(spark, SF_ORACLE)
+        .filter("value IS NOT NULL")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for etype, grp in pdf.groupby("event_type"):
+        v = np.rint(grp["value"].to_numpy() * 100).astype(np.int64)
+        v.sort()
+        n = len(v)
+        med = v[(n + 1) // 2 - 1]  # smallest tick with cum >= ceil(n/2)
+        ad = np.abs(v - med)
+        ad.sort()
+        mad = ad[(n + 1) // 2 - 1]
+        n_out = int(np.sum(ad * 10000 > 44478 * mad))
+        r = rows[etype]
+        assert r["n"] == n, (etype, r)
+        assert abs(r["median_value"] - med / 100.0) < 1e-9, (etype, r, med)
+        assert abs(r["mad_value"] - mad / 100.0) < 1e-9, (etype, r, mad)
+        assert r["n_outliers"] == n_out, (etype, r, n_out)
+
+
+def test_k_anonymity_ladder_is_monotone_and_chooses_first_gate(spark):
+    """Each ladder level unions the previous level's equivalence classes,
+    so coarsening can never shrink the smallest class or create MORE
+    classes; the published choice must be the FIRST level meeting the
+    k>=5 gate (least information loss), and the gate flag must agree
+    with the suppression count it is derived from."""
+    rows = sorted(
+        queries()["k_anonymity_ladder"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["level"],
+    )
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_classes"] <= a["n_classes"], (a, b)
+        assert b["min_k"] >= a["min_k"], (a, b)
+        assert b["frac_suppressed"] <= a["frac_suppressed"] + 1e-9, (a, b)
+    for r in rows:
+        assert r["meets_gate"] == (r["rows_suppressed_k5"] == 0), r
+    chosen = [r for r in rows if r["chosen"]]
+    gates = [r for r in rows if r["meets_gate"]]
+    assert len(chosen) == 1, rows
+    assert gates and chosen[0]["level"] == gates[0]["level"], rows
+
+
+def test_langid_confusion_conserves_counts(spark):
+    """The confusion summary is a partition of the corpus: actual and
+    predicted totals both equal the document count, n_correct can exceed
+    neither margin, and P/R/F1 are exactly their count ratios."""
+    rows = queries()["langid_confusion"](spark, SF_ORACLE).collect()
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    assert sum(r["n_actual"] for r in rows) == n_docs
+    assert sum(r["n_predicted"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_correct"] <= min(r["n_actual"], r["n_predicted"]), r
+        prec = r["n_correct"] / r["n_predicted"] if r["n_predicted"] else 0.0
+        rec = r["n_correct"] / r["n_actual"] if r["n_actual"] else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        assert abs(r["precision_c"] - prec) < 1e-6, r
+        assert abs(r["recall_c"] - rec) < 1e-6, r
+        assert abs(r["f1"] - f1) < 1e-6, r
+
+
+def test_novel_ngram_growth_conserves_and_saturates(spark):
+    """Vocabulary accounting must conserve (cum_vocab == sum of new_ngrams,
+    cum_instances == sum of n_instances), novelty can never exceed 1, and
+    the Heaps exponent is a single corpus-level constant in (0, 1)."""
+    rows = sorted(
+        queries()["novel_ngram_growth"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    ci = cv = 0
+    betas = set()
+    for r in rows:
+        ci += r["n_instances"]
+        cv += r["new_ngrams"]
+        assert r["cum_instances"] == ci, r
+        assert r["cum_vocab"] == cv, r
+        assert r["new_ngrams"] <= r["n_instances"], r
+        assert 0.0 <= r["novelty_rate"] <= 1.0, r
+        betas.add(r["heaps_beta"])
+    assert len(betas) == 1 and 0.0 < rows[0]["heaps_beta"] < 1.0, betas
+
+
+def test_label_noise_consensus_sample_and_chance_band(spark):
+    """Sample contract (fixed-N md5 draw, every query counted once,
+    flags bounded by queries) and the no-signal baseline the docstring
+    records: on isotropic 10-label embeddings the 3-NN disagreement
+    fraction sits near chance (0.9), far from both 0 (label-leaking
+    neighbors) and exactly 1 (degenerate always-disagree)."""
+    rows = queries()["label_noise_consensus"](spark, SF_ORACLE).collect()
+    n_corpus = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    assert sum(r["n_queries"] for r in rows) == min(512, n_corpus)
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_queries"], r
+        assert 0.0 <= r["avg_disagree_frac"] <= 1.0, r
+    overall = sum(
+        r["avg_disagree_frac"] * r["n_queries"] for r in rows
+    ) / sum(r["n_queries"] for r in rows)
+    assert 0.75 <= overall <= 0.99, overall
+
+
+def test_logreg_learning_curve_steps_and_gap_identity(spark):
+    """The curve is evaluated at the documented step grid, accuracies are
+    probabilities, the overfit gap is exactly train - val, and 16 GD
+    steps must beat 1 step on the held-out split (the training loop
+    actually learns)."""
+    rows = sorted(
+        queries()["logreg_learning_curve"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 4, 8, 16]
+    for r in rows:
+        assert 0.0 <= r["train_acc"] <= 1.0 and 0.0 <= r["val_acc"] <= 1.0
+        assert abs(r["overfit_gap"] - (r["train_acc"] - r["val_acc"])) < 1e-6
+    assert rows[-1]["val_acc"] >= rows[0]["val_acc"] + 0.05, rows
+
+
+def test_streaming_quality_ingest_batching_invariant(spark, tmp_path):
+    """The scorer is trained once and persisted; every micro-batch scores
+    against the read-back weights, so the drained decision table must be
+    identical whether the corpus arrives as 1 slice or 4."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_quality_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    one = run_streaming_quality_ingest(
+        spark, docs, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_quality_ingest(
+        spark, docs, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert one, "ingest produced no per-lang decisions"
