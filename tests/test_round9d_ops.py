@@ -180,3 +180,93 @@ def test_streaming_quality_ingest_batching_invariant(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, four))
     assert one, "ingest produced no per-lang decisions"
+
+
+def test_corpus_pipeline_learned_accounting(spark):
+    """Per-lang accounting of the learned curation pipeline: drop counts
+    are non-negative, survivors + drops never exceed the language's
+    corpus slice, and the 512-token packing can never use fewer bins
+    than the perfect-packing floor ceil(total_tokens/512)."""
+    import math
+
+    rows = queries()["corpus_pipeline_learned"](spark, SF_ORACLE).collect()
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["n_dropped_contaminated"] >= 0 and r["n_dropped_quality"] >= 0
+        assert (
+            r["n_docs"] + r["n_dropped_contaminated"] + r["n_dropped_quality"]
+            <= by_lang[r["lang"]]
+        ), (r, by_lang)
+        assert r["n_bins_512"] >= math.ceil(r["total_tokens"] / 512), r
+
+
+def test_dedup_aware_split_eliminates_cross_leakage(spark):
+    """The whole point of the group-aware split: a dup pair can NEVER
+    straddle train/test when groups are assigned atomically, while the
+    naive per-doc split measurably leaks; both splits still land near
+    the 80% target."""
+    r = queries()["dedup_aware_split"](spark, SF_ORACLE).collect()[0]
+    assert r["aware_cross_pairs"] == 0, r
+    assert r["naive_cross_pairs"] > 0, (
+        "corpus has %d dup pairs but the naive split leaked none — "
+        "either the corpus lost its planted dups or the naive baseline "
+        "stopped being naive" % r["n_dup_pairs"]
+    )
+    assert r["n_groups"] <= r["n_docs"]
+    assert r["n_dup_pairs"] >= r["n_docs"] - r["n_groups"], r
+    assert 0.7 <= r["aware_train_frac"] <= 0.9, r
+    assert 0.7 <= r["naive_train_frac"] <= 0.9, r
+
+
+def test_boilerplate_strip_accounting(spark):
+    """Stripping can only remove what exists: removed tokens bounded by
+    the language total, every instance lives in some affected doc, and
+    the published fraction is exactly removed/total."""
+    rows = queries()["boilerplate_segment_strip"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows and any(r["n_instances"] > 0 for r in rows), rows
+    for r in rows:
+        assert 0 <= r["tokens_removed"] <= r["total_tokens"], r
+        assert r["docs_affected"] <= r["n_instances"], r
+        assert (r["docs_affected"] == 0) == (r["n_instances"] == 0), r
+        assert (
+            abs(r["frac_removed"] - r["tokens_removed"] / r["total_tokens"])
+            < 1e-6
+        ), r
+
+
+def test_semantic_keeper_dominates_minid_baseline(spark):
+    """Quality-aware canonical selection must never pick a worse doc than
+    the min-id baseline, the gain must be exactly the difference, and
+    the changed flag must be the id comparison it claims; clusters are
+    real (>= 2 members)."""
+    rows = queries()["semantic_dedup_quality_keeper"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows
+    assert any(r["keeper_changed"] for r in rows), (
+        "quality selection never disagreed with min-id — the quality "
+        "signal is gone"
+    )
+    for r in rows:
+        assert r["n_members"] >= 2, r
+        assert r["keeper_quality"] >= r["minid_quality"] - 1e-9, r
+        assert (
+            abs(
+                r["quality_gain"]
+                - round(r["keeper_quality"] - r["minid_quality"], 6)
+            )
+            < 5e-6
+        ), r
+        assert r["keeper_changed"] == (
+            r["keeper_id"] != r["minid_keeper"]
+        ), r
