@@ -270,3 +270,94 @@ def test_semantic_keeper_dominates_minid_baseline(spark):
         assert r["keeper_changed"] == (
             r["keeper_id"] != r["minid_keeper"]
         ), r
+
+
+def test_source_overlap_matrix_matches_python_recompute(spark):
+    """Full Python recomputation of the fingerprint-overlap matrix from
+    the raw documents (hashlib md5 over the same lower/trim
+    normalization): cross-source shared-fingerprint counts, the
+    copy-weighted pair mass sum(n_a*n_b), and the within-source diagonal
+    n*(n-1)/2 must all agree row for row."""
+    import hashlib
+    from collections import Counter
+
+    rows = queries()["source_overlap_matrix"](spark, SF_ORACLE).collect()
+    pdf = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "text", "source"
+    ).toPandas()
+    counts = Counter(
+        (
+            hashlib.md5(
+                t.strip(" ").lower().encode("utf-8")
+            ).hexdigest(),
+            s,
+        )
+        for t, s in zip(pdf["text"], pdf["source"])
+    )
+    by_h = {}
+    for (h, s), n in counts.items():
+        by_h.setdefault(h, {})[s] = n
+    cross = Counter()
+    mass = Counter()
+    within_fp = Counter()
+    within_pairs = Counter()
+    for h, srcs in by_h.items():
+        ss = sorted(srcs)
+        for i, s1 in enumerate(ss):
+            if srcs[s1] > 1:
+                within_fp[s1] += 1
+            within_pairs[s1] += srcs[s1] * (srcs[s1] - 1) // 2
+            for s2 in ss[i + 1 :]:
+                cross[(s1, s2)] += 1
+                mass[(s1, s2)] += srcs[s1] * srcs[s2]
+    all_sources = set(pdf["source"])
+    got_diag = {r["src_a"] for r in rows if r["src_a"] == r["src_b"]}
+    assert got_diag == all_sources
+    for r in rows:
+        key = (r["src_a"], r["src_b"])
+        if r["src_a"] == r["src_b"]:
+            assert r["shared_fingerprints"] == within_fp[r["src_a"]], r
+            assert r["dup_doc_pairs"] == within_pairs[r["src_a"]], r
+        else:
+            assert r["src_a"] < r["src_b"], r
+            assert r["shared_fingerprints"] == cross[key], r
+            assert r["dup_doc_pairs"] == mass[key], r
+    # every genuinely-overlapping pair must be present
+    got_cross = {
+        (r["src_a"], r["src_b"]) for r in rows if r["src_a"] != r["src_b"]
+    }
+    assert got_cross == set(cross), (got_cross, set(cross))
+
+
+def test_dedup_embedding_cosine_matches_numpy(spark):
+    """Numpy recomputation of the fixed-N exact-cosine baseline: the
+    returned pairs are exactly the above-threshold pairs of the md5-order
+    sample (with a 4-dp rounding guard band), each reported cosine within
+    2e-4 of the numpy double value, ids canonically ordered."""
+    import hashlib
+
+    rows = queries()["dedup_embedding_cosine"](spark, SF_ORACLE).collect()
+    pdf = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    order = sorted(
+        zip(pdf["vec_id"], pdf["embedding"]),
+        key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
+    )[:512]
+    ids = np.array([t[0] for t in order])
+    m = np.array([np.asarray(t[1], dtype=np.float64) for t in order])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in rows}
+    for (a, b), c in got.items():
+        assert a < b, (a, b)
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+            c = sims[i, j]
+            if c >= 0.4005:
+                assert key in got, (key, c)
+            if key in got:
+                assert c >= 0.3995, (key, c)
+                assert abs(got[key] - c) < 2e-4, (key, got[key], c)
