@@ -257,40 +257,46 @@ _R8_VERIFIED = frozenset({
     "weighted_median_doclen", "zorder_interleaved_skipping",
 })
 
+# Value-verified in round 9 (the 50 names in CORRECTNESS_r09.json — all
+# rows+schema+hash green, including the 6 re-verified _CHANGED_SINCE_VERIFY
+# names of that round: the two COALESCE'd linkage oracles, the coalesced
+# z-order row counts, and the three fixed-N md5-order sample rewrites).
+_R9_VERIFIED = frozenset({
+    "ann_ranking_quality", "benford_first_digit", "boilerplate_segment_strip",
+    "broadcast_enrich", "chao1_vocab_richness", "corpus_pipeline_learned",
+    "curriculum_quality_stages", "dedup_aware_split", "dedup_containment",
+    "dedup_edit_distance", "dedup_embedding_cosine", "dedup_passage_lsh",
+    "dp_noisy_histogram", "embedding_class_separation",
+    "gini_revenue_concentration", "good_turing_smoothing",
+    "gram_subspace_topk", "graph_two_core", "grouped_mad_outliers",
+    "hll_overlap_sketch_matrix", "k_anonymity_ladder",
+    "kaplan_meier_conversion", "knn_label_accuracy",
+    "knn_label_accuracy_indexed", "ks_weekly_drift_monitor",
+    "label_noise_consensus", "langid_confusion", "linkage_lsh_blocking",
+    "linkage_quality_gate", "logreg_kfold_cv", "logreg_learning_curve",
+    "lsh_scurve_calibration", "mmd_moment_drift", "mmr_diverse_topk",
+    "novel_ngram_growth", "pareto_skyline_parts", "pmi_collocations",
+    "quality_auc_rank", "quality_calibration_ece", "quality_logreg_filter",
+    "revenue_by_nation", "semantic_dedup_quality_keeper",
+    "source_overlap_matrix", "streaming_ann_ingest",
+    "streaming_quality_ingest", "target_encoding_loo",
+    "token_fertility_by_lang", "top_unshipped_orders",
+    "wasserstein_value_drift", "zorder_interleaved_skipping",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 7 re-verified all eight of
-# that round's entries (join_auto_dispatch cap rewrite, the
-# grouped_quantile_pandas_agg NULL-edge change, structural
-# small_file_compaction oracle, the four eqNullSafe foreachBatch folds, and
-# the repartitionByRange drain staging).  Round 8 re-verified all three of
-# its entries (quantile-sketch lower clamp, fail-loud compliance delete,
-# frequency-based discrete median).  Round 9 entries are added as code
-# changes land:
+# that round's entries; round 8 all three of its entries; round 9 all six of
+# its entries (the COALESCE'd linkage oracles, the coalesced z-order row
+# counts, and the three fixed-N md5-order sample rewrites).  Round 10
+# entries are added as code changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r9 ADVICE items — empty-edge engine consistency: the two linkage
-    # oracles now COALESCE their recall numerators (NULL -> 0.0 on an
-    # empty match set, matching Spark's coalesced division), and
-    # zorder_interleaved_skipping coalesces its two row counts like its
-    # checksums.  All unreachable on the current corpus, but the
-    # edge semantics changed on one engine each.
-    "linkage_quality_gate",
-    "linkage_lsh_blocking",
-    "zorder_interleaved_skipping",
-    # r9 verdict item — the kNN-eval pair and the exact-cosine dedup
-    # baseline moved from corpus-fraction modulus slices (O(n^2/k),
-    # broadcast O(n/k)) to a FIXED-N (512) md5-order sample: work is now
-    # O(N x n) with an O(N) broadcast at any scale.  Values change (the
-    # sampled query set differs), so the standing verdicts no longer
-    # vouch.
-    "knn_label_accuracy",
-    "label_noise_consensus",
-    "dedup_embedding_cosine",
 })
 
 

@@ -103,9 +103,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 9: every
-    registered query holds a green verdict and round 8 re-verified all
-    three changed names, so the window is (new registrations +
+    of round-2 names rather than colliding with tier 1.  Round 10: every
+    registered query holds a green verdict and round 9 re-verified all six
+    changed names, so the window is (new registrations +
     changed-since-verify) followed by the stalest standing verdicts — the
     round-3-latest cohort (tier 4)."""
     from newyork_taxi_etl_spark import registry
@@ -132,7 +132,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("streaming_quantile_sketch", 9),                      # r8-reverified
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
-        ("knn_label_accuracy", 1),             # r9-changed: fixed-N sample
+        ("knn_label_accuracy", 10),            # r9-reverified: fixed-N sample
+        ("linkage_quality_gate", 10),          # r9-reverified: COALESCE oracle
+        ("gram_subspace_topk", 10), ("quality_auc_rank", 10),  # r9-latest
     ):
         assert registry._tier(probe) == want, probe
 
