@@ -300,6 +300,98 @@ def grouped_exact_quantiles(
     )
 
 
+def ordered_positions(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    cum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-row 1-based global position in a total order, distributed.
+
+    The general form of :func:`exact_quantiles`' selection fold, for the
+    rank/ntile/cumsum family: ``row_number().over(Window.orderBy(...))``
+    (and every statistic derived from it — Gini rank-weights, NTILE
+    stages, nucleus prefix sums) funnels the WHOLE table through one
+    task.  Here the same numbers come from:
+
+    1. range-partition on the order key (the one unavoidable shuffle — a
+       total order of unsorted data is a global sort however phrased) and
+       sort within partitions;
+    2. per-partition (count, sum per ``cum_cols``) — map-side combined to
+       one row per partition — windowed into exclusive prefix offsets
+       over ≤ #partitions rows;
+    3. ``monotonically_increasing_id`` projected ABOVE the sort (pid in
+       the high 31 bits, in-partition index low 33) so
+       ``gpos = offset[pid] + loc + 1`` with no second full-data shuffle;
+    4. optional running sums: ``cum_<c> = sum-offset[pid] + the
+       within-partition running sum`` — a window PARTITIONED by pid, so
+       its state never exceeds one range partition.
+
+    ``order`` is ``[(col, ascending), ...]`` and must be a UNIQUE
+    composite key (ties would make loc assignment among equal keys
+    recompute-nondeterministic; with a unique key the sort pins every
+    row, same argument as :func:`exact_quantiles`).  Cumulative sums are
+    carried as DECIMAL(38,0) — order-independent and overflow-safe at
+    any scale.  Same partition-identity pin as :func:`exact_quantiles`:
+    the ranged exchange feeds two consumers, so the partition count is
+    explicit and both branches derive pid from the SAME id column.
+
+    Output: the input columns + ``gpos`` (+ ``cum_<c>`` inclusive of the
+    current row, per requested column).
+    """
+    from pyspark.sql.window import Window
+
+    sort_exprs = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
+    ]
+    ranged = df.repartitionByRange(
+        _pinned_shuffle_partitions(df), *sort_exprs
+    )
+    mid = F.monotonically_increasing_id()
+    rows = ranged.sortWithinPartitions(*sort_exprs).select(
+        "*",
+        F.shiftright(mid, 33).alias("_pid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_loc"),
+    )
+    pg = rows.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"_sum_{c}")
+            for c in cum_cols
+        ],
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pg.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        *[
+            F.coalesce(
+                F.sum(f"_sum_{c}").over(off_w),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"_off_{c}")
+            for c in cum_cols
+        ],
+    )
+    joined = rows.join(F.broadcast(offs), "_pid")
+    run_w = (
+        Window.partitionBy("_pid")
+        .orderBy("_loc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *df.columns,
+        (F.col("_off") + F.col("_loc") + 1).cast("bigint").alias("gpos"),
+        *[
+            (
+                F.col(f"_off_{c}")
+                + F.sum(F.col(c).cast("decimal(38,0)")).over(run_w)
+            )
+            .cast("decimal(38,0)")
+            .alias(f"cum_{c}")
+            for c in cum_cols
+        ],
+    )
+
+
 def approx_quantile_values(df: DataFrame, col: str, probs: list[float], rel_err: float = 0.0):
     """Driver-side quantile API parity (returns floats, not a DataFrame)."""
     return df.approxQuantile(col, probs, rel_err)

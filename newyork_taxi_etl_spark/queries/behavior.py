@@ -1328,24 +1328,26 @@ def grouped_mode_median_disc(spark, sf_dir):
     "activity, covering >= 80% of all events — the heavy-hitter "
     "truncation rule (keep a prefix until the cumulative mass crosses "
     "p), the same math as nucleus sampling's token cut. The cumulative "
-    "sum stays in BIGINT over an explicit total order (count DESC, "
-    "user_id), so the boundary row is engine-exact — no float "
-    "accumulation. Scale: events reduce to O(users) map-side first; "
-    "the prefix-sum window orders that reduced table only; the 1-row "
-    "total broadcasts into the threshold predicate.",
+    "sum stays integer (DECIMAL(38,0)) over an explicit total order "
+    "(count DESC, user_id), so the boundary row is engine-exact — no "
+    "float accumulation. Scale: events reduce to O(users) map-side "
+    "first; the prefix sum is the range-partitioned position fold "
+    "(ordered_positions with cum_cols — per-partition sum offsets + "
+    "a pid-partitioned running sum), so the O(users) table never "
+    "funnels through one task; the 1-row total broadcasts into the "
+    "threshold predicate.",
 )
 def nucleus_user_coverage(spark, sf_dir):
-    from pyspark.sql import Window
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
 
     ev = read_events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     tot = per_user.agg(F.sum("cnt").alias("n"))
-    w = Window.orderBy(F.col("cnt").desc(), "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    runs = per_user.withColumn("cum", F.sum("cnt").over(w))
+    runs = ordered_positions(
+        per_user, [("cnt", False), ("user_id", True)], cum_cols=("cnt",)
+    ).withColumnRenamed("cum_cnt", "cum")
     kept = runs.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") - F.col("cnt") < F.lit(0.8) * F.col("n")
     )

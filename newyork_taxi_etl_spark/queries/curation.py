@@ -1496,22 +1496,23 @@ _CURR_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
     "curriculum stages (highest-quality quartile trains first), with "
     "per-stage count, mean/min/max score, mean length, and the "
     "teacher-rule keep fraction as the stage-quality audit. Scale "
-    "note: NTILE over a global order is a range-partitioned sort "
-    "followed by per-partition numbering at real scale; the stage "
-    "CUTS can equivalently come from the distributed selection "
-    "machinery (operators/profile.exact_quantiles over (p, doc_id)) "
-    "when a full sort is unwanted — per-stage aggregation itself is "
-    "map-side combinable either way. Score ticks are summed as "
-    "integers (order-independent); min/max compare exact 6-dp "
-    "doubles.",
+    "shape: NTILE(4) is reproduced BIT-EXACTLY without the global "
+    "window — ordered_positions (the exact_quantile range-partition "
+    "+ per-partition-offset fold) gives each row its 1-based global "
+    "position from one ranged shuffle, and the stage is the "
+    "all-integer NTILE size formula (first n%4 tiles get "
+    "n/4+1 rows) against the broadcast 1-row corpus count — no row "
+    "ever funnels through a single task, the only unpartitioned "
+    "window runs over ≤ #partitions offset rows (plan-tested). "
+    "Score ticks are summed as integers (order-independent); "
+    "min/max compare exact 6-dp doubles.",
 )
 def curriculum_quality_stages(spark, sf_dir):
-    from pyspark.sql import Window
-
     from newyork_taxi_etl_spark.operators.logreg import (
         logistic_gd,
         logistic_prob,
     )
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
@@ -1536,9 +1537,20 @@ def curriculum_quality_stages(spark, sf_dir):
         "y",
         logistic_prob(w, ["x1", "x2", "x3"]).alias("p"),
     )
-    stage_w = Window.orderBy(F.desc("p"), "doc_id")
-    staged = scored.select(
-        F.ntile(4).over(stage_w).cast("int").alias("stage"),
+    pos = ordered_positions(scored, [("p", False), ("doc_id", True)])
+    n_df = feats.agg(F.count(F.lit(1)).alias("n_all"))
+    # NTILE(4) closed form on the 1-based global position: base = n/4,
+    # rem = n%4; tiles 1..rem hold base+1 rows, the rest base.  All-integer
+    # (DIV), so the stage is engine-exact at any n, including n < 4 (rem=n,
+    # base=0: every row lands in the first branch with tile size 1).
+    stage = F.expr(
+        "CAST(CASE WHEN gpos <= (n_all % 4) * (n_all DIV 4 + 1) "
+        "THEN (gpos + (n_all DIV 4)) DIV (n_all DIV 4 + 1) "
+        "ELSE (n_all % 4) + (gpos - (n_all % 4) * (n_all DIV 4 + 1) "
+        "+ (n_all DIV 4) - 1) DIV (n_all DIV 4) END AS INT)"
+    )
+    staged = pos.crossJoin(F.broadcast(n_df)).select(
+        stage.alias("stage"),
         F.round(F.col("p") * 1000000).cast("bigint").alias("p_ticks"),
         "n_tokens",
         "y",

@@ -1912,14 +1912,16 @@ def benford_first_digit(spark, sf_dir):
     "cents, rank-weighted sum i*y carried exactly (HUGEINT / "
     "DECIMAL(38,0)) and VARCHAR-routed to double once; Gini = "
     "2*sum(i*y)/(n*sum(y)) - (n+1)/n on the (cents, custkey)-sorted "
-    "ascending order (tie-stable). Scale note: the rank runs over "
-    "the O(customers) aggregate, not order rows; at extreme key "
-    "cardinality the same statistic folds from range-partitioned "
-    "per-partition (count, sum, weighted-sum) offsets — the "
-    "exact_quantile machinery's discipline.",
+    "ascending order (tie-stable). Scale shape: the rank is the "
+    "range-partitioned position fold (ordered_positions — the "
+    "exact_quantile machinery's per-partition (count) offsets), so "
+    "the O(customers) table never funnels through one task; n comes "
+    "from a broadcast 1-row count of the customer PK (rev is a LEFT "
+    "join from customer, so its row count IS count(customer)) — no "
+    "global count window either.",
 )
 def gini_revenue_concentration(spark, sf_dir):
-    from pyspark.sql import Window
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
 
     cust = spark.read.parquet(table_path(sf_dir, "customer"))
     orders = spark.read.parquet(table_path(sf_dir, "orders"))
@@ -1937,15 +1939,11 @@ def gini_revenue_concentration(spark, sf_dir):
             .alias("cents")
         )
     )
-    ranked = rev.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "c_custkey"))
-        .cast("bigint")
-        .alias("i"),
-    )
-    win = Window.partitionBy()
-    with_n = ranked.withColumn("n_all", F.count(F.lit(1)).over(win))
+    ranked = ordered_positions(
+        rev, [("cents", True), ("c_custkey", True)]
+    ).select("cents", F.col("gpos").alias("i"))
+    n_df = cust.agg(F.count(F.lit(1)).alias("n_all"))
+    with_n = ranked.crossJoin(F.broadcast(n_df))
     k1 = F.floor((F.col("n_all") + 99) / 100)
     k10 = F.floor((F.col("n_all") + 9) / 10)
     s = with_n.agg(

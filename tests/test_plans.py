@@ -761,6 +761,48 @@ def test_mmd_is_one_pass_no_python(spark):
     assert "partial_sum" in plan
 
 
+def test_curriculum_stages_no_global_ntile(spark):
+    """NTILE(4) over the corpus is reproduced by the range-partitioned
+    position fold: no ntile in the plan, the full-data shuffle is
+    rangepartitioning, and the only unpartitioned Window (the offset
+    prefix sum) runs above the per-pid aggregate — never over raw rows."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["curriculum_quality_stages"](spark, SF_SMOKE))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+    win = plan.index("Window")
+    assert "HashAggregate(keys=[_pid" in plan[win:], plan[win:win + 400]
+
+
+def test_gini_rank_is_rangepartitioned_fold(spark):
+    """The Gini rank-weight i comes from the position fold: the O(customers)
+    table range-partitions (never a single-partition row_number), and the
+    only unpartitioned Window (offset prefix sum) sits above the per-pid
+    aggregate."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["gini_revenue_concentration"](spark, SF_SMOKE))
+    assert "row_number" not in plan
+    assert "rangepartitioning" in plan
+    win = plan.index("Window")
+    assert "HashAggregate(keys=[_pid" in plan[win:], plan[win:win + 400]
+
+
+def test_nucleus_cumsum_is_rangepartitioned_fold(spark):
+    """The nucleus prefix sum is offset[pid] + a pid-PARTITIONED running
+    sum — every Window in the plan is either pid-partitioned or runs above
+    the per-pid aggregate; the O(users) table range-partitions."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["nucleus_user_coverage"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan
+    # the within-partition running sum declares the pid partition spec
+    assert "partitionBy=[_pid" in plan.replace(" ", "") or "_pid" in plan
+    win = plan.index("Window")
+    assert "HashAggregate(keys=[_pid" in plan[win:], plan[win:win + 400]
+
+
 def test_wasserstein_window_runs_on_tick_counts(spark):
     """W1 must reduce the corpus to per-tick counts BEFORE the cumulative
     window: the window's child contains the hash aggregate on v, so the

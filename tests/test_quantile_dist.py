@@ -142,3 +142,49 @@ def test_adversarial_partitioning_constant_column(spark):
                     assert got[key] == round(w, 6), (n_part, p, w, got[key])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_ordered_positions_matches_window(spark):
+    """ordered_positions == row_number + running sum over the same total
+    order, across partition-count settings (including 1 and more
+    partitions than rows) and mixed asc/desc keys."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    rng = random.Random(7)
+    data = [
+        (i, rng.randint(0, 5), rng.randint(-50, 100)) for i in range(311)
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in (1, 4, 32, 1024):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+            df = spark.createDataFrame(data, "id long, k long, v long")
+            got = (
+                ordered_positions(
+                    df, [("k", False), ("id", True)], cum_cols=("v",)
+                )
+                .orderBy("gpos")
+                .collect()
+            )
+            w = Window.orderBy(F.desc("k"), "id")
+            exp = (
+                df.select(
+                    "id",
+                    F.row_number().over(w).alias("gpos"),
+                    F.sum("v")
+                    .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("cum_v"),
+                )
+                .orderBy("gpos")
+                .collect()
+            )
+            assert [(r.id, r.gpos, int(r.cum_v)) for r in got] == [
+                (r.id, r.gpos, int(r.cum_v)) for r in exp
+            ], n_part
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
