@@ -274,9 +274,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.similarity import cosine_pairs
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    picked = emb.orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id"
-    ).limit(512)
+    # localCheckpoint: cosine_pairs self-joins the sample, and without it
+    # each side re-runs the corpus-wide TakeOrdered draw (r9 watch item)
+    picked = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(512)
+        .localCheckpoint()
+    )
     return cosine_pairs(picked, threshold=0.4)
 
 

@@ -306,6 +306,20 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "curriculum_quality_stages",
     "gini_revenue_concentration",
     "nucleus_user_coverage",
+    # r10 perf items (values verified identical at sf0.001/sf0.01 — the
+    # physical plan changed, not the semantics): the kNN-eval sample is
+    # localCheckpoint-ed and draws norms on the N checkpointed rows, and
+    # spread_small_scan parallelizes the one-split local corpus scan in
+    # the eval + Gram families (knn 9.99->2.1 s, noise 8.86->1.6 s,
+    # indexed 13.2->7.2 s, gram pc1 10.4->6.9 s, subspace 14.2->8.8 s
+    # at sf0.1).
+    "knn_label_accuracy",
+    "label_noise_consensus",
+    "knn_label_accuracy_indexed",
+    "ann_ranking_quality",
+    "dedup_embedding_cosine",
+    "gram_power_iteration_pc1",
+    "gram_subspace_topk",
 })
 
 

@@ -132,9 +132,11 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("streaming_quantile_sketch", 9),                      # r8-reverified
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
-        ("knn_label_accuracy", 10),            # r9-reverified: fixed-N sample
         ("linkage_quality_gate", 10),          # r9-reverified: COALESCE oracle
-        ("gram_subspace_topk", 10), ("quality_auc_rank", 10),  # r9-latest
+        ("quality_auc_rank", 10),              # r9-latest
+        ("knn_label_accuracy", 1),             # r10-changed: spread + cache
+        ("gram_subspace_topk", 1),             # r10-changed: spread Gram pass
+        ("curriculum_quality_stages", 1),      # r10-changed: position fold
     ):
         assert registry._tier(probe) == want, probe
 

@@ -679,13 +679,24 @@ def test_jl_projection_stays_in_jvm(spark):
 def test_knn_eval_fixed_n_plans_take_ordered_and_broadcast(spark):
     """The r9 fixed-N rewrite's scale contract, pinned in the plan: the
     query sample is drawn by TakeOrderedAndProject (per-task top-N heap,
-    no global sort) and enters the candidate cross join as a BROADCAST
-    side — the O(N) shapes that replaced the corpus-fraction slice."""
+    no global sort — asserted on the draw pipeline itself, since the r10
+    localCheckpoint materializes it out of the query plan) and enters the
+    candidate cross join as a BROADCAST side built from the checkpointed
+    O(N) rows (ExistingRDD, not a second corpus scan)."""
+    from pyspark.sql import functions as F
+
     from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    emb = spark.read.parquet(table_path(SF_SMOKE, "embeddings"))
+    draw = emb.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(512)
+    assert "TakeOrderedAndProject" in _plan(draw)
 
     plan = _plan(queries()["knn_label_accuracy"](spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast q x corpus scan
+    assert "Scan ExistingRDD" in plan  # the checkpointed O(N) sample
 
 
 def test_passage_dedup_no_cartesian_and_capped_bucket_join(spark):
