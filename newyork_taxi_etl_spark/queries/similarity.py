@@ -1150,6 +1150,291 @@ def ann_pq_adc_trained_topk(spark, sf_dir):
     return _pq_adc_topk(emb, k=5, k_codes=16, train=True)
 
 
+# Shared DuckDB chain for the COMPOSED IVF-PQ (FAISS IVFADC) search:
+# trained coarse quantizer (the ann_ivf_kmeans_topk c0/a1/c1 discipline)
+# routes each query to n_probe=2 cells, and the PQ-ADC scan
+# (_pq_sql_ctes, trained m=4 x k=16 codebooks) runs over codes in those
+# cells ONLY.  Expects an ``emb`` (vec_id, embedding, v) CTE upstream;
+# emits ``ivfpq_ranked`` (query_id, cand_id, adc_dist, rank).
+_IVFPQ_CTES = f"""
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    cells AS (
+      SELECT e.vec_id AS cand_id,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM emb q CROSS JOIN c1 c
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_t16', train=True)},
+    adc_ivfpq AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND(CAST(SUM(CAST(q.dpart AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM encoded_t16 e
+      JOIN cells a ON a.cand_id = e.vec_id
+      JOIN probes p ON p.cid = a.cid
+      JOIN qtab_t16 q ON e.subspace = q.subspace AND e.code = q.code
+                     AND q.query_id = p.query_id
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id
+    ),
+    ivfpq_ranked AS (
+      SELECT query_id, cand_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, cand_id) AS INT) AS rank
+      FROM adc_ivfpq
+    )"""
+
+
+def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
+    """COMPOSED IVF-PQ search through a PERSISTED index (FAISS IVFADC,
+    Jegou et al., PAMI'11 — the layout serving teams deploy at 100 TB):
+
+    BUILD (once): train the coarse quantizer (k=8, one Lloyd round —
+    the ann_index_persisted_probe lifecycle), train the m=4 x k=16 PQ
+    codebooks (_pq_parts, one per-subspace Lloyd round), and persist
+    the inverted lists as (cand_id, subspace, code) rows PARTITIONED BY
+    CELL ID — the index stores 2-byte codes, never vectors — plus the
+    codebook and centroid side tables.
+
+    PROBE: each query finds its n_probe=2 nearest cells from the
+    persisted centroids; the probe list pushes as a STATIC partition
+    filter so the code scan reads corpus/n_cells x n_probe, and the
+    per-query m x k distance table (broadcast, 320 rows) turns each
+    candidate's approximate distance into m integer-keyed lookups,
+    decimal-summed.  Scale shape: every join input on the scan side is
+    code rows from probed cells only; everything else broadcasts.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    idx_root = os.path.join(
+        tempfile.gettempdir(), f"nyetl_ivfpqidx_{os.getpid()}"
+    )
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # BUILD: coarse quantizer + cell assignment (zero-shuffle argmin fold
+    # over one broadcast centroid-array row), PQ codes from trained
+    # codebooks; inverted lists persisted partitioned by cid
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    cells = (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(F.col("vec_id").alias("cand_id"), "cid")
+    )
+    subvecs, codebook, encoded, d = _pq_parts(emb, k_codes=16, train=True)
+    (
+        encoded.select(F.col("vec_id").alias("cand_id"), "subspace", "code")
+        .join(cells, "cand_id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(idx_root, "codes"))
+    )
+    codebook.write.mode("overwrite").parquet(
+        os.path.join(idx_root, "codebook")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    # PROBE: nearest n_probe cells per query from persisted centroids,
+    # pushed as a static partition filter on the code scan
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids")).select(
+        "cid", F.col("vec").alias("cent_vec")
+    )
+    dq = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "_v")
+        .crossJoin(F.broadcast(cent_t))
+        .select("query_id", "cid", dq.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "cid")
+    ).localCheckpoint(eager=True)
+    probe_cids = sorted({r["cid"] for r in probes.collect()})
+    idx_scan = spark.read.parquet(os.path.join(idx_root, "codes")).filter(
+        F.col("cid").isin(probe_cids)
+    )
+
+    # per-query distance tables from the PERSISTED codebook (m x k rows
+    # per query); ADC = m lookups per candidate, decimal-summed
+    cbk = spark.read.parquet(os.path.join(idx_root, "codebook"))
+    qtab = (
+        subvecs.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cbk), "subspace")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "subspace",
+            "code",
+            F.round(d, 8).alias("dpart"),
+        )
+    )
+    adc = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(qtab), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.round(
+                F.sum(F.col("dpart").cast("decimal(38,12)")).cast("double"),
+                6,
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    {_IVFPQ_CTES}
+    SELECT query_id, cand_id, adc_dist, rank
+    FROM ivfpq_ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="COMPOSED IVF-PQ top-k — the FAISS IVFADC layout (Jegou et al., "
+    "PAMI'11), the one ANN shape the registry lacked: the trained "
+    "coarse quantizer routes each query to its n_probe=2 nearest "
+    "cells, and the PQ asymmetric-distance scan runs over the 2-byte "
+    "codes WITHIN PROBED CELLS ONLY — candidate volume is "
+    "corpus/n_cells x n_probe AND each candidate costs m table lookups "
+    "instead of a d-dim dot; this multiplicative composition is how "
+    "billion-vector indexes fit both RAM and latency budgets.  Serving "
+    "lifecycle is real: inverted lists persist PARTITIONED BY CELL "
+    "(cand_id, subspace, code — codes, never vectors), the probe list "
+    "pushes as a static partition filter (plan-tested "
+    "PartitionFilters), codebooks/centroids persist as side tables, "
+    "and the per-query m x k distance table broadcasts.  Reuses "
+    "ann_index_persisted_probe's quantizer lifecycle and "
+    "ann_pq_adc_trained_topk's trained codebooks wholesale; ranked by "
+    "(adc_dist, cand_id) with decimal-summed dparts — deterministic "
+    "and engine-exact.  ann_recall_ivfpq floors its recall against "
+    "brute force beside the existing curve.",
+)
+def ann_ivfpq_adc_topk(spark, sf_dir):
+    return _ivfpq_adc_topk(spark, sf_dir, k=5)
+
+
+@register(
+    "ann_recall_ivfpq",
+    f"""
+    WITH {_BF10_SQL},
+    emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    {_IVFPQ_CTES},
+    ivfpq AS (
+      SELECT query_id, cand_id FROM ivfpq_ranked WHERE rank <= 10
+    )
+    {_recall_row_sql('ivfpq')}
+    """,
+    doc="recall@10 of the composed IVF-PQ search (ann_ivfpq_adc_topk at "
+    "k=10) against the exact brute-force top-10 — the driver-gated "
+    "quality number for the IVFADC path, completing the ANN recall "
+    "curve (every other search path already carries one via "
+    "ann_recall_at_k / ann_recall_trained).  Composition must cost at "
+    "most roughly the product of its parts' losses: IVF-km(p2) recall "
+    "x PQ-t16 recall bounds the expectation; the pytest floor in "
+    "tests/test_quality_gates.py records the measured number so a "
+    "quantizer or codebook regression fails even while both engines "
+    "agree.",
+)
+def ann_recall_ivfpq(spark, sf_dir):
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = (
+        S.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    hits = (
+        _ivfpq_adc_topk(spark, sf_dir, k=10)
+        .select("query_id", "cand_id")
+        .join(bf, ["query_id", "cand_id"], "semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .withColumn("method", F.lit("ivfpq"))
+    )
+    return hits.crossJoin(total).select(
+        "method",
+        "hits",
+        "total",
+        F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    )
+
+
 @register(
     "ann_recall_trained",
     f"""

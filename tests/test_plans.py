@@ -699,6 +699,21 @@ def test_knn_eval_fixed_n_plans_take_ordered_and_broadcast(spark):
     assert "Scan ExistingRDD" in plan  # the checkpointed O(N) sample
 
 
+def test_ivfpq_scan_prunes_cells_and_broadcasts(spark):
+    """The composed IVF-PQ search reads ONLY the probed cid partitions
+    (static PartitionFilters on the code scan), every small side
+    (probes, distance tables) broadcasts, and nothing plans a
+    cartesian."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["ann_ivfpq_adc_topk"](spark, SF_SMOKE)
+    fmt = _formatted(df)
+    assert "PartitionFilters" in fmt and "cid" in fmt
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_passage_dedup_no_cartesian_and_capped_bucket_join(spark):
     """Passage LSH must pair candidates ONLY through band-bucket equi
     joins (never a cartesian), with the hot-bucket cap applied as a

@@ -56,6 +56,16 @@ def test_ann_recall_trained_floors(spark):
     assert rec["pq_adc_t16"]["recall"] >= rec["pq_adc_k16"]["recall"], rec
 
 
+def test_ann_recall_ivfpq_floor(spark):
+    """Composed IVF-PQ (IVFADC) recall@10 floor: measured 0.40 at sf0.01
+    / 0.30 at sf0.1 — cell pruning beats pure PQ-t16 (0.34) on this
+    corpus because the probed cells drop distractors ADC would falsely
+    rank high.  Floor 0.25 sits under both measurements with
+    regeneration-jitter margin, far above any broken-quantizer state."""
+    rec = _rows(spark, "ann_recall_ivfpq")
+    assert rec["ivfpq"]["recall"] >= 0.25, rec
+
+
 def test_quantile_sketch_error_bounds(spark):
     from newyork_taxi_etl_spark.registry import queries
 
