@@ -534,7 +534,7 @@ def bpe_top_merges(spark, sf_dir):
     )
 
 
-def _bpe_fold_sql(prev: str, top: str) -> str:
+def _bpe_fold_sql(prev: str, top: str, keep: str = "s.cnt") -> str:
     """DuckDB leftmost-non-overlapping merge of top.(a,b) over prev.syms.
 
     The accumulator keeps the emitted output as a chr(1)-joined STRING:
@@ -542,10 +542,11 @@ def _bpe_fold_sql(prev: str, top: str) -> str:
     members through the fold (scalar members thread fine — verified), so
     the output list is rebuilt by string_split at the end. chr(1) cannot
     occur inside a symbol (symbols are characters of whitespace-split
-    ASCII words and their concatenations).
+    ASCII words and their concatenations).  ``keep`` carries extra
+    pass-through columns (the apply twin threads lang/cnt).
     """
     return f"""
-      SELECT s.cnt,
+      SELECT {keep},
         (WITH r AS (SELECT list_reduce(
             list_transform(s.syms, q -> struct_pack(o := '', p := q)),
             (acc, x) -> CASE
@@ -561,8 +562,14 @@ def _bpe_fold_sql(prev: str, top: str) -> str:
       FROM {prev} s, {top} t"""
 
 
-def _bpe_round_sql(r: int) -> str:
+def _bpe_round_sql(r: int, mat: bool = False) -> str:
+    """One training round.  ``mat=True`` MATERIALIZES top{r} — required
+    whenever a query references a top more than once (training fold +
+    apply fold): DuckDB inlines multiply-referenced CTEs, re-evaluating
+    the whole upstream chain per reference (2^rounds blowup — the r9
+    logreg lesson)."""
     prev = f"syms{r - 1}"
+    m = " MATERIALIZED" if mat else ""
     return f"""
     pairs{r} AS (
       SELECT syms[r.i] AS a, syms[r.i + 1] AS b, cnt
@@ -571,7 +578,7 @@ def _bpe_round_sql(r: int) -> str:
     counts{r} AS (
       SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs{r} GROUP BY a, b
     ),
-    top{r} AS (
+    top{r} AS{m} (
       SELECT a, b, n FROM counts{r} ORDER BY n DESC, a, b LIMIT 1
     ),
     syms{r} AS ({_bpe_fold_sql(prev, f'top{r}')})"""
@@ -630,6 +637,32 @@ _BPE_MERGE_EXPR = """
 )
 def bpe_merge_loop(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tops = _bpe_train_tops(docs)
+    outs = [
+        top.select(
+            F.lit(step).alias("step"),
+            F.concat_ws("+", "a", "b").alias("pair"),
+            F.concat("a", "b").alias("merged"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        for step, top in enumerate(tops, start=1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("step")
+
+
+def _bpe_train_tops(docs, rounds=3):
+    """The 3-round BPE training loop, factored so bpe_merge_loop (train)
+    and bpe_encode_apply (apply) learn from the IDENTICAL fold: corpus
+    collapses to a frequency-weighted word vocab, each round counts
+    adjacent symbol pairs (map-side-combinable, pair-vocabulary
+    shuffle), takes the (n DESC, a, b) argmax, and rewrites symbols with
+    the leftmost-non-overlapping merge fold.  Returns the per-round
+    1-row merge tables (localCheckpoint-ed: the argmax truncates the
+    iterative lineage — clustering.py discipline — and each top is
+    consumed by BOTH the next round and the apply twin)."""
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
@@ -642,8 +675,8 @@ def bpe_merge_loop(spark, sf_dir):
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
     )
-    outs = []
-    for step in (1, 2, 3):
+    tops = []
+    for _ in range(rounds):
         pairs = syms.select(
             "cnt",
             F.explode(
@@ -659,25 +692,135 @@ def bpe_merge_loop(spark, sf_dir):
         counts = pairs.groupBy(
             F.col("e.a").alias("a"), F.col("e.b").alias("b")
         ).agg(F.sum("cnt").alias("n"))
-        # 1-row argmax via TakeOrdered; localCheckpoint truncates the
-        # iterative lineage (clustering.py discipline) so round r+1's plan
-        # doesn't re-embed every earlier round's aggregation tree
         top = counts.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint()
-        outs.append(
-            top.select(
-                F.lit(step).alias("step"),
-                F.concat_ws("+", "a", "b").alias("pair"),
-                F.concat("a", "b").alias("merged"),
-                F.col("n").cast("bigint").alias("n"),
-            )
-        )
+        tops.append(top)
         syms = syms.crossJoin(F.broadcast(top)).select(
             "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("step")
+    return tops
+
+
+def _bpe_encoded_words(spark, sf_dir):
+    """(lang, w, cnt, syms): every distinct (lang, word) of the corpus
+    encoded with the trained merge table — the merges apply in training
+    order via the same fold.  Exposed for the round-trip invariant test
+    (concat(syms) must reconstruct w exactly)."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tops = _bpe_train_tops(docs)
+    lv = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = lv.select(
+        "lang",
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for top in tops:
+        enc = enc.crossJoin(F.broadcast(top)).select(
+            "lang", "w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    return enc
+
+
+_BPE_APPLY_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    syms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_bpe_round_sql(r, mat=True) for r in (1, 2, 3))},
+    langvocab AS (
+      SELECT lang, w, COUNT(*) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+      GROUP BY lang, w
+    ),
+    asyms0 AS (
+      SELECT lang, cnt,
+             list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM langvocab
+    ),
+    asyms1 AS ({_bpe_fold_sql('asyms0', 'top1', keep='s.lang, s.cnt')}),
+    asyms2 AS ({_bpe_fold_sql('asyms1', 'top2', keep='s.lang, s.cnt')}),
+    asyms3 AS ({_bpe_fold_sql('asyms2', 'top3', keep='s.lang, s.cnt')})
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS n_instances,
+           CAST(SUM(cnt * len(syms)) AS BIGINT) AS bpe_symbols,
+           ROUND(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+             AS bpe_fertility,
+           ROUND(CAST(SUM(cnt * length(
+                   list_reduce(syms, (a, b) -> a || b))) AS DOUBLE)
+                 / SUM(cnt * len(syms)), 6) AS chars_per_symbol
+    FROM asyms3
+    GROUP BY lang
+    ORDER BY lang"""
+
+
+@register(
+    "bpe_encode_apply",
+    _BPE_APPLY_SQL,
+    doc="BPE ENCODE — the trained-merges twin of bpe_merge_loop, closing "
+    "the tokenizer loop (train -> apply -> budget): the 3-round merge "
+    "table learned by the training fold is applied, in training order, "
+    "to every distinct (lang, word) of the corpus with the SAME "
+    "leftmost-non-overlapping higher-order fold both engines share, "
+    "and the per-lang encoded-token budget comes out — word instances, "
+    "total encoded symbols, BPE fertility (symbols per word instance, "
+    "the number token_fertility_by_lang baselines at the whitespace "
+    "level) and mean chars-per-symbol (compression the merges bought). "
+    "Scale: training is vocab-sized per round (bpe_merge_loop's "
+    "contract); apply runs once over the (lang, word) vocab — never "
+    "per token instance — with each 1-row merge broadcast; all sums "
+    "are integer (cnt x lengths), engine-exact. Round-trip invariant "
+    "(decode(encode(w)) == w for every word) is pytest-pinned via "
+    "_bpe_encoded_words.",
+)
+def bpe_encode_apply(spark, sf_dir):
+    enc = _bpe_encoded_words(spark, sf_dir)
+    n_chars = F.expr(
+        "aggregate(syms, 0L, (acc, s) -> acc + length(s))"
+    )
+    return (
+        enc.select(
+            "lang",
+            "cnt",
+            F.size("syms").alias("n_syms"),
+            n_chars.alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("n_instances"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("bpe_symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("bpe_fertility"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_syms")),
+                6,
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(

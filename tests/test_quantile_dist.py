@@ -94,6 +94,26 @@ def test_bpe_merge_fold_edge_cases(spark):
         assert r["got"] == r["want"], r
 
 
+def test_bpe_encode_roundtrip(spark):
+    """decode(encode(w)) == w: every distinct word of the fixture corpus,
+    encoded with the trained merge table, must reconstruct exactly by
+    concatenating its symbols — and every symbol must be non-empty (an
+    empty symbol would silently inflate fertility)."""
+    from newyork_taxi_etl_spark.queries.text import _bpe_encoded_words
+    from tests.conftest import SF_SMOKE
+
+    enc = _bpe_encoded_words(spark, SF_SMOKE)
+    bad = enc.filter(
+        (F.concat_ws("", F.col("syms")) != F.col("w"))
+        | F.exists("syms", lambda s: F.length(s) == 0)
+        | (F.size("syms") == 0)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # merges actually fired: some word encodes to fewer symbols than chars
+    merged = enc.filter(F.size("syms") < F.length("w"))
+    assert merged.count() > 0
+
+
 def test_degenerate_sizes(spark):
     """1-value and 2-value inputs: floor==ceil positions, interpolation
     across exactly two values, and the empty-input null row."""
