@@ -125,7 +125,8 @@ def test_registration_order_is_tiered_by_driver_verdict():
     for probe, want in (
         ("freq_tokens_cms", 4),                                # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
-        ("bpe_merge_loop", 6),                                 # r5-latest
+        ("zipf_token_slope", 6),                               # r5-latest
+        ("bpe_merge_loop", 1),                 # r10-changed: shared trainer
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
