@@ -2965,9 +2965,11 @@ def kaplan_meier_conversion(spark, sf_dir):
     ).orderBy("t_hours")
 
 
-@register(
-    "wasserstein_value_drift",
-    """
+# Shared by wasserstein_value_drift (batch) and
+# streaming_wasserstein_ingest (the same statistic folded at ingest —
+# per-tick counts are additive, so the drained monitor must equal this
+# batch answer bit-for-bit under any batching).
+_W1_SQL = """
     WITH tagged AS (
       SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
                   THEN 'a' ELSE 'b' END AS grp,
@@ -3004,38 +3006,19 @@ def kaplan_meier_conversion(spark, sf_dir):
                     * ((SELECT MAX(v) FROM counts)
                        - (SELECT MIN(v) FROM counts))), 6) AS w1_norm
     FROM tot, num
-    """,
-    doc="EXACT two-sample Wasserstein-1 (earth-mover) drift on the event "
-    "value distribution, same temporal split as ks_two_sample_drift — "
-    "the INTEGRAL companion to KS's supremum: W1 = integral |F_a - F_b| "
-    "accumulates every part of the distribution shift, so it sees "
-    "mass moved in the tails that a single crossing-point statistic "
-    "underweights, and it carries units (average value displacement). "
-    "Fully integer until the final division: values on the corpus's "
-    "cent grid, W1 numerator = sum |fa*nb - fb*na| * tick_gap in "
-    "128-bit integers — zero float accumulation, bit-identical at any "
-    "partitioning. Scale: one count per distinct tick (map-side "
-    "combine, state bounded by the value domain), one window over "
-    "O(ticks) rows, one scalar aggregate; w1_norm divides by the "
-    "observed range for a scale-free 0-1 number.",
-)
-def wasserstein_value_drift(spark, sf_dir):
+    """
+
+
+def w1_from_counts(counts):
+    """Exact W1 from a per-tick (v, ca, cb) counts table — the shared
+    tail of the batch drift query and the streaming ingest monitor
+    (streaming/windows.run_streaming_w1_ingest): one window over
+    O(distinct ticks) rows, a broadcast 1-row total, and an all-integer
+    numerator sum |fa*nb - fb*na| * tick_gap carried as DECIMAL(38,0)
+    until the two final divisions."""
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
-    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
-    tagged = ev.select(
-        F.when(
-            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "a"
-        )
-        .otherwise("b")
-        .alias("grp"),
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
-    )
-    counts = tagged.groupBy("v").agg(
-        F.sum((F.col("grp") == "a").cast("int")).alias("ca"),
-        F.sum((F.col("grp") == "b").cast("int")).alias("cb"),
-    )
     tot = counts.agg(
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
@@ -3084,3 +3067,37 @@ def wasserstein_value_drift(spark, sf_dir):
             ).alias("w1_norm"),
         )
     )
+
+
+@register(
+    "wasserstein_value_drift",
+    _W1_SQL,
+    doc="EXACT two-sample Wasserstein-1 (earth-mover) drift on the event "
+    "value distribution, same temporal split as ks_two_sample_drift — "
+    "the INTEGRAL companion to KS's supremum: W1 = integral |F_a - F_b| "
+    "accumulates every part of the distribution shift, so it sees "
+    "mass moved in the tails that a single crossing-point statistic "
+    "underweights, and it carries units (average value displacement). "
+    "Fully integer until the final division: values on the corpus's "
+    "cent grid, W1 numerator = sum |fa*nb - fb*na| * tick_gap in "
+    "128-bit integers — zero float accumulation, bit-identical at any "
+    "partitioning. Scale: one count per distinct tick (map-side "
+    "combine, state bounded by the value domain), one window over "
+    "O(ticks) rows, one scalar aggregate; w1_norm divides by the "
+    "observed range for a scale-free 0-1 number.",
+)
+def wasserstein_value_drift(spark, sf_dir):
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    tagged = ev.select(
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "a"
+        )
+        .otherwise("b")
+        .alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum((F.col("grp") == "a").cast("int")).alias("ca"),
+        F.sum((F.col("grp") == "b").cast("int")).alias("cb"),
+    )
+    return w1_from_counts(counts)

@@ -850,3 +850,28 @@ def streaming_group_reservoir(spark, sf_dir):
     return W.run_streaming_group_reservoir(
         spark, read_events(spark, sf_dir), stage, target
     )
+
+
+from newyork_taxi_etl_spark.queries.behavior import _W1_SQL  # noqa: E402
+
+
+@register(
+    "streaming_wasserstein_ingest",
+    _W1_SQL,
+    doc="Wasserstein-1 drift MONITORED AT INGEST — the streaming twin of "
+    "wasserstein_value_drift and the monitor a serving team actually "
+    "runs: the pre-cutoff reference distribution persists once as "
+    "per-tick counts, post-cutoff events arrive as a multi-file "
+    "AvailableNow stream, and each micro-batch folds its per-tick "
+    "counts into the state table (additive fold, applied-batch replay "
+    "guard), with the exact integer W1 computed from reference + "
+    "accumulated counts by the SAME w1_from_counts fold the batch "
+    "query uses. Per-tick counts are additive across any batching and "
+    "every accumulation is integer, so the drained monitor equals the "
+    "one-shot batch statistic bit-for-bit — which is exactly what the "
+    "shared oracle value-checks. State is O(distinct value ticks) "
+    "regardless of stream length.",
+)
+def streaming_wasserstein_ingest(spark, sf_dir):
+    work = _workdir("w1_ingest")
+    return W.run_streaming_w1_ingest(spark, read_events(spark, sf_dir), work)

@@ -320,6 +320,10 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "dedup_embedding_cosine",
     "gram_power_iteration_pc1",
     "gram_subspace_topk",
+    # r10 refactor — the W1 tail factored into w1_from_counts, shared
+    # with the new streaming_wasserstein_ingest monitor (values verified
+    # identical at sf0.001/sf0.01).
+    "wasserstein_value_drift",
     # r10 refactor — the training loop factored into _bpe_train_tops,
     # shared with the new bpe_encode_apply twin (values verified
     # identical at sf0.001/sf0.01); the oracle's _bpe_round_sql gained

@@ -2435,3 +2435,99 @@ def run_streaming_quality_ingest(
         )
         .orderBy("lang")
     )
+
+
+def run_streaming_w1_ingest(
+    spark,
+    events_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """WASSERSTEIN-1 DRIFT MONITORED AT INGEST — the drift monitor teams
+    actually run: the pre-cutoff reference distribution reduces ONCE to
+    per-tick counts and persists; post-cutoff events then ARRIVE AS A
+    STREAM, and each micro-batch folds its own per-tick counts into the
+    state table (an ADDITIVE fold, so it carries the applied-batch
+    replay guard — the r7/r8 discipline).  After the drain the exact W1
+    computes from reference + accumulated counts via the SAME
+    w1_from_counts fold the batch query uses.
+
+    Determinism by construction: per-tick counts are additive across
+    any batching, every accumulation is integer, and the final fold is
+    the batch query's — so the drained monitor equals
+    wasserstein_value_drift BIT-FOR-BIT under any slicing, and the
+    batch oracle covers every possible batching.  State is O(distinct
+    value ticks) regardless of stream length — the same bound that
+    makes the batch statistic scale.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.behavior import w1_from_counts
+
+    stage_dir = os.path.join(work_dir, "b_stage")
+    baseline_dir = os.path.join(work_dir, "baseline_counts")
+    counts_dir = os.path.join(work_dir, "stream_counts")
+    for d in (stage_dir, baseline_dir, counts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = events_df.filter(F.col("value").isNotNull()).select(
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    cutoff = F.lit("2024-01-16").cast("date")
+    # reference side: one batch reduction, persisted as the monitor's
+    # baseline (a real deployment trains this once per window roll)
+    (
+        ev.filter(F.col("d") < cutoff)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+        .write.parquet(baseline_dir)
+    )
+    # live side staged as arriving files
+    ev.filter(F.col("d") >= cutoff).select("v").repartition(
+        n_slices
+    ).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema("v bigint")
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(counts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its counts are already folded
+        part = batch_df.groupBy("v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cb")
+        )
+        os.makedirs(counts_dir, exist_ok=True)
+        part.write.mode("append").parquet(counts_dir)
+        _mark_applied(counts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    ca = spark.read.parquet(baseline_dir)
+    cb = (
+        spark.read.parquet(counts_dir)
+        .groupBy("v")
+        .agg(F.sum("cb").cast("bigint").alias("cb"))
+    )
+    counts = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    return w1_from_counts(counts)

@@ -361,3 +361,27 @@ def test_dedup_embedding_cosine_matches_numpy(spark):
             if key in got:
                 assert c >= 0.3995, (key, c)
                 assert abs(got[key] - c) < 2e-4, (key, got[key], c)
+
+
+def test_streaming_w1_ingest_batching_invariant(spark, tmp_path):
+    """Per-tick counts are additive and the W1 fold is integer-exact, so
+    the drained drift monitor must be identical whether the post-cutoff
+    events arrive as 1 slice or 4 — and must equal the one-shot batch
+    statistic (wasserstein_value_drift) bit-for-bit."""
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.sources.readers import read_events
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_w1_ingest,
+    )
+
+    ev = read_events(spark, SF_ORACLE)
+    one = run_streaming_w1_ingest(
+        spark, ev, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_w1_ingest(
+        spark, ev, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    batch = queries()["wasserstein_value_drift"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
+    assert one[0]["n_a"] > 0 and one[0]["n_b"] > 0
