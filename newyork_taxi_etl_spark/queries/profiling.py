@@ -1606,6 +1606,43 @@ def ams_f2_sketch_gate(spark, sf_dir):
 )
 def k_anonymity_ladder(spark, sf_dir):
     ev = read_events(spark, sf_dir)
+    classes = _qi_ladder_classes(ev)
+    supp = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+    stats = classes.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("k").cast("bigint").alias("min_k"),
+        supp.cast("bigint").alias("rows_suppressed_k5"),
+        F.round(supp.cast("double") / F.sum("k"), 6).alias(
+            "frac_suppressed"
+        ),
+        (supp * 100 <= F.sum("k")).alias("meets_gate"),
+    )
+    stats = stats.localCheckpoint(eager=True)  # argmin scans it again
+    best = stats.filter(F.col("meets_gate")).agg(
+        F.min("level").alias("best_level")
+    )
+    return (
+        stats.crossJoin(F.broadcast(best))
+        .select(
+            "level",
+            "n_classes",
+            "min_k",
+            "rows_suppressed_k5",
+            "frac_suppressed",
+            "meets_gate",
+            F.coalesce(
+                F.col("level") == F.col("best_level"), F.lit(False)
+            ).alias("chosen"),
+        )
+        .orderBy("level")
+    )
+
+
+def _qi_ladder_classes(ev):
+    """(level, event_type, dow, hr, vb, k): the 4-level quasi-identifier
+    generalization ladder's equivalence classes — factored so the
+    ladder DECISION (k_anonymity_ladder) and the composed RELEASE
+    (dp_release_pipeline) generalize identically."""
     base = ev.select(
         "event_type",
         (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
@@ -1648,37 +1685,8 @@ def k_anonymity_ladder(spark, sf_dir):
             )
         )
     )
-    classes = lv.groupBy("level", "event_type", "dow", "hr", "vb").agg(
+    return lv.groupBy("level", "event_type", "dow", "hr", "vb").agg(
         F.count(F.lit(1)).alias("k")
-    )
-    supp = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
-    stats = classes.groupBy("level").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        F.min("k").cast("bigint").alias("min_k"),
-        supp.cast("bigint").alias("rows_suppressed_k5"),
-        F.round(supp.cast("double") / F.sum("k"), 6).alias(
-            "frac_suppressed"
-        ),
-        (supp * 100 <= F.sum("k")).alias("meets_gate"),
-    )
-    stats = stats.localCheckpoint(eager=True)  # argmin scans it again
-    best = stats.filter(F.col("meets_gate")).agg(
-        F.min("level").alias("best_level")
-    )
-    return (
-        stats.crossJoin(F.broadcast(best))
-        .select(
-            "level",
-            "n_classes",
-            "min_k",
-            "rows_suppressed_k5",
-            "frac_suppressed",
-            "meets_gate",
-            F.coalesce(
-                F.col("level") == F.col("best_level"), F.lit(False)
-            ).alias("chosen"),
-        )
-        .orderBy("level")
     )
 
 
@@ -1760,6 +1768,193 @@ def dp_noisy_histogram(spark, sf_dir):
         .cast("bigint")
         .alias("total_l1_error"),
     ).orderBy("lang")
+
+
+_DP2_KEY = (
+    "'dp2|' || CAST(level AS VARCHAR) || '|' || event_type || '|' "
+    "|| CAST(dow AS VARCHAR) || '|' || CAST(hr AS VARCHAR) || '|' "
+    "|| CAST(vb AS VARCHAR)"
+)
+
+
+@register(
+    "dp_release_pipeline",
+    f"""
+    WITH base AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+             COALESCE(value, -1) AS val
+      FROM events
+    ),
+    lv AS (
+      SELECT 0 AS level, event_type, dow, hr,
+             CAST(FLOOR(val / 25) AS INT) AS vb
+      FROM base
+      UNION ALL
+      SELECT 1, event_type, dow, CAST(FLOOR(hr / 3) AS INT),
+             CAST(FLOOR(val / 50) AS INT)
+      FROM base
+      UNION ALL
+      SELECT 2, event_type, dow, CAST(FLOOR(hr / 6) AS INT), 0
+      FROM base
+      UNION ALL
+      SELECT 3, event_type, -1, CAST(FLOOR(hr / 12) AS INT), 0
+      FROM base
+    ),
+    classes AS MATERIALIZED (
+      SELECT level, event_type, dow, hr, vb, COUNT(*) AS k
+      FROM lv GROUP BY level, event_type, dow, hr, vb
+    ),
+    stats AS (
+      SELECT level,
+             (SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 100 <= SUM(k))
+               AS meets_gate
+      FROM classes GROUP BY level
+    ),
+    best AS (SELECT MIN(level) AS best_level FROM stats WHERE meets_gate),
+    at_level AS MATERIALIZED (
+      SELECT c.* FROM classes c, best b WHERE c.level = b.best_level
+    ),
+    noised AS (
+      SELECT event_type, k,
+             GREATEST(k + CAST(ROUND(
+               ROUND(-2.0 * SIGN(u - 0.5)
+                     * ln(1.0 - 2.0 * ABS(u - 0.5)), 6)) AS BIGINT), 0)
+               AS noisy
+      FROM (
+        SELECT event_type, k,
+               (CAST(('0x' || substr(md5({_DP2_KEY}), 1, 6)) AS BIGINT)
+                + 0.5) / 16777216.0 AS u
+        FROM at_level WHERE k >= 5
+      ) t
+    ),
+    rel AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_released,
+             CAST(SUM(k) AS BIGINT) AS true_rows,
+             CAST(SUM(noisy) AS BIGINT) AS noisy_rows,
+             CAST(SUM(ABS(noisy - k)) AS BIGINT) AS l1_error
+      FROM noised GROUP BY event_type
+    ),
+    sup AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_suppressed,
+             CAST(SUM(k) AS BIGINT) AS rows_suppressed
+      FROM at_level WHERE k < 5 GROUP BY event_type
+    )
+    SELECT event_type,
+           (SELECT CAST(best_level AS INT) FROM best) AS chosen_level,
+           COALESCE(n_released, 0) AS n_released,
+           COALESCE(n_suppressed, 0) AS n_suppressed,
+           COALESCE(true_rows, 0) AS true_rows,
+           COALESCE(rows_suppressed, 0) AS rows_suppressed,
+           COALESCE(noisy_rows, 0) AS noisy_rows,
+           COALESCE(l1_error, 0) AS l1_error
+    FROM rel FULL OUTER JOIN sup USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="SUPPRESSION-AWARE DP RELEASE — the end-to-end governance "
+    "pipeline composed from its two driver-gated parts: generalize at "
+    "the k-anonymity ladder's CHOSEN level (least generalized with "
+    "k<5 suppression cost <= 1% — k_anonymity_ladder's integer gate, "
+    "via the shared _qi_ladder_classes), SUPPRESS the k<5 equivalence "
+    "classes, then NOISE each released class count with eps=0.5 "
+    "integer-rounded Laplace (dp_noisy_histogram's deterministic "
+    "md5-seeded inverse-CDF draw, keyed by the class's full QI tuple "
+    "so every draw is independent and replayable) with non-negativity "
+    "clamp as post-processing.  Output is the per-event-type release "
+    "audit: released/suppressed class counts, true vs noisy row "
+    "totals, and the realized L1 utility cost beside the privacy "
+    "parameters — generalize -> suppress -> noise as one measured "
+    "dataflow.  Scale: one events read fanned into map-side QI "
+    "aggregates (O(classes) shuffle), O(levels) gate rollup, a "
+    "broadcast 1-row argmin, and per-class projections; nothing "
+    "touches raw rows after the first aggregate.",
+)
+def dp_release_pipeline(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    classes = _qi_ladder_classes(ev).localCheckpoint(eager=True)
+    supp = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+    stats = classes.groupBy("level").agg(
+        (supp * 100 <= F.sum("k")).alias("meets_gate")
+    )
+    best = stats.filter(F.col("meets_gate")).agg(
+        F.min("level").alias("best_level")
+    )
+    at_level = classes.join(
+        F.broadcast(best), F.col("level") == F.col("best_level")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp2|"),
+                        F.col("level").cast("string"),
+                        F.lit("|"),
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("dow").cast("string"),
+                        F.lit("|"),
+                        F.col("hr").cast("string"),
+                        F.lit("|"),
+                        F.col("vb").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        + 0.5
+    ) / 16777216.0
+    c = u - 0.5
+    noise = F.round(
+        F.lit(-2.0) * F.signum(c) * F.log(F.lit(1.0) - 2.0 * F.abs(c)), 6
+    )
+    noised = at_level.filter(F.col("k") >= 5).select(
+        "event_type",
+        "k",
+        F.greatest(
+            F.col("k") + F.round(noise).cast("bigint"), F.lit(0)
+        ).alias("noisy"),
+    )
+    rel = noised.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_released"),
+        F.sum("k").cast("bigint").alias("true_rows"),
+        F.sum("noisy").cast("bigint").alias("noisy_rows"),
+        F.sum(F.abs(F.col("noisy") - F.col("k")))
+        .cast("bigint")
+        .alias("l1_error"),
+    )
+    sup = (
+        at_level.filter(F.col("k") < 5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppressed"),
+            F.sum("k").cast("bigint").alias("rows_suppressed"),
+        )
+    )
+    return (
+        rel.join(sup, "event_type", "full_outer")
+        .crossJoin(F.broadcast(best))
+        .select(
+            "event_type",
+            F.col("best_level").cast("int").alias("chosen_level"),
+            F.coalesce("n_released", F.lit(0)).alias("n_released"),
+            F.coalesce("n_suppressed", F.lit(0)).alias("n_suppressed"),
+            F.coalesce("true_rows", F.lit(0)).alias("true_rows"),
+            F.coalesce("rows_suppressed", F.lit(0)).alias(
+                "rows_suppressed"
+            ),
+            F.coalesce("noisy_rows", F.lit(0)).alias("noisy_rows"),
+            F.coalesce("l1_error", F.lit(0)).alias("l1_error"),
+        )
+        .orderBy("event_type")
+    )
 
 
 #: 6-dp Benford expected first-digit probabilities (log10(1 + 1/d)),

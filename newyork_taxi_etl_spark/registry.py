@@ -320,6 +320,10 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "dedup_embedding_cosine",
     "gram_power_iteration_pc1",
     "gram_subspace_topk",
+    # r10 refactor — the QI class construction factored into
+    # _qi_ladder_classes, shared with the new dp_release_pipeline
+    # (values verified identical at sf0.001/sf0.01).
+    "k_anonymity_ladder",
     # r10 refactor — the W1 tail factored into w1_from_counts, shared
     # with the new streaming_wasserstein_ingest monitor (values verified
     # identical at sf0.001/sf0.01).

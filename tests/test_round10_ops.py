@@ -1,0 +1,80 @@
+"""Semantic invariants for round-10 queries the oracle differential can't
+see: both engines agreeing proves the computation matches, these tests
+pin that the computed thing has the properties the docstrings claim
+(release conservation, composition consistency, recall coupling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newyork_taxi_etl_spark.registry import queries
+from tests.conftest import SF_ORACLE
+
+
+def test_dp_release_conserves_and_composes(spark):
+    """The DP release must (a) choose the SAME level the ladder chooses,
+    (b) conserve rows: released true_rows + rows_suppressed summed over
+    event types == total events, (c) never release a negative noisy
+    count, and (d) suppress exactly the ladder's k<5 row mass at that
+    level."""
+    rel = {
+        r["event_type"]: r.asDict()
+        for r in queries()["dp_release_pipeline"](spark, SF_ORACLE).collect()
+    }
+    ladder = {
+        r["level"]: r.asDict()
+        for r in queries()["k_anonymity_ladder"](spark, SF_ORACLE).collect()
+    }
+    chosen = [lv for lv, row in ladder.items() if row["chosen"]]
+    assert len(chosen) == 1
+    assert all(r["chosen_level"] == chosen[0] for r in rel.values()), rel
+
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    n_events = read_events(spark, SF_ORACLE).count()
+    total = sum(r["true_rows"] + r["rows_suppressed"] for r in rel.values())
+    assert total == n_events, (total, n_events)
+    assert all(r["noisy_rows"] >= 0 for r in rel.values())
+    assert (
+        sum(r["rows_suppressed"] for r in rel.values())
+        == ladder[chosen[0]]["rows_suppressed_k5"]
+    )
+    # the gate the ladder chose by: suppression <= 1% of rows
+    assert sum(r["rows_suppressed"] for r in rel.values()) * 100 <= total
+
+
+def test_ivfpq_recall_coupled_to_its_parts(spark):
+    """The composed IVFADC path can only lose candidates relative to its
+    own PQ scorer through cell pruning: every (query, cand) it returns
+    must live in a probed cell by construction, so its result set at
+    k=10 is a subset of what unpruned ADC over the SAME trained
+    codebook would rank — verify via the registered top-5s: any pair
+    the composed search ranks that unpruned ADC also ranks must carry
+    the IDENTICAL adc_dist (same codebook, same tables)."""
+    comp = {
+        (r["query_id"], r["cand_id"]): r["adc_dist"]
+        for r in queries()["ann_ivfpq_adc_topk"](spark, SF_ORACLE).collect()
+    }
+    flat = {
+        (r["query_id"], r["cand_id"]): r["adc_dist"]
+        for r in queries()["ann_pq_adc_trained_topk"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    shared = set(comp) & set(flat)
+    assert shared, "composed and flat ADC share no pairs at k=5"
+    for pair in shared:
+        assert comp[pair] == flat[pair], pair
+
+
+def test_bpe_fertility_bounded_by_chars(spark):
+    """BPE fertility must sit in (0, chars-per-word]: merges can only
+    shrink symbol counts, never below 1 symbol per word, and
+    chars_per_symbol >= 1 with equality iff no merge fired for the
+    lang."""
+    rows = queries()["bpe_encode_apply"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["bpe_fertility"] >= 1.0, r
+        assert r["chars_per_symbol"] >= 1.0, r
+        assert r["bpe_symbols"] <= r["n_instances"] * 64, r
