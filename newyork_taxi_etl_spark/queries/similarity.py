@@ -3670,7 +3670,20 @@ def moment_mmd2_split(emb, side_col):
     with no pairwise kernel evaluations and no transcendentals (the usual
     RBF-feature MMD needs cos(), whose last-ulp behavior is not
     engine-portable). Returns one row: n_a, n_b, mean_term, var_term, mmd2.
+
+    Factored as partials + finisher so the streaming ingest monitor
+    (streaming/windows.run_streaming_mmd_ingest) folds the SAME decimal
+    sufficient statistics per micro-batch: decimal addition is
+    associative, so sum-of-batch-sums equals the one-pass sum exactly
+    and the drained monitor is bit-identical to this batch statistic.
     """
+    return mmd2_from_partials(mmd_moment_partials(emb, side_col))
+
+
+def mmd_moment_partials(emb, side_col):
+    """Per-(side, dim) decimal sufficient statistics (sx, sxx, cnt) of
+    the degree-2 moment kernel — additive across any row partition, so
+    they fold per micro-batch."""
     dec = "decimal(38,12)"
     dims = emb.select(
         F.col(side_col).alias("side"),
@@ -3683,12 +3696,34 @@ def moment_mmd2_split(emb, side_col):
             )
         ).alias("t"),
     ).select("side", "t.i", "t.x", "t.xx")
-    s = dims.groupBy("side", "i").agg(
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("xx").cast(dec)).cast("double").alias("sxx"),
+    return dims.groupBy("side", "i").agg(
+        F.sum(F.col("x").cast(dec)).alias("sx_d"),
+        F.sum(F.col("xx").cast(dec)).alias("sxx_d"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
     )
-    n = emb.groupBy(F.col(side_col).alias("side")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+
+
+def mmd2_from_partials(p):
+    """Closed-form MMD^2 from (side, i, sx_d, sxx_d, cnt) partials: the
+    re-aggregation sums the exact decimals (identity on a one-pass
+    input, the merge step on folded micro-batch partials), then the
+    double-precision tail is byte-identical to the original one-pass
+    formulation."""
+    agg = p.groupBy("side", "i").agg(
+        F.sum("sx_d").alias("sx_t"),
+        F.sum("sxx_d").alias("sxx_t"),
+        F.sum("cnt").alias("cnt"),
+    )
+    dec = "decimal(38,12)"
+    s = agg.select(
+        "side",
+        "i",
+        F.col("sx_t").cast(dec).cast("double").alias("sx"),
+        F.col("sxx_t").cast(dec).cast("double").alias("sxx"),
+    )
+    n = (
+        agg.filter(F.col("i") == 1)
+        .select("side", F.col("cnt").cast("bigint").alias("n"))
     )
     a = s.filter(F.col("side") == 1).join(
         F.broadcast(n.filter(F.col("side") == 1)), "side"
@@ -3766,16 +3801,22 @@ def _mmd_oracle_branch(split: str, side_expr: str) -> str:
     )"""
 
 
-@register(
-    "mmd_moment_drift",
-    f"""
+# Shared by mmd_moment_drift (batch) and streaming_mmd_ingest (the same
+# decimal sufficient statistics folded per micro-batch — additive, so
+# the drained monitor must equal this batch answer bit-for-bit).
+_MMD_SQL = f"""
     WITH {_mmd_oracle_branch('parity_null', 'CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END')[5:]},
     {_mmd_oracle_branch('label0', 'CASE WHEN label = 0 THEN 1 ELSE 0 END')[5:]}
     SELECT * FROM out_parity_null
     UNION ALL
     SELECT * FROM out_label0
     ORDER BY split
-    """,
+    """
+
+
+@register(
+    "mmd_moment_drift",
+    _MMD_SQL,
     doc="TWO-SAMPLE KERNEL DRIFT (MMD) between embedding populations under "
     "the degree-2 moment kernel k(x,y) = 2<x,y> + <x^2,y^2>, for which "
     "MMD^2 = 2||dmu||^2 + ||d E[x^2]||^2 has a closed form in per-side "

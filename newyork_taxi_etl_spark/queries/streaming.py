@@ -875,3 +875,29 @@ from newyork_taxi_etl_spark.queries.behavior import _W1_SQL  # noqa: E402
 def streaming_wasserstein_ingest(spark, sf_dir):
     work = _workdir("w1_ingest")
     return W.run_streaming_w1_ingest(spark, read_events(spark, sf_dir), work)
+
+
+from newyork_taxi_etl_spark.queries.similarity import _MMD_SQL  # noqa: E402
+from newyork_taxi_etl_spark.sources.readers import table_path  # noqa: E402
+
+
+@register(
+    "streaming_mmd_ingest",
+    _MMD_SQL,
+    doc="Moment-kernel MMD drift MONITORED AT INGEST — the kernel twin "
+    "of streaming_wasserstein_ingest and the streaming form of "
+    "mmd_moment_drift: embeddings arrive as a multi-file AvailableNow "
+    "stream and each micro-batch folds its per-(split, side, dim) "
+    "DECIMAL sufficient statistics (sx, sxx, cnt) into the state "
+    "table (additive fold, applied-batch replay guard); the "
+    "closed-form MMD^2 computes from accumulated statistics through "
+    "the SAME mmd2_from_partials finisher the batch query uses. "
+    "Decimal addition is associative, so the drained monitor equals "
+    "the one-shot batch statistic bit-for-bit under any batching — "
+    "which the shared oracle value-checks. State is O(splits x sides "
+    "x dims) = 256 rows regardless of stream length.",
+)
+def streaming_mmd_ingest(spark, sf_dir):
+    work = _workdir("mmd_ingest")
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return W.run_streaming_mmd_ingest(spark, emb, work)

@@ -324,6 +324,10 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # _qi_ladder_classes, shared with the new dp_release_pipeline
     # (values verified identical at sf0.001/sf0.01).
     "k_anonymity_ladder",
+    # r10 refactor — moment_mmd2_split factored into partials + finisher,
+    # shared with the new streaming_mmd_ingest monitor (values verified
+    # identical at sf0.001/sf0.01).
+    "mmd_moment_drift",
     # r10 refactor — the W1 tail factored into w1_from_counts, shared
     # with the new streaming_wasserstein_ingest monitor (values verified
     # identical at sf0.001/sf0.01).

@@ -2531,3 +2531,89 @@ def run_streaming_w1_ingest(
         )
     )
     return w1_from_counts(counts)
+
+
+def run_streaming_mmd_ingest(
+    spark,
+    emb_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """MOMENT-KERNEL MMD DRIFT MONITORED AT INGEST — the kernel twin of
+    run_streaming_w1_ingest: embeddings arrive as a stream, and each
+    micro-batch folds its per-(split, side, dim) DECIMAL sufficient
+    statistics (sx, sxx, cnt — mmd_moment_partials) into the state
+    table; the closed-form MMD^2 computes from the accumulated
+    statistics after the drain via the SAME mmd2_from_partials finisher
+    the batch query uses.
+
+    Decimal addition is associative, so sum-of-batch-sums equals the
+    one-pass sum EXACTLY and the drained monitor is bit-identical to
+    mmd_moment_drift under any batching — the shared oracle
+    value-checks exactly that.  State is O(splits x sides x dims) rows
+    (256 here) regardless of stream length; the additive fold carries
+    the applied-batch replay guard.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.similarity import (
+        mmd2_from_partials,
+        mmd_moment_partials,
+    )
+
+    stage_dir = os.path.join(work_dir, "emb_stage")
+    state_dir = os.path.join(work_dir, "mmd_state")
+    for d in (stage_dir, state_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    emb_df.select("vec_id", "label", "embedding").repartition(
+        n_slices
+    ).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, label int, embedding array<float>"
+        )
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(state_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its statistics are already folded
+        par = mmd_moment_partials(
+            batch_df.withColumn(
+                "side", F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)
+            ),
+            "side",
+        ).select(F.lit("parity_null").alias("split"), "*")
+        lab = mmd_moment_partials(
+            batch_df.withColumn(
+                "side", F.when(F.col("label") == 0, 1).otherwise(0)
+            ),
+            "side",
+        ).select(F.lit("label0").alias("split"), "*")
+        os.makedirs(state_dir, exist_ok=True)
+        par.unionByName(lab).write.mode("append").parquet(state_dir)
+        _mark_applied(state_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    state = spark.read.parquet(state_dir)
+    out = None
+    for split in ("label0", "parity_null"):
+        row = mmd2_from_partials(
+            state.filter(F.col("split") == split).drop("split")
+        ).select(F.lit(split).alias("split"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("split")

@@ -78,3 +78,23 @@ def test_bpe_fertility_bounded_by_chars(spark):
         assert r["bpe_fertility"] >= 1.0, r
         assert r["chars_per_symbol"] >= 1.0, r
         assert r["bpe_symbols"] <= r["n_instances"] * 64, r
+
+
+def test_streaming_mmd_ingest_batching_invariant(spark, tmp_path):
+    """Decimal sufficient statistics are associative, so the drained MMD
+    monitor must be identical whether embeddings arrive as 1 slice or
+    4 — and must equal the one-shot batch statistic bit-for-bit."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_mmd_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    one = run_streaming_mmd_ingest(
+        spark, emb, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_mmd_ingest(
+        spark, emb, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    batch = queries()["mmd_moment_drift"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
