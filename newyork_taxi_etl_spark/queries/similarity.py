@@ -715,18 +715,26 @@ _PQ_SUBDIST = (
 )
 
 
-def _pq_sql_ctes(k_codes: int, sfx: str, train: bool = False) -> str:
+def _pq_sql_ctes(
+    k_codes: int,
+    sfx: str,
+    train: bool = False,
+    emb: str = "emb",
+    subvecs: str = "subvecs",
+) -> str:
     """DuckDB CTE chain for one PQ operating point (m=_PQ_M, k=k_codes).
 
     Expects ``emb`` (vec_id, v) and ``subvecs`` (vec_id, subspace, sub)
-    CTEs upstream; emits ``pq_ranked{sfx}`` with the full ADC ranking
-    (query_id, cand_id, adc_dist, rank — unfiltered). One generator for
-    every operating point so seed selection / slicing / argmin encode
-    cannot drift between the k=4 and k=16 twins (the same review finding
-    _pq_parts fixed on the Spark side). ``train`` unrolls one per-subspace
-    Lloyd update: assignment against the seed codebook, then decimal-exact
-    elementwise means (the ivf_km c1 discipline with (subspace, code) as
-    the group key) become the codebook the encode/ADC stages read.
+    CTEs upstream (names overridable — the residual-encoded IVFADC
+    points them at the residual tables); emits ``pq_ranked{sfx}`` with
+    the full ADC ranking (query_id, cand_id, adc_dist, rank —
+    unfiltered). One generator for every operating point so seed
+    selection / slicing / argmin encode cannot drift between the k=4
+    and k=16 twins (the same review finding _pq_parts fixed on the
+    Spark side). ``train`` unrolls one per-subspace Lloyd update:
+    assignment against the seed codebook, then decimal-exact
+    elementwise means (the ivf_km c1 discipline with (subspace, code)
+    as the group key) become the codebook the encode/ADC stages read.
     """
     trained = f"""
     codebook0{sfx} AS (
@@ -740,7 +748,7 @@ def _pq_sql_ctes(k_codes: int, sfx: str, train: bool = False) -> str:
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
                  ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
                           cb.code) AS r
-        FROM subvecs sv JOIN codebook0{sfx} cb ON sv.subspace = cb.subspace
+        FROM {subvecs} sv JOIN codebook0{sfx} cb ON sv.subspace = cb.subspace
       ) WHERE r = 1
     ),
     codebook{sfx} AS (
@@ -760,7 +768,7 @@ def _pq_sql_ctes(k_codes: int, sfx: str, train: bool = False) -> str:
     return f"""
     seeds{sfx} AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
-      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k_codes})
+      FROM (SELECT vec_id, v FROM {emb} ORDER BY vec_id LIMIT {k_codes})
     ),{trained if train else seeded}
     encoded{sfx} AS (
       SELECT vec_id, subspace, code FROM (
@@ -768,14 +776,14 @@ def _pq_sql_ctes(k_codes: int, sfx: str, train: bool = False) -> str:
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.subspace
                  ORDER BY {_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)},
                           cb.code) AS r
-        FROM subvecs sv JOIN codebook{sfx} cb ON sv.subspace = cb.subspace
+        FROM {subvecs} sv JOIN codebook{sfx} cb ON sv.subspace = cb.subspace
       ) WHERE r = 1
     ),
     qtab{sfx} AS (
       SELECT sv.vec_id AS query_id, sv.subspace, cb.code,
              ROUND({_PQ_SUBDIST.format(a='sv.sub', b='cb.cw', d=_PQ_D)}, 8)
                AS dpart
-      FROM subvecs sv JOIN codebook{sfx} cb ON sv.subspace = cb.subspace
+      FROM {subvecs} sv JOIN codebook{sfx} cb ON sv.subspace = cb.subspace
       WHERE sv.vec_id < 5
     ),
     adc{sfx} AS (
@@ -803,12 +811,19 @@ def _pq_parts(emb, k_codes: int = _PQ_K, train: bool = False):
     must stay byte-identical across all three (review finding: three
     copies drift).
     """
-    from pyspark.sql import Window
-
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
+    return _pq_parts_v(base, k_codes, train)
+
+
+def _pq_parts_v(base, k_codes: int = _PQ_K, train: bool = False):
+    """PQ construction over a pre-shaped (vec_id, v: array<double>) table
+    — the residual-encoded IVFADC points this at residuals; _pq_parts
+    wraps it for the raw-embedding callers."""
+    from pyspark.sql import Window
+
     sub_slices = F.array(
         *[
             F.struct(
@@ -1150,13 +1165,11 @@ def ann_pq_adc_trained_topk(spark, sf_dir):
     return _pq_adc_topk(emb, k=5, k_codes=16, train=True)
 
 
-# Shared DuckDB chain for the COMPOSED IVF-PQ (FAISS IVFADC) search:
-# trained coarse quantizer (the ann_ivf_kmeans_topk c0/a1/c1 discipline)
-# routes each query to n_probe=2 cells, and the PQ-ADC scan
-# (_pq_sql_ctes, trained m=4 x k=16 codebooks) runs over codes in those
-# cells ONLY.  Expects an ``emb`` (vec_id, embedding, v) CTE upstream;
-# emits ``ivfpq_ranked`` (query_id, cand_id, adc_dist, rank).
-_IVFPQ_CTES = f"""
+# Coarse-quantizer chain shared by the two composed IVF-PQ variants:
+# trained centroids (the ann_ivf_kmeans_topk c0/a1/c1 discipline), the
+# corpus cell assignment, and the n_probe=2 probe lists.  Expects an
+# ``emb`` (vec_id, embedding, v) CTE upstream.
+_IVF_COARSE_CTES = f"""
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              v AS vec
@@ -1195,7 +1208,14 @@ _IVFPQ_CTES = f"""
         FROM emb q CROSS JOIN c1 c
         WHERE q.vec_id < 5
       ) WHERE r <= 2
-    ),
+    )"""
+
+
+# RAW-vector composed IVF-PQ tail: PQ trained on the vectors
+# themselves, the probe prunes cells, ADC runs over codes in probed
+# cells only.  Emits ``ivfpq_ranked`` (query_id, cand_id, adc_dist,
+# rank).  Composable after _IVF_COARSE_CTES.
+_IVFPQ_RAW_TAIL = f"""
     subvecs AS (
       SELECT e.vec_id, s.s AS subspace,
              e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
@@ -1220,6 +1240,70 @@ _IVFPQ_CTES = f"""
                   ORDER BY adc_dist, cand_id) AS INT) AS rank
       FROM adc_ivfpq
     )"""
+
+# RESIDUAL-encoded composed IVF-PQ tail — the true FAISS IVFADC: PQ
+# codebooks train on RESIDUALS v - centroid[cell] (what remains after
+# the coarse quantizer explains the vector — lower-variance input, so
+# the same code budget spends on finer structure), queries build one
+# distance table PER PROBED CELL against their own residual w.r.t.
+# that cell's centroid.  Emits ``ivfpq_res_ranked``.
+_IVFPQ_RES_TAIL = f"""
+    remb AS MATERIALIZED (
+      SELECT e.vec_id,
+             list_transform(range(1, 65), i -> e.v[i] - c.vec[i]) AS v
+      FROM emb e
+      JOIN cells a ON a.cand_id = e.vec_id
+      JOIN c1 c ON c.cid = a.cid
+    ),
+    rsubvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM remb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_r16', train=True, emb='remb', subvecs='rsubvecs')},
+    qres AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, 65), i -> q.v[i] - c.vec[i]) AS r
+      FROM probes p
+      JOIN emb q ON q.vec_id = p.query_id
+      JOIN c1 c ON c.cid = p.cid
+    ),
+    qsubs AS (
+      SELECT query_id, cid, s.s AS subspace,
+             r[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM qres, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    qtab_res AS (
+      SELECT query_id, cid, qs.subspace, cb.code,
+             ROUND({_PQ_SUBDIST.format(a='qs.sub', b='cb.cw', d=_PQ_D)}, 8)
+               AS dpart
+      FROM qsubs qs JOIN codebook_r16 cb ON qs.subspace = cb.subspace
+    ),
+    adc_res AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             ROUND(CAST(SUM(CAST(q.dpart AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM encoded_r16 e
+      JOIN cells a ON a.cand_id = e.vec_id
+      JOIN qtab_res q ON q.cid = a.cid AND e.subspace = q.subspace
+                     AND e.code = q.code
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id
+    ),
+    ivfpq_res_ranked AS (
+      SELECT query_id, cand_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, cand_id) AS INT) AS rank
+      FROM adc_res
+    )"""
+
+_IVFPQ_CTES = f"""
+    {_IVF_COARSE_CTES},
+    {_IVFPQ_RAW_TAIL}"""
+
+_IVFPQ_RES_CTES = f"""
+    {_IVF_COARSE_CTES},
+    {_IVFPQ_RES_TAIL}"""
 
 
 def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
@@ -1383,6 +1467,181 @@ def ann_ivfpq_adc_topk(spark, sf_dir):
     return _ivfpq_adc_topk(spark, sf_dir, k=5)
 
 
+def _ivfpq_residual_topk(spark, sf_dir, k=5, n_probe=2):
+    """RESIDUAL-encoded composed IVF-PQ through a persisted index — the
+    true FAISS IVFADC (Jegou et al., PAMI'11 §III): the PQ codebooks
+    train on residuals v - centroid[cell] (the coarse quantizer
+    explains the bulk, so the SAME m x k code budget quantizes a
+    lower-variance signal), the inverted lists store the residual
+    codes partitioned by cell, and each query builds one m x k
+    distance table PER PROBED CELL against its own residual w.r.t.
+    that cell's centroid.  Same serving lifecycle as _ivfpq_adc_topk;
+    only the encoded SIGNAL changes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    idx_root = os.path.join(
+        tempfile.gettempdir(), f"nyetl_ivfpqres_{os.getpid()}"
+    )
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # BUILD: coarse quantizer, cell assignment, RESIDUALS per vector,
+    # PQ trained on the residuals, codes persisted partitioned by cid
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    cells = (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select("vec_id", "cid")
+    )
+    cent_v = cent.select("cid", F.col("vec").alias("cvec"))
+    resid = (
+        base.join(cells, "vec_id")
+        .join(F.broadcast(cent_v), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.expr("zip_with(_v, cvec, (x, y) -> x - y)").alias("v"),
+        )
+    )
+    _, codebook, encoded, d = _pq_parts_v(
+        resid.select("vec_id", "v"), k_codes=16, train=True
+    )
+    (
+        encoded.select(F.col("vec_id").alias("cand_id"), "subspace", "code")
+        .join(
+            cells.select(F.col("vec_id").alias("cand_id"), "cid"), "cand_id"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(idx_root, "codes"))
+    )
+    codebook.write.mode("overwrite").parquet(
+        os.path.join(idx_root, "codebook")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    # PROBE: n_probe cells per query; the query's distance table is
+    # built PER PROBED CELL from its residual against that centroid
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids")).select(
+        "cid", F.col("vec").alias("cent_vec")
+    )
+    dq = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "_v")
+        .crossJoin(F.broadcast(cent_t))
+        .select("query_id", "_v", "cid", "cent_vec", dq.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select(
+            "query_id",
+            "cid",
+            F.expr("zip_with(_v, cent_vec, (x, y) -> x - y)").alias("qr"),
+        )
+    ).localCheckpoint(eager=True)
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    idx_scan = spark.read.parquet(os.path.join(idx_root, "codes")).filter(
+        F.col("cid").isin(probe_cids)
+    )
+
+    cbk = spark.read.parquet(os.path.join(idx_root, "codebook"))
+    sub_slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice("qr", s * _PQ_D + 1, _PQ_D).alias("sub"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    qsubs = probes.select(
+        "query_id", "cid", F.explode(sub_slices).alias("e")
+    ).select("query_id", "cid", "e.subspace", "e.sub")
+    qtab = qsubs.join(F.broadcast(cbk), "subspace").select(
+        "query_id",
+        "cid",
+        "subspace",
+        "code",
+        F.round(d, 8).alias("dpart"),
+    )
+    adc = (
+        idx_scan.join(F.broadcast(qtab), ["cid", "subspace", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.round(
+                F.sum(F.col("dpart").cast("decimal(38,12)")).cast("double"),
+                6,
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    {_IVFPQ_RES_CTES}
+    SELECT query_id, cand_id, adc_dist, rank
+    FROM ivfpq_res_ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="RESIDUAL-encoded composed IVF-PQ top-k — the true FAISS IVFADC "
+    "(Jegou et al., PAMI'11 §III), completing ann_ivfpq_adc_topk: the "
+    "PQ codebooks train on residuals v - centroid[cell] (the coarse "
+    "quantizer explains the bulk of each vector, so the same m=4 x "
+    "k=16 code budget quantizes a lower-variance signal — the reason "
+    "production IVFADC encodes residuals), the inverted lists persist "
+    "the residual codes partitioned by cell, and each query builds "
+    "one m x k distance table PER PROBED CELL against its own "
+    "residual w.r.t. that cell's centroid (n_probe x m x k broadcast "
+    "rows per query).  Same serving lifecycle and partition-pruned "
+    "scan as the raw twin; ann_recall_ivfpq reports both variants' "
+    "recall side by side so the residual DELTA is a measured number — "
+    "NEGATIVE on this corpus (0.30 vs 0.40 at sf0.01): near-isotropic "
+    "synthetic embeddings give the coarse quantizer nothing to "
+    "explain, so residuals from different cell frames only decohere "
+    "the shared codebook.  Residual encoding pays exactly when the "
+    "data has low intrinsic dimension — the gate records the truth of "
+    "this corpus instead of assuming the textbook.",
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    return _ivfpq_residual_topk(spark, sf_dir, k=5)
+
+
 @register(
     "ann_recall_ivfpq",
     f"""
@@ -1392,20 +1651,28 @@ def ann_ivfpq_adc_topk(spark, sf_dir):
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    {_IVFPQ_CTES},
+    {_IVF_COARSE_CTES},
+    {_IVFPQ_RAW_TAIL},
+    {_IVFPQ_RES_TAIL},
     ivfpq AS (
       SELECT query_id, cand_id FROM ivfpq_ranked WHERE rank <= 10
+    ),
+    ivfpq_res AS (
+      SELECT query_id, cand_id FROM ivfpq_res_ranked WHERE rank <= 10
     )
     {_recall_row_sql('ivfpq')}
+    UNION ALL
+    {_recall_row_sql('ivfpq_res')}
+    ORDER BY method
     """,
-    doc="recall@10 of the composed IVF-PQ search (ann_ivfpq_adc_topk at "
-    "k=10) against the exact brute-force top-10 — the driver-gated "
-    "quality number for the IVFADC path, completing the ANN recall "
-    "curve (every other search path already carries one via "
-    "ann_recall_at_k / ann_recall_trained).  Composition must cost at "
-    "most roughly the product of its parts' losses: IVF-km(p2) recall "
-    "x PQ-t16 recall bounds the expectation; the pytest floor in "
-    "tests/test_quality_gates.py records the measured number so a "
+    doc="recall@10 of BOTH composed IVF-PQ searches (raw-vector ADC and "
+    "residual-encoded IVFADC, k=10) against the exact brute-force "
+    "top-10 — the driver-gated quality numbers for the composed "
+    "paths, completing the ANN recall curve (every other search path "
+    "already carries one via ann_recall_at_k / ann_recall_trained), "
+    "with the residual-encoding gain exposed as the difference "
+    "between the two rows.  The pytest floors in "
+    "tests/test_quality_gates.py record the measured numbers so a "
     "quantizer or codebook regression fails even while both engines "
     "agree.",
 )
@@ -1418,20 +1685,29 @@ def ann_recall_ivfpq(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     total = bf.agg(F.count(F.lit(1)).alias("total"))
-    hits = (
-        _ivfpq_adc_topk(spark, sf_dir, k=10)
-        .select("query_id", "cand_id")
-        .join(bf, ["query_id", "cand_id"], "semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .withColumn("method", F.lit("ivfpq"))
+
+    def leg(df, method):
+        return (
+            df.select("query_id", "cand_id")
+            .join(bf, ["query_id", "cand_id"], "semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .withColumn("method", F.lit(method))
+        )
+
+    out = leg(_ivfpq_adc_topk(spark, sf_dir, k=10), "ivfpq").unionAll(
+        leg(_ivfpq_residual_topk(spark, sf_dir, k=10), "ivfpq_res")
     )
-    return hits.crossJoin(total).select(
-        "method",
-        "hits",
-        "total",
-        F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
-            "recall"
-        ),
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            "hits",
+            "total",
+            F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("method")
     )
 
 

@@ -57,13 +57,18 @@ def test_ann_recall_trained_floors(spark):
 
 
 def test_ann_recall_ivfpq_floor(spark):
-    """Composed IVF-PQ (IVFADC) recall@10 floor: measured 0.40 at sf0.01
-    / 0.30 at sf0.1 — cell pruning beats pure PQ-t16 (0.34) on this
-    corpus because the probed cells drop distractors ADC would falsely
-    rank high.  Floor 0.25 sits under both measurements with
-    regeneration-jitter margin, far above any broken-quantizer state."""
+    """Composed IVF-PQ (IVFADC) recall@10 floors: raw-vector ADC measured
+    0.40 at sf0.01 / 0.30 at sf0.1 — cell pruning beats pure PQ-t16
+    (0.34) on this corpus because the probed cells drop distractors ADC
+    would falsely rank high.  Residual encoding measured 0.30 / 0.24 —
+    WORSE here (near-isotropic embeddings give the coarse quantizer
+    nothing to explain, so cross-cell residual frames decohere the
+    shared codebook; it pays on low-intrinsic-dimension data).  Floors
+    sit under the measurements with regeneration-jitter margin, far
+    above any broken-quantizer state."""
     rec = _rows(spark, "ann_recall_ivfpq")
     assert rec["ivfpq"]["recall"] >= 0.25, rec
+    assert rec["ivfpq_res"]["recall"] >= 0.15, rec
 
 
 def test_quantile_sketch_error_bounds(spark):
