@@ -2349,6 +2349,194 @@ def ann_index_persisted_probe(spark, sf_dir):
     )
 
 
+@register(
+    "ann_index_filtered_probe",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id AS cand_id, e.label, e.embedding AS c_vec,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT query_id, q_label, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_KM_DIST.format(a='q.v', b='c.vec')}, c.cid)
+                 AS r
+        FROM emb q CROSS JOIN c1 c
+        WHERE q.vec_id < 5
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.q_label, a.cand_id,
+             {_COS_SQL.format(a='p.q_vec', b='a.c_vec')} AS cosine
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.cand_id <> p.query_id AND a.label = p.q_label
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(q_label AS INT) AS q_label, cand_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="FILTERED ANN through the persisted index — the vector-database "
+    "staple the plain probe lacks (every production vector store "
+    "exposes 'top-k WHERE metadata predicate'): each query retrieves "
+    "its top-5 among candidates sharing ITS OWN label, through the "
+    "same build-once/probe-many IVF lifecycle as "
+    "ann_index_persisted_probe (labels ride in the index as the "
+    "filterable payload).  The filter composes with pruning at scan "
+    "time: the probed cids push as PartitionFilters AND the union of "
+    "query labels pushes as a PushedFilters rowgroup predicate "
+    "(plan-tested), so at 100 TB the scan reads corpus/n_lists x "
+    "n_probe rows pre-thinned by the label stats before the per-query "
+    "equality join refines exactly.  Post-filter ranking is the "
+    "standard deterministic (cosine DESC, cand_id).",
+)
+def ann_index_filtered_probe(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    base = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    idx_root = os.path.join(
+        tempfile.gettempdir(), f"nyetl_annfidx_{os.getpid()}"
+    )
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    # BUILD: the persisted-probe lifecycle, with the filterable payload
+    # (label) stored in the index
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "label",
+            F.col("embedding").alias("c_vec"),
+            "cid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(idx_root, "assignments"))
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+
+    # PROBE: n_probe cells per query; the label predicate pushes to the
+    # pruned scan as the UNION of query labels, then refines per query
+    cent_t = spark.read.parquet(os.path.join(idx_root, "centroids")).select(
+        "cid", F.col("vec").alias("cent_vec")
+    )
+    d = F.expr(_SQDIST.format(a="_v", b="cent_vec"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+            "_v",
+        )
+        .crossJoin(F.broadcast(cent_t))
+        .select("query_id", "q_label", "q_vec", "cid", d.alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 2)
+        .select("query_id", "q_label", "q_vec", "cid")
+    ).localCheckpoint(eager=True)
+    rows = probes.select("cid", "q_label").collect()
+    probe_cids = sorted({r["cid"] for r in rows})
+    probe_labels = sorted({r["q_label"] for r in rows})
+    idx_scan = (
+        spark.read.parquet(os.path.join(idx_root, "assignments"))
+        .filter(F.col("cid").isin(probe_cids))
+        .filter(F.col("label").isin(probe_labels))
+    )
+
+    scored = (
+        idx_scan.join(F.broadcast(probes), "cid")
+        .filter(
+            (F.col("cand_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "cand_id",
+            S.cosine_expr("q_vec", "c_vec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            "cand_id",
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 _IVF_APPEND_SQL = f"""
     WITH emb AS (
       SELECT vec_id, embedding,

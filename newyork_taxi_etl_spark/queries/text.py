@@ -823,6 +823,113 @@ def bpe_encode_apply(spark, sf_dir):
     )
 
 
+_BPE_HOLDOUT_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % 5 <> 0)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    syms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_bpe_round_sql(r, mat=True) for r in (1, 2, 3))},
+    langvocab AS (
+      SELECT doc_id % 5 = 0 AS is_val, lang, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+      GROUP BY 1, lang, w
+    ),
+    asyms0 AS (
+      SELECT is_val, lang, cnt,
+             list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM langvocab
+    ),
+    asyms1 AS ({_bpe_fold_sql('asyms0', 'top1',
+                              keep='s.is_val, s.lang, s.cnt')}),
+    asyms2 AS ({_bpe_fold_sql('asyms1', 'top2',
+                              keep='s.is_val, s.lang, s.cnt')}),
+    asyms3 AS ({_bpe_fold_sql('asyms2', 'top3',
+                              keep='s.is_val, s.lang, s.cnt')})
+    SELECT CASE WHEN is_val THEN 'holdout' ELSE 'train' END AS split,
+           lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_instances,
+           CAST(SUM(cnt * len(syms)) AS BIGINT) AS bpe_symbols,
+           ROUND(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+             AS bpe_fertility
+    FROM asyms3
+    GROUP BY 1, lang
+    ORDER BY split, lang"""
+
+
+@register(
+    "bpe_holdout_fertility",
+    _BPE_HOLDOUT_SQL,
+    doc="TOKENIZER GENERALIZATION — the held-out eval of the BPE loop "
+    "(the number a tokenizer team actually ships on): merges train "
+    "ONLY on the 80% hash split (doc_id % 5 <> 0; bpe_merge_loop and "
+    "bpe_encode_apply train on the full corpus), then encode BOTH "
+    "splits and report per-(split, lang) BPE fertility side by side — "
+    "a held-out fertility materially above train fertility means the "
+    "merge table memorized the training vocabulary instead of "
+    "learning reusable subwords.  Same shared training fold "
+    "(_bpe_train_tops) and apply fold as the full-corpus twins; "
+    "training is vocab-sized per round, apply runs once over the "
+    "(split, lang, word) vocab with each 1-row merge broadcast; all "
+    "sums integer.",
+)
+def bpe_holdout_fertility(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tops = _bpe_train_tops(docs.filter(F.col("doc_id") % 5 != 0))
+    lv = (
+        docs.select(
+            (F.col("doc_id") % 5 == 0).alias("is_val"),
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("is_val", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = lv.select(
+        "is_val",
+        "lang",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for top in tops:
+        enc = enc.crossJoin(F.broadcast(top)).select(
+            "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    return (
+        enc.select(
+            F.when(F.col("is_val"), "holdout").otherwise("train").alias(
+                "split"
+            ),
+            "lang",
+            "cnt",
+            F.size("syms").alias("n_syms"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_instances"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("bpe_symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("bpe_fertility"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 @register(
     "udtf_token_explode",
     """

