@@ -324,6 +324,15 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # _qi_ladder_classes, shared with the new dp_release_pipeline
     # (values verified identical at sf0.001/sf0.01).
     "k_anonymity_ladder",
+    # r10 refactor — _pq_parts split into a (vec_id, v) core
+    # (_pq_parts_v) reused by the residual IVFADC; pure code motion
+    # (identical DataFrame graph, oracle strings byte-identical), but
+    # the callers' code path moved so their verdicts re-check.
+    "pq_encode_profile",
+    "ann_pq_adc_topk",
+    "ann_pq_adc_k16_topk",
+    "ann_pq_adc_trained_topk",
+    "ann_recall_trained",
     # r10 refactor — moment_mmd2_split factored into partials + finisher,
     # shared with the new streaming_mmd_ingest monitor (values verified
     # identical at sf0.001/sf0.01).
