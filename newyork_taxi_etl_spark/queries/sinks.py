@@ -1402,3 +1402,85 @@ def zorder_interleaved_skipping(spark, sf_dir):
         F.lit(ztr < zn).alias("zorder_prunes_trailing"),
         F.lit(z2d < zn and l2d < ln).alias("both_prune_box2d"),
     )
+
+
+@register(
+    "corpus_shard_export",
+    """
+    WITH kept AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 10
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS doc_id_checksum
+    FROM kept
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="TRAINING-SHARD EXPORT with a verifiable manifest — the ship-it "
+    "step of the curation pipeline: kept documents (>= 10 tokens) "
+    "hash-assign to 8 shards (md5(doc_id) 24-bit prefix mod 8 — "
+    "deterministic, balanced in expectation, reshuffle-free on "
+    "re-export), the shards are ACTUALLY WRITTEN partitioned by shard "
+    "id, and the manifest is computed FROM THE WRITTEN FILES on "
+    "read-back: per-shard doc count, token/char budgets, and an "
+    "order-canonical md5 checksum over the sorted doc_id list — the "
+    "receipt a training job verifies before consuming the shards "
+    "(write loss, dup delivery, or nondeterministic re-export all "
+    "break the checksum).  The oracle computes the same manifest "
+    "relationally, so the round trip is proven lossless.  Scale: one "
+    "corpus pass to write (hash assignment is a projection), "
+    "manifest aggregation is map-side combinable per shard; the "
+    "checksum's collect_list is per-shard-bounded (docs/8) — at "
+    "larger scale swap in the order-independent XOR/sum-of-hashes "
+    "fingerprint table_diff_reconcile already uses.",
+)
+def corpus_shard_export(spark, sf_dir):
+    out = _workdir("corpus_shards")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.size(F.split(F.col("text"), " "))
+    kept = docs.filter(toks >= 10).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % 8
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    kept.write.mode("overwrite").partitionBy("shard").parquet(out)
+    manifest = spark.read.parquet(out)
+    return (
+        manifest.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(array_sort(collect_list(doc_id)), "
+                        "x -> CAST(x AS STRING))"
+                    ),
+                )
+            ).alias("doc_id_checksum"),
+        )
+        .orderBy("shard")
+    )

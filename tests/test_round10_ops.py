@@ -135,3 +135,19 @@ def test_bpe_holdout_fertility_sane(spark):
         assert tr is not None and ho is not None, lang
         assert tr >= 1.0 and ho >= 1.0
         assert abs(ho - tr) <= 0.5 * tr, (lang, tr, ho)
+
+
+def test_shard_export_manifest_reproducible_and_complete(spark):
+    """Two independent exports must produce IDENTICAL manifests
+    (deterministic hash sharding, order-canonical checksums), shard
+    doc counts must sum to the kept-set size, and every shard must be
+    non-empty at this corpus size."""
+    from pyspark.sql import functions as F
+
+    a = queries()["corpus_shard_export"](spark, SF_ORACLE).collect()
+    b = queries()["corpus_shard_export"](spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    n_kept = docs.filter(F.size(F.split("text", " ")) >= 10).count()
+    assert sum(r["n_docs"] for r in a) == n_kept
+    assert len(a) == 8 and all(r["n_docs"] > 0 for r in a)
