@@ -151,3 +151,20 @@ def test_shard_export_manifest_reproducible_and_complete(spark):
     n_kept = docs.filter(F.size(F.split("text", " ")) >= 10).count()
     assert sum(r["n_docs"] for r in a) == n_kept
     assert len(a) == 8 and all(r["n_docs"] > 0 for r in a)
+
+
+def test_spread_small_scan_noop_when_already_parallel(spark):
+    """spread_small_scan must be a structural NO-OP (same plan object,
+    no added shuffle) when the input already has >= defaultParallelism
+    partitions — the 100 TB posture — and must raise parallelism when
+    the scan under-splits."""
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(cores + 4)
+    assert spread_small_scan(wide) is wide  # identical object: no shuffle
+    narrow = spark.range(0, 1000).coalesce(1)
+    out = spread_small_scan(narrow)
+    assert out.rdd.getNumPartitions() == cores
