@@ -40,6 +40,15 @@ def cosine_expr(a: str, b: str, digits: int = 4):
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Raise a degenerate scan's parallelism to the session default.
 
+    Sibling of :func:`newyork_taxi_etl_spark.session.spread` (the r7
+    guard the dedup/linkage/text families use) with one deliberate
+    difference: this spreads to ``sparkContext.defaultParallelism``
+    (the CORE count — right for the interpreted-HOF vector math below
+    the first exchange, where the unit of work is CPU) where
+    ``session.spread`` targets ``spark.sql.shuffle.partitions`` (right
+    for hash/shingle projections feeding a shuffle of that width).
+    Both are structural no-ops on a well-split input.
+
     A broadcast-crossjoin stage inherits the probe side's partitioning:
     when the corpus fits one parquet split (any small-SF local run), the
     whole O(N x corpus) cosine evaluation — interpreted higher-order

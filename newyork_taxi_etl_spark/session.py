@@ -67,6 +67,12 @@ def spread(df, *cols):
     per-row work (hashing, shingling, vector math) — but ONLY when the input
     is under-split.
 
+    Sibling of ``operators.similarity.spread_small_scan``, which targets
+    ``defaultParallelism`` (core count) instead — right for interpreted
+    higher-order-function math below the first exchange; this one sizes
+    for projections feeding a shuffle of ``spark.sql.shuffle.partitions``
+    width.
+
     Small local parquet inputs arrive as ONE split (single file, single row
     group), which would serialize expensive projections onto one core. On a
     real cluster the scan already provides >= shuffle-parallelism splits, in
