@@ -1814,3 +1814,187 @@ def logreg_kfold_cv(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fold")
+
+
+def _decon_sigs_sql(side: str, table: str) -> str:
+    from newyork_taxi_etl_spark.functions.text import minhash_sql
+
+    return f"""
+    sigs_{side} AS (
+      SELECT doc_id,
+             {minhash_sql(_SH, 0)} AS mh_0,
+             {minhash_sql(_SH, 1)} AS mh_1,
+             {minhash_sql(_SH, 2)} AS mh_2,
+             {minhash_sql(_SH, 3)} AS mh_3
+      FROM {table}
+    ),
+    bands_{side} AS (
+      SELECT doc_id, 0 AS band_idx, md5(concat(mh_0, '|', mh_1)) AS band_hash
+      FROM sigs_{side}
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(concat(mh_2, '|', mh_3)) AS band_hash
+      FROM sigs_{side}
+    )"""
+
+
+_DECON_SQL = f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+    {_decon_sigs_sql('b', 'bench')},
+    {_decon_sigs_sql('c', 'corpus')},
+    hot AS (
+      SELECT band_idx, band_hash
+      FROM (SELECT * FROM bands_b UNION ALL SELECT * FROM bands_c)
+      GROUP BY band_idx, band_hash HAVING COUNT(*) > 64
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+      FROM bands_c c JOIN bands_b b USING (band_idx, band_hash)
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = c.band_idx
+                          AND h.band_hash = c.band_hash)
+    ),
+    shc AS (
+      SELECT doc_id, unnest(list_distinct({_SH})) AS g FROM documents
+      WHERE doc_id IN (SELECT cid FROM cand)
+    ),
+    shb AS (
+      SELECT doc_id, unnest(list_distinct({_SH})) AS g FROM documents
+      WHERE doc_id IN (SELECT bid FROM cand)
+    ),
+    szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
+    shared AS (
+      SELECT p.cid, p.bid, COUNT(*) AS sh
+      FROM cand p
+      JOIN shc ON shc.doc_id = p.cid
+      JOIN shb ON shb.doc_id = p.bid AND shb.g = shc.g
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT p.cid, p.bid,
+             ROUND(CAST(COALESCE(s.sh, 0) AS DOUBLE)
+                   / (c.n + b.n - COALESCE(s.sh, 0)), 4) AS j
+      FROM cand p
+      LEFT JOIN shared s ON s.cid = p.cid AND s.bid = p.bid
+      JOIN szc c ON c.doc_id = p.cid
+      JOIN szb b ON b.doc_id = p.bid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bench) AS n_bench_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_corpus_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_band_candidates,
+           COALESCE(CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT), 0) AS n_flagged,
+           COALESCE(MAX(j), 0.0) AS max_jaccard
+    FROM jacc
+    """
+
+
+@register(
+    "decontamination_fuzzy",
+    _DECON_SQL,
+    doc="FUZZY benchmark decontamination — the near-match twin of "
+    "contamination_ngram_overlap (same doc_id % 50 benchmark slice): "
+    "exact n-gram overlap misses paraphrased or lightly-edited eval "
+    "leakage, so train-side and benchmark-side documents meet through "
+    "banded MinHash-LSH (the dedup_minhash_lsh machinery — 4 sigs, 2 "
+    "bands x r=2, hot-bucket cap 64 over the UNION of both sides) and "
+    "every band candidate is gated by EXACT 3-shingle Jaccard >= 0.5. "
+    "One always-present summary row: slice sizes, band-candidate "
+    "count, flagged count, max observed Jaccard — zero candidates is "
+    "the CORRECT answer on this corpus (no cross-slice near-dups "
+    "planted; the dedup_minhash_lsh precedent).  Scale: both sides "
+    "reduce to vocab..signature-sized band tables; the candidate join "
+    "meets only inside band buckets (never corpus x bench); the exact "
+    "gate touches candidate docs only via a semi-join.",
+)
+def decontamination_fuzzy(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators import dedup as D
+
+    docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bands_b = D.lsh_band_rows(D.with_minhash(bench)).localCheckpoint(
+        eager=True
+    )
+    bands_c = D.lsh_band_rows(D.with_minhash(corpus)).localCheckpoint(
+        eager=True
+    )
+    hot = (
+        bands_b.unionByName(bands_c)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > 64)
+        .select("band_idx", "band_hash")
+    )
+    cb = bands_c.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    bb = bands_b.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    cand = (
+        cb.select("band_idx", "band_hash", F.col("doc_id").alias("cid"))
+        .join(
+            bb.select("band_idx", "band_hash", F.col("doc_id").alias("bid")),
+            ["band_idx", "band_hash"],
+        )
+        .select("cid", "bid")
+        .distinct()
+    ).localCheckpoint(eager=True)
+
+    from newyork_taxi_etl_spark.functions.text import shingles_expr
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr("text", 3))).alias("g"),
+    )
+    shc = sh.join(
+        F.broadcast(cand.select(F.col("cid").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
+    ).withColumnRenamed("doc_id", "cid")
+    shb = sh.join(
+        F.broadcast(cand.select(F.col("bid").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
+    ).withColumnRenamed("doc_id", "bid")
+    szc = shc.groupBy("cid").agg(F.count(F.lit(1)).alias("nc"))
+    szb = shb.groupBy("bid").agg(F.count(F.lit(1)).alias("nb"))
+    shared = (
+        cand.join(shc, "cid")
+        .join(shb.withColumnRenamed("g", "gb"), "bid")
+        .filter(F.col("g") == F.col("gb"))
+        .groupBy("cid", "bid")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    jacc = (
+        cand.join(shared, ["cid", "bid"], "left")
+        .join(szc, "cid")
+        .join(szb, "bid")
+        .select(
+            F.round(
+                F.coalesce(F.col("sh"), F.lit(0)).cast("double")
+                / (
+                    F.col("nc")
+                    + F.col("nb")
+                    - F.coalesce(F.col("sh"), F.lit(0))
+                ),
+                4,
+            ).alias("j")
+        )
+    )
+    nb_df = bench.agg(F.count(F.lit(1)).cast("bigint").alias("n_bench_docs"))
+    nc_df = corpus.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs")
+    )
+    ncand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_band_candidates")
+    )
+    gate = jacc.agg(
+        F.coalesce(
+            F.sum((F.col("j") >= 0.5).cast("int")).cast("bigint"), F.lit(0)
+        ).alias("n_flagged"),
+        F.coalesce(F.max("j"), F.lit(0.0)).alias("max_jaccard"),
+    )
+    return (
+        nb_df.crossJoin(F.broadcast(nc_df))
+        .crossJoin(F.broadcast(ncand))
+        .crossJoin(F.broadcast(gate))
+    )

@@ -168,3 +168,30 @@ def test_spread_small_scan_noop_when_already_parallel(spark):
     narrow = spark.range(0, 1000).coalesce(1)
     out = spread_small_scan(narrow)
     assert out.rdd.getNumPartitions() == cores
+
+
+def test_decontamination_fuzzy_flags_planted_paraphrase(spark, tmp_path):
+    """A lightly-edited copy of a benchmark doc planted in the corpus must
+    surface through the band join and pass the Jaccard >= 0.5 gate; an
+    unrelated corpus doc must not be flagged."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(
+        ("EDITED" if i == 37 else f"tok{i}") for i in range(40)
+    )
+    other = " ".join(f"zzz{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "webA", len(base)),     # doc_id % 50 == 0: benchmark
+        (1, near, "en", "webB", len(near)),     # corpus: planted near-copy
+        (2, other, "en", "webB", len(other)),   # corpus: unrelated
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    row = queries()["decontamination_fuzzy"](spark, sf).collect()[0]
+    assert row["n_bench_docs"] == 1 and row["n_corpus_docs"] == 2
+    assert row["n_band_candidates"] >= 1
+    assert row["n_flagged"] == 1, row
+    # one edited token of 40 removes 3 of 38 shingles: J = 35/41 ~ 0.85
+    assert row["max_jaccard"] >= 0.8, row
