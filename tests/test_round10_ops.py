@@ -195,3 +195,29 @@ def test_decontamination_fuzzy_flags_planted_paraphrase(spark, tmp_path):
     assert row["n_flagged"] == 1, row
     # one edited token of 40 removes 3 of 38 shingles: J = 35/41 ~ 0.85
     assert row["max_jaccard"] >= 0.8, row
+
+
+def test_outlier_screen_flags_planted_corrupt_vector(spark, tmp_path):
+    """A unit-scale mix-up (one vector x100) must rank first with a score
+    far above the chi-square-ish flag threshold and be counted in
+    n_flagged; a clean isotropic population must otherwise concentrate
+    near d=64."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for vid in range(64):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        if vid == 7:
+            v = [100.0 * x for x in v]  # corrupt: wrong unit scale
+        rows.append((vid, v, vid % 4))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path)
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+    out = queries()["embedding_outlier_screen"](spark, sf).collect()
+    assert out[0]["vec_id"] == 7, out[:3]
+    assert out[0]["score"] > 110.0
+    assert out[0]["n_flagged"] >= 1
+    assert out[0]["n_vectors"] == 64
