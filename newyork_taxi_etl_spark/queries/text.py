@@ -1913,3 +1913,86 @@ def good_turing_smoothing(spark, sf_dir):
     return j.select(
         "r", "n_r", "n_r1", r_star.alias("r_star"), gt_mass.alias("gt_mass")
     ).orderBy("r")
+
+
+@register(
+    "token_entropy_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    f AS (
+      SELECT lang, tok, COUNT(*) AS cnt FROM toks
+      WHERE tok <> '' GROUP BY lang, tok
+    ),
+    t AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM f GROUP BY lang
+    ),
+    h AS (
+      SELECT f.lang,
+             SUM(CAST(ROUND(-(CAST(f.cnt AS DOUBLE) / t.n)
+                            * ln(CAST(f.cnt AS DOUBLE) / t.n), 12)
+                      AS DECIMAL(38,12))) AS hs
+      FROM f JOIN t USING (lang) GROUP BY f.lang
+    )
+    SELECT t.lang, t.n AS n_tokens, t.v AS vocab,
+           ROUND(CAST(CAST(h.hs AS VARCHAR) AS DOUBLE), 6) AS entropy_nats,
+           ROUND(CAST(CAST(h.hs AS VARCHAR) AS DOUBLE)
+                 / ROUND(ln(CAST(t.v AS DOUBLE)), 12), 6) AS norm_entropy,
+           ROUND(1.0 - CAST(CAST(h.hs AS VARCHAR) AS DOUBLE)
+                 / ROUND(ln(CAST(t.v AS DOUBLE)), 12), 6) AS redundancy
+    FROM t JOIN h USING (lang)
+    ORDER BY t.lang
+    """,
+    doc="PER-LANGUAGE UNIGRAM ENTROPY — the corpus-health scalar between "
+    "the Zipf slope (shape) and Chao1 (asymptote): H = -sum p ln p "
+    "over the token distribution, normalized by ln(vocab) (norm 1 = "
+    "perfectly uniform usage) and its complement REDUNDANCY (near 1 = "
+    "a few tokens dominate — boilerplate or templating; the number "
+    "compression-ratio heuristics approximate).  Engine-exactness: "
+    "the -p ln p terms round at 12 dp and DECIMAL-sum (the "
+    "categorical_mi_profile ln discipline — order-independent "
+    "cross-engine), one double division at the end against the "
+    "12-dp-rounded ln(V).  Scale: the corpus reduces map-side to the "
+    "per-(lang, token) frequency table; the entropy sum runs over "
+    "THAT, never over token instances.",
+)
+def token_entropy_by_lang(spark, sf_dir):
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    f = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = f.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    h = (
+        f.join(F.broadcast(t), "lang")
+        .select("lang", F.round(-p * F.log(p), 12).alias("term"))
+        .groupBy("lang")
+        .agg(F.sum(F.col("term").cast(dec)).alias("hs"))
+    )
+    lnv = F.round(F.log(F.col("v").cast("double")), 12)
+    return (
+        t.join(h, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            F.col("v").alias("vocab"),
+            F.round(F.col("hs").cast("double"), 6).alias("entropy_nats"),
+            F.round(F.col("hs").cast("double") / lnv, 6).alias(
+                "norm_entropy"
+            ),
+            F.round(1.0 - F.col("hs").cast("double") / lnv, 6).alias(
+                "redundancy"
+            ),
+        )
+        .orderBy("lang")
+    )

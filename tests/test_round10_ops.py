@@ -221,3 +221,34 @@ def test_outlier_screen_flags_planted_corrupt_vector(spark, tmp_path):
     assert out[0]["score"] > 110.0
     assert out[0]["n_flagged"] >= 1
     assert out[0]["n_vectors"] == 64
+
+
+def test_token_entropy_numpy_recomputation(spark):
+    """Entropy, normalization, and redundancy recomputed in numpy from
+    raw token frequencies — and the information-theoretic bounds:
+    0 <= H <= ln(V), norm in [0, 1], redundancy = 1 - norm."""
+    import math
+
+    import numpy as np
+
+    rows = queries()["token_entropy_by_lang"](spark, SF_ORACLE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    f = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .count()
+        .collect()
+    )
+    by_lang = {}
+    for r in f:
+        by_lang.setdefault(r["lang"], []).append(r["count"])
+    for r in rows:
+        cnt = np.array(by_lang[r["lang"]], dtype=float)
+        p = cnt / cnt.sum()
+        h = float(np.sum(np.round(-p * np.log(p), 12)))
+        assert abs(h - r["entropy_nats"]) < 1e-4, (r["lang"], h, r)
+        assert 0.0 <= r["norm_entropy"] <= 1.0
+        assert abs(r["redundancy"] - (1.0 - r["norm_entropy"])) < 2e-6
+        assert r["entropy_nats"] <= math.log(r["vocab"]) + 1e-9
