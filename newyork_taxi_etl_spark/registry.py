@@ -284,70 +284,70 @@ _R9_VERIFIED = frozenset({
     "wasserstein_value_drift", "zorder_interleaved_skipping",
 })
 
+# Value-verified in round 10 (the 50 names in CORRECTNESS_r10.json — all
+# rows+schema+hash green, including ALL 19 re-verified _CHANGED_SINCE_VERIFY
+# names of that round: the three ordered_positions fold migrations, the six
+# spread_small_scan/localCheckpoint eval-family plan changes, the QI-ladder
+# and _pq_parts_v and MMD/W1/BPE shared-helper refactors).
+_R10_VERIFIED = frozenset({
+    "ann_index_filtered_probe", "ann_ivfpq_adc_topk",
+    "ann_ivfpq_residual_topk", "ann_pq_adc_k16_topk", "ann_pq_adc_topk",
+    "ann_pq_adc_trained_topk", "ann_ranking_quality", "ann_recall_ivfpq",
+    "ann_recall_trained", "asof_join_events", "bpe_encode_apply",
+    "bpe_holdout_fertility", "bpe_merge_loop", "cohort_retention",
+    "corpus_shard_export", "curriculum_quality_stages",
+    "customers_without_orders", "data_quality_checks",
+    "decontamination_fuzzy", "dedup_embedding_cosine",
+    "describe_table_detail", "dp_release_pipeline",
+    "embedding_outlier_screen", "freq_tokens_cms", "funnel_conversion",
+    "funnel_time_to_convert", "gini_revenue_concentration",
+    "gram_power_iteration_pc1", "gram_subspace_topk",
+    "inter_event_gap_stats", "k_anonymity_ladder", "knn_label_accuracy",
+    "knn_label_accuracy_indexed", "label_noise_consensus",
+    "mmd_moment_drift", "multimodal_features", "multimodal_frame_sample",
+    "multimodal_resize", "nation_trade_volume", "nucleus_user_coverage",
+    "pq_encode_profile", "range_join_windows", "set_ops",
+    "skew_salted_join", "streaming_mmd_ingest",
+    "streaming_wasserstein_ingest", "suppliers_in_order_nations",
+    "token_entropy_by_lang", "value_histogram", "wasserstein_value_drift",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
-    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED,
+    _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 7 re-verified all eight of
-# that round's entries; round 8 all three of its entries; round 9 all six of
-# its entries (the COALESCE'd linkage oracles, the coalesced z-order row
-# counts, and the three fixed-N md5-order sample rewrites).  Round 10
-# entries are added as code changes land:
+# that round's entries; round 8 all three; round 9 all six; round 10 ALL 19
+# (the ordered_positions fold migrations, the spread_small_scan /
+# localCheckpoint plan changes, and the QI/_pq_parts_v/MMD/W1/BPE shared-
+# helper refactors).  Round 11 entries are added as code changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r10 verdict items — the last three single-partition global windows
-    # replaced by the ordered_positions range-partitioned fold
-    # (operators/profile.py): NTILE(4), the Gini row_number rank, and the
-    # nucleus prefix sum are reproduced bit-exactly (oracles unchanged,
-    # values verified identical at sf0.001/sf0.01), but the standing
-    # verdicts no longer vouch for the new plan shape.
-    "curriculum_quality_stages",
-    "gini_revenue_concentration",
-    "nucleus_user_coverage",
-    # r10 perf items (values verified identical at sf0.001/sf0.01 — the
-    # physical plan changed, not the semantics): the kNN-eval sample is
-    # localCheckpoint-ed and draws norms on the N checkpointed rows, and
-    # spread_small_scan parallelizes the one-split local corpus scan in
-    # the eval + Gram families (knn 9.99->2.1 s, noise 8.86->1.6 s,
-    # indexed 13.2->7.2 s, gram pc1 10.4->6.9 s, subspace 14.2->8.8 s
-    # at sf0.1).
-    "knn_label_accuracy",
-    "label_noise_consensus",
-    "knn_label_accuracy_indexed",
-    "ann_ranking_quality",
-    "dedup_embedding_cosine",
-    "gram_power_iteration_pc1",
-    "gram_subspace_topk",
-    # r10 refactor — the QI class construction factored into
-    # _qi_ladder_classes, shared with the new dp_release_pipeline
-    # (values verified identical at sf0.001/sf0.01).
-    "k_anonymity_ladder",
-    # r10 refactor — _pq_parts split into a (vec_id, v) core
-    # (_pq_parts_v) reused by the residual IVFADC; pure code motion
-    # (identical DataFrame graph, oracle strings byte-identical), but
-    # the callers' code path moved so their verdicts re-check.
-    "pq_encode_profile",
-    "ann_pq_adc_topk",
-    "ann_pq_adc_k16_topk",
-    "ann_pq_adc_trained_topk",
-    "ann_recall_trained",
-    # r10 refactor — moment_mmd2_split factored into partials + finisher,
-    # shared with the new streaming_mmd_ingest monitor (values verified
-    # identical at sf0.001/sf0.01).
-    "mmd_moment_drift",
-    # r10 refactor — the W1 tail factored into w1_from_counts, shared
-    # with the new streaming_wasserstein_ingest monitor (values verified
-    # identical at sf0.001/sf0.01).
-    "wasserstein_value_drift",
-    # r10 refactor — the training loop factored into _bpe_train_tops,
-    # shared with the new bpe_encode_apply twin (values verified
-    # identical at sf0.001/sf0.01); the oracle's _bpe_round_sql gained
-    # an opt-in MATERIALIZED flag the training query does not use.
-    "bpe_merge_loop",
+    # r11 verdict item — corpus_shard_export's manifest checksum replaced
+    # the per-shard collect_list md5 with the commutative sum-of-md5-int64
+    # fingerprint (O(1) agg state, map-side combinable); oracle algebra
+    # changed to match.
+    "corpus_shard_export",
+    # r11 verdict item — training_shard_assignment's head fingerprint now
+    # comes from a per-shard min-3 map-side fold instead of a corpus-wide
+    # row_number window; values verified identical at sf0.001/sf0.01.
+    "training_shard_assignment",
+    # r11 verdict item — late_drop staging slices by equal TIME-SPAN
+    # tertiles (one min/max aggregate, pure projection) instead of the
+    # corpus-sized ntile(3) window; oracle changed to the same algebra
+    # (values green at sf0.001/sf0.01; note hash-mod-3 slicing was tried
+    # and MEASURED wrong — non-monotone batches strand real rows below
+    # the advanced watermark).
+    "streaming_late_drop",
+    # r11 ADVICE fixes — NULL-ts events route to the live side exactly as
+    # the batch CASE does (streaming_wasserstein_ingest), and ln(vocab)=0
+    # yields NULL identically on both engines (token_entropy_by_lang);
+    # both re-verified green at sf0.01 plus new edge-case pytests.
+    "streaming_wasserstein_ingest",
+    "token_entropy_by_lang",
 })
-
 
 def _tier(name: str) -> int:
     """Priority for the driver's truncated (50-query) correctness walk.

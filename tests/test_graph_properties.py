@@ -103,8 +103,8 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 10: every
-    registered query holds a green verdict and round 9 re-verified all six
+    of round-2 names rather than colliding with tier 1.  Round 11: every
+    registered query holds a green verdict and round 10 re-verified all 19
     changed names, so the window is (new registrations +
     changed-since-verify) followed by the stalest standing verdicts — the
     round-3-latest cohort (tier 4)."""
@@ -123,10 +123,8 @@ def test_registration_order_is_tiered_by_driver_verdict():
     n_head = sum(1 for t in tiers if t in (0, 1))
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
-        ("freq_tokens_cms", 4),                                # r3-latest
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
         ("zipf_token_slope", 6),                               # r5-latest
-        ("bpe_merge_loop", 1),                 # r10-changed: shared trainer
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
@@ -135,9 +133,12 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
         ("linkage_quality_gate", 10),          # r9-reverified: COALESCE oracle
         ("quality_auc_rank", 10),              # r9-latest
-        ("knn_label_accuracy", 1),             # r10-changed: spread + cache
-        ("gram_subspace_topk", 1),             # r10-changed: spread Gram pass
-        ("curriculum_quality_stages", 1),      # r10-changed: position fold
+        ("freq_tokens_cms", 11),               # r10-reverified (was r3-latest)
+        ("bpe_merge_loop", 11),                # r10-reverified: shared trainer
+        ("knn_label_accuracy", 11),            # r10-reverified: spread + cache
+        ("curriculum_quality_stages", 11),     # r10-reverified: position fold
+        ("corpus_shard_export", 1),       # r11-changed: commutative checksum
+        ("training_shard_assignment", 1), # r11-changed: min-3 head fingerprint
     ):
         assert registry._tier(probe) == want, probe
 
