@@ -1419,8 +1419,10 @@ def zorder_interleaved_skipping(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-             AS doc_id_checksum
+           CAST(SUM(CAST(CAST(('0x' ||
+                  substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) AS DECIMAL(38,0)))
+                % 2305843009213693951 AS BIGINT) AS doc_id_checksum
     FROM kept
     GROUP BY shard
     ORDER BY shard
@@ -1432,16 +1434,20 @@ def zorder_interleaved_skipping(spark, sf_dir):
     "re-export), the shards are ACTUALLY WRITTEN partitioned by shard "
     "id, and the manifest is computed FROM THE WRITTEN FILES on "
     "read-back: per-shard doc count, token/char budgets, and an "
-    "order-canonical md5 checksum over the sorted doc_id list — the "
-    "receipt a training job verifies before consuming the shards "
-    "(write loss, dup delivery, or nondeterministic re-export all "
-    "break the checksum).  The oracle computes the same manifest "
+    "ORDER-INDEPENDENT set fingerprint — the commutative sum of "
+    "32-bit md5 signatures (chars 9-16, disjoint from the 24-bit "
+    "shard-routing prefix) accumulated exactly in decimal(38,0) and "
+    "reduced mod the Mersenne prime 2^61-1 — the receipt a training "
+    "job verifies before consuming the shards (write loss, dup "
+    "delivery, or a re-export that lands a different doc SET all "
+    "break the fingerprint).  The oracle computes the same algebra "
     "relationally, so the round trip is proven lossless.  Scale: one "
-    "corpus pass to write (hash assignment is a projection), "
-    "manifest aggregation is map-side combinable per shard; the "
-    "checksum's collect_list is per-shard-bounded (docs/8) — at "
-    "larger scale swap in the order-independent XOR/sum-of-hashes "
-    "fingerprint table_diff_reconcile already uses.",
+    "corpus pass to write (hash assignment is a projection); the "
+    "manifest aggregation — count, sums, AND the fingerprint — is "
+    "now entirely map-side combinable with O(1) state per shard "
+    "(table_diff_reconcile's sum-of-hashes discipline), replacing "
+    "the r10 per-shard collect_list that materialized docs/8 ids in "
+    "one aggregation buffer.",
 )
 def corpus_shard_export(spark, sf_dir):
     out = _workdir("corpus_shards")
@@ -1472,15 +1478,22 @@ def corpus_shard_export(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.expr(
-                        "transform(array_sort(collect_list(doc_id)), "
-                        "x -> CAST(x AS STRING))"
-                    ),
+            (
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("doc_id").cast("string")), 9, 8
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
                 )
-            ).alias("doc_id_checksum"),
+                % F.lit(2305843009213693951)
+            )
+            .cast("bigint")
+            .alias("doc_id_checksum"),
         )
         .orderBy("shard")
     )

@@ -838,10 +838,42 @@ def test_nucleus_cumsum_is_rangepartitioned_fold(spark):
 
     plan = _plan(queries()["nucleus_user_coverage"](spark, SF_SMOKE))
     assert "rangepartitioning" in plan
-    # the within-partition running sum declares the pid partition spec
-    assert "partitionBy=[_pid" in plan.replace(" ", "") or "_pid" in plan
+    # the within-partition running sum declares the pid PARTITION SPEC —
+    # a Window node whose partition list is exactly [_pid#N]; a regression
+    # to an unpartitioned running-sum window drops this list and fails.
+    import re
+
+    assert re.search(r"\], \[_pid#\d+L?\], \[", plan), plan[
+        plan.index("Window") : plan.index("Window") + 400
+    ]
     win = plan.index("Window")
     assert "HashAggregate(keys=[_pid" in plan[win:], plan[win:win + 400]
+
+
+def test_shard_assignment_head_is_window_group_limit(spark):
+    """The head fingerprint must NOT rank the whole corpus through 16
+    window partitions: the rank<=3 filter sits directly above row_number
+    so Spark plans WindowGroupLimit (map-side local min-3 per shard
+    before the exchange), and the balance aggregate is a plain map-side
+    combined groupBy — no corpus-sized per-shard sort anywhere."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["training_shard_assignment"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the 16-row head side broadcasts back onto the 16-row balance side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_export_checksum_is_map_side_combinable(spark):
+    """The manifest fingerprint must be a commutative sum (O(1) agg state
+    per shard): no collect_list / sort_array in the plan, and the
+    aggregate carries map-side partials."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["corpus_shard_export"](spark, SF_SMOKE))
+    assert "collect_list" not in plan
+    assert "partial_sum" in plan
 
 
 def test_wasserstein_window_runs_on_tick_counts(spark):

@@ -1,0 +1,108 @@
+"""Round-11 semantic-invariant tests: edge cases the DuckDB differential
+cannot see (NULL-ts routing at the streaming split, checksum sensitivity
+of the shard-export fingerprint)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from newyork_taxi_etl_spark.registry import queries
+
+
+def test_streaming_w1_ingest_routes_null_ts_like_batch(spark, tmp_path):
+    """The ingest split must mirror the batch CASE: d < cutoff -> 'a',
+    ELSE (including NULL ts) -> 'b'.  A plain d >= cutoff live filter
+    would drop a NULL-ts / non-null-value event from BOTH sides and the
+    claimed bit-for-bit equality with wasserstein_value_drift would
+    break the day the driver testdata ships one."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_w1_ingest,
+    )
+
+    rows = [
+        ("2024-01-10 00:00:00", 1.00),
+        ("2024-01-11 00:00:00", 2.00),
+        ("2024-01-20 00:00:00", 1.50),
+        ("2024-01-21 00:00:00", 3.00),
+        (None, 2.50),  # NULL ts, non-null value: must land on side b
+    ]
+    ev = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = run_streaming_w1_ingest(
+        spark, ev, str(tmp_path / "w1null"), n_slices=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_a"] == 2
+    assert out[0]["n_b"] == 3  # 2 post-cutoff + the NULL-ts event
+
+
+def test_shard_export_checksum_detects_loss_and_dup(spark):
+    """The commutative fingerprint must move when a doc is lost or
+    duplicated: recompute it driver-side from the kept doc_ids and match
+    the manifest, then verify removing/duplicating one id changes it."""
+    mods = queries()["corpus_shard_export"](spark, SF_ORACLE).collect()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = (
+        docs.filter(F.size(F.split("text", " ")) >= 10)
+        .select("doc_id")
+        .collect()
+    )
+    prime = 2305843009213693951
+
+    def sig(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[8:16], 16)
+
+    def shard(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 8
+
+    by_shard: dict[int, int] = {s: 0 for s in range(8)}
+    for r in kept:
+        by_shard[shard(r.doc_id)] += sig(r.doc_id)
+    for row in mods:
+        expect = by_shard[row["shard"]] % prime
+        assert row["doc_id_checksum"] == expect, row
+    # sensitivity: dropping or double-counting any one doc moves the sum
+    some = kept[0].doc_id
+    s = shard(some)
+    assert (by_shard[s] - sig(some)) % prime != by_shard[s] % prime
+    assert (by_shard[s] + sig(some)) % prime != by_shard[s] % prime
+
+
+def test_exact_substring_finds_planted_verbatim_not_scrambled(spark):
+    """A verbatim 30-token span shared at DIFFERENT offsets must surface
+    with its exact token length; a scrambled doc with the identical token
+    MULTISET (unigram Jaccard 1.0) must NOT — the property separating
+    ExactSubstr from the Jaccard/containment family."""
+    import random
+
+    from newyork_taxi_etl_spark.operators.dedup import exact_substring_runs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    span = [rng.choice(vocab) for _ in range(30)]
+    noise = lambda n: [rng.choice(vocab) for _ in range(n)]  # noqa: E731
+    doc_a = noise(17) + span + noise(20)
+    doc_b = noise(5) + span + noise(40)
+    scrambled = sorted(doc_a)  # same multiset as doc_a, no verbatim run
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(doc_a)),
+            (2, " ".join(doc_b)),
+            (3, " ".join(scrambled)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.longest_run_tokens
+        for r in exact_substring_runs(
+            docs, k=8, max_occ=64, min_tokens=12
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] >= 30  # the planted span, possibly noise-extended
+    assert got[(1, 2)] <= 32  # but no phantom mega-run
+    assert (1, 3) not in got and (2, 3) not in got
