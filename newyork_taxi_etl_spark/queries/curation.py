@@ -268,8 +268,15 @@ def bm25_rank(spark, sf_dir):
     "second hash — the reproducible global shuffle a training run needs "
     "(same seed -> byte-identical shards and order on any cluster layout, "
     "unlike df.sample/rand). Per-shard doc/char balance plus the first 3 "
-    "doc ids as an order fingerprint. One hash shuffle on the shard key; "
-    "the within-shard sort is per-partition, no global sort",
+    "doc ids as an order fingerprint. One hash shuffle for the balance "
+    "aggregate (map-side combined); the head fingerprint is a SEPARATE "
+    "rank<=3 branch that Spark plans as WindowGroupLimit — every map "
+    "task pre-prunes to its local min-3 per shard before the exchange, "
+    "so the fingerprint shuffle carries O(shards x 3 x partitions), "
+    "never a corpus-sized per-shard sort (the r10 plan ranked the WHOLE "
+    "corpus through 16 window partitions because the position predicate "
+    "sat inside a collect_list and could not push down). The two "
+    "16-row sides broadcast-join on shard",
 )
 def training_shard_assignment(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.sampling import hash_bucket
@@ -283,27 +290,29 @@ def training_shard_assignment(spark, sf_dir):
         hash_bucket(F.col("doc_id") + F.lit(7), 16).cast("int").alias("shard"),
         hash_bucket(F.col("doc_id"), 4294967296).alias("pos_key"),
     )
-    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
-    ordered = sharded.withColumn(
-        "position", F.row_number().over(w).cast("int")
+    balance = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
-    return (
-        ordered.groupBy("shard")
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    heads = (
+        sharded.withColumn("position", F.row_number().over(w).cast("int"))
+        .filter(F.col("position") <= 3)  # planned as WindowGroupLimit
+        .groupBy("shard")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.concat_ws(
                 ",",
                 F.array_sort(
                     F.collect_list(
-                        F.when(
-                            F.col("position") <= 3,
-                            F.struct("position", F.col("doc_id").cast("string")),
-                        )
+                        F.struct("position", F.col("doc_id").cast("string"))
                     )
                 ).getField("col2"),
             ).alias("head_docs_csv"),
         )
+    )
+    return (
+        balance.join(F.broadcast(heads), "shard")
+        .select("shard", "n_docs", "total_chars", "head_docs_csv")
         .orderBy("shard")
     )
 
