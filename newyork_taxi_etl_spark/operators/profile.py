@@ -340,6 +340,20 @@ def ordered_positions(
     """
     from pyspark.sql.window import Window
 
+    # contract guard: cumulative sums accumulate as DECIMAL(38,0) — exact
+    # only for integral inputs.  A double/decimal-scale column would be
+    # silently rounded PER ROW before summing; fail loudly instead.
+    _integral = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+    dtypes = dict(df.dtypes)
+    for c in cum_cols:
+        if dtypes.get(c) not in _integral:
+            raise TypeError(
+                f"ordered_positions cum_cols must be integral; {c!r} is "
+                f"{dtypes.get(c)} — cast explicitly (scaled to ticks) "
+                "before calling, or the decimal(38,0) fold would round "
+                "each row silently"
+            )
+
     sort_exprs = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
     ]

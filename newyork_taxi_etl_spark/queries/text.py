@@ -1940,9 +1940,11 @@ def good_turing_smoothing(spark, sf_dir):
     SELECT t.lang, t.n AS n_tokens, t.v AS vocab,
            ROUND(CAST(CAST(h.hs AS VARCHAR) AS DOUBLE), 6) AS entropy_nats,
            ROUND(CAST(CAST(h.hs AS VARCHAR) AS DOUBLE)
-                 / ROUND(ln(CAST(t.v AS DOUBLE)), 12), 6) AS norm_entropy,
+                 / NULLIF(ROUND(ln(CAST(t.v AS DOUBLE)), 12), 0), 6)
+             AS norm_entropy,
            ROUND(1.0 - CAST(CAST(h.hs AS VARCHAR) AS DOUBLE)
-                 / ROUND(ln(CAST(t.v AS DOUBLE)), 12), 6) AS redundancy
+                 / NULLIF(ROUND(ln(CAST(t.v AS DOUBLE)), 12), 0), 6)
+             AS redundancy
     FROM t JOIN h USING (lang)
     ORDER BY t.lang
     """,
@@ -1979,7 +1981,12 @@ def token_entropy_by_lang(spark, sf_dir):
         .groupBy("lang")
         .agg(F.sum(F.col("term").cast(dec)).alias("hs"))
     )
-    lnv = F.round(F.log(F.col("v").cast("double")), 12)
+    # nullif guard: a language slice with ONE distinct token has
+    # ln(V)=0 — yield NULL identically on both engines, never 0/0
+    # (the zero-sigma discipline embedding_outlier_screen applies).
+    lnv = F.nullif(
+        F.round(F.log(F.col("v").cast("double")), 12), F.lit(0.0)
+    )
     return (
         t.join(h, "lang")
         .select(

@@ -1775,16 +1775,23 @@ def run_streaming_late_drop(
     start makes the drop decision edge-free regardless of where in its
     batch a row arrives.
 
-    Slicing here is EXACT ntile(3) over (ts, event_id) — not
-    repartitionByRange — because the oracle must reproduce batch
-    membership relationally to know which rows were late.  The drained
-    window counts therefore equal the batch tumbling aggregate over
-    NON-LATE rows only, and the dropped total is reported beside it.
+    Batch membership must be TIME-MONOTONE (slice i arrives before slice
+    i+1's event times) or real rows in a late batch would fall below the
+    watermark the earlier batches advanced and be dropped unintentionally
+    — a hash slice fails exactly that way (measured: it drops the whole
+    third batch).  The r10 plan got monotone slices from ntile(3) OVER
+    (ORDER BY ts, event_id) — a corpus-sized single-partition window.
+    Here the same monotone property comes from EQUAL TIME-SPAN tertiles:
+    one (min, max) aggregate, then slice = 1 + (epoch_us(ts) - mn) * 3
+    DIV span — a pure projection, integer-exact and relationally
+    reproducible in the oracle, with no window anywhere.  (Tertiles by
+    time span, not by row count — batch SIZES may differ, which the
+    drop semantics never depended on.)  The drained window counts
+    therefore equal the batch tumbling aggregate over NON-LATE rows
+    only, and the dropped total is reported beside it.
     """
     import os
     import shutil
-
-    from pyspark.sql.window import Window
 
     shutil.rmtree(stage_dir, ignore_errors=True)
     # lates live ONLY in the 3rd batch, stamped BEFORE the corpus start:
@@ -1792,9 +1799,18 @@ def run_streaming_late_drop(
     # committed. (Planting in batch 2 is not robust: the late-filter's
     # operative watermark empirically lags the progress-reported one by a
     # batch, so batch-2 lates can still be aggregated-and-emitted.)
-    mn = src_df.agg(F.min("ts").alias("m")).collect()[0]["m"]
+    bounds = src_df.agg(
+        F.min("ts").alias("m"),
+        F.unix_micros(F.min("ts")).alias("mn_us"),
+        F.unix_micros(F.max("ts")).alias("mx_us"),
+    ).collect()[0]
+    mn = bounds["m"]
+    mn_us, span = bounds["mn_us"], bounds["mx_us"] - bounds["mn_us"] + 1
     sliced = src_df.withColumn(
-        "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        "_slice",
+        F.expr(
+            f"CAST(1 + (unix_micros(ts) - {mn_us}L) * 3 DIV {span}L AS INT)"
+        ),
     ).withColumn(
         "ts",
         F.when(
@@ -2477,16 +2493,21 @@ def run_streaming_w1_ingest(
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
     )
     cutoff = F.lit("2024-01-16").cast("date")
+    # split with the SAME when/otherwise the batch query's CASE uses:
+    # d < cutoff -> reference, ELSE (including NULL d) -> live — so a
+    # NULL-ts event lands on exactly one side, matching the batch/oracle
+    # routing (a plain d>=cutoff live filter would drop NULL d from BOTH).
+    is_ref = F.when(F.col("d") < cutoff, F.lit(True)).otherwise(F.lit(False))
     # reference side: one batch reduction, persisted as the monitor's
     # baseline (a real deployment trains this once per window roll)
     (
-        ev.filter(F.col("d") < cutoff)
+        ev.filter(is_ref)
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
         .write.parquet(baseline_dir)
     )
     # live side staged as arriving files
-    ev.filter(F.col("d") >= cutoff).select("v").repartition(
+    ev.filter(~is_ref).select("v").repartition(
         n_slices
     ).write.parquet(stage_dir)
     stream = (

@@ -208,3 +208,27 @@ def test_ordered_positions_matches_window(spark):
             ], n_part
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_ordered_positions_rejects_fractional_cum_cols(spark):
+    """The decimal(38,0) running-sum fold is exact ONLY for integral
+    inputs — a double column must raise, never silently round per row."""
+    import pytest
+
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.5)], "id long, frac double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ordered_positions(df, [("id", True)], cum_cols=("frac",))
+    # integral columns still pass
+    ok = ordered_positions(
+        df.select("id", (F.col("id") * 2).alias("twice")),
+        [("id", True)],
+        cum_cols=("twice",),
+    ).collect()
+    assert [int(r.cum_twice) for r in sorted(ok, key=lambda r: r.gpos)] == [
+        2,
+        6,
+    ]
