@@ -748,11 +748,17 @@ def streaming_session_close(spark, sf_dir):
 @register(
     "streaming_late_drop",
     """
-    WITH sliced AS (
-      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
-             CAST(ntile(3) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
-                  AS INT) AS s
+    WITH bounds AS (
+      SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS mn,
+             epoch_us(MAX(CAST(ts AS TIMESTAMP)))
+               - epoch_us(MIN(CAST(ts AS TIMESTAMP))) + 1 AS span
       FROM events
+    ),
+    sliced AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(1 + (epoch_us(CAST(ts AS TIMESTAMP)) - mn) * 3 // span
+                  AS INT) AS s
+      FROM events, bounds
     ),
     kept AS (
       SELECT ts FROM sliced
@@ -772,8 +778,11 @@ def streaming_session_close(spark, sf_dir):
     "nothing else. (Batch 1 plants none — its watermark is unset; "
     "batch 2 is avoided too: the late filter's operative watermark "
     "empirically lags the progress-reported one by a batch.) Batch "
-    "membership is exact ntile(3) over (ts, event_id) so the oracle "
-    "reproduces the drop set relationally: emitted = the batch "
+    "membership is equal TIME-SPAN tertiles from one (min,max) "
+    "aggregate — time-monotone like the r10 ntile slicing (hash "
+    "slicing would strand real rows below the advanced watermark) "
+    "but a pure projection, no corpus-sized staging window — so the "
+    "oracle reproduces the drop set relationally: emitted = the batch "
     "aggregate over non-late rows, dropped = planted. This is the "
     "semantic contract behind every watermark in the module — "
     "measured, not assumed.",
