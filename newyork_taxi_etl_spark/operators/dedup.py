@@ -506,3 +506,80 @@ def passage_dup_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def exact_substring_runs(
+    docs: DataFrame,
+    k: int = 8,
+    max_occ: int = 64,
+    min_tokens: int = 12,
+) -> DataFrame:
+    """Verbatim >= ``min_tokens``-token substrings shared ACROSS documents
+    — the relational approximation of the suffix-array pass in Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"
+    (§4.1, ExactSubstr): where that work sorts a corpus-wide suffix array
+    to find maximal duplicated spans, the same spans fall out of
+
+    1. POSITIONAL k-token shingles (doc_id, pos, gram) — one projection;
+    2. an occurrence-capped inverted index on the gram (grams occurring
+       more than ``max_occ`` times carry f² join mass and no span signal
+       — the hot-band guard the LSH family already applies; a capped
+       gram can only SPLIT a reported run, never invent one);
+    3. a self-join within gram groups keeping both positions, so a pair
+       sharing a maximal L-token verbatim span produces exactly
+       L - k + 1 matches on ONE diagonal (pos_a - pos_b constant);
+    4. islands-and-gaps per (pair, diagonal): run_key = pos_a -
+       row_number() is constant exactly on consecutive-position runs —
+       a window bounded by the PAIR's match count, never the corpus.
+
+    longest_run_tokens = max run length + k - 1 recovers the span length
+    in tokens.  Distinguishing property vs the Jaccard/containment
+    family: a scrambled doc with an identical token MULTISET shares no
+    k-gram diagonal run, while a verbatim quote of min_tokens tokens is
+    found at ANY offset pair.  Scale: join mass is capped at max_occ²
+    per gram; everything else is projections and map-side-combinable
+    aggregates.
+    """
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    sh = (
+        with_shingles(docs, "text", k, out="_sh")
+        .select("doc_id", F.posexplode("_sh").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_occ)
+        .select("g")
+    )
+    pruned = sh.join(hot, "g", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = pairs.withColumn(
+        "run_key", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "run_key")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("n_sh") + F.lit(k - 1))
+            .cast("bigint")
+            .alias("longest_run_tokens"),
+            F.sum("n_sh").cast("bigint").alias("n_shared_shingles"),
+        )
+        .filter(F.col("longest_run_tokens") >= min_tokens)
+    )
