@@ -2003,3 +2003,262 @@ def token_entropy_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (the SentencePiece family beside BPE) — engine in
+# operators/unigram.py; here the registered queries and their DuckDB twins.
+
+from newyork_taxi_etl_spark.operators import unigram as UNI  # noqa: E402
+
+
+def _uni_words_sql(name: str, doc_filter: str = "") -> str:
+    """Frequency-weighted word vocab CTE (the one corpus-sized pass)."""
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents {doc_filter})
+      WHERE w <> '' GROUP BY w
+    )"""
+
+
+def _uni_seed_sql(words: str, out: str) -> str:
+    L = UNI.MAX_PIECE_LEN
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, substring(w, r.i, s.d) AS piece
+        FROM {words},
+             unnest(range(1, len(w) + 1)) AS r(i),
+             unnest(range(1, {L + 1})) AS s(d)
+        WHERE r.i + s.d - 1 <= len(w)
+      ) GROUP BY piece
+    )"""
+
+
+def _uni_costs_sql(counts: str, out: str) -> str:
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROUND(ln(CAST(t.tot AS DOUBLE) / cnt) * 1000000)
+                  AS BIGINT) AS cost
+      FROM {counts}, (SELECT SUM(cnt) AS tot FROM {counts}) t
+    )"""
+
+
+def _uni_seg_sql(words: str, costs: str, out: str) -> str:
+    """Grid + Viterbi fold: (w, freq, pieces LIST(VARCHAR))."""
+    L = UNI.MAX_PIECE_LEN
+    fold = UNI.fold_sql_duckdb()
+    return f"""
+    {out}_grid AS (
+      SELECT g.w, g.freq,
+             list(COALESCE(lpad(CAST(c.cost AS VARCHAR), 16, '0'),
+                           '{UNI.SENT}') ORDER BY g.i, g.d) AS grid
+      FROM (
+        SELECT uw.w, uw.freq, r.i, s.d,
+               CASE WHEN s.d <= r.i
+                    THEN substring(uw.w, r.i - s.d + 1, s.d) END AS piece
+        FROM {words} uw,
+             unnest(range(1, len(uw.w) + 1)) AS r(i),
+             unnest(range(1, {L + 1})) AS s(d)
+      ) g LEFT JOIN {costs} c USING (piece)
+      GROUP BY g.w, g.freq
+    ),
+    {out} AS MATERIALIZED (
+      SELECT w, freq, string_split({fold}, chr(2)) AS pieces
+      FROM {out}_grid
+    )"""
+
+
+def _uni_em_round_sql(r: int, words: str, prefix: str = "u") -> str:
+    """One hard-EM round: costs from counts{r-1}, Viterbi, re-count
+    (single chars floored at 1 — coverage)."""
+    p = prefix
+    return f"""{_uni_costs_sql(f"{p}counts{r - 1}", f"{p}costs{r}")},
+    {_uni_seg_sql(words, f"{p}costs{r}", f"{p}seg{r}")},
+    {p}used{r} AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(pieces) AS piece FROM {p}seg{r})
+      GROUP BY piece
+    ),
+    {p}counts{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM {p}used{r}
+      UNION ALL
+      SELECT piece, CAST(1 AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT substring(w, r.i, 1) AS piece
+            FROM {words}, unnest(range(1, len(w) + 1)) AS r(i))
+      ANTI JOIN {p}used{r} USING (piece)
+    )"""
+
+
+def _uni_final_sql(counts: str, out: str, keep_multi: int = 24) -> str:
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM {counts} WHERE len(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT {keep_multi}
+      )
+      UNION ALL
+      SELECT piece, cnt FROM {counts} WHERE len(piece) = 1
+    )"""
+
+
+_UNI_TRAIN_SQL = f"""
+    WITH {_uni_words_sql("uwords")},
+    {_uni_seed_sql("uwords", "ucounts0")},
+    {_uni_em_round_sql(1, "uwords")},
+    {_uni_em_round_sql(2, "uwords")},
+    {_uni_final_sql("ucounts2", "ufinal")}
+    SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / t.tot, 6) AS prob
+    FROM ufinal, (SELECT SUM(cnt) AS tot FROM ufinal) t
+    ORDER BY cnt DESC, piece
+    LIMIT 20
+    """
+
+
+@register(
+    "unigram_lm_train",
+    _UNI_TRAIN_SQL,
+    doc="UNIGRAM-LM tokenizer trainer (Kudo 2018 / SentencePiece's "
+    "unigram model — the other tokenizer family beside BPE): candidate "
+    "pieces seeded from frequency-weighted substrings (len<=4), two "
+    "hard-EM rounds (Viterbi E-step: integer micro-nat min-cost "
+    "segmentation of every vocab word; M-step: freq-weighted piece "
+    "usage, single chars floored — never pruned), then pruning to the "
+    "top-24 multi-char pieces + all singles; output the final piece "
+    "table with probabilities.  Bit-exact cross-engine: costs are "
+    "round(ln(total/cnt)*1e6) BIGINTs, the Viterbi fold is a pure "
+    "higher-order aggregate over a relationally-built cost grid with a "
+    "LEXICOGRAPHIC argmin (padded cost, then piece length) — both "
+    "engines run the identical fold (operators/unigram.py).  Scale: "
+    "the corpus collapses ONCE to the word vocab (the bpe_merge_loop "
+    "trick); every EM statistic, grid, and DP is vocab-sized.",
+)
+def unigram_lm_train(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    final = UNI.train_unigram(docs, em_rounds=2, keep_multi=24)
+    tot = final.agg(F.sum("cnt").cast("bigint").alias("_tot"))
+    return (
+        final.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_tot"), 6).alias(
+                "prob"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(20)
+    )
+
+
+_UNI_HOLDOUT_SQL = f"""
+    WITH {_uni_words_sql("uwords", "WHERE doc_id % 5 <> 0")},
+    {_uni_seed_sql("uwords", "ucounts0")},
+    {_uni_em_round_sql(1, "uwords")},
+    {_uni_em_round_sql(2, "uwords")},
+    {_uni_final_sql("ucounts2", "ufinal")},
+    allwords AS MATERIALIZED (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END
+               AS split,
+             lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2, 3
+    ),
+    evalwords AS MATERIALIZED (
+      SELECT DISTINCT w, CAST(1 AS BIGINT) AS freq FROM allwords
+    ),
+    ufinal2 AS MATERIALIZED (
+      SELECT piece, cnt FROM ufinal
+      UNION ALL
+      SELECT piece, CAST(1 AS BIGINT) AS cnt
+      FROM (SELECT DISTINCT substring(w, r.i, 1) AS piece
+            FROM evalwords, unnest(range(1, len(w) + 1)) AS r(i))
+      ANTI JOIN ufinal USING (piece)
+    ),
+    {_uni_costs_sql("ufinal2", "ucostsF")},
+    {_uni_seg_sql("evalwords", "ucostsF", "usegF")}
+    SELECT a.split, a.lang,
+           CAST(SUM(a.cnt) AS BIGINT) AS n_instances,
+           CAST(SUM(a.cnt * len(s.pieces)) AS BIGINT) AS uni_pieces,
+           ROUND(CAST(SUM(a.cnt * len(s.pieces)) AS DOUBLE) / SUM(a.cnt), 6)
+             AS uni_fertility
+    FROM allwords a JOIN usegF s ON a.w = s.w
+    GROUP BY a.split, a.lang
+    ORDER BY a.split, a.lang
+    """
+
+
+@register(
+    "unigram_holdout_fertility",
+    _UNI_HOLDOUT_SQL,
+    doc="UNIGRAM-LM GENERALIZATION — the bpe_holdout_fertility twin for "
+    "the other tokenizer family: the piece table trains ONLY on the "
+    "80% hash split (doc_id % 5 <> 0), unseen single chars of the "
+    "eval vocabulary are appended at floor count (UNK coverage, the "
+    "standard char fallback), then BOTH splits segment under the "
+    "trained costs and per-(split, lang) fertility is reported side "
+    "by side — held-out fertility materially above train fertility "
+    "means memorized whole words, not reusable subwords.  The "
+    "quality gate (tests/test_quality_gates.py) compares it against "
+    "the BPE number on the same split.  Same vocab-sized shapes as "
+    "unigram_lm_train; apply is one Viterbi pass over the distinct "
+    "eval vocabulary.",
+)
+def unigram_holdout_fertility(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    final = UNI.train_unigram(
+        docs.filter(F.col("doc_id") % 5 != 0), em_rounds=2, keep_multi=24
+    )
+    lv = (
+        docs.select(
+            F.when(F.col("doc_id") % 5 == 0, "holdout")
+            .otherwise("train")
+            .alias("split"),
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("split", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    evalwords = lv.select("w").distinct().withColumn(
+        "freq", F.lit(1).cast("bigint")
+    )
+    eval_singles = (
+        evalwords.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                )
+            ).alias("piece")
+        )
+        .distinct()
+        .join(final, "piece", "left_anti")
+        .select("piece", F.lit(1).cast("bigint").alias("cnt"))
+    )
+    costs = UNI.piece_costs(final.unionByName(eval_singles))
+    seg = UNI.segment_words(evalwords, costs).select(
+        "w", F.size("pieces").alias("n_pieces")
+    )
+    return (
+        lv.join(F.broadcast(seg), "w")
+        .groupBy("split", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_instances"),
+            F.sum(F.col("cnt") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("uni_pieces"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("uni_fertility"),
+        )
+        .orderBy("split", "lang")
+    )

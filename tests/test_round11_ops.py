@@ -106,3 +106,50 @@ def test_exact_substring_finds_planted_verbatim_not_scrambled(spark):
     assert got[(1, 2)] >= 30  # the planted span, possibly noise-extended
     assert got[(1, 2)] <= 32  # but no phantom mega-run
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_unigram_segmentation_concats_back_to_word(spark):
+    """decode(encode(w)) == w: every vocab word's Viterbi segmentation
+    must concatenate back to the word exactly (single-char floor pieces
+    guarantee reachability), and every used piece must be in the cost
+    table — the unigram twin of the BPE roundtrip invariant."""
+    from newyork_taxi_etl_spark.operators import unigram as UNI
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    words = UNI.word_vocab(docs)
+    final = UNI.train_unigram(docs, em_rounds=2, keep_multi=24)
+    vocab = {r.piece for r in final.collect()}
+    segs = UNI.segment_words(words, UNI.piece_costs(final)).collect()
+    assert len(segs) > 0
+    for r in segs:
+        assert "".join(r.pieces) == r.w, r
+        assert all(p in vocab for p in r.pieces), r
+
+
+def test_unigram_fertility_sane_and_comparable_to_bpe(spark):
+    """Fertility gates: >= 1 everywhere (a word is at least one piece),
+    <= word length in chars, holdout within 1.5x of train (no
+    memorization blowup), and within 3x of the BPE number on the same
+    holdout split — the two tokenizer families must land in the same
+    regime on this corpus."""
+    uni = {
+        (r.split, r.lang): r.uni_fertility
+        for r in queries()["unigram_holdout_fertility"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    bpe = {
+        (r.split, r.lang): r.bpe_fertility
+        for r in queries()["bpe_holdout_fertility"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert uni and set(uni) == set(bpe)
+    for key, uf in uni.items():
+        assert 1.0 <= uf <= 10.0, (key, uf)
+        bf = bpe[key]
+        assert uf <= 3.0 * bf and bf <= 3.0 * uf, (key, uf, bf)
+    for (split, lang), uf in uni.items():
+        if split == "holdout":
+            tr = uni[("train", lang)]
+            assert uf <= 1.5 * tr, (lang, uf, tr)
