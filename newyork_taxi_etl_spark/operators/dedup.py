@@ -542,12 +542,35 @@ def exact_substring_runs(
     """
     from pyspark.sql import Window
 
-    from newyork_taxi_etl_spark.functions.text import with_shingles
+    from newyork_taxi_etl_spark.session import spread
 
+    # spread: the interpreted shingle transform must not serialize onto
+    # a degenerate one-split scan (structural no-op on a real cluster).
+    # The positional inverted index is then consumed FOUR times (hot
+    # count + both sides of the pair self-join): pin it once so the
+    # shingle transform runs one pass — at real scale this is the stage
+    # you'd persist to the index store (the ANN-index discipline), and
+    # its size is O(corpus tokens), the same as the text it came from.
+    # slice/array_join shingling: ONE token-array reference per shingle.
+    # with_shingles' element_at form pays k references per shingle — at
+    # k=8, CollapseProject folds the token binding into the transform and
+    # every reference re-splits the text (measured 15 s vs 0.6 s on the
+    # sf0.1 corpus, local[32]).
     sh = (
-        with_shingles(docs, "text", k, out="_sh")
+        spread(docs)
+        .withColumn("_t", F.split("text", " "))
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_t) >= {k} "
+                f"THEN transform(sequence(1, size(_t) - {k - 1}), "
+                f"i -> array_join(slice(_t, i, {k}), ' ')) "
+                f"ELSE array() END"
+            ),
+        )
         .select("doc_id", F.posexplode("_sh").alias("pos0", "g"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint()
     )
     hot = (
         sh.groupBy("g")
@@ -555,7 +578,7 @@ def exact_substring_runs(
         .filter(F.col("occ") > max_occ)
         .select("g")
     )
-    pruned = sh.join(hot, "g", "left_anti")
+    pruned = sh.join(hot, "g", "left_anti")  # AQE broadcasts the small hot set
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = a.join(
         b,

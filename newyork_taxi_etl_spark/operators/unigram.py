@@ -43,8 +43,11 @@ INIT_ENTRY = "0000000000000000|0|"  # position-0 entry: cost 0, empty seg
 def word_vocab(docs: DataFrame) -> DataFrame:
     """Corpus -> frequency-weighted word vocabulary (the one corpus-sized
     pass; everything downstream is vocab-sized)."""
+    from newyork_taxi_etl_spark.session import spread
+
     return (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -194,18 +197,26 @@ def train_unigram(
 ) -> DataFrame:
     """Full trainer: seed -> ``em_rounds`` x (cost, Viterbi, re-count) ->
     prune to the ``keep_multi`` highest-count multi-char pieces plus ALL
-    single characters.  Returns the final (piece, cnt) table."""
-    words = word_vocab(docs)
+    single characters.  Returns the final (piece, cnt) table.
+
+    The word vocab and each round's counts are localCheckpoint-ed:
+    they are VOCAB-SIZED (tens of rows) but every round references its
+    predecessor several times (cost normalizer + cost rows + singles
+    floor), so an uncut lineage re-runs the whole upstream chain per
+    reference — the DuckDB MATERIALIZED-CTE lesson (``_bpe_round_sql``),
+    Spark edition.  Pinning O(vocab) rows per round costs microseconds
+    and makes the train wall-clock linear in rounds."""
+    words = word_vocab(docs).localCheckpoint()
     counts = seed_counts(words)
     for _ in range(em_rounds):
-        counts = em_counts(words, piece_costs(counts))
+        counts = em_counts(words, piece_costs(counts)).localCheckpoint()
     multi = (
         counts.filter(F.length("piece") >= 2)
         .orderBy(F.desc("cnt"), "piece")
         .limit(keep_multi)
     )
     singles = counts.filter(F.length("piece") == 1)
-    return multi.unionByName(singles)
+    return multi.unionByName(singles).localCheckpoint()
 
 
 def fold_sql_duckdb() -> str:

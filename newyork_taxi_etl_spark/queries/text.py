@@ -2216,7 +2216,8 @@ def unigram_holdout_fertility(spark, sf_dir):
         docs.filter(F.col("doc_id") % 5 != 0), em_rounds=2, keep_multi=24
     )
     lv = (
-        docs.select(
+        spread(docs)
+        .select(
             F.when(F.col("doc_id") % 5 == 0, "holdout")
             .otherwise("train")
             .alias("split"),

@@ -347,6 +347,35 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # both re-verified green at sf0.01 plus new edge-case pytests.
     "streaming_wasserstein_ingest",
     "token_entropy_by_lang",
+    # r11 perf — with_shingles migrated from per-element concat_ws
+    # (n token-array references per shingle; CollapseProject folds the
+    # split binding into the lambda so each reference re-splits the
+    # text) to array_join(slice(...)) — ONE reference per shingle,
+    # measured 15 s -> 0.6 s at n=8 and ~3x token work at n=3.  Output
+    # strings byte-identical, oracles unchanged; every query whose plan
+    # carries the shingle transform re-checks:
+    "text_fingerprint",
+    "bigram_lm_compare",
+    "novel_ngram_growth",
+    "pmi_collocations",
+    "chao1_vocab_richness",
+    "good_turing_smoothing",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_passage_lsh",
+    "minhash_jaccard_gate",
+    "contamination_ngram_overlap",
+    "corpus_pipeline_decontaminated",
+    "corpus_pipeline_learned",
+    "decontamination_fuzzy",
+    "doc_repetition_profile",
+    "linkage_blocked_candidates",
+    "linkage_one_to_one",
+    "linkage_quality_gate",
+    "linkage_lsh_blocking",
+    "linkage_entity_clusters",
+    "streaming_linkage_ingest",
 })
 
 def _tier(name: str) -> int:
