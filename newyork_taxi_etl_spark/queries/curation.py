@@ -2007,3 +2007,189 @@ def decontamination_fuzzy(spark, sf_dir):
         .crossJoin(F.broadcast(ncand))
         .crossJoin(F.broadcast(gate))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality-score calibration drift (PSI over the learned filter's
+# score distribution) — batch + at-ingest twin.
+
+def psi_from_source_counts(counts):
+    """Shared PSI tail over additive (source, bin, n) counts — the
+    w1_from_counts discipline: both the batch query and the streaming
+    ingest monitor fold through THIS exact algebra, so the drained
+    monitor equals the batch statistic bit-for-bit under any batching.
+
+    Reference distribution = the GLOBAL score distribution (sum over
+    sources); per-source PSI with the add-0.5/(t+5) smoothing
+    psi_value_drift pins (empty bins take the correct smoothed
+    zero-count probability, never an arbitrary constant).  Terms round
+    at 12 dp into a DECIMAL(38,12) sum — cross-engine exact.
+    """
+    gl = counts.groupBy("bin").agg(F.sum("n").alias("ng"))
+    tots = counts.groupBy("source").agg(F.sum("n").alias("ts"))
+    tg = counts.agg(F.sum("n").alias("tg"))
+    frac = (
+        tots.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(tg))
+        .join(counts, ["source", "bin"], "left")
+        .select(
+            "source",
+            "ts",
+            (
+                (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+                / (F.col("ts") + 5.0)
+            ).alias("p_src"),
+            ((F.col("ng") + 0.5) / (F.col("tg") + 5.0)).alias("p_ref"),
+        )
+    )
+    terms = frac.select(
+        "source",
+        "ts",
+        F.round(
+            (F.col("p_src") - F.col("p_ref"))
+            * F.log(F.col("p_src") / F.col("p_ref")),
+            12,
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("ts").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(38,12)")).cast("double"),
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("source")
+    )
+
+
+_PSI_DOMAIN_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
+    scored AS (
+      SELECT f.source, {_LOGREG_P} AS p
+      FROM (
+        SELECT source,
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+                 / 30.0 AS x1,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+               CASE WHEN n_chars BETWEEN 100 AND 400
+                    THEN 1.0 ELSE 0.0 END AS x3
+        FROM documents
+      ) f CROSS JOIN it16 w
+    ),
+    counts AS (
+      SELECT source, LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+             COUNT(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    gl AS (SELECT bin, SUM(n) AS ng FROM counts GROUP BY 1),
+    tots AS (SELECT source, SUM(n) AS ts FROM counts GROUP BY 1),
+    tg AS (SELECT SUM(n) AS tg FROM counts),
+    frac AS (
+      SELECT t.source, t.ts,
+             (COALESCE(c.n, 0) + 0.5) / (t.ts + 5.0) AS p_src,
+             (g.ng + 0.5) / (x.tg + 5.0) AS p_ref
+      FROM tots t CROSS JOIN gl g CROSS JOIN tg x
+      LEFT JOIN counts c ON c.source = t.source AND c.bin = g.bin
+    ),
+    terms AS (
+      SELECT source, ts,
+             ROUND((p_src - p_ref) * ln(p_src / p_ref), 12) AS term
+      FROM frac
+    )
+    SELECT source, CAST(MAX(ts) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS psi
+    FROM terms GROUP BY source ORDER BY source"""
+
+
+def _scored_bins(docs, w):
+    """Score docs under weight vector ``w`` and bucket into 10 fixed
+    score-decile bins (shared by the batch query and the ingest fold)."""
+    from newyork_taxi_etl_spark.operators.logreg import logistic_prob
+
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        "source",
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+    )
+    p = logistic_prob(w, ["x1", "x2", "x3"])
+    return feats.select(
+        "source",
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+    )
+
+
+@register(
+    "quality_psi_by_domain",
+    _PSI_DOMAIN_SQL,
+    doc="PER-DOMAIN CALIBRATION DRIFT of the learned quality filter: "
+    "train the quality_logreg_filter scorer (identical 16-step "
+    "decimal-exact GD, shared CTE chain), bucket every document's "
+    "score into 10 fixed deciles, and report each source domain's PSI "
+    "against the GLOBAL score distribution — the monitoring number "
+    "that catches a domain whose quality-score distribution has "
+    "drifted away from the corpus the filter was calibrated on "
+    "(<0.1 stable, >0.25 investigate), BEFORE the gate silently "
+    "starts over/under-dropping it.  Same smoothing + ln discipline "
+    "as psi_value_drift (add-0.5/(t+5), terms ROUND(12) into a "
+    "decimal sum).  Scale: one corpus scoring pass (weights are a "
+    "4-float broadcast), then everything is (source x 10 bins)-sized.",
+)
+def quality_psi_by_domain(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.logreg import logistic_gd
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    counts = (
+        _scored_bins(docs, w)
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return psi_from_source_counts(counts)
+
+
+@register(
+    "streaming_quality_psi_ingest",
+    _PSI_DOMAIN_SQL,
+    doc="the quality_psi_by_domain monitor folded AT INGEST — the "
+    "calibration-drift alarm a serving team actually runs: the scorer "
+    "trains ONCE on the reference corpus (weights persisted, the "
+    "build-once/apply-per-batch pattern), documents arrive as a "
+    "stream, and each micro-batch folds its own (source, bin) counts "
+    "into the additive state table (replay-guarded).  After the drain "
+    "the PSI computes from the accumulated counts via the SAME "
+    "psi_from_source_counts fold the batch query uses — drained == "
+    "batch bit-for-bit under any batching (counts are additive "
+    "integers; everything else derives from them), so the batch "
+    "oracle covers every slicing.  State is O(sources x 10 bins).",
+)
+def streaming_quality_psi_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_psiingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_psi_ingest(spark, docs, work)

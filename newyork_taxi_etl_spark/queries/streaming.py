@@ -910,3 +910,79 @@ def streaming_mmd_ingest(spark, sf_dir):
     work = _workdir("mmd_ingest")
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     return W.run_streaming_mmd_ingest(spark, emb, work)
+
+
+@register(
+    "streaming_fm_distinct_ingest",
+    """
+    WITH sh AS (
+      SELECT CAST(((doc_id * 2654435761) % 4294967296) % 3 AS INT) + 1
+               AS b,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> array_to_string(
+                                string_split(text, ' ')[i:i+2], ' '))
+                  ELSE [] END AS s
+      FROM documents
+    ),
+    tk AS (SELECT b, unnest(s) AS tok FROM sh),
+    r AS (
+      SELECT b,
+             CAST(hv % 64 AS INT) AS g,
+             CASE WHEN hv // 64 = 0 THEN 43
+                  ELSE CAST(FLOOR(log2((hv // 64) & -(hv // 64))) AS INT)
+                       + 1 END AS rho
+      FROM (
+        SELECT b, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS hv
+        FROM tk
+      )
+    ),
+    prefixes AS (SELECT CAST(unnest(range(1, 4)) AS INT) AS p),
+    grid AS (
+      SELECT p, CAST(unnest(range(0, 64)) AS INT) AS g FROM prefixes
+    ),
+    mx AS (
+      SELECT gr.p, gr.g, COALESCE(MAX(r.rho), 0) AS m
+      FROM grid gr LEFT JOIN r ON r.g = gr.g AND r.b <= gr.p
+      GROUP BY gr.p, gr.g
+    ),
+    est AS (
+      SELECT p,
+             ROUND(0.39701 * 64 * POW(2.0, SUM(m) / 64.0), 6)
+               AS fm_estimate
+      FROM mx GROUP BY p
+    ),
+    truth AS (
+      SELECT pr.p, CAST(COUNT(DISTINCT tk.tok) AS BIGINT) AS true_distinct
+      FROM prefixes pr LEFT JOIN tk ON tk.b <= pr.p
+      GROUP BY pr.p
+    )
+    SELECT e.p AS batch_seq, e.fm_estimate, t.true_distinct,
+           ROUND(ABS(e.fm_estimate - t.true_distinct) / t.true_distinct, 6)
+             AS rel_err
+    FROM est e JOIN truth t ON e.p = t.p
+    ORDER BY batch_seq
+    """,
+    doc="DISTINCT 3-GRAM GROWTH AT INGEST via a 64-group LogLog sketch "
+    "(Durand-Flajolet 2003; the max-rank Flajolet-Martin descendant): "
+    "3-gram shingles (a growing unit, unlike the 31-word saturating "
+    "unigram vocab) stream in deterministic hash micro-batches, each batch "
+    "folds MAX(trailing-zero rank) per group — a commutative "
+    "IDEMPOTENT monoid, replay-tolerant by algebra on top of the "
+    "applied-batch guard — and the vocabulary-growth curve reads "
+    "alpha*m*2^(mean rank) after each prefix, with the exact prefix "
+    "distinct count reported beside it (measured honesty column, the "
+    "novel_ngram_growth comparison).  Integer max-ranks make the fold "
+    "bit-exact cross-engine.  State is O(64) forever — the estimator "
+    "a 100 TB stream can afford where exact distinct cannot.",
+)
+def streaming_fm_distinct_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_fmingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_fm_ingest(spark, docs, work)

@@ -2638,3 +2638,254 @@ def run_streaming_mmd_ingest(
         ).select(F.lit(split).alias("split"), "*")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("split")
+
+
+def run_streaming_psi_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """CALIBRATION-DRIFT (PSI) MONITORING AT INGEST — the fourth
+    build-once/apply-per-batch instance (ANN index, linkage index,
+    quality gate, now the drift alarm over the gate's own scores): the
+    logistic scorer trains ONCE on the reference corpus and persists its
+    weights; documents then ARRIVE AS A STREAM and each micro-batch
+    folds its own (source, score-decile-bin) counts into the additive
+    state table, replay-guarded by the applied-batch sidecar.  After the
+    drain the per-domain PSI computes from the accumulated counts via
+    the SAME psi_from_source_counts fold the batch query
+    (quality_psi_by_domain) uses — counts are additive integers, so the
+    drained monitor equals the batch statistic bit-for-bit under any
+    batching and the batch oracle covers every slicing.  State is
+    O(sources x 10 bins) regardless of stream length.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.operators.logreg import logistic_gd
+    from newyork_taxi_etl_spark.queries.curation import (
+        _scored_bins,
+        psi_from_source_counts,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    weights_dir = os.path.join(work_dir, "weights")
+    counts_dir = os.path.join(work_dir, "bin_counts")
+    for d in (stage_dir, weights_dir, counts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs_df.select(
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    spark.createDataFrame(
+        [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
+    ).coalesce(1).write.parquet(weights_dir)
+
+    staged = docs_df.select("doc_id", "source", "text", "n_chars")
+    staged.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(counts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its counts are already folded
+        ss = batch_df.sparkSession
+        wrow = {
+            r["j"]: r["w"] for r in ss.read.parquet(weights_dir).collect()
+        }
+        wv = [wrow[j] for j in range(4)]
+        part = (
+            _scored_bins(batch_df, wv)
+            .groupBy("source", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        os.makedirs(counts_dir, exist_ok=True)
+        part.write.mode("append").parquet(counts_dir)
+        _mark_applied(counts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    counts = (
+        spark.read.parquet(counts_dir)
+        .groupBy("source", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return psi_from_source_counts(counts)
+
+
+#: 3-gram shingle list over the bound token array _t (the one-reference
+#: slice/array_join form; empty for docs under 3 tokens)
+_SH3_EXPR = (
+    "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
+    "i -> array_join(slice(_t, i, 3), ' ')) ELSE array() END"
+)
+
+
+def run_streaming_fm_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """DISTINCT-TOKEN GROWTH CURVE AT INGEST via a LogLog sketch (Durand
+    & Flajolet 2003, the max-rank descendant of Flajolet-Martin 1985) —
+    the vocabulary-growth monitor novel_ngram_growth answers exactly,
+    here answered in O(64) state: each token hashes to one of m=64
+    groups (low 6 bits) and contributes rho = 1 + trailing-zero count of
+    the remaining 42 hash bits; the sketch keeps MAX(rho) per group — a
+    commutative idempotent monoid, so the per-batch fold is
+    replay-tolerant BY ALGEBRA on top of the applied-batch guard, and
+    the drained state is batch-order-independent.  The growth curve
+    reads the state after each batch prefix: estimate = alpha * m *
+    2^(mean max-rank), alpha = 0.39701 (the m -> inf LogLog constant;
+    fine at m=64 for a MONITOR — the true prefix distinct count is
+    reported beside it as the measured honesty column).
+
+    Batch membership is the Knuth hash of doc_id mod 3 (deterministic
+    sets, so the oracle reproduces every prefix relationally); files are
+    mtime-stamped so the parquet source delivers them in slice order.
+    Integer max-ranks make the fold bit-exact cross-engine; the only
+    floats are the final pow/round.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+
+    stage_dir = os.path.join(work_dir, "tok_stage")
+    state_dir = os.path.join(work_dir, "fm_state")
+    for d in (stage_dir, state_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    sliced = docs_df.select(
+        (hash_bucket("doc_id", 3) + 1).cast("int").alias("b"),
+        "text",
+    )
+
+    def _append_stamped(df, seq):
+        before = (
+            set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
+        )
+        df.coalesce(1).write.mode("append").parquet(stage_dir)
+        t = 1_600_000_000 + seq * 10
+        for f in os.listdir(stage_dir):
+            if f not in before:
+                os.utime(os.path.join(stage_dir, f), (t, t))
+
+    for i in (1, 2, 3):
+        _append_stamped(sliced.filter(F.col("b") == i).select("text"), i)
+
+    stream = (
+        spark.readStream.schema("text string")
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    h2 = "(hv div 64)"
+    rho = (
+        f"CASE WHEN {h2} = 0 THEN 43 "
+        f"ELSE CAST(floor(log2({h2} & -{h2})) AS INT) + 1 END"
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(state_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: max-rho fold already applied
+        part = (
+            batch_df.withColumn("_t", F.split("text", " "))
+            .select(F.explode(F.expr(_SH3_EXPR)).alias("tok"))
+            .select(
+                F.expr(
+                    "CAST(conv(substring(md5(tok), 1, 12), 16, 10)"
+                    " AS BIGINT)"
+                ).alias("hv")
+            )
+            .select(
+                F.expr("pmod(hv, 64)").cast("int").alias("g"),
+                F.expr(rho).alias("rho"),
+            )
+            .groupBy("g")
+            .agg(F.max("rho").alias("m"))
+            .select(F.lit(int(batch_id) + 1).alias("b"), "g", "m")
+        )
+        os.makedirs(state_dir, exist_ok=True)
+        part.write.mode("append").parquet(state_dir)
+        _mark_applied(state_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    state = spark.read.parquet(state_dir)
+    prefixes = spark.range(1, 4).select(F.col("id").cast("int").alias("p"))
+    grid = prefixes.crossJoin(
+        spark.range(0, 64).select(F.col("id").cast("int").alias("g"))
+    )
+    mx = (
+        grid.join(
+            state,
+            (state["g"] == grid["g"]) & (state["b"] <= grid["p"]),
+            "left",
+        )
+        .groupBy(grid["p"], grid["g"])
+        .agg(F.coalesce(F.max("m"), F.lit(0)).alias("m"))
+    )
+    est = mx.groupBy("p").agg(
+        F.round(
+            F.lit(0.39701 * 64)
+            * F.pow(F.lit(2.0), F.sum("m").cast("double") / F.lit(64.0)),
+            6,
+        ).alias("fm_estimate")
+    )
+    toks = sliced.withColumn("_t", F.split("text", " ")).select(
+        "b", F.explode(F.expr(_SH3_EXPR)).alias("tok")
+    )
+    truth = (
+        prefixes.join(toks, toks["b"] <= prefixes["p"], "left")
+        .groupBy("p")
+        .agg(F.countDistinct("tok").cast("bigint").alias("true_distinct"))
+    )
+    return (
+        est.join(truth, "p")
+        .select(
+            F.col("p").alias("batch_seq"),
+            "fm_estimate",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("fm_estimate") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("batch_seq")
+    )

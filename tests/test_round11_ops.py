@@ -153,3 +153,82 @@ def test_unigram_fertility_sane_and_comparable_to_bpe(spark):
         if split == "holdout":
             tr = uni[("train", lang)]
             assert uf <= 1.5 * tr, (lang, uf, tr)
+
+
+def test_psi_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
+    """(source, bin) counts are additive integers and the PSI fold is
+    shared, so the drained monitor must equal itself under 1 vs 4 slices
+    AND equal the one-shot batch statistic bit-for-bit."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_psi_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    one = run_streaming_psi_ingest(
+        spark, docs, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_psi_ingest(
+        spark, docs, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    batch = queries()["quality_psi_by_domain"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
+    assert len(one) > 1 and all(r["psi"] >= 0.0 for r in one)
+
+
+def test_psi_flags_planted_score_shift(spark):
+    """A domain whose documents systematically fail the quality features
+    (short, low type-token ratio) must show materially higher PSI against
+    the global reference than a domain drawn from the same distribution
+    as the bulk."""
+    import random
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        _scored_bins,
+        psi_from_source_counts,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    did = 0
+    for src in ("bulk_a", "bulk_b"):
+        for _ in range(120):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(40, 70))]
+            rows.append((did, src, " ".join(toks), len(" ".join(toks))))
+            did += 1
+    for _ in range(120):  # drifted: short and repetitive
+        toks = [rng.choice(vocab[:3]) for _ in range(rng.randint(5, 12))]
+        rows.append((did, "drifted", " ".join(toks), len(" ".join(toks))))
+        did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    # fixed reasonable weights: the test isolates the PSI tail, not GD
+    w = [0.0, 2.0, 1.0, 0.5]
+    counts = (
+        _scored_bins(docs, w)
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    psi = {r.source: r.psi for r in psi_from_source_counts(counts).collect()}
+    assert psi["drifted"] > 0.25, psi
+    assert psi["drifted"] > 3 * max(psi["bulk_a"], psi["bulk_b"]), psi
+
+
+def test_fm_growth_monotone_and_accurate(spark):
+    """The LogLog growth monitor must be monotone non-decreasing in both
+    the estimate and the truth (max-rank state only grows), and the
+    64-group estimate must land within 35% of the exact distinct count
+    in this n >> m regime."""
+    rows = queries()["streaming_fm_distinct_ingest"](
+        spark, SF_ORACLE
+    ).collect()
+    assert [r.batch_seq for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.fm_estimate >= a.fm_estimate
+        assert b.true_distinct >= a.true_distinct
+    for r in rows:
+        assert r.rel_err <= 0.35, r
+    assert rows[-1].true_distinct > rows[0].true_distinct  # actual growth
