@@ -2193,3 +2193,148 @@ def streaming_quality_psi_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="nyetl_psiingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return W.run_streaming_psi_ingest(spark, docs, work)
+
+
+# ---------------------------------------------------------------------------
+# Reservoir-based global-shuffle audit: training-order determinism across
+# shard re-exports.
+
+def _shard_audit_stats(docs):
+    """Per-shard audit triple for one export run of the deterministic
+    global shuffle (training_shard_assignment's rule: shard =
+    knuth(doc_id+7) % 16, order = (knuth(doc_id), doc_id)):
+
+    - n_docs (count),
+    - content_fp: the commutative sum-of-md5 fingerprint mod 2^61-1
+      (corpus_shard_export's discipline — order-independent set identity),
+    - order_fp: md5 over the k=8 RESERVOIR docs' ids concatenated in
+      TRAINING ORDER — the reservoir is the 8 smallest md5(doc_id) per
+      shard (deterministic, layout-invariant, map-side WindowGroupLimit),
+      so the fingerprint is order-SENSITIVE but O(shards x 8) state.
+    """
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+
+    sharded = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id") + F.lit(7), 16).cast("int").alias(
+            "shard"
+        ),
+        hash_bucket(F.col("doc_id"), 4294967296).alias("pos_key"),
+    )
+    stats = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            )
+            % F.lit(2305843009213693951)
+        )
+        .cast("bigint")
+        .alias("content_fp"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    res = sharded.withColumn(
+        "rk", F.row_number().over(w)
+    ).filter(F.col("rk") <= 8)  # planned as WindowGroupLimit
+    ofp = res.groupBy("shard").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos_key, doc_id))), x -> CAST(x.doc_id AS STRING))"
+                ),
+            )
+        ).alias("order_fp")
+    )
+    return stats.join(F.broadcast(ofp), "shard")
+
+
+@register(
+    "shard_export_shuffle_audit",
+    """
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST((((doc_id + 7) * 2654435761) % 4294967296) % 16 AS INT)
+               AS shard,
+             ((doc_id * 2654435761) % 4294967296) AS pos_key
+      FROM documents
+    ),
+    stats AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(CAST(('0x' ||
+                    substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) AS DECIMAL(38,0)))
+                  % 2305843009213693951 AS BIGINT) AS content_fp
+      FROM sharded GROUP BY shard
+    ),
+    res AS (
+      SELECT shard, pos_key, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM sharded
+    ),
+    ofp AS (
+      SELECT shard,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                            ORDER BY pos_key, doc_id)) AS order_fp
+      FROM res WHERE rk <= 8 GROUP BY shard
+    )
+    SELECT s.shard, s.n_docs, s.content_fp, o.order_fp,
+           TRUE AS counts_match, TRUE AS content_match, TRUE AS order_match
+    FROM stats s JOIN ofp o USING (shard)
+    ORDER BY s.shard
+    """,
+    doc="GLOBAL-SHUFFLE AUDIT across shard re-exports: the deterministic "
+    "training shuffle (training_shard_assignment's hash shard + hash "
+    "order) is computed TWICE — run A from the corpus as laid out, run "
+    "B from a deliberately different physical layout (repartitioned by "
+    "lang, re-sorted by n_chars) — and per shard the audit compares "
+    "count, the order-independent content fingerprint, and an "
+    "order-SENSITIVE fingerprint over an 8-doc deterministic reservoir "
+    "(smallest md5 ranks, map-side WindowGroupLimit) sequenced in "
+    "training order.  All three booleans must hold: a layout-dependent "
+    "order rule (e.g. row_number over arrival order, df.sample, rand) "
+    "breaks order_match immediately, which is the property a "
+    "reproducible training run depends on.  The oracle pins run A's "
+    "values; the corruption-detection power (dropped doc, reseeded "
+    "order) is pinned by pytest.  O(shards x 8) audit state — never a "
+    "corpus comparison.",
+)
+def shard_export_shuffle_audit(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    run_a = _shard_audit_stats(docs)
+    # run B: same rule from a deliberately different physical layout
+    relaid = docs.repartition(17, "lang").sortWithinPartitions("n_chars")
+    run_b = _shard_audit_stats(relaid).select(
+        "shard",
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("content_fp").alias("content_fp_b"),
+        F.col("order_fp").alias("order_fp_b"),
+    )
+    return (
+        run_a.join(run_b, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "content_fp",
+            "order_fp",
+            (F.col("n_docs") == F.col("n_docs_b")).alias("counts_match"),
+            (F.col("content_fp") == F.col("content_fp_b")).alias(
+                "content_match"
+            ),
+            (F.col("order_fp") == F.col("order_fp_b")).alias("order_match"),
+        )
+        .orderBy("shard")
+    )

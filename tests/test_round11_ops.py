@@ -232,3 +232,76 @@ def test_fm_growth_monotone_and_accurate(spark):
     for r in rows:
         assert r.rel_err <= 0.35, r
     assert rows[-1].true_distinct > rows[0].true_distinct  # actual growth
+
+
+def test_shuffle_audit_passes_and_detects_corruption(spark):
+    """The audit must hold all three booleans on an honest re-export from
+    a different layout, and each fingerprint must MOVE under its failure
+    mode: content_fp on a dropped doc, order_fp on a reseeded order rule
+    (same doc set, different sequence)."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.sampling import hash_bucket
+    from newyork_taxi_etl_spark.queries.curation import _shard_audit_stats
+
+    rows = queries()["shard_export_shuffle_audit"](
+        spark, SF_ORACLE
+    ).collect()
+    assert len(rows) == 16
+    assert all(
+        r.counts_match and r.content_match and r.order_match for r in rows
+    )
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    honest = {r["shard"]: r for r in _shard_audit_stats(docs).collect()}
+    # corruption 1: drop one doc -> content fingerprint of its shard moves
+    victim = docs.select("doc_id").orderBy("doc_id").first().doc_id
+    dropped = {
+        r["shard"]: r
+        for r in _shard_audit_stats(
+            docs.filter(F.col("doc_id") != victim)
+        ).collect()
+    }
+    vshard = [
+        s
+        for s in honest
+        if honest[s]["n_docs"] != dropped[s]["n_docs"]
+    ]
+    assert len(vshard) == 1
+    assert honest[vshard[0]]["content_fp"] != dropped[vshard[0]]["content_fp"]
+    # corruption 2: a different order rule over the SAME reservoir docs
+    # (sequence by doc_id instead of (pos_key, doc_id)) must move the
+    # order fingerprint on at least one shard — order sensitivity
+    from pyspark.sql import Window
+
+    sharded = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id") + F.lit(7), 16).cast("int").alias(
+            "shard"
+        ),
+        hash_bucket(F.col("doc_id"), 4294967296).alias("pos_key"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    res = sharded.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 8
+    )
+    wrong_ofp = {
+        r["shard"]: r["ofp"]
+        for r in res.groupBy("shard")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(doc_id))), x -> CAST(x.doc_id AS STRING))"
+                    ),
+                )
+            ).alias("ofp")
+        )
+        .collect()
+    }
+    assert any(
+        honest[s]["order_fp"] != wrong_ofp[s] for s in honest
+    ), "order fingerprint is not order-sensitive"
