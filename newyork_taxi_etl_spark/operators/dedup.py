@@ -606,3 +606,103 @@ def exact_substring_runs(
         )
         .filter(F.col("longest_run_tokens") >= min_tokens)
     )
+
+
+def substring_strip_ledger(
+    docs: DataFrame,
+    k: int = 8,
+    max_occ: int = 64,
+    min_tokens: int = 12,
+) -> DataFrame:
+    """The DELETE step of ExactSubstr dedup (Lee et al. 2022 remove the
+    duplicated span, not the document): every verbatim run found by
+    :func:`exact_substring_runs`'s machinery marks its token interval in
+    the HIGHER-id doc of the pair (first occurrence wins, the
+    exact-dedup keeper rule applied at span granularity); per-doc
+    intervals union (classic merge-overlapping-intervals: sort by start,
+    running max of end, island ids — a window bounded by ONE doc's span
+    count) and the ledger reports per-doc tokens removed.
+
+    Returns (doc_id, n_spans, tokens_removed) for affected docs only.
+    """
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.session import spread
+
+    sh = (
+        spread(docs)
+        .withColumn("_t", F.split("text", " "))
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_t) >= {k} "
+                f"THEN transform(sequence(1, size(_t) - {k - 1}), "
+                f"i -> array_join(slice(_t, i, {k}), ' ')) "
+                f"ELSE array() END"
+            ),
+        )
+        .select("doc_id", F.posexplode("_sh").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint()
+    )
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_occ)
+        .select("g")
+    )
+    pruned = sh.join(hot, "g", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("b.pos").alias("pos_b"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_b")
+    runs = (
+        pairs.withColumn("run_key", F.col("pos_b") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "run_key")
+        .agg(
+            F.min("pos_b").alias("s"),
+            (F.max("pos_b") + F.lit(k - 1)).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= min_tokens)
+    )
+    # union intervals per victim doc (id_b keeps nothing; id_a keeps all)
+    ivw = Window.partitionBy("id_b").orderBy("s", "e")
+    merged = (
+        runs.select("id_b", "s", "e")
+        .withColumn(
+            "prev_max",
+            F.max("e").over(ivw.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                ivw.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id_b", "island")
+        .agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+        )
+    )
+    return merged.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
+            "tokens_removed"
+        ),
+    )

@@ -860,3 +860,128 @@ def dedup_exact_substring(spark, sf_dir):
         D.exact_substring_runs(docs, k=8, max_occ=64, min_tokens=12)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_substring_strip",
+    f"""
+    WITH shl AS (
+      SELECT doc_id, {_SH8} AS s FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(s) AS g, generate_subscripts(s, 1) AS pos
+      FROM shl
+    ),
+    hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 64),
+    pruned AS (SELECT sh.* FROM sh ANTI JOIN hot USING (g)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.pos AS pos_b,
+             a.pos - b.pos AS diag
+      FROM pruned a JOIN pruned b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    marked AS (
+      SELECT id_a, id_b, diag,
+             pos_b - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                        ORDER BY pos_b) AS run_key,
+             pos_b
+      FROM pairs
+    ),
+    runs AS (
+      SELECT id_b, MIN(pos_b) AS s, MAX(pos_b) + 7 AS e
+      FROM marked GROUP BY id_a, id_b, diag, run_key
+      HAVING MAX(pos_b) + 7 - MIN(pos_b) + 1 >= 12
+    ),
+    flagged AS (
+      SELECT id_b, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY id_b ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                   OR s > MAX(e) OVER (PARTITION BY id_b ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM runs
+    ),
+    islands AS (
+      SELECT id_b, s, e,
+             SUM(new_island) OVER (PARTITION BY id_b ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT id_b, island, MIN(s) AS s, MAX(e) AS e
+      FROM islands GROUP BY id_b, island
+    ),
+    ledger AS (
+      SELECT id_b AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS tokens_removed
+      FROM merged GROUP BY id_b
+    ),
+    langtok AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS lang_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(l.doc_id) AS BIGINT) AS docs_affected,
+           CAST(COALESCE(SUM(l.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(l.tokens_removed), 0) AS BIGINT)
+             AS tokens_removed,
+           ANY_VALUE(t.lang_tokens) AS lang_tokens,
+           ROUND(CAST(COALESCE(SUM(l.tokens_removed), 0) AS DOUBLE)
+                 / ANY_VALUE(t.lang_tokens), 6) AS frac_removed
+    FROM documents d
+    LEFT JOIN ledger l ON d.doc_id = l.doc_id
+    JOIN langtok t ON d.lang = t.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="the DELETE step of ExactSubstr dedup (Lee et al. 2022 remove the "
+    "duplicated SPAN, not the document): every verbatim >=12-token run "
+    "marks its token interval in the HIGHER-id doc of the pair (first "
+    "occurrence wins — the exact-dedup keeper rule at span "
+    "granularity), per-doc intervals union via the classic "
+    "merge-overlapping-intervals fold (a window bounded by one doc's "
+    "span count), and the per-language ledger reports docs affected / "
+    "spans / tokens removed / corpus fraction — the number that tells "
+    "a pretraining team what ExactSubstr deletion would actually take "
+    "out.  Same capped inverted-index shapes as dedup_exact_substring; "
+    "nothing corpus-sized anywhere.",
+)
+def dedup_substring_strip(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    ledger = D.substring_strip_ledger(docs, k=8, max_occ=64, min_tokens=12)
+    langtok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
+            "lang_tokens"
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(ledger), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.col("n_spans")).cast("bigint").alias("docs_affected"),
+            F.coalesce(F.sum("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.sum("tokens_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .join(F.broadcast(langtok), "lang")
+        .select(
+            "lang",
+            "docs_affected",
+            "n_spans",
+            "tokens_removed",
+            "lang_tokens",
+            F.round(
+                F.col("tokens_removed").cast("double")
+                / F.col("lang_tokens"),
+                6,
+            ).alias("frac_removed"),
+        )
+        .orderBy("lang")
+    )

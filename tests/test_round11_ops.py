@@ -305,3 +305,42 @@ def test_shuffle_audit_passes_and_detects_corruption(spark):
     assert any(
         honest[s]["order_fp"] != wrong_ofp[s] for s in honest
     ), "order fingerprint is not order-sensitive"
+
+
+def test_substring_strip_unions_overlapping_spans(spark):
+    """Two pairs marking OVERLAPPING intervals in the same victim doc must
+    union before counting (tokens removed once, never double-counted), and
+    the first-occurrence doc must keep everything."""
+    import random
+
+    from newyork_taxi_etl_spark.operators.dedup import (
+        substring_strip_ledger,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"v{i}" for i in range(80)]
+    span = [rng.choice(vocab) for _ in range(40)]
+    noise = lambda n: [rng.choice(vocab) for _ in range(n)]  # noqa: E731
+    # doc 1 carries span[:30], doc 2 carries span[10:40] -> both overlap
+    # doc 3's copy of span[0:40]: intervals [s..] overlapping inside doc 3
+    doc1 = noise(6) + span[:30] + noise(6)
+    doc2 = noise(9) + span[10:] + noise(3)
+    doc3 = noise(4) + span + noise(8)
+    docs = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id long, text string",
+    )
+    led = {
+        r.doc_id: r
+        for r in substring_strip_ledger(
+            docs, k=8, max_occ=64, min_tokens=12
+        ).collect()
+    }
+    assert 1 not in led  # lowest id: first occurrence keeps everything
+    assert 3 in led
+    # doc3 is marked by doc1 (span[:30] at offset 5..34) and by doc2
+    # (span[10:] at 15..44) — overlapping; union = [5..44] = 40 tokens,
+    # one island, never 30+30=60
+    assert led[3].n_spans == 1, led[3]
+    assert led[3].tokens_removed == 40, led[3]
+    assert 2 in led and led[2].tokens_removed >= 20
