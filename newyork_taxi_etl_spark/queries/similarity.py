@@ -4965,3 +4965,99 @@ def embedding_outlier_screen(spark, sf_dir):
         )
         .orderBy(F.desc("score"), "vec_id")
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH qs AS (
+      SELECT vec_id, label, embedding
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS neg_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM qs q JOIN embeddings c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT anchor_id, anchor_label, neg_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, neg_id) AS neg_rank
+      FROM scored
+    )
+    SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+           CAST(neg_rank AS INT) AS neg_rank, neg_id, cosine
+    FROM ranked WHERE neg_rank <= 4
+    ORDER BY anchor_id, neg_rank
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive training (the DPR/SimCSE "
+    "data-prep step: negatives that are semantically CLOSE but "
+    "differently labeled teach the margin; random negatives are "
+    "already far away and teach nothing): for a fixed 64-anchor "
+    "md5-order sample, the top-4 highest-cosine OTHER-label vectors "
+    "per anchor, with deterministic (4-dp cosine, neg_id) tie-breaks. "
+    "Scale: the anchor side is O(64) and broadcasts; the candidate "
+    "scan is one linear pass (TakeOrdered per anchor partition via "
+    "WindowGroupLimit on the rank filter); at production scale the "
+    "same mining runs through the partition-pruned IVF probe "
+    "(ann_index_filtered_probe's shape) with label != anchor pushed "
+    "into the index scan.",
+)
+def hard_negative_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.similarity import (
+        _DOT,
+        spread_small_scan,
+    )
+
+    raw = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    nrm = F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
+    q = _fixed_n_queries(raw, n=64).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_vec"),
+        nrm.alias("q_nrm"),
+    )
+    c = raw.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_vec"),
+        nrm.alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("c_label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            F.expr(
+                f"round({_DOT.format(a='q_vec', b='c_vec')}"
+                " / (q_nrm * c_nrm), 4)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), "neg_id")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 4)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "neg_id",
+            "cosine",
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -131,7 +131,7 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("streaming_quantile_sketch", 9),                      # r8-reverified
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
-        ("linkage_quality_gate", 10),          # r9-reverified: COALESCE oracle
+        ("linkage_quality_gate", 1),   # r11-changed: shingle-form migration
         ("quality_auc_rank", 10),              # r9-latest
         ("freq_tokens_cms", 11),               # r10-reverified (was r3-latest)
         ("bpe_merge_loop", 11),                # r10-reverified: shared trainer

@@ -344,3 +344,46 @@ def test_substring_strip_unions_overlapping_spans(spark):
     assert led[3].n_spans == 1, led[3]
     assert led[3].tokens_removed == 40, led[3]
     assert 2 in led and led[2].tokens_removed >= 20
+
+
+def test_hard_negatives_exclude_same_label_and_find_planted(spark):
+    """Mined negatives must never share the anchor's label, and a planted
+    near-duplicate vector with a DIFFERENT label must surface as the
+    rank-1 hard negative of its anchor."""
+    rows = queries()["hard_negative_mining"](spark, SF_ORACLE).collect()
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(
+            f"{SF_ORACLE}/embeddings.parquet"
+        ).collect()
+    }
+    assert rows and all(r.neg_rank <= 4 for r in rows)
+    for r in rows:
+        assert emb[r.neg_id] != r.anchor_label, r
+    # planted: copy one anchor's vector (+tiny noise-free copy), flip label
+    from newyork_taxi_etl_spark.queries.similarity import hard_negative_mining
+    import pandas as pd, tempfile, os
+
+    src = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(100)
+    pdf = src.toPandas()
+    # anchor = smallest md5(vec_id): guaranteed inside the 64-sample
+    pdf = pdf.sort_values(
+        by="vec_id",
+        key=lambda s: s.map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()
+        ),
+        kind="stable",
+    ).reset_index(drop=True)
+    anchor = pdf.iloc[0]
+    clone = anchor.copy()
+    clone["vec_id"] = 999_999
+    clone["label"] = (int(anchor["label"]) + 1) % 4
+    pdf2 = pd.concat([pdf, clone.to_frame().T], ignore_index=True)
+    tmp = tempfile.mkdtemp()
+    pdf2.to_parquet(os.path.join(tmp, "embeddings.parquet"))
+    mined = hard_negative_mining(spark, tmp).collect()
+    top = {
+        r.anchor_id: r.neg_id for r in mined if r.neg_rank == 1
+    }
+    assert int(anchor["vec_id"]) in top  # smallest md5 -> in the sample
+    assert top[int(anchor["vec_id"])] == 999_999
