@@ -2338,3 +2338,129 @@ def shard_export_shuffle_audit(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "decontamination_exact_substring",
+    f"""
+    WITH shl AS (
+      SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS is_bench,
+             CASE WHEN len(string_split(text, ' ')) >= 8
+                  THEN list_transform(
+                         range(1, len(string_split(text, ' ')) - 6),
+                         i -> array_to_string(
+                                string_split(text, ' ')[i:i+7], ' '))
+                  ELSE [] END AS s
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_bench, unnest(s) AS g, generate_subscripts(s, 1)
+               AS pos
+      FROM shl
+    ),
+    hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 64),
+    pruned AS (SELECT sh.* FROM sh ANTI JOIN hot USING (g)),
+    pairs AS (
+      SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+             c.pos AS pos_c, b.pos - c.pos AS diag
+      FROM pruned b JOIN pruned c
+        ON b.g = c.g AND b.is_bench = 1 AND c.is_bench = 0
+    ),
+    marked AS (
+      SELECT bench_id, corpus_id, diag,
+             pos_c - ROW_NUMBER() OVER (PARTITION BY bench_id, corpus_id,
+                                        diag ORDER BY pos_c) AS run_key,
+             pos_c
+      FROM pairs
+    ),
+    runs AS (
+      SELECT bench_id, corpus_id,
+             MAX(pos_c) + 7 - MIN(pos_c) + 1 AS run_tokens
+      FROM marked GROUP BY bench_id, corpus_id, diag, run_key
+    )
+    SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared_runs,
+           CAST(MAX(run_tokens) AS BIGINT) AS longest_run_tokens,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+    FROM runs WHERE run_tokens >= 12
+    GROUP BY corpus_id
+    ORDER BY longest_run_tokens DESC, corpus_id
+    LIMIT 20
+    """,
+    doc="SPAN-LEVEL benchmark decontamination (the Lee et al. ExactSubstr "
+    "mode beside the exact-n-gram-set and fuzzy-MinHash modes): "
+    "verbatim >=12-token runs SHARED between a corpus doc and any "
+    "benchmark doc (doc_id % 50 = 0, the eval-suite stand-in), top-20 "
+    "corpus docs by longest leaked span.  Catches the contamination "
+    "shape set-overlap fractions dilute away (one long verbatim quote "
+    "inside a long document scores low Jaccard but is a full answer "
+    "leak) and the fuzzy gate rounds off (it thresholds global "
+    "similarity, not span length).  Same capped positional inverted "
+    "index as dedup_exact_substring, restricted to bench x corpus "
+    "sides — join mass bounded by the benchmark's shingle footprint, "
+    "which is small by definition.",
+)
+def decontamination_exact_substring(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.session import spread
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    k = 8
+    sh = (
+        spread(docs)
+        .withColumn("_t", F.split("text", " "))
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_t) >= {k} "
+                f"THEN transform(sequence(1, size(_t) - {k - 1}), "
+                f"i -> array_join(slice(_t, i, {k}), ' ')) "
+                f"ELSE array() END"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 50 == 0).alias("is_bench"),
+            F.posexplode("_sh").alias("pos0", "g"),
+        )
+        .select("doc_id", "is_bench", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint()
+    )
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 64)
+        .select("g")
+    )
+    pruned = sh.join(hot, "g", "left_anti")
+    b = pruned.filter(F.col("is_bench")).alias("b")
+    c = pruned.filter(~F.col("is_bench")).alias("c")
+    pairs = b.join(c, F.col("b.g") == F.col("c.g")).select(
+        F.col("b.doc_id").alias("bench_id"),
+        F.col("c.doc_id").alias("corpus_id"),
+        F.col("c.pos").alias("pos_c"),
+        (F.col("b.pos") - F.col("c.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("bench_id", "corpus_id", "diag").orderBy("pos_c")
+    runs = (
+        pairs.withColumn(
+            "run_key", F.col("pos_c") - F.row_number().over(w)
+        )
+        .groupBy("bench_id", "corpus_id", "diag", "run_key")
+        .agg(
+            (F.max("pos_c") + F.lit(k - 1) - F.min("pos_c") + 1).alias(
+                "run_tokens"
+            )
+        )
+        .filter(F.col("run_tokens") >= 12)
+    )
+    return (
+        runs.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_runs"),
+            F.max("run_tokens").cast("bigint").alias("longest_run_tokens"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
+        )
+        .orderBy(F.desc("longest_run_tokens"), "corpus_id")
+        .limit(20)
+    )

@@ -387,3 +387,42 @@ def test_hard_negatives_exclude_same_label_and_find_planted(spark):
     }
     assert int(anchor["vec_id"]) in top  # smallest md5 -> in the sample
     assert top[int(anchor["vec_id"])] == 999_999
+
+
+def test_span_decontamination_flags_planted_quote(spark, tmp_path):
+    """A corpus doc quoting a 20-token span of a benchmark doc (doc_id
+    multiple of 50) must be flagged with the exact span length; an
+    unrelated corpus doc must not appear."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        decontamination_exact_substring,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"q{i}" for i in range(70)]
+    span = [rng.choice(vocab) for _ in range(20)]
+    noise = lambda n: [rng.choice(vocab) for _ in range(n)]  # noqa: E731
+    rows = [
+        # benchmark doc (id 50): carries the span
+        (50, "en", " ".join(noise(10) + span + noise(10))),
+        # contaminated corpus doc: quotes the span at another offset
+        (7, "en", " ".join(noise(25) + span + noise(5))),
+        # clean corpus doc
+        (8, "en", " ".join(noise(50))),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["source"] = "t"
+    pdf.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = {
+        r.corpus_id: r.longest_run_tokens
+        for r in decontamination_exact_substring(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 7 in got and got[7] == 20, got
+    assert 8 not in got
