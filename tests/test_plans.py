@@ -904,3 +904,43 @@ def test_ann_ranking_quality_prunes_and_broadcasts(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # exact side: broadcast x corpus
     assert plan.count("BroadcastHashJoin") >= 2  # probes->idx, rel, per-query
+
+
+def test_hard_negative_mining_plan_shape(spark):
+    """The mining pass must be: broadcast 64-anchor side (BNLJ crossjoin,
+    never CartesianProduct), map-side per-anchor top-4 (WindowGroupLimit
+    from the rank<=4 filter), all JVM-side."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["hard_negative_mining"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_family_stays_jvm_side(spark):
+    """The ExactSubstr family (runs, strip ledger, span decontamination)
+    must stay in built-in expressions — no Python eval nodes, no
+    cartesian joins (the pair join is an equi-join on the gram)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    for name in (
+        "dedup_exact_substring",
+        "dedup_substring_strip",
+        "decontamination_exact_substring",
+    ):
+        plan = _plan(queries()[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_unigram_trainer_stays_jvm_side(spark):
+    """The Viterbi fold is a built-in higher-order aggregate: the whole
+    trainer must carry no Python eval nodes; the word-vocab aggregate
+    must combine map-side."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["unigram_lm_train"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
