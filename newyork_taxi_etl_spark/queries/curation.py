@@ -2340,9 +2340,90 @@ def shard_export_shuffle_audit(spark, sf_dir):
     )
 
 
-@register(
-    "decontamination_exact_substring",
-    f"""
+def _decon_pos_grams(docs, k=8):
+    """Positional k-gram table (doc_id, pos, g) — the slice/array_join
+    form, spread before the interpreted transform."""
+    from newyork_taxi_etl_spark.session import spread
+
+    return (
+        spread(docs)
+        .withColumn("_t", F.split("text", " "))
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_t) >= {k} "
+                f"THEN transform(sequence(1, size(_t) - {k - 1}), "
+                f"i -> array_join(slice(_t, i, {k}), ' ')) "
+                f"ELSE array() END"
+            ),
+        )
+        .select("doc_id", F.posexplode("_sh").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+
+
+def _decon_bench_index(docs, k=8, cap=64):
+    """The PERSISTABLE span-decontamination index: the benchmark slice's
+    positional grams minus its own hot grams (>cap occurrences WITHIN the
+    benchmark — a property of the index alone, so the cap needs nothing
+    from the corpus and bounds the asymmetric join mass at cap x corpus
+    grams)."""
+    bench = _decon_pos_grams(docs.filter(F.col("doc_id") % 50 == 0), k)
+    hot = (
+        bench.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > cap)
+        .select("g")
+    )
+    return bench.join(hot, "g", "left_anti").select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("pos").alias("pos_b"),
+        "g",
+    )
+
+
+def _decon_runs(index_df, corpus_grams, k=8, min_tokens=12):
+    """(bench_id, corpus_id, run_tokens) verbatim runs: corpus grams join
+    the pruned bench index, maximal runs per (pair, diagonal).  Hot grams
+    are absent from the index, so no corpus-side pruning is needed."""
+    from pyspark.sql import Window
+
+    pairs = corpus_grams.join(index_df, "g").select(
+        "bench_id",
+        F.col("doc_id").alias("corpus_id"),
+        F.col("pos").alias("pos_c"),
+        (F.col("pos_b") - F.col("pos")).alias("diag"),
+    )
+    w = Window.partitionBy("bench_id", "corpus_id", "diag").orderBy("pos_c")
+    return (
+        pairs.withColumn(
+            "run_key", F.col("pos_c") - F.row_number().over(w)
+        )
+        .groupBy("bench_id", "corpus_id", "diag", "run_key")
+        .agg(
+            (F.max("pos_c") + F.lit(k - 1) - F.min("pos_c") + 1).alias(
+                "run_tokens"
+            )
+        )
+        .filter(F.col("run_tokens") >= min_tokens)
+    )
+
+
+def _decon_top(runs):
+    return (
+        runs.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_runs"),
+            F.max("run_tokens").cast("bigint").alias("longest_run_tokens"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
+        )
+        .orderBy(F.desc("longest_run_tokens"), "corpus_id")
+        .limit(20)
+    )
+
+
+
+_DECON_SPAN_SQL = f"""
     WITH shl AS (
       SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS is_bench,
              CASE WHEN len(string_split(text, ' ')) >= 8
@@ -2358,7 +2439,10 @@ def shard_export_shuffle_audit(spark, sf_dir):
                AS pos
       FROM shl
     ),
-    hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 64),
+    hot AS (
+      SELECT g FROM sh WHERE is_bench = 1
+      GROUP BY g HAVING COUNT(*) > 64
+    ),
     pruned AS (SELECT sh.* FROM sh ANTI JOIN hot USING (g)),
     pairs AS (
       SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
@@ -2385,7 +2469,12 @@ def shard_export_shuffle_audit(spark, sf_dir):
     GROUP BY corpus_id
     ORDER BY longest_run_tokens DESC, corpus_id
     LIMIT 20
-    """,
+    """
+
+
+@register(
+    "decontamination_exact_substring",
+    _DECON_SPAN_SQL,
     doc="SPAN-LEVEL benchmark decontamination (the Lee et al. ExactSubstr "
     "mode beside the exact-n-gram-set and fuzzy-MinHash modes): "
     "verbatim >=12-token runs SHARED between a corpus doc and any "
@@ -2400,67 +2489,34 @@ def shard_export_shuffle_audit(spark, sf_dir):
     "which is small by definition.",
 )
 def decontamination_exact_substring(spark, sf_dir):
-    from pyspark.sql import Window
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    index = _decon_bench_index(docs).localCheckpoint()
+    corpus = _decon_pos_grams(docs.filter(F.col("doc_id") % 50 != 0))
+    return _decon_top(_decon_runs(index, corpus))
 
-    from newyork_taxi_etl_spark.session import spread
+
+@register(
+    "streaming_decontamination_ingest",
+    _DECON_SPAN_SQL,
+    doc="decontamination_exact_substring folded AT INGEST — the fifth "
+    "build-once/apply-per-batch instance: the benchmark's pruned "
+    "positional-gram index persists once (its hot cap is a property "
+    "of the index alone), corpus docs stream in micro-batches, each "
+    "batch joins the static index and appends its maximal-run rows "
+    "(replay-guarded).  Runs live inside single documents and docs "
+    "arrive whole, so per-pair rows are final on append: drained == "
+    "batch bit-for-bit under any slicing, and the batch oracle "
+    "covers every batching.  The deploy shape: at 100 TB the index "
+    "is a small partitioned table and only the batch shuffles.",
+)
+def streaming_decontamination_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    k = 8
-    sh = (
-        spread(docs)
-        .withColumn("_t", F.split("text", " "))
-        .withColumn(
-            "_sh",
-            F.expr(
-                f"CASE WHEN size(_t) >= {k} "
-                f"THEN transform(sequence(1, size(_t) - {k - 1}), "
-                f"i -> array_join(slice(_t, i, {k}), ' ')) "
-                f"ELSE array() END"
-            ),
-        )
-        .select(
-            "doc_id",
-            (F.col("doc_id") % 50 == 0).alias("is_bench"),
-            F.posexplode("_sh").alias("pos0", "g"),
-        )
-        .select("doc_id", "is_bench", (F.col("pos0") + 1).alias("pos"), "g")
-        .localCheckpoint()
-    )
-    hot = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") > 64)
-        .select("g")
-    )
-    pruned = sh.join(hot, "g", "left_anti")
-    b = pruned.filter(F.col("is_bench")).alias("b")
-    c = pruned.filter(~F.col("is_bench")).alias("c")
-    pairs = b.join(c, F.col("b.g") == F.col("c.g")).select(
-        F.col("b.doc_id").alias("bench_id"),
-        F.col("c.doc_id").alias("corpus_id"),
-        F.col("c.pos").alias("pos_c"),
-        (F.col("b.pos") - F.col("c.pos")).alias("diag"),
-    )
-    w = Window.partitionBy("bench_id", "corpus_id", "diag").orderBy("pos_c")
-    runs = (
-        pairs.withColumn(
-            "run_key", F.col("pos_c") - F.row_number().over(w)
-        )
-        .groupBy("bench_id", "corpus_id", "diag", "run_key")
-        .agg(
-            (F.max("pos_c") + F.lit(k - 1) - F.min("pos_c") + 1).alias(
-                "run_tokens"
-            )
-        )
-        .filter(F.col("run_tokens") >= 12)
-    )
-    return (
-        runs.groupBy("corpus_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shared_runs"),
-            F.max("run_tokens").cast("bigint").alias("longest_run_tokens"),
-            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
-        )
-        .orderBy(F.desc("longest_run_tokens"), "corpus_id")
-        .limit(20)
-    )
+    work = tempfile.mkdtemp(prefix="nyetl_deconingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_decon_ingest(spark, docs, work)

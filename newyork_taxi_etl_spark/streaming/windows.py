@@ -2889,3 +2889,80 @@ def run_streaming_fm_ingest(
         )
         .orderBy("batch_seq")
     )
+
+
+def run_streaming_decon_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """SPAN-LEVEL DECONTAMINATION AT INGEST — the fifth
+    build-once/apply-per-batch instance: the benchmark's pruned
+    positional 8-gram index persists ONCE (its hot-gram cap is a
+    property of the index alone — bench grams occurring >64 times in
+    the BENCH — so nothing about the stream is needed to build it);
+    corpus documents then ARRIVE AS A STREAM and each micro-batch joins
+    the static index, folds maximal verbatim runs per (bench doc,
+    corpus doc, diagonal), and appends its per-pair run rows,
+    replay-guarded.  A run lives entirely inside one document and a
+    document arrives whole in one batch, so per-pair rows are final on
+    append — the drained top-20 equals the batch query
+    (decontamination_exact_substring) bit-for-bit under any slicing,
+    and the batch oracle covers every batching.  Per batch: one
+    index join + a window bounded by the batch's own match count.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        _decon_bench_index,
+        _decon_pos_grams,
+        _decon_runs,
+        _decon_top,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    index_dir = os.path.join(work_dir, "bench_index")
+    runs_dir = os.path.join(work_dir, "run_rows")
+    for d in (stage_dir, index_dir, runs_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    _decon_bench_index(docs_df).write.parquet(index_dir)
+
+    # any slicing works — per-doc rows are final on append — so the stage
+    # is a plain n_slices-file write, no membership column needed
+    docs_df.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "text"
+    ).repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(runs_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its run rows are already final
+        ss = batch_df.sparkSession
+        index = ss.read.parquet(index_dir)
+        part = _decon_runs(index, _decon_pos_grams(batch_df)).select(
+            "bench_id", "corpus_id", "run_tokens"
+        )
+        os.makedirs(runs_dir, exist_ok=True)
+        part.write.mode("append").parquet(runs_dir)
+        _mark_applied(runs_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    return _decon_top(spark.read.parquet(runs_dir))

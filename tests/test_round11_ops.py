@@ -426,3 +426,25 @@ def test_span_decontamination_flags_planted_quote(spark, tmp_path):
     }
     assert 7 in got and got[7] == 20, got
     assert 8 not in got
+
+
+def test_decon_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
+    """Per-pair run rows are final on append (runs live inside single
+    docs), so the drained top-20 must be identical under 1 vs 4 slices
+    AND equal the one-shot batch query bit-for-bit."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_decon_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    one = run_streaming_decon_ingest(
+        spark, docs, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_decon_ingest(
+        spark, docs, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    batch = queries()["decontamination_exact_substring"](
+        spark, SF_ORACLE
+    ).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in four]
+    assert [tuple(r) for r in one] == [tuple(r) for r in batch]
