@@ -232,3 +232,36 @@ def test_ordered_positions_rejects_fractional_cum_cols(spark):
         2,
         6,
     ]
+
+
+def test_unigram_fold_adversarial_words(spark):
+    """The Viterbi fold must stay exact on degenerate words: repeated
+    chars ('aaaa' — overlapping candidate pieces), length-1 words, words
+    longer than any piece, and equal-cost ties broken toward the SHORTER
+    final piece (the lexicographic d tie-break)."""
+    from newyork_taxi_etl_spark.operators import unigram as UNI
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa a abcdefghij ab ab ba")],
+        "doc_id long, text string",
+    )
+    words = UNI.word_vocab(docs)
+    counts = UNI.seed_counts(words)
+    segs = {
+        r.w: list(r.pieces)
+        for r in UNI.segment_words(
+            words, UNI.piece_costs(counts)
+        ).collect()
+    }
+    for w, pieces in segs.items():
+        assert "".join(pieces) == w, (w, pieces)
+    assert segs["a"] == ["a"]
+    # 10-char word must split (max piece len 4), exactly and minimally
+    assert len(segs["abcdefghij"]) >= 3
+    # equal-cost ties: 'ab' and 'ba' have identical seed counts in this
+    # corpus; both words must segment deterministically
+    two = UNI.segment_words(
+        words, UNI.piece_costs(counts)
+    ).collect()
+    again = {r.w: list(r.pieces) for r in two}
+    assert again == segs  # repeatable under re-evaluation
