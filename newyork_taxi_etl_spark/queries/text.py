@@ -2263,3 +2263,166 @@ def unigram_holdout_fertility(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+# --- WordPiece trainer (Schuster & Nakajima 2012; BERT's tokenizer) --------
+#
+# Third tokenizer family beside BPE (bpe_merge_loop) and unigram-LM
+# (unigram_lm_train).  Identical vocab-collapse + leftmost-non-overlapping
+# merge fold as BPE — the ONLY difference is the merge-selection criterion:
+# WordPiece picks the pair maximizing the training-corpus likelihood gain
+# score(a,b) = count(ab) / (count(a) * count(b)), i.e. pointwise mutual
+# information up to constants, instead of raw pair frequency.  The score is
+# one BIGINT/BIGINT division (identical IEEE double both engines), rounded
+# at 12 for a stable (score DESC, a, b) argmax.
+
+
+def _wp_round_sql(r: int) -> str:
+    """One WordPiece training round: symbol frequencies + pair counts +
+    likelihood-score argmax + the shared BPE merge fold.  Tops are
+    MATERIALIZED — each is referenced by both the next round's fold and
+    the final union (the 2^rounds inlining lesson)."""
+    prev = f"wsyms{r - 1}"
+    return f"""
+    wsymfreq{r} AS (
+      SELECT s AS sym, CAST(SUM(cnt) AS BIGINT) AS f
+      FROM (SELECT unnest(syms) AS s, cnt FROM {prev})
+      GROUP BY s
+    ),
+    wpairs{r} AS (
+      SELECT syms[r.i] AS a, syms[r.i + 1] AS b, cnt
+      FROM {prev}, unnest(range(1, len(syms))) AS r(i)
+    ),
+    wcounts{r} AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM wpairs{r} GROUP BY a, b
+    ),
+    wtop{r} AS MATERIALIZED (
+      SELECT c.a, c.b, c.n,
+             ROUND(c.n / (fa.f * fb.f), 12) AS score
+      FROM wcounts{r} c
+      JOIN wsymfreq{r} fa ON fa.sym = c.a
+      JOIN wsymfreq{r} fb ON fb.sym = c.b
+      ORDER BY score DESC, c.a, c.b LIMIT 1
+    ),
+    wsyms{r} AS ({_bpe_fold_sql(prev, f'wtop{r}')})"""
+
+
+@register(
+    "wordpiece_merge_loop",
+    f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    wsyms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_wp_round_sql(r) for r in (1, 2, 3))}
+    SELECT 1 AS step, a || '+' || b AS pair, a || b AS merged, n, score
+    FROM wtop1
+    UNION ALL
+    SELECT 2, a || '+' || b, a || b, n, score FROM wtop2
+    UNION ALL
+    SELECT 3, a || '+' || b, a || b, n, score FROM wtop3
+    ORDER BY step
+    """,
+    doc="WORDPIECE tokenizer trainer (Schuster & Nakajima 2012; the BERT "
+    "tokenizer) — third tokenizer family beside bpe_merge_loop and "
+    "unigram_lm_train, sharing BPE's exact dataflow (corpus collapses "
+    "ONCE to the frequency-weighted word vocab; every round is "
+    "vocab-sized) but selecting merges by LIKELIHOOD GAIN "
+    "score(a,b) = count(ab)/(count(a)*count(b)) — frequency normalized "
+    "by both parts' unigram mass, so rare-but-cohesive pairs win over "
+    "merely-common ones (PMI up to constants).  Per round: symbol "
+    "frequencies and adjacent-pair counts (both map-side-combinable, "
+    "shuffle bounded by symbol/pair vocabulary), score via one "
+    "BIGINT/BIGINT division (identical IEEE double both engines, "
+    "ROUND 12), deterministic (score DESC, a, b) argmax, then the SAME "
+    "leftmost-non-overlapping merge fold bpe_merge_loop uses (one "
+    "shared implementation — drift-proof).  The emitted merge table "
+    "carries n AND score so the two families' picks are directly "
+    "comparable on the same corpus",
+)
+def wordpiece_merge_loop(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tops = _wp_train_tops(docs)
+    outs = [
+        top.select(
+            F.lit(step).alias("step"),
+            F.concat_ws("+", "a", "b").alias("pair"),
+            F.concat("a", "b").alias("merged"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("score").alias("score"),
+        )
+        for step, top in enumerate(tops, start=1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("step")
+
+
+def _wp_train_tops(docs, rounds=3):
+    """WordPiece training loop: _bpe_train_tops with the likelihood-gain
+    argmax.  Merge fold, vocab collapse, and localCheckpoint lineage
+    truncation are shared with BPE (one fold implementation — the
+    apply/train drift lesson); only the per-round winner selection
+    differs."""
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = vocab.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    tops = []
+    for _ in range(rounds):
+        symfreq = (
+            syms.select(F.explode("syms").alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("bigint").alias("f"))
+        )
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2 "
+                    "THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) "
+                    "ELSE transform(sequence(1, size(syms) - 1), "
+                    "i -> named_struct('a', element_at(syms, i), "
+                    "'b', element_at(syms, i + 1))) END"
+                )
+            ).alias("e"),
+        )
+        counts = pairs.groupBy(
+            F.col("e.a").alias("a"), F.col("e.b").alias("b")
+        ).agg(F.sum("cnt").cast("bigint").alias("n"))
+        fa = symfreq.select(F.col("sym").alias("a"), F.col("f").alias("fa"))
+        fb = symfreq.select(F.col("sym").alias("b"), F.col("f").alias("fb"))
+        scored = (
+            counts.join(F.broadcast(fa), "a")
+            .join(F.broadcast(fb), "b")
+            .select(
+                "a",
+                "b",
+                "n",
+                F.round(
+                    F.col("n") / (F.col("fa") * F.col("fb")), 12
+                ).alias("score"),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score"), "a", "b").limit(1).localCheckpoint()
+        )
+        tops.append(top)
+        syms = syms.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    return tops

@@ -448,3 +448,47 @@ def test_decon_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in four]
     assert [tuple(r) for r in one] == [tuple(r) for r in batch]
+
+
+def test_wordpiece_argmax_diverges_from_bpe_on_planted_corpus(spark):
+    """WordPiece's likelihood-gain score must pick a rare-but-cohesive
+    pair over BPE's raw-frequency winner.  Planted corpus: 'th' appears
+    in many words built from very frequent letters (t, h everywhere),
+    while 'qz' appears fewer times but q and z occur NOWHERE else —
+    count(qz)/(f(q)*f(z)) maximal, count(th) maximal."""
+    from newyork_taxi_etl_spark.queries.text import (
+        _bpe_train_tops,
+        _wp_train_tops,
+    )
+
+    words = (
+        ["that this then hath teeth"] * 6  # t/h frequent, 'th' everywhere
+        + ["qz"] * 3  # q,z occur only together
+    )
+    docs = spark.createDataFrame([(w,) for w in words], "text string")
+    bpe1 = _bpe_train_tops(docs, rounds=1)[0].collect()[0]
+    wp1 = _wp_train_tops(docs, rounds=1)[0].collect()[0]
+    assert (bpe1["a"], bpe1["b"]) == ("t", "h")
+    assert (wp1["a"], wp1["b"]) == ("q", "z")
+    # the score column is the documented likelihood gain n/(fa*fb):
+    # f(q) = f(z) = 3, n(qz) = 3 -> 3/9
+    assert abs(wp1["score"] - 3 / 9) < 1e-9
+
+
+def test_wordpiece_fold_is_bpes_fold(spark):
+    """Both trainers must rewrite symbols with the SAME leftmost-non-
+    overlapping fold: after forcing the same winning pair, round-2
+    symbol streams agree (the shared-_BPE_MERGE_EXPR contract)."""
+    from newyork_taxi_etl_spark.queries.text import (
+        _bpe_train_tops,
+        _wp_train_tops,
+    )
+
+    # single repeated word -> both criteria pick the same argmax ('aa'
+    # overlap case pins leftmost-non-overlap: 'aaaa' -> [aa, aa])
+    docs = spark.createDataFrame([("aaaa aaaa",)] * 4, "text string")
+    bpe = _bpe_train_tops(docs, rounds=2)
+    wp = _wp_train_tops(docs, rounds=2)
+    assert [(t.collect()[0]["a"], t.collect()[0]["b"]) for t in bpe] == [
+        (t.collect()[0]["a"], t.collect()[0]["b"]) for t in wp
+    ]
