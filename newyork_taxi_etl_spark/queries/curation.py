@@ -2520,3 +2520,148 @@ def streaming_decontamination_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="nyetl_deconingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return W.run_streaming_decon_ingest(spark, docs, work)
+
+
+# --- DSIR: data selection via importance resampling (Xie et al. 2023) ------
+
+_DSIR_BUCKET_DUCK = (
+    "CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64"
+)
+
+
+@register(
+    "dsir_importance_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS bucket FROM toks
+    ),
+    raw AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY bucket
+    ),
+    tgt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM bt WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr,
+             (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt
+    ),
+    lr_tab AS (
+      SELECT r.bucket,
+             ROUND(ln((COALESCE(t.ct, 0) + 1) / (tot.tt + 64))
+                   - ln((r.cr + 1) / (tot.tr + 64)), 12) AS lr
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket, tot
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(CAST(SUM(CAST(CAST(lr AS VARCHAR)
+                      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS w
+      FROM bt JOIN lr_tab USING (bucket)
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_logweight,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           ROUND(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS selected_share
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc="DSIR — Data Selection via Importance Resampling (Xie et al., "
+    "NeurIPS 2023): score every document by how much more likely its "
+    "hashed-n-gram features are under the TARGET distribution than "
+    "under the raw pool, then keep the high-importance tail.  Feature "
+    "space is the hashing trick (md5 mod 64 — feature_hashing_profile's "
+    "engine-parity bucket), so NO vocabulary pass exists anywhere: "
+    "target (the 'en' slice standing in for the trusted domain) and "
+    "raw bucket unigram models are two 64-row aggregates with add-1 "
+    "smoothing, the per-bucket log-ratio table broadcasts onto the "
+    "token stream, and each doc's importance weight is the decimal-"
+    "summed sum of its tokens' log ratios (ROUND 12 per bucket, ROUND "
+    "6 per doc — identical IEEE algebra both engines).  Output: "
+    "per-language doc counts, mean log-weight, and the selected share "
+    "(w > 0 — 'looks more target than raw'); en scores positive and "
+    "the other languages' shares measure hash-collision bleed, which "
+    "this profile records rather than assumes away.  Scale: two O(64) "
+    "model tables, one broadcast, map-side-combinable aggregates only "
+    "— the 100 TB dataflow is the same three passes",
+)
+def dsir_importance_select(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _dsir_profile(docs)
+
+
+def _dsir_profile(docs, target_lang: str = "en"):
+    """DSIR per-language selection profile over a documents frame —
+    factored so the planted-corpus pytest (disjoint vocab, no hash
+    collisions) drives the exact production chain."""
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bt = toks.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(64),
+        ).alias("bucket"),
+    )
+    raw = bt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr")
+    )
+    tgt = (
+        bt.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    rt = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    tt = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
+    lr_tab = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("tt") + 64)
+                )
+                - F.log((F.col("cr") + 1) / (F.col("tr") + 64)),
+                12,
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        bt.join(F.broadcast(lr_tab), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("w")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(avg_exact("w"), 6).alias("avg_logweight"),
+            F.sum((F.col("w") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.round(
+                F.sum((F.col("w") > 0).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("selected_share"),
+        )
+        .orderBy("lang")
+    )

@@ -492,3 +492,29 @@ def test_wordpiece_fold_is_bpes_fold(spark):
     assert [(t.collect()[0]["a"], t.collect()[0]["b"]) for t in bpe] == [
         (t.collect()[0]["a"], t.collect()[0]["b"]) for t in wp
     ]
+
+
+def test_dsir_selects_target_lang_on_disjoint_vocab(spark):
+    """With disjoint vocabularies (pre-checked collision-free in the
+    64-bucket hash space), DSIR must select every target-language doc
+    (w > 0) and no off-target doc: each off-target bucket has zero
+    target mass, so its log-ratio is strictly negative."""
+    import hashlib
+
+    en_toks, zh_toks = ["alpha", "beta", "gamma"], ["omega", "sigma", "theta"]
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+
+    assert len({bucket(t) for t in en_toks + zh_toks}) == 6  # no collisions
+
+    rows = [(i, " ".join(en_toks), "en") for i in range(8)] + [
+        (100 + i, " ".join(zh_toks), "zh") for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from newyork_taxi_etl_spark.queries.curation import _dsir_profile
+
+    out = {r["lang"]: r for r in _dsir_profile(docs).collect()}
+    assert out["en"]["selected_share"] == 1.0
+    assert out["zh"]["selected_share"] == 0.0
+    assert out["en"]["avg_logweight"] > 0 > out["zh"]["avg_logweight"]
