@@ -2665,3 +2665,112 @@ def _dsir_profile(docs, target_lang: str = "en"):
         )
         .orderBy("lang")
     )
+
+
+# --- T5 span corruption planning (Raffel et al. 2020, JMLR) ----------------
+
+_SC_FLAG_DUCK = (
+    "CAST(('0x' || substring(md5(doc_id || ':' || i), 1, 8)) AS BIGINT)"
+    " % 100 < 15"
+)
+_SC_FLAG_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+    "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 15"
+)
+
+
+@register(
+    "span_corruption_plan",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
+             list_transform(range(1, len(string_split(text, ' ')) + 1),
+                            i -> {_SC_FLAG_DUCK}) AS flags
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang, n,
+             len(list_filter(range(1, n + 1), i -> flags[i])) AS n_noise,
+             len(list_filter(range(1, n + 1), i ->
+               CASE WHEN NOT flags[i] THEN false
+                    WHEN i = 1 THEN true
+                    ELSE NOT flags[i - 1] END)) AS n_spans
+      FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_noise) AS BIGINT) AS total_noise,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           ROUND(SUM(n_noise) / SUM(n), 6) AS corruption_rate,
+           ROUND((SUM(n) - SUM(n_noise) + SUM(n_spans)) / COUNT(*), 6)
+             AS avg_input_len,
+           ROUND((SUM(n_noise) + SUM(n_spans) + COUNT(*)) / COUNT(*), 6)
+             AS avg_target_len
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc="T5 SPAN-CORRUPTION planning (Raffel et al. 2020 §3.1.4 — the "
+    "denoising objective's data-prep pass): every token position draws "
+    "a deterministic noise flag (md5(doc_id:pos) mod 100 < 15 — the "
+    "repo's portable seeded-hash idiom, so the plan is reproducible "
+    "across runs AND engines), consecutive flagged positions merge "
+    "into spans, and the emitted budget table carries exactly what a "
+    "pretraining pipeline sizes batches with: corruption rate, mean "
+    "encoder input length (tokens - noise + one sentinel per span) and "
+    "mean decoder target length (noise + sentinels + EOS) per "
+    "language.  Span starts are found by the lazy CASE (flag[i] AND "
+    "NOT flag[i-1], i=1 guarded) — no window function, no explode: "
+    "the whole per-doc plan is one HOF projection inside the scan, "
+    "and the only shuffle is the O(langs) rollup.  At 100 TB this is "
+    "the point: corruption planning is embarrassingly parallel and "
+    "shuffle-free, so it belongs in the scan projection, not in a "
+    "shuffled position table",
+)
+def span_corruption_plan(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    d = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr("size(split(text, ' '))").alias("n"),
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' '))), "
+                f"i -> {_SC_FLAG_SPARK})"
+            ).alias("flags"),
+        )
+    )
+    per_doc = d.select(
+        "lang",
+        "n",
+        F.expr("size(filter(sequence(1, n), i -> element_at(flags, i)))")
+        .alias("n_noise"),
+        F.expr(
+            "size(filter(sequence(1, n), i -> "
+            "CASE WHEN NOT element_at(flags, i) THEN false "
+            "WHEN i = 1 THEN true "
+            "ELSE NOT element_at(flags, i - 1) END))"
+        ).alias("n_spans"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("n_noise").cast("bigint").alias("total_noise"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+            F.round(
+                F.sum("n_noise") / F.sum("n").cast("double"), 6
+            ).alias("corruption_rate"),
+            F.round(
+                (F.sum("n") - F.sum("n_noise") + F.sum("n_spans"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_input_len"),
+            F.round(
+                (F.sum("n_noise") + F.sum("n_spans") + F.count(F.lit(1)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_target_len"),
+        )
+        .orderBy("lang")
+    )

@@ -518,3 +518,53 @@ def test_dsir_selects_target_lang_on_disjoint_vocab(spark):
     assert out["en"]["selected_share"] == 1.0
     assert out["zh"]["selected_share"] == 0.0
     assert out["en"]["avg_logweight"] > 0 > out["zh"]["avg_logweight"]
+
+
+def test_span_corruption_matches_independent_python_plan(spark):
+    """Third-implementation check: recompute the deterministic span plan
+    in plain Python (hashlib md5) for planted single-doc languages and
+    match counts, rates, and the T5 length accounting identities."""
+    import hashlib
+
+    rows = [
+        (7, " ".join(f"t{i}" for i in range(40)), "aa"),
+        (9, " ".join(f"u{i}" for i in range(25)), "bb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def plan(doc_id, n):
+        flags = [
+            int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8], 16)
+            % 100
+            < 15
+            for i in range(1, n + 1)
+        ]
+        noise = sum(flags)
+        spans = sum(
+            1
+            for i, f in enumerate(flags)
+            if f and (i == 0 or not flags[i - 1])
+        )
+        return noise, spans
+
+    # the builder reads from sf_dir: stage the planted frame as parquet
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    from newyork_taxi_etl_spark.registry import queries
+
+    out = {
+        r["lang"]: r
+        for r in queries()["span_corruption_plan"](spark, tmp).collect()
+    }
+    for doc_id, text, lang in rows:
+        n = len(text.split(" "))
+        noise, spans = plan(doc_id, n)
+        r = out[lang]
+        assert r["total_tokens"] == n
+        assert r["total_noise"] == noise
+        assert r["total_spans"] == spans
+        assert r["avg_input_len"] == round(float(n - noise + spans), 6)
+        assert r["avg_target_len"] == round(float(noise + spans + 1), 6)
