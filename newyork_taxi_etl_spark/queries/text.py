@@ -2426,3 +2426,152 @@ def _wp_train_tops(docs, rounds=3):
             "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
         )
     return tops
+
+
+# --- CCNet perplexity buckets (Wenzek et al. 2020, LREC) --------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    lm AS (
+      SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab
+      FROM lm GROUP BY lang
+    ),
+    scored_tok AS (
+      SELECT t.doc_id, t.lang,
+             ROUND(-ln((lm.cnt + 1)
+                       / CAST(tot.total + tot.vocab AS DOUBLE)), 12) AS nll
+      FROM toks t
+      JOIN lm ON t.lang = lm.lang AND t.tok = lm.tok
+      JOIN tot ON t.lang = tot.lang
+    ),
+    doc_scores AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS score
+      FROM scored_tok GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT lang, score,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY score, doc_id)
+               AS tile
+      FROM doc_scores
+    )
+    SELECT lang,
+           CAST(tile AS INT) AS tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+           MIN(score) AS min_nll,
+           MAX(score) AS max_nll
+    FROM ranked
+    GROUP BY lang, tile
+    ORDER BY lang, tile
+    """,
+    doc="CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 "
+    "— the published CommonCrawl curation recipe): per language, every "
+    "document's unigram-LM mean NLL (lm_perplexity_score's add-1 "
+    "model) orders the corpus and the language splits into three "
+    "EQUAL-COUNT buckets — head (lowest perplexity, cleanest), middle, "
+    "tail (usual drop candidates).  Scale shape: per-language NTILE(3) "
+    "is reproduced BIT-EXACTLY with no per-language global window — "
+    "ordered_positions range-partitions on (lang, score, doc_id) so "
+    "each language occupies a contiguous gpos run, the per-language "
+    "position is gpos minus the language's broadcast prefix offset "
+    "(a window over 5 rows), and the bucket is the all-integer NTILE "
+    "size formula (first n%3 tiles get n/3+1 rows) — the "
+    "curriculum_quality_stages discipline, grouped.  No row funnels "
+    "through one task at any corpus size",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lm = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = lm.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    dec = "decimal(38,12)"
+    nll = F.round(
+        -F.log(
+            (F.col("cnt") + 1)
+            / (F.col("total") + F.col("vocab")).cast("double")
+        ),
+        12,
+    )
+    scored = (
+        toks.join(F.broadcast(lm), ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .select("doc_id", "lang", nll.alias("nll"))
+    )
+    doc_scores = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.col("nll").cast(dec)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("score")
+    )
+    pos = ordered_positions(
+        doc_scores, [("lang", True), ("score", True), ("doc_id", True)]
+    )
+    lcnt = doc_scores.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    off_w = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = lcnt.select(
+        "lang",
+        "n_l",
+        F.coalesce(F.sum("n_l").over(off_w), F.lit(0)).alias("off"),
+    )
+    staged = pos.join(F.broadcast(offs), "lang").withColumn(
+        "lpos", F.col("gpos") - F.col("off")
+    )
+    # NTILE(3) closed form on the 1-based per-language position (the
+    # curriculum_quality_stages integer formula with n = n_l, k = 3).
+    tile = F.expr(
+        "CAST(CASE WHEN lpos <= (n_l % 3) * (n_l DIV 3 + 1) "
+        "THEN (lpos + (n_l DIV 3)) DIV (n_l DIV 3 + 1) "
+        "ELSE (n_l % 3) + (lpos - (n_l % 3) * (n_l DIV 3 + 1) "
+        "+ (n_l DIV 3) - 1) DIV (n_l DIV 3) END AS INT)"
+    )
+    n = F.count(F.lit(1))
+    return (
+        staged.select("lang", "score", tile.alias("tile"))
+        .groupBy("lang", "tile")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast(dec)).cast("double") / n, 6
+            ).alias("avg_nll"),
+            F.min("score").alias("min_nll"),
+            F.max("score").alias("max_nll"),
+        )
+        .select(
+            "lang",
+            "tile",
+            F.expr(
+                "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+            "n_docs",
+            "avg_nll",
+            "min_nll",
+            "max_nll",
+        )
+        .orderBy("lang", "tile")
+    )

@@ -944,3 +944,22 @@ def test_unigram_trainer_stays_jvm_side(spark):
 
     plan = _plan(queries()["unigram_lm_train"](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ccnet_buckets_no_global_ntile(spark):
+    """Per-language NTILE(3) is reproduced by the range-partitioned
+    position fold plus the integer size formula: no ntile in the plan,
+    the full-data shuffle is rangepartitioning, and the unpartitioned
+    Windows (offset prefix sums) run above bounded inputs — the per-pid
+    aggregate and the 5-row language count table — never raw rows."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["ccnet_perplexity_buckets"](spark, SF_SMOKE))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+    win = plan.index("Window")
+    tail = plan[win:]
+    assert (
+        "HashAggregate(keys=[_pid" in tail
+        or "HashAggregate(keys=[lang" in tail
+    ), tail[:400]
