@@ -2575,3 +2575,77 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         )
         .orderBy("lang", "tile")
     )
+
+
+# --- distinct-n diversity (Li et al. 2016, NAACL) ---------------------------
+
+
+def _dndiv_leg_sql(n: int) -> str:
+    sh = shingles_sql("text", n)
+    return f"""
+    SELECT lang, {n} AS n, g.gram
+    FROM documents, unnest({sh}) AS g(gram)"""
+
+
+@register(
+    "distinct_n_diversity",
+    f"""
+    WITH grams AS (
+      SELECT lang, 1 AS n, unnest(string_split(text, ' ')) AS gram
+      FROM documents
+      UNION ALL{_dndiv_leg_sql(2)}
+      UNION ALL{_dndiv_leg_sql(3)}
+    )
+    SELECT lang, CAST(n AS INT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           ROUND(COUNT(DISTINCT gram) / COUNT(*), 6) AS distinct_ratio
+    FROM grams
+    GROUP BY lang, n
+    ORDER BY lang, n
+    """,
+    doc="DISTINCT-N DIVERSITY (Li et al. 2016's distinct-1/2/3, applied "
+    "as a corpus-health gauge): per language and n-gram order 1..3, the "
+    "ratio of distinct n-grams to total n-grams — the standard "
+    "mode-collapse / templated-content detector (synthetic or "
+    "boilerplate-heavy slices crater distinct-2 and distinct-3 long "
+    "before exact dedup fires, because the repetition is sub-document). "
+    "Complements novel_ngram_growth (which tracks arrival order) with "
+    "the order-free saturation number.  Dataflow: the three n-gram "
+    "streams are scan-side projections (with_shingles — one token-array "
+    "reference per shingle) unioned before ONE aggregate; COUNT "
+    "DISTINCT shuffles (lang, n, gram) partials, so shuffle mass is "
+    "n-gram VOCABULARY, not corpus volume, and the result is 15 rows. "
+    "The exact distinct is the point at profile granularity; the HLL "
+    "twin for per-window monitoring already exists "
+    "(streaming_fm_distinct_ingest)",
+)
+def distinct_n_diversity(spark, sf_dir):
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    legs = []
+    for n in (1, 2, 3):
+        if n == 1:
+            g = docs.select(
+                "lang",
+                F.lit(1).alias("n"),
+                F.explode(F.split("text", " ")).alias("gram"),
+            )
+        else:
+            g = with_shingles(docs, "text", n, "sh").select(
+                "lang", F.lit(n).alias("n"), F.explode("sh").alias("gram")
+            )
+        legs.append(g)
+    grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    return (
+        grams.groupBy("lang", F.col("n").cast("int").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.countDistinct("gram").cast("bigint").alias("distinct_ngrams"),
+            F.round(
+                F.countDistinct("gram") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("lang", "n")
+    )

@@ -568,3 +568,34 @@ def test_span_corruption_matches_independent_python_plan(spark):
         assert r["total_spans"] == spans
         assert r["avg_input_len"] == round(float(n - noise + spans), 6)
         assert r["avg_target_len"] == round(float(noise + spans + 1), 6)
+
+
+def test_distinct_n_craters_on_templated_corpus(spark):
+    """distinct-2/3 must separate a templated (single repeated sentence)
+    language from a fully-unique one even when both have similar
+    distinct-1 vocabularies spread across docs."""
+    import os
+    import tempfile
+
+    uniq = [
+        (i, " ".join(f"w{i}_{j}" for j in range(12)), "uq")
+        for i in range(10)
+    ]
+    tmpl = [(100 + i, "the same ten words repeat here every time x y", "tp")
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        uniq + tmpl, "doc_id long, text string, lang string"
+    )
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    from newyork_taxi_etl_spark.registry import queries
+
+    out = {
+        (r["lang"], r["n"]): r
+        for r in queries()["distinct_n_diversity"](spark, tmp).collect()
+    }
+    assert out[("uq", 2)]["distinct_ratio"] == 1.0
+    assert out[("uq", 3)]["distinct_ratio"] == 1.0
+    # 10 identical docs: every bigram/trigram repeats 10x
+    assert out[("tp", 2)]["distinct_ratio"] == 0.1
+    assert out[("tp", 3)]["distinct_ratio"] == 0.1
