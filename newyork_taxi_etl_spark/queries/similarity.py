@@ -5156,6 +5156,13 @@ def ann_sq8_adc_topk(spark, sf_dir):
     emb = spread_small_scan(
         spark.read.parquet(table_path(sf_dir, "embeddings"))
     )
+    return _sq8_ranked(emb, k=5)
+
+
+def _sq8_ranked(emb, k: int):
+    """SQ8 ADC top-k over the fixed vec_id<5 probe set — shared by the
+    registered top-k query (k=5) and the recall gate (k=10) so codec,
+    encode, and distance stay one implementation."""
     dims = emb.select(
         F.explode(
             F.expr(
@@ -5198,6 +5205,133 @@ def ann_sq8_adc_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+# exact-L2 twin of the ADC fold for the recall gate — same explicit left
+# fold, raw candidate vector instead of the dequantized codes
+_L2_SCORE_SPARK = (
+    "aggregate(transform(sequence(1, 64), i -> "
+    "(element_at(qv, i) - element_at(cv, i))"
+    " * (element_at(qv, i) - element_at(cv, i))), "
+    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+_L2_SCORE_DUCK = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "(q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i])), (acc, z) -> acc + z)"
+)
+
+
+@register(
+    "ann_recall_sq8",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT r.i AS i, MIN(v[r.i]) AS mn, MAX(v[r.i]) AS mx
+      FROM emb, unnest(range(1, 65)) AS r(i)
+      GROUP BY r.i
+    ),
+    srow AS (
+      SELECT list(mn ORDER BY i) AS mins,
+             list(CASE WHEN mx > mn THEN (mx - mn) / 255 ELSE 1.0 END
+                  ORDER BY i) AS steps
+      FROM dims
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> GREATEST(0, LEAST(255,
+               CAST(floor((v[i] - mins[i]) / steps[i] + 0.5) AS INT))))
+               AS code
+      FROM emb, srow
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+    ),
+    bf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND({_L2_SCORE_DUCK}, 6), c.vec_id) AS rank
+        FROM qs q JOIN emb c ON c.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    sq8 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND({_SQ8_SCORE_DUCK.replace('code[i]', 'c.code[i]')}, 6),
+                 c.vec_id) AS rank
+        FROM codes c, qs q, srow
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    )
+    SELECT 'sq8_adc' AS method,
+           CAST((SELECT COUNT(*) FROM sq8
+                 JOIN bf USING (query_id, cand_id)) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS total,
+           ROUND(CAST((SELECT COUNT(*) FROM sq8
+                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall
+    """,
+    doc="SQ8 recall honesty gate — recall@10 of the scalar-quantized ADC "
+    "scan against the EXACT L2 top-10 on the same 5 probes (same "
+    "metric: L2 vs L2, so the number isolates QUANTIZATION loss, not "
+    "a cosine/L2 metric mismatch).  8-bit-per-dim quantization on a "
+    "64-dim corpus should sit near 1.0 — pytest floors it at 0.8 and "
+    "records the measured value; the ann_recall_ivfpq discipline "
+    "(every ANN operating point ships with its measured recall, "
+    "never an assumed one).  Both legs tie-break (rounded dist, "
+    "cand_id) so the comparison is deterministic across engines",
+)
+def ann_recall_sq8(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    qs = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = base.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "cand_id")
+    bf = (
+        cands.join(F.broadcast(qs), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.expr(_L2_SCORE_SPARK), 6).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    sq8 = _sq8_ranked(emb, k=10).select("query_id", "cand_id")
+    hits = sq8.join(bf, ["query_id", "cand_id"], "semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    total = bf.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        hits.crossJoin(total)
+        .select(
+            F.lit("sq8_adc").alias("method"),
+            "hits",
+            "total",
+            F.round(
+                F.col("hits").cast("double") / F.col("total"), 6
+            ).alias("recall"),
+        )
     )

@@ -71,6 +71,16 @@ def test_ann_recall_ivfpq_floor(spark):
     assert rec["ivfpq_res"]["recall"] >= 0.15, rec
 
 
+def test_ann_recall_sq8_floor(spark):
+    """SQ8 (8-bit-per-dim affine codec) vs exact L2 top-10: measured 1.0
+    at sf0.01 — 8 bits on 64 dims loses ~0.4% of the dynamic range per
+    dim, far below this corpus's neighbor gaps.  Floor at 0.8 catches a
+    broken codec (wrong step, clamp, or fold) while tolerating corpus
+    regeneration."""
+    rec = _rows(spark, "ann_recall_sq8")
+    assert rec["sq8_adc"]["recall"] >= 0.8, rec
+
+
 def test_quantile_sketch_error_bounds(spark):
     from newyork_taxi_etl_spark.registry import queries
 
