@@ -599,3 +599,64 @@ def test_distinct_n_craters_on_templated_corpus(spark):
     # 10 identical docs: every bigram/trigram repeats 10x
     assert out[("tp", 2)]["distinct_ratio"] == 0.1
     assert out[("tp", 3)]["distinct_ratio"] == 0.1
+
+
+def test_sq8_constant_dim_and_duplicate_nearest(spark):
+    """A zero-range dimension must not 0/0 (step floors at 1.0, code 0,
+    dequant == min), and an exact duplicate vector must rank 1 with ADC
+    distance 0 — the codec reconstructs corpus min/max endpoints
+    exactly."""
+    import os
+    import random
+    import tempfile
+
+    rng = random.Random(3)
+    rows = []
+    for vid in range(8):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        v[0] = 0.25  # constant dim across the corpus
+        rows.append((vid, [float(x) for x in v]))
+    rows.append((8, list(rows[2][1])))  # exact duplicate of vec 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tmp = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    from newyork_taxi_etl_spark.registry import queries
+
+    out = queries()["ann_sq8_adc_topk"](spark, tmp).collect()
+    assert len(out) == 25  # 5 probes x top-5
+    assert all(r["adc_dist"] is not None and r["adc_dist"] >= 0 for r in out)
+    top2 = {r["cand_id"]: r for r in out if r["query_id"] == 2 and r["rank"] == 1}
+    assert 8 in top2  # the planted duplicate is the nearest
+    # ADC is asymmetric (raw query vs dequantized candidate), so the
+    # duplicate's distance is the reconstruction error, bounded by
+    # 64 * (step/2)^2 <= 64 * (1/255)^2 ~ 0.001 for range-2 dims
+    assert top2[8]["adc_dist"] <= 0.005
+
+
+def test_ccnet_tiles_handle_languages_smaller_than_three(spark):
+    """The integer NTILE(3) formula must match SQL NTILE on degenerate
+    language sizes: n=1 -> one head row, n=2 -> head+middle, n=5 ->
+    sizes (2,2,1)."""
+    import os
+    import tempfile
+
+    rows = (
+        [(1, "one doc only here", "aa")]
+        + [(10 + i, f"pair doc {i} words", "bb") for i in range(2)]
+        + [(20 + i, f"five docs {i} in this lang", "cc") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    from newyork_taxi_etl_spark.registry import queries
+
+    out = queries()["ccnet_perplexity_buckets"](spark, tmp).collect()
+    got = {(r["lang"], r["tile"]): r["n_docs"] for r in out}
+    assert got == {
+        ("aa", 1): 1,
+        ("bb", 1): 1,
+        ("bb", 2): 1,
+        ("cc", 1): 2,
+        ("cc", 2): 2,
+        ("cc", 3): 1,
+    }
