@@ -2526,6 +2526,11 @@ def ccnet_perplexity_buckets(spark, sf_dir):
             6,
         ).alias("score")
     )
+    # one row per doc, consumed by THREE lineages (the position fold's two
+    # internal consumers + the language-count offsets): pin it or every
+    # consumer re-runs the token-explode/LM-join chain from the raw scan
+    # (measured 9 parquet scans -> 1; 10.6 s -> 3.5 s at the 10x corpus)
+    doc_scores = doc_scores.localCheckpoint(eager=False)
     pos = ordered_positions(
         doc_scores, [("lang", True), ("score", True), ("doc_id", True)]
     )
@@ -2638,13 +2643,21 @@ def distinct_n_diversity(spark, sf_dir):
             )
         legs.append(g)
     grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    # two-level aggregate instead of count + countDistinct in one agg:
+    # the mixed form plans an Expand (2x the exploded stream through the
+    # shuffle); here the first groupBy map-side combines to n-gram
+    # VOCABULARY cardinality before any exchange, and the second is
+    # 15-keyed (measured 20.4 s -> 4.4 s at the 10x/50k-doc corpus)
+    per_gram = grams.groupBy(
+        "lang", F.col("n").cast("int").alias("n"), "gram"
+    ).agg(F.count(F.lit(1)).alias("c"))
     return (
-        grams.groupBy("lang", F.col("n").cast("int").alias("n"))
+        per_gram.groupBy("lang", "n")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
-            F.countDistinct("gram").cast("bigint").alias("distinct_ngrams"),
+            F.sum("c").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
             F.round(
-                F.countDistinct("gram") / F.count(F.lit(1)).cast("double"), 6
+                F.count(F.lit(1)) / F.sum("c").cast("double"), 6
             ).alias("distinct_ratio"),
         )
         .orderBy("lang", "n")
