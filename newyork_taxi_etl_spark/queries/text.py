@@ -2662,3 +2662,109 @@ def distinct_n_diversity(spark, sf_dir):
         )
         .orderBy("lang", "n")
     )
+
+
+_WP_HOLDOUT_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % 5 <> 0)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    wsyms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_wp_round_sql(r) for r in (1, 2, 3))},
+    langvocab AS (
+      SELECT doc_id % 5 = 0 AS is_val, lang, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+      GROUP BY 1, lang, w
+    ),
+    asyms0 AS (
+      SELECT is_val, lang, cnt,
+             list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM langvocab
+    ),
+    asyms1 AS ({_bpe_fold_sql('asyms0', 'wtop1',
+                              keep='s.is_val, s.lang, s.cnt')}),
+    asyms2 AS ({_bpe_fold_sql('asyms1', 'wtop2',
+                              keep='s.is_val, s.lang, s.cnt')}),
+    asyms3 AS ({_bpe_fold_sql('asyms2', 'wtop3',
+                              keep='s.is_val, s.lang, s.cnt')})
+    SELECT CASE WHEN is_val THEN 'holdout' ELSE 'train' END AS split,
+           lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_instances,
+           CAST(SUM(cnt * len(syms)) AS BIGINT) AS wp_symbols,
+           ROUND(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+             AS wp_fertility
+    FROM asyms3
+    GROUP BY 1, lang
+    ORDER BY split, lang"""
+
+
+@register(
+    "wordpiece_holdout_fertility",
+    _WP_HOLDOUT_SQL,
+    doc="WordPiece holdout fertility — the generalization eval that "
+    "completes the third tokenizer family (BPE and unigram-LM both "
+    "ship theirs): likelihood-gain merges train ONLY on the 80% hash "
+    "split (doc_id % 5 <> 0), both splits encode through the SAME "
+    "shared leftmost-non-overlapping fold, per-(split, lang) fertility "
+    "side by side.  With the same merge budget the three families' "
+    "numbers are directly comparable on this corpus — the pytest gate "
+    "pins WordPiece within 3x of BPE and holdout within 1.5x of train "
+    "(memorization guard).  Scale identical to bpe_holdout_fertility: "
+    "vocab-sized training rounds, apply once over the (split, lang, "
+    "word) vocab, each 1-row merge broadcast, integer sums",
+)
+def wordpiece_holdout_fertility(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tops = _wp_train_tops(docs.filter(F.col("doc_id") % 5 != 0))
+    lv = (
+        docs.select(
+            (F.col("doc_id") % 5 == 0).alias("is_val"),
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("is_val", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = lv.select(
+        "is_val",
+        "lang",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for top in tops:
+        enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    return (
+        enc.select(
+            F.when(F.col("is_val"), "holdout").otherwise("train").alias(
+                "split"
+            ),
+            "lang",
+            "cnt",
+            F.size("syms").alias("n_syms"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_instances"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("wp_symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("wp_fertility"),
+        )
+        .orderBy("split", "lang")
+    )

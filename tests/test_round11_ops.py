@@ -660,3 +660,29 @@ def test_ccnet_tiles_handle_languages_smaller_than_three(spark):
         ("cc", 2): 2,
         ("cc", 3): 1,
     }
+
+
+def test_wordpiece_fertility_in_family_regime(spark):
+    """Three-family comparability: WordPiece fertility within 3x of BPE
+    on every (split, lang) cell, >= 1 everywhere, and holdout <= 1.5x
+    train (memorization guard) — same gates the unigram family passes."""
+    wp = {
+        (r.split, r.lang): r.wp_fertility
+        for r in queries()["wordpiece_holdout_fertility"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    bpe = {
+        (r.split, r.lang): r.bpe_fertility
+        for r in queries()["bpe_holdout_fertility"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert wp and set(wp) == set(bpe)
+    for key, wf in wp.items():
+        assert 1.0 <= wf <= 10.0, (key, wf)
+        bf = bpe[key]
+        assert wf <= 3.0 * bf and bf <= 3.0 * wf, (key, wf, bf)
+    for (split, lang), wf in wp.items():
+        if split == "holdout":
+            assert wf <= 1.5 * wp[("train", lang)], (lang, wf)
