@@ -963,3 +963,37 @@ def test_ccnet_buckets_no_global_ntile(spark):
         "HashAggregate(keys=[_pid" in tail
         or "HashAggregate(keys=[lang" in tail
     ), tail[:400]
+
+
+def test_round11b_family_stays_jvm_side(spark):
+    """Session-2 additions: no Python boundary anywhere, and the
+    broadcast-model shapes hold — SQ8's (mins, steps) row and DSIR's
+    64-bucket log-ratio table must broadcast, never shuffle-join."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    for name in (
+        "ann_sq8_adc_topk",
+        "ann_recall_sq8",
+        "wordpiece_merge_loop",
+        "wordpiece_holdout_fertility",
+        "dsir_importance_select",
+        "span_corruption_plan",
+        "ccnet_perplexity_buckets",
+        "distinct_n_diversity",
+    ):
+        plan = _plan(queries()[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    for name in ("ann_sq8_adc_topk", "dsir_importance_select"):
+        plan = _plan(queries()[name](spark, SF_SMOKE))
+        assert "BroadcastExchange" in plan, name
+
+
+def test_distinct_n_has_no_expand(spark):
+    """The two-level aggregate must keep the count+distinct rollup free
+    of the Expand the single mixed aggregate plans (2x the exploded
+    n-gram stream through the shuffle)."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["distinct_n_diversity"](spark, SF_SMOKE))
+    assert "Expand" not in plan, plan[:400]
