@@ -686,3 +686,75 @@ def test_wordpiece_fertility_in_family_regime(spark):
     for (split, lang), wf in wp.items():
         if split == "holdout":
             assert wf <= 1.5 * wp[("train", lang)], (lang, wf)
+
+
+def _py_greedy(word, vocab, max_len=8):
+    """Plain-Python greedy longest-match reference (BERT runtime)."""
+    out, pos = [], 0
+    while pos < len(word):
+        for d in range(min(max_len, len(word) - pos), 0, -1):
+            if word[pos : pos + d] in vocab:
+                out.append(word[pos : pos + d])
+                pos += d
+                break
+        else:  # pragma: no cover - vocab must contain singles
+            raise AssertionError("uncovered position")
+    return out
+
+
+def test_wordpiece_greedy_matches_python_reference(spark):
+    """The relational greedy fold must reproduce longest-match-first
+    exactly: corpus-vocab words segmented against singles + trained
+    merges agree with the Python reference, concatenate back to the
+    word, and prefer the LONGER piece where both match."""
+    from newyork_taxi_etl_spark.operators.wordpiece import (
+        greedy_segment_words,
+    )
+
+    words = spark.createDataFrame(
+        [("abcd", 3), ("aabb", 2), ("xaby", 1), ("q", 1)],
+        "w string, freq long",
+    )
+    vocab_set = set("abcdxyq") | {"ab", "abc", "bb"}
+    vocab = spark.createDataFrame(
+        [(p,) for p in sorted(vocab_set)], "piece string"
+    )
+    got = {
+        r["w"]: list(r["pieces"])
+        for r in greedy_segment_words(words, vocab).collect()
+    }
+    assert got["abcd"] == ["abc", "d"]  # longest-first beats 'ab'
+    assert got["aabb"] == ["a", "ab", "b"]  # greedy, NOT the 2-piece DP
+    for w, pieces in got.items():
+        assert pieces == _py_greedy(w, vocab_set), w
+        assert "".join(pieces) == w
+
+
+def test_wordpiece_greedy_over_trained_vocab(spark):
+    """End-to-end: segment the real corpus word vocab against the
+    trained-merge vocabulary (singles + 3 merges); roundtrip holds for
+    every word and each emitted piece is in the vocabulary."""
+    from newyork_taxi_etl_spark.operators.unigram import word_vocab
+    from newyork_taxi_etl_spark.operators.wordpiece import (
+        greedy_segment_words,
+        vocab_from_tops,
+    )
+    from newyork_taxi_etl_spark.queries.text import _wp_train_tops
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    words = word_vocab(docs)
+    singles = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("piece")
+    ).distinct()
+    vocab = singles.unionByName(
+        vocab_from_tops(spark, _wp_train_tops(docs))
+    ).localCheckpoint()
+    vocab_set = {r["piece"] for r in vocab.collect()}
+    segs = greedy_segment_words(words, vocab).collect()
+    assert len(segs) > 0
+    for r in segs:
+        assert "".join(r["pieces"]) == r["w"], r
+        assert all(p in vocab_set for p in r["pieces"]), r
+        assert r["pieces"] == _py_greedy(r["w"], vocab_set), r
