@@ -93,3 +93,61 @@ def vocab_from_tops(spark, tops) -> DataFrame:
         piece = top.select(F.concat("a", "b").alias("piece"))
         merged = piece if merged is None else merged.unionByName(piece)
     return merged
+
+
+def greedy_fold_sql_duckdb() -> str:
+    """DuckDB twin of ``_GREEDY_FOLD`` (scalar 'pos|out' VARCHAR
+    accumulator — DuckDB list_reduce cannot thread LIST struct members;
+    the seed rides as a prepended first element, the unigram fold's
+    idiom).  Expects columns ``w`` and ``best`` (LIST of INTs, 1-based
+    per position); yields the pieces as a LIST(VARCHAR)."""
+    return """
+      string_split(string_split(list_reduce(
+        list_prepend('1|',
+          list_transform(range(1, length(w) + 1),
+                         q -> CAST(q AS VARCHAR))),
+        (acc, x) -> CASE
+          WHEN CAST(x AS INT) = CAST(string_split(acc, '|')[1] AS INT)
+          THEN CAST(CAST(x AS INT) + best[CAST(x AS INT)] AS VARCHAR)
+               || '|' ||
+               CASE WHEN string_split(acc, '|')[2] = ''
+                    THEN substring(w, CAST(x AS INT),
+                                   best[CAST(x AS INT)])
+                    ELSE string_split(acc, '|')[2] || chr(2) ||
+                         substring(w, CAST(x AS INT),
+                                   best[CAST(x AS INT)])
+               END
+          ELSE acc END),
+        '|')[2], chr(2))
+    """
+
+
+def greedy_segment_sql_duckdb(
+    words: str, vocab: str, max_piece_len: int = MAX_PIECE_LEN
+) -> str:
+    """Full DuckDB CTE chain mirroring :func:`greedy_segment_words`:
+    ``words`` (w, freq) and ``vocab`` (piece) are existing relations;
+    returns SQL yielding (w, freq, pieces LIST(VARCHAR))."""
+    L = int(max_piece_len)
+    return f"""
+    WITH gcells AS (
+      SELECT t.w, i.i AS i, d.d AS d, substring(t.w, i.i, d.d) AS piece
+      FROM {words} t,
+           unnest(range(1, length(t.w) + 1)) AS i(i),
+           unnest(range(1, {L + 1})) AS d(d)
+      WHERE i.i + d.d - 1 <= length(t.w)
+    ),
+    gmatched AS (
+      SELECT c.w, c.i, c.d
+      FROM gcells c JOIN (SELECT DISTINCT piece FROM {vocab}) v
+        ON c.piece = v.piece
+    ),
+    gbest AS (
+      SELECT w, list(bl ORDER BY i) AS best FROM (
+        SELECT w, i, CAST(MAX(d) AS INT) AS bl
+        FROM gmatched GROUP BY w, i
+      ) GROUP BY w
+    )
+    SELECT t.w, t.freq, {greedy_fold_sql_duckdb()} AS pieces
+    FROM {words} t JOIN gbest USING (w)
+    """

@@ -758,3 +758,59 @@ def test_wordpiece_greedy_over_trained_vocab(spark):
         assert "".join(r["pieces"]) == r["w"], r
         assert all(p in vocab_set for p in r["pieces"]), r
         assert r["pieces"] == _py_greedy(r["w"], vocab_set), r
+
+
+def test_wordpiece_greedy_duckdb_twin_matches_spark(spark):
+    """The DuckDB greedy fold (scalar 'pos|out' accumulator) must emit
+    the identical segmentation as the Spark struct-accumulator fold for
+    every corpus vocab word — pinning the oracle BEFORE the query
+    registers next round."""
+    import duckdb
+
+    from newyork_taxi_etl_spark.operators.unigram import word_vocab
+    from newyork_taxi_etl_spark.operators.wordpiece import (
+        greedy_segment_sql_duckdb,
+        greedy_segment_words,
+        vocab_from_tops,
+    )
+    from newyork_taxi_etl_spark.queries.text import _wp_train_tops
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    words = word_vocab(docs)
+    singles = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("piece")
+    ).distinct()
+    vocab = singles.unionByName(
+        vocab_from_tops(spark, _wp_train_tops(docs))
+    ).localCheckpoint()
+
+    got_spark = {
+        r["w"]: list(r["pieces"])
+        for r in greedy_segment_words(words, vocab).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE words AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{r['w']}', {r['freq']})" for r in words.collect()
+        )
+        + ") AS t(w, freq)"
+    )
+    con.execute(
+        "CREATE TABLE vocab AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{r['piece']}')" for r in vocab.collect())
+        + ") AS t(piece)"
+    )
+    got_duck = {
+        w: list(pieces)
+        for w, _freq, pieces in con.execute(
+            greedy_segment_sql_duckdb("words", "vocab")
+        ).fetchall()
+    }
+    con.close()
+    assert got_spark and set(got_spark) == set(got_duck)
+    for w, pieces in got_spark.items():
+        assert pieces == got_duck[w], (w, pieces, got_duck[w])
