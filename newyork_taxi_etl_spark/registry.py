@@ -312,70 +312,66 @@ _R10_VERIFIED = frozenset({
     "token_entropy_by_lang", "value_histogram", "wasserstein_value_drift",
 })
 
+# Value-verified in round 11 (the 50 names in CORRECTNESS_r11.json — all
+# rows+schema+hash green, including ALL 27 then-standing
+# _CHANGED_SINCE_VERIFY names: the commutative-checksum / min-3-head /
+# time-span-tertile rewrites, both r11 ADVICE fixes, and the 22-query
+# with_shingles array_join(slice) migration).
+_R11_VERIFIED = frozenset({
+    "ann_recall_sq8", "ann_sq8_adc_topk", "bigram_lm_compare",
+    "ccnet_perplexity_buckets", "chao1_vocab_richness",
+    "chi_square_event_dow", "contamination_ngram_overlap",
+    "corpus_pipeline_decontaminated", "corpus_pipeline_learned",
+    "corpus_shard_export", "daily_gapfill_counts",
+    "decontamination_exact_substring", "decontamination_fuzzy",
+    "dedup_containment", "dedup_exact_substring", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_passage_lsh", "dedup_substring_strip",
+    "distinct_n_diversity", "doc_repetition_profile",
+    "dsir_importance_select", "event_type_transitions",
+    "good_turing_smoothing", "hard_negative_mining",
+    "linkage_blocked_candidates", "linkage_entity_clusters",
+    "linkage_lsh_blocking", "linkage_one_to_one", "linkage_quality_gate",
+    "minhash_jaccard_gate", "novel_ngram_growth", "pmi_collocations",
+    "quality_psi_by_domain", "shard_export_shuffle_audit",
+    "span_corruption_plan", "streaming_decontamination_ingest",
+    "streaming_fm_distinct_ingest", "streaming_late_drop",
+    "streaming_linkage_ingest", "streaming_quality_psi_ingest",
+    "streaming_wasserstein_ingest", "text_fingerprint",
+    "token_entropy_by_lang", "training_shard_assignment",
+    "unigram_holdout_fertility", "unigram_lm_train",
+    "value_zscore_outliers", "wordpiece_holdout_fertility",
+    "wordpiece_merge_loop",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
+    _R11_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 7 re-verified all eight of
-# that round's entries; round 8 all three; round 9 all six; round 10 ALL 19
-# (the ordered_positions fold migrations, the spread_small_scan /
-# localCheckpoint plan changes, and the QI/_pq_parts_v/MMD/W1/BPE shared-
-# helper refactors).  Round 11 entries are added as code changes land:
+# that round's entries; round 8 all three; round 9 all six; round 10 all 19;
+# round 11 ALL 27 (commutative checksum, min-3 head, time-span tertiles,
+# both ADVICE fixes, and the 22-query with_shingles migration).  Round 12
+# entries are added below as code changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r11 verdict item — corpus_shard_export's manifest checksum replaced
-    # the per-shard collect_list md5 with the commutative sum-of-md5-int64
-    # fingerprint (O(1) agg state, map-side combinable); oracle algebra
-    # changed to match.
-    "corpus_shard_export",
-    # r11 verdict item — training_shard_assignment's head fingerprint now
-    # comes from a per-shard min-3 map-side fold instead of a corpus-wide
-    # row_number window; values verified identical at sf0.001/sf0.01.
-    "training_shard_assignment",
-    # r11 verdict item — late_drop staging slices by equal TIME-SPAN
-    # tertiles (one min/max aggregate, pure projection) instead of the
-    # corpus-sized ntile(3) window; oracle changed to the same algebra
-    # (values green at sf0.001/sf0.01; note hash-mod-3 slicing was tried
-    # and MEASURED wrong — non-monotone batches strand real rows below
-    # the advanced watermark).
-    "streaming_late_drop",
-    # r11 ADVICE fixes — NULL-ts events route to the live side exactly as
-    # the batch CASE does (streaming_wasserstein_ingest), and ln(vocab)=0
-    # yields NULL identically on both engines (token_entropy_by_lang);
-    # both re-verified green at sf0.01 plus new edge-case pytests.
-    "streaming_wasserstein_ingest",
-    "token_entropy_by_lang",
-    # r11 perf — with_shingles migrated from per-element concat_ws
-    # (n token-array references per shingle; CollapseProject folds the
-    # split binding into the lambda so each reference re-splits the
-    # text) to array_join(slice(...)) — ONE reference per shingle,
-    # measured 15 s -> 0.6 s at n=8 and ~3x token work at n=3.  Output
-    # strings byte-identical, oracles unchanged; every query whose plan
-    # carries the shingle transform re-checks:
-    "text_fingerprint",
-    "bigram_lm_compare",
-    "novel_ngram_growth",
-    "pmi_collocations",
-    "chao1_vocab_richness",
-    "good_turing_smoothing",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_minhash_lsh",
-    "dedup_passage_lsh",
-    "minhash_jaccard_gate",
-    "contamination_ngram_overlap",
-    "corpus_pipeline_decontaminated",
-    "corpus_pipeline_learned",
-    "decontamination_fuzzy",
-    "doc_repetition_profile",
-    "linkage_blocked_candidates",
-    "linkage_one_to_one",
-    "linkage_quality_gate",
-    "linkage_lsh_blocking",
-    "linkage_entity_clusters",
-    "streaming_linkage_ingest",
+    # r12 verdict item #3 — zipf_token_slope's vocabulary rank migrated
+    # from an unpartitioned row_number window (single-task sort at 1e8+
+    # distinct tokens) to the ordered_positions range-partitioned fold
+    # (operators/profile.py), the same machinery ccnet_perplexity_buckets
+    # uses; values identical, oracle unchanged.
+    "zipf_token_slope",
+    # r12 ADVICE fix — the WordPiece merge score moved to the log domain
+    # (ln n - ln fa - ln fb, DOUBLE arithmetic) on BOTH engines: the raw
+    # n/(fa*fb) ratio multiplies two BIGINT frequencies, which overflows
+    # int64 at 100 TB corpus scale (silent wrap on non-ANSI Spark vs a
+    # DuckDB raise — engine divergence), and ROUND(ratio, 12) flushes
+    # sub-1e-12 scores to zero.  Same argmax (monotone); the emitted
+    # score VALUES change, so both queries re-verify.
+    "wordpiece_merge_loop",
+    "wordpiece_holdout_fertility",
 })
 
 def _tier(name: str) -> int:

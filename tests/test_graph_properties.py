@@ -103,11 +103,11 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 11: every
-    registered query holds a green verdict and round 10 re-verified all 19
+    of round-2 names rather than colliding with tier 1.  Round 12: every
+    registered query holds a green verdict and round 11 re-verified all 27
     changed names, so the window is (new registrations +
     changed-since-verify) followed by the stalest standing verdicts — the
-    round-3-latest cohort (tier 4)."""
+    round-4-latest cohort (tier 5)."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -124,21 +124,23 @@ def test_registration_order_is_tiered_by_driver_verdict():
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
-        ("zipf_token_slope", 6),                               # r5-latest
+        ("zipf_token_slope", 1),      # r12-changed: ordered_positions rank
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
         ("streaming_quantile_sketch", 9),                      # r8-reverified
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
-        ("linkage_quality_gate", 1),   # r11-changed: shingle-form migration
+        ("linkage_quality_gate", 12),  # r11-reverified: shingle migration
         ("quality_auc_rank", 10),              # r9-latest
         ("freq_tokens_cms", 11),               # r10-reverified (was r3-latest)
         ("bpe_merge_loop", 11),                # r10-reverified: shared trainer
         ("knn_label_accuracy", 11),            # r10-reverified: spread + cache
         ("curriculum_quality_stages", 11),     # r10-reverified: position fold
-        ("corpus_shard_export", 1),       # r11-changed: commutative checksum
-        ("training_shard_assignment", 1), # r11-changed: min-3 head fingerprint
+        ("corpus_shard_export", 12),      # r11-reverified: commutative checksum
+        ("training_shard_assignment", 12), # r11-reverified: min-3 fingerprint
+        ("wordpiece_merge_loop", 12),          # r11-latest (first verdict)
+        ("dsir_importance_select", 12),        # r11-latest (first verdict)
     ):
         assert registry._tier(probe) == want, probe
 
