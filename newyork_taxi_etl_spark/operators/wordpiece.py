@@ -12,16 +12,17 @@ runtime, relational:
    inner-joined against the vocabulary — the unigram cost-grid idiom
    (operators/unigram.py) pointed forward instead of backward;
 2. best_len(w, i) = max matching d per position (singles must be in the
-   vocabulary, so every position matches at least itself);
+   vocabulary, so every position matches at least itself — and the fold
+   GUARDS that precondition loudly: a vocab missing a single character
+   raises instead of silently shifting positions);
 3. one left fold over positions with a struct accumulator (the
    _BPE_MERGE_EXPR discipline): at the current cursor take the longest
    match, emit it, jump the cursor; other positions pass through.
 
 Everything is vocab-sized after the word collapse: the fold runs once per
-DISTINCT word, never per token instance.  Registration as a query +
-DuckDB oracle is deferred to the next round (the driver-window cap was
-reached this round); the pytest reference implementation pins semantics
-until then.
+DISTINCT word, never per token instance.  Registered as the
+``wordpiece_greedy_segment`` query (queries/text.py) with the DuckDB twin
+below as its value oracle.
 """
 
 from __future__ import annotations
@@ -45,13 +46,28 @@ aggregate(
   acc -> acc.out)
 """
 
+#: the fold indexes ``best`` positionally, so it is only correct when every
+#: position of ``w`` matched at least one vocab piece (singles present).  A
+#: gap would shift later entries left and SILENTLY mis-segment; guard it
+#: with an explicit raise instead (the words->best join is LEFT so a fully
+#: unmatched word reaches the guard as best IS NULL rather than vanishing).
+_GUARDED_FOLD = f"""
+CASE
+  WHEN best IS NULL OR size(best) <> length(w)
+  THEN raise_error(concat(
+    'wordpiece vocab does not cover every character of word: ', w))
+  ELSE {_GREEDY_FOLD}
+END
+"""
+
 
 def greedy_segment_words(
     words: DataFrame, vocab: DataFrame, max_piece_len: int = MAX_PIECE_LEN
 ) -> DataFrame:
     """Greedy longest-match segmentation of every (w, freq) word against
     ``vocab`` (one ``piece`` string column; MUST contain every single
-    character of the words or a position could have no match).
+    character of the words — a violation raises at execution rather than
+    silently corrupting the segmentation).
 
     Returns (w, freq, pieces array<string>).
     """
@@ -79,58 +95,72 @@ def greedy_segment_words(
         )
     )
     return (
-        words.join(best, "w")
-        .select("w", "freq", F.expr(_GREEDY_FOLD).alias("pieces"))
+        words.join(best, "w", "left")
+        .select("w", "freq", F.expr(_GUARDED_FOLD).alias("pieces"))
     )
 
 
-def vocab_from_tops(spark, tops) -> DataFrame:
-    """Final WordPiece vocabulary = all single characters of the corpus
-    plus each round's merged pair — built from ``_wp_train_tops`` output
-    (list of 1-row (a, b, ...) frames)."""
-    merged = None
+def vocab_from_tops(words: DataFrame, tops) -> DataFrame:
+    """Final WordPiece vocabulary = all single characters of the ``words``
+    corpus (the (w, freq) frame being segmented — guarantees
+    :func:`greedy_segment_words`'s every-position-covered precondition)
+    plus each round's merged pair from ``_wp_train_tops`` output (list of
+    1-row (a, b, ...) frames).  One ``piece`` string column."""
+    singles = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("piece")
+    ).distinct()
+    merged = singles
     for top in tops:
-        piece = top.select(F.concat("a", "b").alias("piece"))
-        merged = piece if merged is None else merged.unionByName(piece)
+        merged = merged.unionByName(
+            top.select(F.concat("a", "b").alias("piece"))
+        )
     return merged
 
 
 def greedy_fold_sql_duckdb() -> str:
-    """DuckDB twin of ``_GREEDY_FOLD`` (scalar 'pos|out' VARCHAR
-    accumulator — DuckDB list_reduce cannot thread LIST struct members;
-    the seed rides as a prepended first element, the unigram fold's
-    idiom).  Expects columns ``w`` and ``best`` (LIST of INTs, 1-based
-    per position); yields the pieces as a LIST(VARCHAR)."""
-    return """
-      string_split(string_split(list_reduce(
-        list_prepend('1|',
+    """DuckDB twin of ``_GREEDY_FOLD``.  list_reduce cannot thread LIST
+    struct members, so the accumulator is a scalar VARCHAR — but it holds
+    ONLY the cursor and the emitted cut POSITIONS ('pos' || chr(1) ||
+    'p1,p2,...'): digits, commas, and the chr(1) separator, never a byte
+    of the word itself, so no corpus content (e.g. a '|', ',' or control
+    character inside a whitespace-split word) can collide with the
+    accumulator encoding — the piece TEXT is materialized after the fold
+    from (w, position, best[position]).  The seed rides as a prepended
+    first element (the unigram fold's idiom).  Expects columns ``w`` and
+    ``best`` (LIST of INTs, 1-based per position); yields the pieces as a
+    LIST(VARCHAR)."""
+    fold = """list_reduce(
+        list_prepend('1' || chr(1),
           list_transform(range(1, length(w) + 1),
                          q -> CAST(q AS VARCHAR))),
         (acc, x) -> CASE
-          WHEN CAST(x AS INT) = CAST(string_split(acc, '|')[1] AS INT)
+          WHEN CAST(x AS INT) =
+               CAST(string_split(acc, chr(1))[1] AS INT)
           THEN CAST(CAST(x AS INT) + best[CAST(x AS INT)] AS VARCHAR)
-               || '|' ||
-               CASE WHEN string_split(acc, '|')[2] = ''
-                    THEN substring(w, CAST(x AS INT),
-                                   best[CAST(x AS INT)])
-                    ELSE string_split(acc, '|')[2] || chr(2) ||
-                         substring(w, CAST(x AS INT),
-                                   best[CAST(x AS INT)])
-               END
-          ELSE acc END),
-        '|')[2], chr(2))
+               || chr(1) ||
+               CASE WHEN string_split(acc, chr(1))[2] = '' THEN x
+                    ELSE string_split(acc, chr(1))[2] || ',' || x END
+          ELSE acc END)"""
+    return f"""
+      list_transform(
+        string_split(string_split({fold}, chr(1))[2], ','),
+        p -> substring(w, CAST(p AS INT), best[CAST(p AS INT)]))
     """
 
 
-def greedy_segment_sql_duckdb(
+def greedy_segment_ctes_duckdb(
     words: str, vocab: str, max_piece_len: int = MAX_PIECE_LEN
 ) -> str:
-    """Full DuckDB CTE chain mirroring :func:`greedy_segment_words`:
-    ``words`` (w, freq) and ``vocab`` (piece) are existing relations;
-    returns SQL yielding (w, freq, pieces LIST(VARCHAR))."""
+    """The gcells/gmatched/gbest CTE bodies (no leading WITH) mirroring
+    :func:`greedy_segment_words`'s cell grid, vocab match, and per-word
+    best-length array — shared by the standalone statement below and the
+    registered wordpiece_greedy_segment oracle, which embeds them in its
+    own WITH chain after the trainer CTEs."""
     L = int(max_piece_len)
     return f"""
-    WITH gcells AS (
+    gcells AS (
       SELECT t.w, i.i AS i, d.d AS d, substring(t.w, i.i, d.d) AS piece
       FROM {words} t,
            unnest(range(1, length(t.w) + 1)) AS i(i),
@@ -147,7 +177,17 @@ def greedy_segment_sql_duckdb(
         SELECT w, i, CAST(MAX(d) AS INT) AS bl
         FROM gmatched GROUP BY w, i
       ) GROUP BY w
-    )
+    )"""
+
+
+def greedy_segment_sql_duckdb(
+    words: str, vocab: str, max_piece_len: int = MAX_PIECE_LEN
+) -> str:
+    """Full DuckDB statement mirroring :func:`greedy_segment_words`:
+    ``words`` (w, freq) and ``vocab`` (piece) are existing relations;
+    returns SQL yielding (w, freq, pieces LIST(VARCHAR))."""
+    return f"""
+    WITH {greedy_segment_ctes_duckdb(words, vocab, max_piece_len)}
     SELECT t.w, t.freq, {greedy_fold_sql_duckdb()} AS pieces
     FROM {words} t JOIN gbest USING (w)
     """

@@ -2271,10 +2271,17 @@ def unigram_holdout_fertility(spark, sf_dir):
 # (unigram_lm_train).  Identical vocab-collapse + leftmost-non-overlapping
 # merge fold as BPE — the ONLY difference is the merge-selection criterion:
 # WordPiece picks the pair maximizing the training-corpus likelihood gain
-# score(a,b) = count(ab) / (count(a) * count(b)), i.e. pointwise mutual
-# information up to constants, instead of raw pair frequency.  The score is
-# one BIGINT/BIGINT division (identical IEEE double both engines), rounded
-# at 12 for a stable (score DESC, a, b) argmax.
+# count(ab) / (count(a) * count(b)), i.e. pointwise mutual information up
+# to constants, instead of raw pair frequency.  The score is carried in the
+# LOG domain, ln n - ln fa - ln fb (monotone, same argmax): the raw ratio
+# would multiply two BIGINT symbol frequencies, which at 100 TB corpus scale
+# (f ~ 1e12) overflows int64 — non-ANSI Spark wraps silently while DuckDB
+# raises, so the engines would diverge — and ROUND(ratio, 12) flushes
+# sub-1e-12 scores to 0, collapsing the argmax to lexicographic order on
+# large corpora; ln keeps magnitude ~[-60, 0] where a 12-decimal round is
+# scale-independent (double ulp there is ~1e-14).  ln is one libm call per
+# PAIR-VOCAB row on both engines, rounded at 12 for a stable
+# (score DESC, a, b) argmax.
 
 
 def _wp_round_sql(r: int) -> str:
@@ -2298,7 +2305,7 @@ def _wp_round_sql(r: int) -> str:
     ),
     wtop{r} AS MATERIALIZED (
       SELECT c.a, c.b, c.n,
-             ROUND(c.n / (fa.f * fb.f), 12) AS score
+             ROUND(ln(c.n) - ln(fa.f) - ln(fb.f), 12) AS score
       FROM wcounts{r} c
       JOIN wsymfreq{r} fa ON fa.sym = c.a
       JOIN wsymfreq{r} fb ON fb.sym = c.b
@@ -2333,13 +2340,16 @@ def _wp_round_sql(r: int) -> str:
     "unigram_lm_train, sharing BPE's exact dataflow (corpus collapses "
     "ONCE to the frequency-weighted word vocab; every round is "
     "vocab-sized) but selecting merges by LIKELIHOOD GAIN "
-    "score(a,b) = count(ab)/(count(a)*count(b)) — frequency normalized "
+    "score(a,b) = ln count(ab) - ln count(a) - ln count(b) — the log of "
+    "count(ab)/(count(a)*count(b)), frequency normalized "
     "by both parts' unigram mass, so rare-but-cohesive pairs win over "
     "merely-common ones (PMI up to constants).  Per round: symbol "
     "frequencies and adjacent-pair counts (both map-side-combinable, "
-    "shuffle bounded by symbol/pair vocabulary), score via one "
-    "BIGINT/BIGINT division (identical IEEE double both engines, "
-    "ROUND 12), deterministic (score DESC, a, b) argmax, then the SAME "
+    "shuffle bounded by symbol/pair vocabulary), score carried in the "
+    "LOG domain ln n - ln fa - ln fb (pure DOUBLE arithmetic — the raw "
+    "ratio's int64 fa*fb product overflows at corpus scale; identical "
+    "IEEE double both engines, ROUND 12, same argmax by monotonicity), "
+    "deterministic (score DESC, a, b) argmax, then the SAME "
     "leftmost-non-overlapping merge fold bpe_merge_loop uses (one "
     "shared implementation — drift-proof).  The emitted merge table "
     "carries n AND score so the two families' picks are directly "
@@ -2414,7 +2424,7 @@ def _wp_train_tops(docs, rounds=3):
                 "b",
                 "n",
                 F.round(
-                    F.col("n") / (F.col("fa") * F.col("fb")), 12
+                    F.log("n") - F.log("fa") - F.log("fb"), 12
                 ).alias("score"),
             )
         )
@@ -2768,3 +2778,84 @@ def wordpiece_holdout_fertility(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+# --- WordPiece greedy runtime segmentation (BERT deploy path) ---------------
+
+from newyork_taxi_etl_spark.operators.wordpiece import (  # noqa: E402
+    greedy_fold_sql_duckdb,
+    greedy_segment_ctes_duckdb,
+    greedy_segment_words,
+    vocab_from_tops,
+)
+
+_WP_GREEDY_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    wsyms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_wp_round_sql(r) for r in (1, 2, 3))},
+    gwords AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    gvocab AS (
+      SELECT DISTINCT substring(w, i.i, 1) AS piece
+      FROM gwords, unnest(range(1, length(w) + 1)) AS i(i)
+      UNION
+      SELECT a || b FROM wtop1
+      UNION
+      SELECT a || b FROM wtop2
+      UNION
+      SELECT a || b FROM wtop3
+    ),
+    {greedy_segment_ctes_duckdb('gwords', 'gvocab')}
+    SELECT t.w AS w, t.freq AS freq,
+           array_to_string({greedy_fold_sql_duckdb()}, ' ') AS pieces,
+           CAST(len({greedy_fold_sql_duckdb()}) AS BIGINT) AS n_pieces
+    FROM gwords t JOIN gbest USING (w)
+    ORDER BY w
+    """
+
+
+@register(
+    "wordpiece_greedy_segment",
+    _WP_GREEDY_SQL,
+    doc="WordPiece greedy longest-match RUNTIME segmentation (Schuster & "
+    "Nakajima 2012; the deployed BERT tokenizer) — completes the third "
+    "tokenizer family's train -> holdout-fertility -> deploy story: "
+    "wordpiece_merge_loop's trained vocabulary (corpus singles + 3 "
+    "likelihood-gain merges via vocab_from_tops) segments the FULL "
+    "frequency-weighted word vocabulary with longest-match-first, not "
+    "the training-order merge fold.  Relational runtime "
+    "(operators/wordpiece.py): candidate (w, i, d) substring cells "
+    "inner-join the broadcast vocabulary, best-length per position, one "
+    "guarded left fold per DISTINCT word (a vocab missing a single "
+    "character raises, never silently mis-segments).  Scale: the cell "
+    "grid is O(|word vocab| x word_len x max_piece_len) — VOCAB-sized, "
+    "never per token instance; both groupBys shuffle at most the vocab; "
+    "the vocabulary (chars + merges) broadcasts.  Oracle: the identical "
+    "cell-grid + positions-only chr(1)-accumulator fold in DuckDB "
+    "(cross-engine equality pinned per-word in pytest, including "
+    "separator-collision words)",
+)
+def wordpiece_greedy_segment(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.unigram import word_vocab
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    words = word_vocab(docs)
+    vocab = vocab_from_tops(words, _wp_train_tops(docs))
+    segs = greedy_segment_words(words, vocab)
+    return segs.select(
+        "w",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.array_join("pieces", " ").alias("pieces"),
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+    ).orderBy("w")

@@ -5,6 +5,7 @@ of the shard-export fingerprint)."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import functions as F
 
@@ -470,9 +471,9 @@ def test_wordpiece_argmax_diverges_from_bpe_on_planted_corpus(spark):
     wp1 = _wp_train_tops(docs, rounds=1)[0].collect()[0]
     assert (bpe1["a"], bpe1["b"]) == ("t", "h")
     assert (wp1["a"], wp1["b"]) == ("q", "z")
-    # the score column is the documented likelihood gain n/(fa*fb):
-    # f(q) = f(z) = 3, n(qz) = 3 -> 3/9
-    assert abs(wp1["score"] - 3 / 9) < 1e-9
+    # the score column is the documented log-domain likelihood gain
+    # ln n - ln fa - ln fb: f(q) = f(z) = 3, n(qz) = 3 -> ln(3/9) = -ln 3
+    assert abs(wp1["score"] - math.log(3 / 9)) < 1e-9
 
 
 def test_wordpiece_fold_is_bpes_fold(spark):
@@ -743,14 +744,9 @@ def test_wordpiece_greedy_over_trained_vocab(spark):
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     words = word_vocab(docs)
-    singles = words.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        ).alias("piece")
-    ).distinct()
-    vocab = singles.unionByName(
-        vocab_from_tops(spark, _wp_train_tops(docs))
-    ).localCheckpoint()
+    # vocab_from_tops unions the corpus single characters itself (the
+    # fold's every-position-covered precondition)
+    vocab = vocab_from_tops(words, _wp_train_tops(docs)).localCheckpoint()
     vocab_set = {r["piece"] for r in vocab.collect()}
     segs = greedy_segment_words(words, vocab).collect()
     assert len(segs) > 0
@@ -761,10 +757,11 @@ def test_wordpiece_greedy_over_trained_vocab(spark):
 
 
 def test_wordpiece_greedy_duckdb_twin_matches_spark(spark):
-    """The DuckDB greedy fold (scalar 'pos|out' accumulator) must emit
+    """The DuckDB greedy fold (scalar cursor||chr(1)||cut-positions
+    accumulator — no word bytes ever enter the accumulator) must emit
     the identical segmentation as the Spark struct-accumulator fold for
-    every corpus vocab word — pinning the oracle BEFORE the query
-    registers next round."""
+    every corpus vocab word — pinning the wordpiece_greedy_segment
+    oracle."""
     import duckdb
 
     from newyork_taxi_etl_spark.operators.unigram import word_vocab
@@ -777,14 +774,7 @@ def test_wordpiece_greedy_duckdb_twin_matches_spark(spark):
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     words = word_vocab(docs)
-    singles = words.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        ).alias("piece")
-    ).distinct()
-    vocab = singles.unionByName(
-        vocab_from_tops(spark, _wp_train_tops(docs))
-    ).localCheckpoint()
+    vocab = vocab_from_tops(words, _wp_train_tops(docs)).localCheckpoint()
 
     got_spark = {
         r["w"]: list(r["pieces"])
