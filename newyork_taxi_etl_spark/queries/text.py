@@ -346,13 +346,14 @@ def text_pii_redact(spark, sf_dir):
     "out-casts VARCHAR-routed (DuckDB's direct cast double-rounds past "
     "~9e3; these sums reach 4-8e4 at sf0.1), so the fit is "
     "order-independent and identical cross-engine; rank ties break by "
-    "token. One aggregate "
-    "over the (vocab-sized) frequency table — at 100 TB the token count "
-    "aggregate dominates and is map-side combinable; the fit itself is "
-    "vocab-sized",
+    "token. Rank comes from the range-partitioned ordered_positions fold "
+    "(operators/profile.py), never an unpartitioned row_number window: "
+    "the distinct-token table is 1e8-1e9 rows at 100 TB web text and must "
+    "not sort through one task. At 100 TB the token-count aggregate "
+    "dominates and is map-side combinable; the fit itself is vocab-sized",
 )
 def zipf_token_slope(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     tf = (
@@ -360,9 +361,14 @@ def zipf_token_slope(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), "tok")
-    ranked = tf.select(
-        F.round(F.log(F.row_number().over(w).cast("double")), 12).alias("x"),
+    # rank = global position in (cnt DESC, tok) — via the range-partitioned
+    # ordered_positions fold, NOT row_number over an empty-partition window:
+    # at 100 TB web text the distinct-token table is 1e8-1e9 rows (URLs,
+    # numbers, typos) and the unpartitioned window would sort it in ONE task
+    # (the ccnet_perplexity_buckets lesson; (cnt, tok) is a unique composite
+    # key so the position is deterministic).
+    ranked = ordered_positions(tf, [("cnt", False), ("tok", True)]).select(
+        F.round(F.log(F.col("gpos").cast("double")), 12).alias("x"),
         F.round(F.log(F.col("cnt").cast("double")), 12).alias("y"),
     )
     dec = "decimal(38,12)"

@@ -997,3 +997,18 @@ def test_distinct_n_has_no_expand(spark):
 
     plan = _plan(queries()["distinct_n_diversity"](spark, SF_SMOKE))
     assert "Expand" not in plan, plan[:400]
+
+
+def test_zipf_rank_is_rangepartitioned_fold(spark):
+    """The Zipf ln(rank) regressor comes from the position fold: the
+    vocab-sized frequency table range-partitions (never an unpartitioned
+    row_number window — 1e8-1e9 distinct tokens at 100 TB web text would
+    sort through ONE task), and the only Window in the plan is the
+    per-partition offset prefix sum above the per-pid aggregate."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["zipf_token_slope"](spark, SF_SMOKE))
+    assert "row_number" not in plan
+    assert "rangepartitioning" in plan
+    win = plan.index("Window")
+    assert "HashAggregate(keys=[_pid" in plan[win:], plan[win:win + 400]
