@@ -2529,9 +2529,7 @@ _DSIR_BUCKET_DUCK = (
 )
 
 
-@register(
-    "dsir_importance_select",
-    f"""
+_DSIR_SQL = f"""
     WITH toks AS (
       SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       FROM documents
@@ -2572,7 +2570,12 @@ _DSIR_BUCKET_DUCK = (
            ROUND(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) / COUNT(*), 6)
              AS selected_share
     FROM per_doc GROUP BY lang ORDER BY lang
-    """,
+    """
+
+
+@register(
+    "dsir_importance_select",
+    _DSIR_SQL,
     doc="DSIR — Data Selection via Importance Resampling (Xie et al., "
     "NeurIPS 2023): score every document by how much more likely its "
     "hashed-n-gram features are under the TARGET distribution than "
@@ -2597,16 +2600,12 @@ def dsir_importance_select(spark, sf_dir):
     return _dsir_profile(docs)
 
 
-def _dsir_profile(docs, target_lang: str = "en"):
-    """DSIR per-language selection profile over a documents frame —
-    factored so the planted-corpus pytest (disjoint vocab, no hash
-    collisions) drives the exact production chain."""
-    from newyork_taxi_etl_spark.functions.exact import avg_exact
-
-    toks = docs.select(
+def _dsir_buckets(docs):
+    """Documents -> hashed-n-gram feature stream (doc_id, lang, bucket):
+    the md5-mod-64 hashing trick, so no vocabulary pass exists."""
+    return docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
-    bt = toks.select(
+    ).select(
         "doc_id",
         "lang",
         F.pmod(
@@ -2614,6 +2613,12 @@ def _dsir_profile(docs, target_lang: str = "en"):
             F.lit(64),
         ).alias("bucket"),
     )
+
+
+def _dsir_lr_tab(bt, target_lang: str = "en"):
+    """Bucket stream -> the 64-row add-1-smoothed log-ratio table
+    ln p_target(bucket) - ln p_raw(bucket) — DSIR's trained model, built
+    ONCE (two map-side-combinable aggregates) and broadcast/persisted."""
     raw = bt.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cr")
     )
@@ -2624,7 +2629,7 @@ def _dsir_profile(docs, target_lang: str = "en"):
     )
     rt = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
     tt = tgt.agg(F.sum("ct").cast("bigint").alias("tt"))
-    lr_tab = (
+    return (
         raw.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(rt))
         .crossJoin(F.broadcast(tt))
@@ -2640,7 +2645,13 @@ def _dsir_profile(docs, target_lang: str = "en"):
             ).alias("lr"),
         )
     )
-    per_doc = (
+
+
+def _dsir_doc_weights(bt, lr_tab):
+    """Score documents against a (possibly persisted) log-ratio table:
+    importance log-weight w = decimal-summed sum of the doc's tokens'
+    bucket log ratios (ROUND 6) — per-doc, final on arrival."""
+    return (
         bt.join(F.broadcast(lr_tab), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
@@ -2649,6 +2660,13 @@ def _dsir_profile(docs, target_lang: str = "en"):
             ).alias("w")
         )
     )
+
+
+def _dsir_lang_profile(per_doc):
+    """Per-doc weights -> per-language selection profile (the batch
+    query's output shape)."""
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
     return (
         per_doc.groupBy("lang")
         .agg(
@@ -2665,6 +2683,50 @@ def _dsir_profile(docs, target_lang: str = "en"):
         )
         .orderBy("lang")
     )
+
+
+def _dsir_profile(docs, target_lang: str = "en"):
+    """DSIR per-language selection profile over a documents frame —
+    factored so the planted-corpus pytest (disjoint vocab, no hash
+    collisions) drives the exact production chain."""
+    bt = _dsir_buckets(docs)
+    return _dsir_lang_profile(
+        _dsir_doc_weights(bt, _dsir_lr_tab(bt, target_lang))
+    )
+
+
+@register(
+    "streaming_dsir_ingest",
+    _DSIR_SQL,
+    doc="dsir_importance_select folded AT INGEST — the sixth "
+    "build-once/apply-per-batch instance (ANN index, linkage index, "
+    "quality gate, PSI monitor, decontamination index, now the DSIR "
+    "selector itself — the shape a crawl pipeline deploys: train the "
+    "importance model on the trusted reference once, score and select "
+    "every arriving document): the 64-bucket log-ratio table builds "
+    "ONCE on the reference corpus and persists; documents then arrive "
+    "as a stream and each micro-batch scores its own docs against the "
+    "static table (per-doc weights are final on arrival — docs arrive "
+    "whole and the model is frozen) and folds per-language partials "
+    "(n_docs, decimal sum_w, n_selected) into the additive state table, "
+    "replay-guarded by the applied-batch sidecar.  The drained profile "
+    "recomposes from the partials with the batch query's exact algebra "
+    "(decimal sums are order/batching-independent), so drained == batch "
+    "bit-for-bit under any slicing and the batch oracle covers every "
+    "batching.  State is O(languages) regardless of stream length; at "
+    "100 TB only the micro-batch shuffles and the model is 64 rows.",
+)
+def streaming_dsir_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_dsiringest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_dsir_ingest(spark, docs, work)
 
 
 # --- T5 span corruption planning (Raffel et al. 2020, JMLR) ----------------

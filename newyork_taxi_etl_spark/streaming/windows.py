@@ -2891,6 +2891,110 @@ def run_streaming_fm_ingest(
     )
 
 
+def run_streaming_dsir_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """DSIR SELECTION AT INGEST — the sixth build-once/apply-per-batch
+    instance: the 64-bucket hashed-n-gram log-ratio table (Xie et al.
+    2023) trains ONCE on the reference corpus and persists; documents
+    then ARRIVE AS A STREAM, each micro-batch scores its own docs
+    against the static table (per-doc importance weights are final on
+    arrival: docs arrive whole and the model is frozen) and folds
+    per-language partials — n_docs, DECIMAL(38,12) sum of weights,
+    n_selected — into the additive state table, replay-guarded by the
+    applied-batch sidecar.  After the drain the per-language profile
+    recomposes from the partials with the batch query's exact algebra:
+    decimal sums are order- and batching-independent, so drained ==
+    batch (dsir_importance_select) bit-for-bit under any slicing and
+    the batch oracle covers every batching.  State is O(languages)."""
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        _dsir_buckets,
+        _dsir_doc_weights,
+        _dsir_lr_tab,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    model_dir = os.path.join(work_dir, "lr_tab")
+    parts_dir = os.path.join(work_dir, "lang_partials")
+    for d in (stage_dir, model_dir, parts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # build once: the 64-row log-ratio model, persisted as the serving
+    # artifact (at scale: a tiny table every executor broadcasts)
+    _dsir_lr_tab(_dsir_buckets(docs_df)).coalesce(1).write.parquet(
+        model_dir
+    )
+
+    staged = docs_df.select("doc_id", "lang", "text")
+    staged.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(parts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its partials are already folded
+        ss = batch_df.sparkSession
+        lr_tab = ss.read.parquet(model_dir)
+        per_doc = _dsir_doc_weights(_dsir_buckets(batch_df), lr_tab)
+        part = per_doc.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("w").cast("decimal(38,12)")).alias("sum_w"),
+            F.sum((F.col("w") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_selected"),
+        )
+        os.makedirs(parts_dir, exist_ok=True)
+        part.write.mode("append").parquet(parts_dir)
+        _mark_applied(parts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    agg = (
+        spark.read.parquet(parts_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_w").alias("sum_w"),
+            F.sum("n_selected").cast("bigint").alias("n_selected"),
+        )
+    )
+    # identical final algebra to _dsir_lang_profile / avg_exact: the
+    # decimal total casts to double BEFORE the division
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(
+            (F.col("sum_w").cast("double") / F.col("n_docs")).cast(
+                "double"
+            ),
+            6,
+        ).alias("avg_logweight"),
+        "n_selected",
+        F.round(
+            F.col("n_selected") / F.col("n_docs").cast("double"), 6
+        ).alias("selected_share"),
+    ).orderBy("lang")
+
+
 def run_streaming_decon_ingest(
     spark,
     docs_df: DataFrame,

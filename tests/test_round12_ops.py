@@ -147,3 +147,29 @@ def test_wordpiece_greedy_segment_query_contract(spark):
         assert "".join(r["pieces"].split(" ")) == r["w"], r
     ws = [r["w"] for r in res]
     assert ws == sorted(ws)
+
+
+def test_dsir_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
+    """Per-doc DSIR weights are final on arrival (frozen model, whole
+    docs) and the per-language partials are decimal-additive, so the
+    drained profile must equal itself under 1 vs 4 slices AND equal the
+    one-shot batch statistic bit-for-bit."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_dsir_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    one = run_streaming_dsir_ingest(
+        spark, docs, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_dsir_ingest(
+        spark, docs, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    batch = queries()["dsir_importance_select"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
+    shares = {r["lang"]: r["selected_share"] for r in one}
+    # target lang self-selects hardest (absolute share is corpus-dependent
+    # on this 31-word synthetic vocab — hash-collision bleed)
+    assert shares["en"] == max(shares.values())
+    assert shares["en"] > 0.0
