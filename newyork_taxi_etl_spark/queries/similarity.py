@@ -5079,11 +5079,18 @@ _SQ8_SCORE_SPARK = (
     f"({_SQ8_DIFF_SPARK}) * ({_SQ8_DIFF_SPARK})), "
     "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
 )
-_SQ8_CODE_SPARK = (
-    "transform(sequence(1, 64), i -> greatest(0, least(255, "
-    "CAST(floor((CAST(element_at(embedding, i) AS DOUBLE)"
-    " - element_at(mins, i)) / element_at(steps, i) + 0.5D) AS INT))))"
-)
+def _sq_code_spark(levels: int) -> str:
+    """Per-dimension affine quantizer to codes 0..levels (levels =
+    2^bits - 1) — SQ8 is levels=255; the sweep reuses the same expr at
+    15 (SQ4) and 63 (SQ6)."""
+    return (
+        f"transform(sequence(1, 64), i -> greatest(0, least({levels}, "
+        "CAST(floor((CAST(element_at(embedding, i) AS DOUBLE)"
+        " - element_at(mins, i)) / element_at(steps, i) + 0.5D) AS INT))))"
+    )
+
+
+_SQ8_CODE_SPARK = _sq_code_spark(255)
 
 _SQ8_DEQ_DUCK = "(mins[i] + code[i] * steps[i])"
 _SQ8_DIFF_DUCK = f"(qv[i] - {_SQ8_DEQ_DUCK})"
@@ -5161,8 +5168,16 @@ def ann_sq8_adc_topk(spark, sf_dir):
 
 def _sq8_ranked(emb, k: int):
     """SQ8 ADC top-k over the fixed vec_id<5 probe set — shared by the
-    registered top-k query (k=5) and the recall gate (k=10) so codec,
+    registered top-k query (k=5) and the recall gates (k=10) so codec,
     encode, and distance stay one implementation."""
+    return _sq_ranked(emb, k, levels=255)
+
+
+def _sq_ranked(emb, k: int, levels: int):
+    """Scalar-quantized ADC top-k at an arbitrary bit budget (levels =
+    2^bits - 1): the SQ8 chain with the level count as the only free
+    parameter — one codec implementation across the whole
+    recall-vs-bytes sweep."""
     dims = emb.select(
         F.explode(
             F.expr(
@@ -5180,12 +5195,12 @@ def _sq8_ranked(emb, k: int):
         ).alias("mins"),
         F.expr(
             "transform(array_sort(collect_list(struct(i, mn, mx))), "
-            "e -> CASE WHEN e.mx > e.mn THEN (e.mx - e.mn) / 255D "
+            f"e -> CASE WHEN e.mx > e.mn THEN (e.mx - e.mn) / {levels}D "
             "ELSE 1.0D END)"
         ).alias("steps"),
     )
     codes = emb.crossJoin(F.broadcast(srow)).select(
-        "vec_id", F.expr(_SQ8_CODE_SPARK).alias("code")
+        "vec_id", F.expr(_sq_code_spark(levels)).alias("code")
     )
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -5289,13 +5304,23 @@ _L2_SCORE_DUCK = (
     "cand_id) so the comparison is deterministic across engines",
 )
 def ann_recall_sq8(spark, sf_dir):
-    from pyspark.sql import Window
-
     from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
 
     emb = spread_small_scan(
         spark.read.parquet(table_path(sf_dir, "embeddings"))
     )
+    bf = _l2_bf_top10(emb)
+    sq8 = _sq8_ranked(emb, k=10).select("query_id", "cand_id")
+    return _recall_row(sq8, bf, "sq8_adc")
+
+
+def _l2_bf_top10(emb):
+    """Exact-L2 top-10 ground truth over the vec_id<5 probe set —
+    localCheckpoint-pinned so every sweep leg compares against the SAME
+    materialized truth (one brute-force pass, not one per operating
+    point)."""
+    from pyspark.sql import Window
+
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -5307,7 +5332,7 @@ def ann_recall_sq8(spark, sf_dir):
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
     )
     w = Window.partitionBy("query_id").orderBy("d", "cand_id")
-    bf = (
+    return (
         cands.join(F.broadcast(qs), F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -5319,19 +5344,131 @@ def ann_recall_sq8(spark, sf_dir):
         .select("query_id", "cand_id")
         .localCheckpoint(eager=True)
     )
-    sq8 = _sq8_ranked(emb, k=10).select("query_id", "cand_id")
-    hits = sq8.join(bf, ["query_id", "cand_id"], "semi").agg(
+
+
+def _recall_row(approx_pairs, bf, method: str):
+    """(hits, total, recall) of an approximate top-10 pair set against
+    the exact ground truth — the shared gate algebra."""
+    hits = approx_pairs.join(bf, ["query_id", "cand_id"], "semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("hits")
     )
     total = bf.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
-    return (
-        hits.crossJoin(total)
-        .select(
-            F.lit("sq8_adc").alias("method"),
+    return hits.crossJoin(total).select(
+        F.lit(method).alias("method"),
+        "hits",
+        "total",
+        F.round(
+            F.col("hits").cast("double") / F.col("total"), 6
+        ).alias("recall"),
+    )
+
+
+def _sq_sweep_leg_duck(bits: int) -> str:
+    """One operating point's CTEs for the sweep oracle: per-bits codec
+    row (same mins, steps scaled by 2^bits - 1), encode, ADC top-10."""
+    lv = (1 << bits) - 1
+    score = _SQ8_SCORE_DUCK.replace("code[i]", "c.code[i]")
+    return f"""
+    srow{bits} AS (
+      SELECT list(mn ORDER BY i) AS mins,
+             list(CASE WHEN mx > mn THEN (mx - mn) / {lv} ELSE 1.0 END
+                  ORDER BY i) AS steps
+      FROM dims
+    ),
+    codes{bits} AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> GREATEST(0, LEAST({lv},
+               CAST(floor((v[i] - mins[i]) / steps[i] + 0.5) AS INT))))
+               AS code
+      FROM emb, srow{bits}
+    ),
+    sq{bits} AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND({score}, 6), c.vec_id) AS rank
+        FROM codes{bits} c, qs q, srow{bits}
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    )"""
+
+
+def _sq_sweep_row_duck(bits: int) -> str:
+    return f"""
+      SELECT 'sq{bits}_adc' AS method, {bits} AS bits,
+             CAST({64 * bits // 8} AS BIGINT) AS bytes_per_vec,
+             CAST((SELECT COUNT(*) FROM sq{bits}
+                   JOIN bf USING (query_id, cand_id)) AS BIGINT) AS hits,
+             CAST((SELECT COUNT(*) FROM bf) AS BIGINT) AS total,
+             ROUND(CAST((SELECT COUNT(*) FROM sq{bits}
+                         JOIN bf USING (query_id, cand_id)) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM bf), 6) AS recall"""
+
+
+_SQ_SWEEP_SQL = f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT r.i AS i, MIN(v[r.i]) AS mn, MAX(v[r.i]) AS mx
+      FROM emb, unnest(range(1, 65)) AS r(i)
+      GROUP BY r.i
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+    ),
+    bf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND({_L2_SCORE_DUCK}, 6), c.vec_id) AS rank
+        FROM qs q JOIN emb c ON c.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),{','.join(_sq_sweep_leg_duck(b) for b in (4, 6, 8))}
+    SELECT * FROM (
+      {' UNION ALL '.join(_sq_sweep_row_duck(b) for b in (4, 6, 8))}
+    ) ORDER BY bits
+    """
+
+
+@register(
+    "ann_recall_sq_sweep",
+    _SQ_SWEEP_SQL,
+    doc="Scalar-quantization OPERATING-POINT SWEEP — the recall-vs-bytes "
+    "curve an index designer actually reads (the ann_recall_at_k "
+    "n_probe-sweep shape, applied to the compression axis): SQ4 (32 "
+    "B/vec), SQ6 (48 B/vec), SQ8 (64 B/vec) all encode with the SAME "
+    "one-pass per-dimension affine codec (_sq_ranked, levels = 2^bits "
+    "- 1 the only free parameter) and score recall@10 against ONE "
+    "localCheckpoint-pinned exact-L2 ground truth, so the three rows "
+    "differ only in bit budget — the measured curve, not three "
+    "incomparable experiments.  Pytest floors each operating point "
+    "(monotone non-decreasing in bits; SQ8 >= 0.8) per the "
+    "ann_recall_ivfpq discipline: every ANN operating point ships with "
+    "its measured recall.  Scale: the brute-force truth is 5-probe-"
+    "capped; each sweep leg scans only the code table (2-4x less I/O "
+    "than float32); dim stats are one map-side-combinable pass",
+)
+def ann_recall_sq_sweep(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    bf = _l2_bf_top10(emb)
+    out = None
+    for bits in (4, 6, 8):
+        pairs = _sq_ranked(emb, k=10, levels=(1 << bits) - 1).select(
+            "query_id", "cand_id"
+        )
+        row = _recall_row(pairs, bf, f"sq{bits}_adc").select(
+            "method",
+            F.lit(bits).cast("int").alias("bits"),
+            F.lit(64 * bits // 8).cast("bigint").alias("bytes_per_vec"),
             "hits",
             "total",
-            F.round(
-                F.col("hits").cast("double") / F.col("total"), 6
-            ).alias("recall"),
+            "recall",
         )
-    )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("bits")

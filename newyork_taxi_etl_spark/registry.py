@@ -372,6 +372,13 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # score VALUES change, so both queries re-verify.
     "wordpiece_merge_loop",
     "wordpiece_holdout_fertility",
+    # r12 refactor — the SQ8 codec generalized to arbitrary bit budgets
+    # (_sq_ranked(levels)) and the exact-L2 truth/recall-row algebra
+    # factored into _l2_bf_top10/_recall_row for the ann_recall_sq_sweep
+    # operating-point curve; values verified identical at sf0.01, but the
+    # shared code changed so both re-check.
+    "ann_sq8_adc_topk",
+    "ann_recall_sq8",
 })
 
 def _tier(name: str) -> int:

@@ -173,3 +173,20 @@ def test_dsir_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
     # on this 31-word synthetic vocab — hash-collision bleed)
     assert shares["en"] == max(shares.values())
     assert shares["en"] > 0.0
+
+
+def test_sq_sweep_recall_floors_and_monotone(spark):
+    """Every scalar-quantization operating point ships with a measured
+    recall floor (sf0.01 measured: sq4 0.82, sq6 0.98, sq8 1.0), and the
+    recall-vs-bytes curve must be monotone non-decreasing in bits — more
+    code budget never hurts with the same affine codec."""
+    rows = {
+        r["bits"]: r
+        for r in queries()["ann_recall_sq_sweep"](spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == {4, 6, 8}
+    assert rows[4]["recall"] >= 0.7
+    assert rows[6]["recall"] >= 0.85
+    assert rows[8]["recall"] >= 0.8
+    assert rows[4]["recall"] <= rows[6]["recall"] <= rows[8]["recall"]
+    assert [rows[b]["bytes_per_vec"] for b in (4, 6, 8)] == [32, 48, 64]
