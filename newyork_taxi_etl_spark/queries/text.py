@@ -1168,6 +1168,142 @@ def array_hof_surface(spark, sf_dir):
     )
 
 
+def _tok_stream(docs):
+    """Documents -> (doc_id, lang, tok) exploded token stream."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+
+
+def _bi_stream(docs):
+    """Documents -> (doc_id, lang, bg) exploded bigram stream (the
+    with_shingles n=2 form — docs under 2 tokens contribute nothing)."""
+    from newyork_taxi_etl_spark.functions.text import with_shingles
+
+    return with_shingles(docs, "text", 2, out="bgs").select(
+        "doc_id", "lang", F.explode("bgs").alias("bg")
+    )
+
+
+def _uni_add1_nll(toks):
+    """Per-token-instance add-1 unigram NLL (lm_perplexity_score /
+    ccnet_perplexity_buckets algebra, single shared implementation)."""
+    uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    utot = uni.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return (
+        toks.join(F.broadcast(uni), ["lang", "tok"])
+        .join(F.broadcast(utot), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + 1)
+                    / (F.col("total") + F.col("vocab")).cast("double")
+                ),
+                12,
+            ).alias("nll"),
+        )
+    )
+
+
+def _bi_add1_nll(bi, utot):
+    """Per-bigram-instance add-1 NLL: P(w2|w1) = (C(w1 w2)+1)/(C(w1 .)+V)
+    — bigram_lm_compare's leg, factored for the Kneser-Ney comparison."""
+    blm = bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    firsts = (
+        blm.select(
+            "lang",
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            "cnt",
+        )
+        .groupBy("lang", "w1")
+        .agg(F.sum("cnt").cast("bigint").alias("c1"))
+    )
+    return (
+        bi.join(F.broadcast(blm), ["lang", "bg"])
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(firsts), ["lang", "w1"])
+        .join(F.broadcast(utot), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + 1)
+                    / (F.col("c1") + F.col("vocab")).cast("double")
+                ),
+                12,
+            ).alias("nll"),
+        )
+    )
+
+
+def _kn_nll(bi):
+    """Per-bigram-instance INTERPOLATED KNESER-NEY NLL (Kneser & Ney
+    1995; Chen & Goodman 1998 empirical study), absolute discount
+    D=0.75:
+
+        P_KN(w2|w1) = (C(w1 w2) - D)/C(w1 .)
+                      + (D * N1+(w1 .)/C(w1 .)) * (N1+(. w2)/N1+(. .))
+
+    where N1+(w1 .) = distinct continuations of w1, N1+(. w2) = distinct
+    left-contexts of w2 (the continuation probability — how many
+    contexts a word completes, not how often it occurs), N1+(. .) =
+    bigram type count.  Scored in-sample (the family's convention), so
+    every count is >= 1 and no zero/unseen branch exists; all four
+    model tables are lang x vocab-sized broadcasts.  The arithmetic
+    tree is written identically in the DuckDB oracle so the IEEE
+    evaluation matches term for term."""
+    blm = bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    sp = blm.select(
+        "lang",
+        "bg",
+        "cnt",
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    c1 = sp.groupBy("lang", "w1").agg(
+        F.sum("cnt").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    pc = sp.groupBy("lang", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nprec")
+    )
+    btypes = blm.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ntypes")
+    )
+    p_kn = ((F.col("cnt") - F.lit(0.75)) / F.col("c1")) + (
+        (F.lit(0.75) * F.col("n1f")) / F.col("c1")
+    ) * (F.col("nprec") / F.col("ntypes").cast("double"))
+    return (
+        bi.join(F.broadcast(blm), ["lang", "bg"])
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+        .join(F.broadcast(c1), ["lang", "w1"])
+        .join(F.broadcast(pc), ["lang", "w2"])
+        .join(F.broadcast(btypes), "lang")
+        .select(
+            "doc_id", "lang", F.round(-F.log(p_kn), 12).alias("nll")
+        )
+    )
+
+
+def _doc_mean_nll(nll_df, out="s"):
+    """Per-doc mean NLL, decimal-summed, ROUND 6 — the family's shared
+    doc-score fold."""
+    return nll_df.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(out)
+    )
+
+
 @register(
     "bigram_lm_compare",
     """
@@ -1253,75 +1389,20 @@ def array_hof_surface(spark, sf_dir):
     "ROUND(12), decimal sums, VARCHAR-routed out-casts throughout.",
 )
 def bigram_lm_compare(spark, sf_dir):
-    from newyork_taxi_etl_spark.functions.text import with_shingles
-
     dec = "decimal(38,12)"
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
+    toks = _tok_stream(docs)
     uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     utot = uni.groupBy("lang").agg(
         F.sum("cnt").cast("bigint").alias("total"),
         F.count(F.lit(1)).alias("vocab"),
     )
-    bi = with_shingles(docs, "text", 2, out="bgs").select(
-        "doc_id", "lang", F.explode("bgs").alias("bg")
-    )
-    blm = bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-    firsts = (
-        blm.select(
-            "lang",
-            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
-            "cnt",
-        )
-        .groupBy("lang", "w1")
-        .agg(F.sum("cnt").cast("bigint").alias("c1"))
-    )
-    uni_nll = (
-        toks.join(F.broadcast(uni), ["lang", "tok"])
-        .join(F.broadcast(utot), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            F.round(
-                -F.log(
-                    (F.col("cnt") + 1)
-                    / (F.col("total") + F.col("vocab")).cast("double")
-                ),
-                12,
-            ).alias("nll"),
-        )
-    )
-    bi_nll = (
-        bi.join(F.broadcast(blm), ["lang", "bg"])
-        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
-        .join(F.broadcast(firsts), ["lang", "w1"])
-        .join(F.broadcast(utot), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            F.round(
-                -F.log(
-                    (F.col("cnt") + 1)
-                    / (F.col("c1") + F.col("vocab")).cast("double")
-                ),
-                12,
-            ).alias("nll"),
-        )
-    )
+    bi = _bi_stream(docs)
+    uni_nll = _uni_add1_nll(toks)
+    bi_nll = _bi_add1_nll(bi, utot)
 
-    def doc_mean(nll_df):
-        return nll_df.groupBy("doc_id", "lang").agg(
-            F.round(
-                F.sum(F.col("nll").cast(dec)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("s")
-        )
-
-    du = doc_mean(uni_nll).withColumnRenamed("s", "su")
-    db = doc_mean(bi_nll).withColumnRenamed("s", "sb")
+    du = _doc_mean_nll(uni_nll, out="su")
+    db = _doc_mean_nll(bi_nll, out="sb")
     avg_u = F.sum(F.col("su").cast(dec)).cast("double") / F.count(F.lit(1))
     avg_b = F.sum(F.col("sb").cast(dec)).cast("double") / F.count(F.lit(1))
     return (
@@ -2447,6 +2528,53 @@ def _wp_train_tops(docs, rounds=3):
 # --- CCNet perplexity buckets (Wenzek et al. 2020, LREC) --------------------
 
 
+def _lang_ntile3(doc_scores, score_col="score"):
+    """Per-language NTILE(3) of doc scores with NO per-language global
+    window — the ccnet_perplexity_buckets machinery, factored so the
+    Kneser-Ney re-cut tiles through the identical fold: ordered_positions
+    range-partitions on (lang, score, doc_id) so each language occupies a
+    contiguous gpos run; the per-language position is gpos minus the
+    language's broadcast prefix offset (a window over O(langs) rows);
+    the bucket is the all-integer NTILE size formula (first n%3 tiles
+    get n/3+1 rows).  Input (doc_id, lang, score_col); output the same
+    plus ``tile`` (1..3).  The input is localCheckpoint-pinned: THREE
+    lineages consume it (the position fold's two internal consumers +
+    the language-count offsets) and would otherwise re-run the scoring
+    chain from the raw scan (measured 9 parquet scans -> 1; 10.6 s ->
+    3.5 s at the 10x corpus)."""
+    from pyspark.sql.window import Window
+
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    doc_scores = doc_scores.localCheckpoint(eager=False)
+    pos = ordered_positions(
+        doc_scores, [("lang", True), (score_col, True), ("doc_id", True)]
+    )
+    lcnt = doc_scores.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    off_w = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = lcnt.select(
+        "lang",
+        "n_l",
+        F.coalesce(F.sum("n_l").over(off_w), F.lit(0)).alias("off"),
+    )
+    staged = pos.join(F.broadcast(offs), "lang").withColumn(
+        "lpos", F.col("gpos") - F.col("off")
+    )
+    # NTILE(3) closed form on the 1-based per-language position (the
+    # curriculum_quality_stages integer formula with n = n_l, k = 3).
+    tile = F.expr(
+        "CAST(CASE WHEN lpos <= (n_l % 3) * (n_l DIV 3 + 1) "
+        "THEN (lpos + (n_l DIV 3)) DIV (n_l DIV 3 + 1) "
+        "ELSE (n_l % 3) + (lpos - (n_l % 3) * (n_l DIV 3 + 1) "
+        "+ (n_l DIV 3) - 1) DIV (n_l DIV 3) END AS INT)"
+    )
+    return staged.select(
+        "doc_id", "lang", F.col(score_col), tile.alias("tile")
+    )
+
+
 @register(
     "ccnet_perplexity_buckets",
     """
@@ -2510,69 +2638,14 @@ def _wp_train_tops(docs, rounds=3):
     "through one task at any corpus size",
 )
 def ccnet_perplexity_buckets(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    from newyork_taxi_etl_spark.operators.profile import ordered_positions
-
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    lm = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = lm.groupBy("lang").agg(
-        F.sum("cnt").cast("bigint").alias("total"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
     dec = "decimal(38,12)"
-    nll = F.round(
-        -F.log(
-            (F.col("cnt") + 1)
-            / (F.col("total") + F.col("vocab")).cast("double")
-        ),
-        12,
-    )
-    scored = (
-        toks.join(F.broadcast(lm), ["lang", "tok"])
-        .join(F.broadcast(tot), "lang")
-        .select("doc_id", "lang", nll.alias("nll"))
-    )
-    doc_scores = scored.groupBy("doc_id", "lang").agg(
-        F.round(
-            F.sum(F.col("nll").cast(dec)).cast("double") / F.count(F.lit(1)),
-            6,
-        ).alias("score")
-    )
-    # one row per doc, consumed by THREE lineages (the position fold's two
-    # internal consumers + the language-count offsets): pin it or every
-    # consumer re-runs the token-explode/LM-join chain from the raw scan
-    # (measured 9 parquet scans -> 1; 10.6 s -> 3.5 s at the 10x corpus)
-    doc_scores = doc_scores.localCheckpoint(eager=False)
-    pos = ordered_positions(
-        doc_scores, [("lang", True), ("score", True), ("doc_id", True)]
-    )
-    lcnt = doc_scores.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    off_w = Window.orderBy("lang").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = lcnt.select(
-        "lang",
-        "n_l",
-        F.coalesce(F.sum("n_l").over(off_w), F.lit(0)).alias("off"),
-    )
-    staged = pos.join(F.broadcast(offs), "lang").withColumn(
-        "lpos", F.col("gpos") - F.col("off")
-    )
-    # NTILE(3) closed form on the 1-based per-language position (the
-    # curriculum_quality_stages integer formula with n = n_l, k = 3).
-    tile = F.expr(
-        "CAST(CASE WHEN lpos <= (n_l % 3) * (n_l DIV 3 + 1) "
-        "THEN (lpos + (n_l DIV 3)) DIV (n_l DIV 3 + 1) "
-        "ELSE (n_l % 3) + (lpos - (n_l % 3) * (n_l DIV 3 + 1) "
-        "+ (n_l DIV 3) - 1) DIV (n_l DIV 3) END AS INT)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    doc_scores = _doc_mean_nll(
+        _uni_add1_nll(_tok_stream(docs)), out="score"
     )
     n = F.count(F.lit(1))
     return (
-        staged.select("lang", "score", tile.alias("tile"))
+        _lang_ntile3(doc_scores).select("lang", "score", "tile")
         .groupBy("lang", "tile")
         .agg(
             n.cast("bigint").alias("n_docs"),
@@ -2865,3 +2938,237 @@ def wordpiece_greedy_segment(spark, sf_dir):
         F.array_join("pieces", " ").alias("pieces"),
         F.size("pieces").cast("bigint").alias("n_pieces"),
     ).orderBy("w")
+
+
+# --- Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1998) ----------
+
+_KN_CTES = """
+    bi AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+               THEN list_transform(
+                      range(1, len(string_split(text, ' '))),
+                      i -> string_split(text, ' ')[i] || ' '
+                           || string_split(text, ' ')[i + 1])
+               ELSE [] END) AS bg
+      FROM documents
+    ),
+    blm AS (SELECT lang, bg, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+    spb AS (
+      SELECT lang, bg, cnt,
+             string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2
+      FROM blm
+    ),
+    c1 AS (
+      SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM spb GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS nprec
+      FROM spb GROUP BY 1, 2
+    ),
+    btypes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS ntypes FROM blm GROUP BY 1
+    ),
+    kn_nll AS (
+      SELECT b.doc_id, b.lang,
+             ROUND(-ln(((bl.cnt - CAST(0.75 AS DOUBLE)) / c.c1)
+                       + ((CAST(0.75 AS DOUBLE) * c.n1f) / c.c1)
+                         * (p.nprec / CAST(t.ntypes AS DOUBLE))), 12) AS nll
+      FROM bi b
+      JOIN blm bl ON b.lang = bl.lang AND b.bg = bl.bg
+      JOIN c1 c ON b.lang = c.lang AND string_split(b.bg, ' ')[1] = c.w1
+      JOIN pc p ON b.lang = p.lang AND string_split(b.bg, ' ')[2] = p.w2
+      JOIN btypes t ON b.lang = t.lang
+    )"""
+
+_DOC_MEAN_DUCK = (
+    "ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS VARCHAR)"
+    " AS DOUBLE) / COUNT(*), 6)"
+)
+
+
+@register(
+    "kneser_ney_lm_compare",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    utot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab
+      FROM uni GROUP BY lang
+    ),{_KN_CTES},
+    add1_nll AS (
+      SELECT b.doc_id, b.lang,
+             ROUND(-ln((bl.cnt + 1)
+                       / CAST(c.c1 + ut.vocab AS DOUBLE)), 12) AS nll
+      FROM bi b
+      JOIN blm bl ON b.lang = bl.lang AND b.bg = bl.bg
+      JOIN c1 c ON b.lang = c.lang AND string_split(b.bg, ' ')[1] = c.w1
+      JOIN utot ut ON b.lang = ut.lang
+    ),
+    da AS (
+      SELECT doc_id, lang, {_DOC_MEAN_DUCK} AS s
+      FROM add1_nll GROUP BY 1, 2
+    ),
+    dk AS (
+      SELECT doc_id, lang, {_DOC_MEAN_DUCK} AS s
+      FROM kn_nll GROUP BY 1, 2
+    )
+    SELECT da.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(da.s AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nll_add1,
+           ROUND(CAST(CAST(SUM(CAST(dk.s AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_nll_kn,
+           ROUND(CAST(CAST(SUM(CAST(da.s AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*)
+                 - CAST(CAST(SUM(CAST(dk.s AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS nll_reduction
+    FROM da JOIN dk ON da.doc_id = dk.doc_id AND da.lang = dk.lang
+    GROUP BY da.lang
+    ORDER BY da.lang
+    """,
+    doc="INTERPOLATED KNESER-NEY bigram LM vs the add-1 bigram baseline "
+    "(Kneser & Ney 1995; the Chen & Goodman 1998 comparison, run as a "
+    "query): P_KN(w2|w1) = (C(w1w2)-D)/C(w1.) + D*N1+(w1.)/C(w1.) * "
+    "N1+(.w2)/N1+(..), D=0.75 — absolute discounting with the "
+    "CONTINUATION unigram (how many contexts a word completes, not how "
+    "often it occurs; the reason 'Francisco' stops stealing mass from "
+    "novel continuations).  Both legs score the same in-sample bigram "
+    "stream through the shared _doc_mean_nll fold; per-language mean "
+    "doc NLL side by side with the reduction (positive = KN assigns "
+    "the corpus higher likelihood than add-1, the expected direction "
+    "— measured, not assumed; the pytest gate pins it positive for "
+    "every language).  Scale: two extra vocab-sized aggregates "
+    "(continuation counts) beyond the add-1 tables, all lang x vocab "
+    "broadcasts onto the exploded bigram stream — the 100 TB shape is "
+    "identical to bigram_lm_compare",
+)
+def kneser_ney_lm_compare(spark, sf_dir):
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = _tok_stream(docs)
+    uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    utot = uni.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    bi = _bi_stream(docs)
+    da = _doc_mean_nll(_bi_add1_nll(bi, utot), out="sa")
+    dk = _doc_mean_nll(_kn_nll(bi), out="sk")
+    avg_a = F.sum(F.col("sa").cast(dec)).cast("double") / F.count(F.lit(1))
+    avg_k = F.sum(F.col("sk").cast(dec)).cast("double") / F.count(F.lit(1))
+    return (
+        da.join(dk, ["doc_id", "lang"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(avg_a, 6).alias("avg_nll_add1"),
+            F.round(avg_k, 6).alias("avg_nll_kn"),
+            F.round(avg_a - avg_k, 6).alias("nll_reduction"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "ccnet_kn_bucket_agreement",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    utot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab
+      FROM uni GROUP BY lang
+    ),{_KN_CTES},
+    uni_nll AS (
+      SELECT t.doc_id, t.lang,
+             ROUND(-ln((u.cnt + 1)
+                       / CAST(ut.total + ut.vocab AS DOUBLE)), 12) AS nll
+      FROM toks t
+      JOIN uni u ON t.lang = u.lang AND t.tok = u.tok
+      JOIN utot ut ON t.lang = ut.lang
+    ),
+    du AS (
+      SELECT doc_id, lang, {_DOC_MEAN_DUCK} AS su
+      FROM uni_nll GROUP BY 1, 2
+    ),
+    dk AS (
+      SELECT doc_id, lang, {_DOC_MEAN_DUCK} AS sk
+      FROM kn_nll GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT du.doc_id, du.lang, du.su, dk.sk
+      FROM du JOIN dk ON du.doc_id = dk.doc_id AND du.lang = dk.lang
+    ),
+    tiled AS (
+      SELECT doc_id, lang,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY su, doc_id)
+               AS tile_add1,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY sk, doc_id)
+               AS tile_kn
+      FROM paired
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tiled)
+    SELECT CAST(tile_add1 AS INT) AS tile_add1,
+           CASE tile_add1 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_add1,
+           CAST(tile_kn AS INT) AS tile_kn,
+           CASE tile_kn WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_kn,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(tot.nt AS DOUBLE), 6) AS share
+    FROM tiled, tot
+    GROUP BY tile_add1, tile_kn, tot.nt
+    ORDER BY tile_add1, tile_kn
+    """,
+    doc="CCNet BUCKET MIGRATION under the model upgrade — "
+    "ccnet_perplexity_buckets re-cut with the interpolated Kneser-Ney "
+    "bigram score and cross-tabulated against the published add-1 "
+    "unigram cut: (add1 bucket x KN bucket) doc counts and corpus "
+    "shares.  The diagonal mass answers the operational question a "
+    "curation team asks before swapping the quality LM ('how many "
+    "head docs does the better model demote?') with a measured table "
+    "instead of a guess.  Both cuts tile through the SAME "
+    "_lang_ntile3 range-partitioned fold (no per-language global "
+    "window at any corpus size) over the SAME restricted universe "
+    "(docs with >= 2 tokens — KN needs a bigram); ties break by "
+    "doc_id on both engines.  Output is O(9) rows",
+)
+def ccnet_kn_bucket_agreement(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    du = _doc_mean_nll(_uni_add1_nll(_tok_stream(docs)), out="su")
+    dk = _doc_mean_nll(_kn_nll(_bi_stream(docs)), out="sk")
+    both = du.join(dk, ["doc_id", "lang"])
+    tu = _lang_ntile3(both.select("doc_id", "lang", "su"), "su").select(
+        "doc_id", "lang", F.col("tile").alias("tile_add1")
+    )
+    tk = _lang_ntile3(both.select("doc_id", "lang", "sk"), "sk").select(
+        "doc_id", "lang", F.col("tile").alias("tile_kn")
+    )
+    j = tu.join(tk, ["doc_id", "lang"])
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    bucket = "CASE {c} WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+    return (
+        j.groupBy("tile_add1", "tile_kn")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tile_add1",
+            F.expr(bucket.format(c="tile_add1")).alias("bucket_add1"),
+            "tile_kn",
+            F.expr(bucket.format(c="tile_kn")).alias("bucket_kn"),
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("nt").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("tile_add1", "tile_kn")
+    )

@@ -379,6 +379,14 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # shared code changed so both re-check.
     "ann_sq8_adc_topk",
     "ann_recall_sq8",
+    # r12 refactor — the LM family's token/bigram streams, add-1 NLL legs,
+    # doc-mean fold, and ccnet's per-language NTILE(3) machinery factored
+    # into shared helpers (_tok_stream/_bi_stream/_uni_add1_nll/
+    # _bi_add1_nll/_doc_mean_nll/_lang_ntile3) now also consumed by the
+    # Kneser-Ney queries; values verified identical at sf0.01, but the
+    # shared code changed so both re-check.
+    "bigram_lm_compare",
+    "ccnet_perplexity_buckets",
 })
 
 def _tier(name: str) -> int:

@@ -190,3 +190,94 @@ def test_sq_sweep_recall_floors_and_monotone(spark):
     assert rows[8]["recall"] >= 0.8
     assert rows[4]["recall"] <= rows[6]["recall"] <= rows[8]["recall"]
     assert [rows[b]["bytes_per_vec"] for b in (4, 6, 8)] == [32, 48, 64]
+
+
+def test_kn_nll_matches_python_reference(spark):
+    """_kn_nll must reproduce hand-computed interpolated Kneser-Ney
+    (D=0.75) per bigram instance on a tiny planted corpus — including
+    the continuation-probability effect: 'francisco' is frequent but
+    follows only 'san', so its continuation mass is low."""
+    from collections import Counter
+
+    from newyork_taxi_etl_spark.queries.text import _bi_stream, _kn_nll
+
+    texts = [
+        (0, "en", "san francisco san francisco san francisco"),
+        (1, "en", "new york new haven new deal"),
+        (2, "en", "york deal haven san york"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, lang string, text string")
+
+    # python reference
+    bigrams = []
+    for doc_id, lang, t in texts:
+        ts = t.split(" ")
+        bigrams += [
+            (doc_id, f"{ts[i]} {ts[i + 1]}") for i in range(len(ts) - 1)
+        ]
+    cnt = Counter(bg for _, bg in bigrams)
+    c1 = Counter()
+    n1f = Counter()
+    nprec = Counter()
+    for bg, c in cnt.items():
+        w1, w2 = bg.split(" ")
+        c1[w1] += c
+        n1f[w1] += 1
+        nprec[w2] += 1
+    ntypes = len(cnt)
+
+    def p_kn(bg):
+        w1, w2 = bg.split(" ")
+        return ((cnt[bg] - 0.75) / c1[w1]) + ((0.75 * n1f[w1]) / c1[w1]) * (
+            nprec[w2] / float(ntypes)
+        )
+
+    import math
+
+    got = _kn_nll(_bi_stream(docs)).collect()
+    assert len(got) == len(bigrams)
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["nll"])
+    for doc_id, bg in bigrams:
+        want = round(-math.log(p_kn(bg)), 12)
+        assert any(abs(n - want) < 1e-12 for n in by_doc[doc_id]), (bg, want)
+    # continuation effect: 'francisco' only ever follows 'san', so its
+    # continuation probability is 1/ntypes — strictly below a word like
+    # 'york' that completes several contexts
+    assert nprec["francisco"] / ntypes < nprec["york"] / ntypes
+
+
+def test_kn_beats_add1_per_language(spark):
+    """The registered comparison must show KN assigning the corpus
+    higher in-sample likelihood than add-1 for EVERY language (the
+    Chen & Goodman direction), with both legs over the same docs."""
+    rows = queries()["kneser_ney_lm_compare"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["nll_reduction"] > 0.0, r
+        assert r["avg_nll_kn"] < r["avg_nll_add1"], r
+
+
+def test_ccnet_kn_agreement_is_a_valid_crosstab(spark):
+    """Bucket-migration table sanity: shares sum to 1, both marginals
+    are the equal-count NTILE(3) tilings of the SAME restricted
+    universe (so row/column sums agree per tile), and the diagonal
+    carries positive mass."""
+    rows = queries()["ccnet_kn_bucket_agreement"](spark, SF_ORACLE).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    m_add1 = {}
+    m_kn = {}
+    diag = 0
+    for r in rows:
+        m_add1[r["tile_add1"]] = m_add1.get(r["tile_add1"], 0) + r["n_docs"]
+        m_kn[r["tile_kn"]] = m_kn.get(r["tile_kn"], 0) + r["n_docs"]
+        if r["tile_add1"] == r["tile_kn"]:
+            diag += r["n_docs"]
+    # equal-count tiling per language => tile marginals differ by at most
+    # one doc per language on both axes, and the two cuts share them
+    assert m_add1 == m_kn
+    assert max(m_add1.values()) - min(m_add1.values()) <= 5  # <=1 per lang
+    assert diag > 0
+    assert total == sum(m_add1.values())
