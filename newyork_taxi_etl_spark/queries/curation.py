@@ -2729,6 +2729,141 @@ def streaming_dsir_ingest(spark, sf_dir):
     return W.run_streaming_dsir_ingest(spark, docs, work)
 
 
+@register(
+    "dsir_domain_affinity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, source, {_DSIR_BUCKET_DUCK} AS bucket FROM toks
+    ),
+    raw AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY bucket
+    ),
+    trt AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM raw),
+    ct AS (
+      SELECT source AS target, bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM bt GROUP BY 1, 2
+    ),
+    ttt AS (
+      SELECT target, CAST(SUM(ct) AS BIGINT) AS tt FROM ct GROUP BY 1
+    ),
+    lr_tab AS (
+      SELECT t.target, r.bucket,
+             ROUND(ln((COALESCE(c.ct, 0) + 1) / (t.tt + 64))
+                   - ln((r.cr + 1) / (trt.tr + 64)), 12) AS lr
+      FROM ttt t CROSS JOIN raw r
+      LEFT JOIN ct c ON c.target = t.target AND c.bucket = r.bucket,
+      trt
+    ),
+    per_doc AS (
+      SELECT l.target, b.doc_id, b.source,
+             ROUND(CAST(CAST(SUM(CAST(CAST(l.lr AS VARCHAR)
+                      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS w
+      FROM bt b JOIN lr_tab l ON b.bucket = l.bucket
+      GROUP BY 1, 2, 3
+    )
+    SELECT target, source AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_logweight,
+           ROUND(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS selected_share
+    FROM per_doc GROUP BY target, source ORDER BY target, domain
+    """,
+    doc="PER-DOMAIN DSIR -> DOMAIN-AFFINITY MATRIX: dsir_importance_select "
+    "run with EVERY source as its own target in one dataflow — cell "
+    "(t, d) is the mean importance log-weight of domain d's documents "
+    "under the model trained with t as the trusted target, i.e. how "
+    "much of d 'looks like' t.  The mixture-design companion to "
+    "domain_mix_weights: a row of the matrix tells you which other "
+    "domains can substitute for a scarce target (the Xie et al. DSIR "
+    "protocol, matrixed).  One pass builds ALL models: the per-target "
+    "bucket counts are a single (source, bucket) aggregate, the "
+    "log-ratio table is targets x 64 rows (broadcast), and scoring "
+    "joins each token's bucket against all targets' ratios — corpus "
+    "cost x n_domains, with n_domains small by construction (it is a "
+    "curated source list, not a vocabulary).  Planted-domain pytest "
+    "pins diagonal dominance on a collision-free vocabulary; on this "
+    "synthetic corpus the off-diagonal bleed is RECORDED, not assumed "
+    "away.  Same add-1 smoothing, decimal sums, and VARCHAR-routed "
+    "out-casts as the single-target query",
+)
+def dsir_domain_affinity(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _dsir_affinity_matrix(docs)
+
+
+def _dsir_affinity_matrix(docs, domain_col: str = "source"):
+    """All-targets DSIR affinity matrix over a documents frame —
+    factored so the planted-domain pytest (disjoint vocabularies)
+    drives the exact production chain."""
+    from newyork_taxi_etl_spark.functions.exact import avg_exact
+
+    toks = docs.select(
+        "doc_id",
+        F.col(domain_col).alias("source"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    bt = toks.select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(64),
+        ).alias("bucket"),
+    )
+    raw = bt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr")
+    )
+    rt = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+    ct = bt.groupBy(F.col("source").alias("target"), "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    tt = ct.groupBy("target").agg(F.sum("ct").cast("bigint").alias("tt"))
+    lr_tab = (
+        tt.crossJoin(F.broadcast(raw))
+        .join(F.broadcast(ct), ["target", "bucket"], "left")
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "target",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("tt") + 64)
+                )
+                - F.log((F.col("cr") + 1) / (F.col("tr") + 64)),
+                12,
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        bt.join(F.broadcast(lr_tab), "bucket")
+        .groupBy("target", "doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("w")
+        )
+    )
+    return (
+        per_doc.groupBy("target", F.col("source").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(avg_exact("w"), 6).alias("avg_logweight"),
+            F.round(
+                F.sum((F.col("w") > 0).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("selected_share"),
+        )
+        .orderBy("target", "domain")
+    )
+
+
 # --- T5 span corruption planning (Raffel et al. 2020, JMLR) ----------------
 
 _SC_FLAG_DUCK = (

@@ -281,3 +281,76 @@ def test_ccnet_kn_agreement_is_a_valid_crosstab(spark):
     assert max(m_add1.values()) - min(m_add1.values()) <= 5  # <=1 per lang
     assert diag > 0
     assert total == sum(m_add1.values())
+
+
+def test_dsir_affinity_diagonal_dominates_on_planted_domains(spark):
+    """With disjoint domain vocabularies (no hash collisions among the
+    planted tokens' 64-bucket images — pre-checked), every matrix row's
+    maximum affinity must sit on the diagonal and every planted doc
+    must self-select (diagonal selected_share == 1)."""
+    import hashlib
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        _dsir_affinity_matrix,
+    )
+
+    vocabs = {
+        "news": ["alpha", "bravo", "charlie"],
+        "code": ["delta", "echo", "foxtrot"],
+        "law": ["golf", "hotel", "india"],
+    }
+    # pre-check: planted vocabularies are collision-free in bucket space
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+    all_toks = [t for v in vocabs.values() for t in v]
+    assert len({bucket(t) for t in all_toks}) == len(all_toks)
+
+    rows, did = [], 0
+    for dom, toks in vocabs.items():
+        for _ in range(4):
+            rows.append((did, dom, " ".join(toks * 3)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    mat = {
+        (r["target"], r["domain"]): r
+        for r in _dsir_affinity_matrix(docs).collect()
+    }
+    assert len(mat) == 9
+    for t in vocabs:
+        diag = mat[(t, t)]["avg_logweight"]
+        for d in vocabs:
+            if d != t:
+                assert diag > mat[(t, d)]["avg_logweight"], (t, d)
+        assert mat[(t, t)]["selected_share"] == 1.0
+
+
+def test_dsir_affinity_diagonal_is_single_target_query(spark):
+    """Matrix consistency: the (en-target) single-target profile and the
+    affinity matrix share the model algebra — each matrix row's weights
+    come from the same lr-table construction, so the row for target=T
+    restricted to domain=T must match a direct _dsir_profile run with T
+    as target (selected shares and avg logweights equal)."""
+    from newyork_taxi_etl_spark.queries.curation import (
+        _dsir_affinity_matrix,
+        _dsir_profile,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+    )
+    mat = {
+        (r["target"], r["domain"]): r
+        for r in _dsir_affinity_matrix(docs).collect()
+    }
+    # single-target run with src1 as the trusted slice, keyed on source
+    prof = {
+        r["lang"]: r
+        for r in _dsir_profile(
+            docs.withColumn("lang", F.col("source")), target_lang="src1"
+        ).collect()
+    }
+    for d in ("src0", "src1", "src2"):
+        assert mat[("src1", d)]["avg_logweight"] == prof[d]["avg_logweight"]
+        assert mat[("src1", d)]["selected_share"] == prof[d]["selected_share"]
