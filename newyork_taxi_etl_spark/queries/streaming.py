@@ -497,7 +497,16 @@ def streaming_lsh_index_dedup(spark, sf_dir):
 )
 def stream_stream_outer_join(spark, sf_dir):
     stage = _workdir("ssouter_stage")
-    return W.run_stream_stream_outer_join(spark, read_events(spark, sf_dir), stage)
+    # the three outer-join drains stage the IDENTICAL time-sliced events +
+    # sentinel content, so they share one cached stage per sf_dir (the
+    # checkpoint/sink stays per-run; values are unaffected — the stage is
+    # deterministic scaffolding with fixed mtimes)
+    return W.run_stream_stream_outer_join(
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        cache_key=f"events_ss3:{sf_dir}",
+    )
 
 
 _SS_TWO_SIDED_ORACLE = """
@@ -543,7 +552,11 @@ _SS_TWO_SIDED_ORACLE = """
 def stream_stream_full_outer_join(spark, sf_dir):
     stage = _workdir("ssfull_stage")
     return W.run_stream_stream_two_sided_outer(
-        spark, read_events(spark, sf_dir), stage, "fullOuter"
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        "fullOuter",
+        cache_key=f"events_ss3:{sf_dir}",
     )
 
 
@@ -559,7 +572,11 @@ def stream_stream_full_outer_join(spark, sf_dir):
 def stream_stream_right_outer_join(spark, sf_dir):
     stage = _workdir("ssright_stage")
     return W.run_stream_stream_two_sided_outer(
-        spark, read_events(spark, sf_dir), stage, "rightOuter"
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        "rightOuter",
+        cache_key=f"events_ss3:{sf_dir}",
     )
 
 
@@ -741,7 +758,10 @@ def streaming_quantile_sketch(spark, sf_dir):
 def streaming_session_close(spark, sf_dir):
     stage = _workdir("sessclose_stage")
     return W.run_streaming_session_close(
-        spark, read_events(spark, sf_dir), stage
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        cache_key=f"events_sess3:{sf_dir}",
     )
 
 

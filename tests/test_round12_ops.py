@@ -354,3 +354,41 @@ def test_dsir_affinity_diagonal_is_single_target_query(spark):
     for d in ("src0", "src1", "src2"):
         assert mat[("src1", d)]["avg_logweight"] == prof[d]["avg_logweight"]
         assert mat[("src1", d)]["selected_share"] == prof[d]["selected_share"]
+
+
+def test_stage_cache_build_once_and_atomic(spark, tmp_path):
+    """_stage_cached: a keyed stage builds exactly once (second call is a
+    no-Spark-job hit on the same completed generation), an uncached call
+    still builds into the caller's dir, and a half-built generation is
+    invisible (no _STAGE_COMPLETE => rebuild)."""
+    import os
+
+    from newyork_taxi_etl_spark.streaming.windows import (
+        _stage_cache_dir,
+        _stage_cached,
+    )
+
+    calls = []
+
+    def build(target):
+        calls.append(target)
+        os.makedirs(target, exist_ok=True)
+        with open(os.path.join(target, "part-0.parquet"), "w") as f:
+            f.write("x")
+
+    key = f"pytest-stage-{tmp_path.name}"
+    d1 = _stage_cached(str(tmp_path / "a"), key, build)
+    d2 = _stage_cached(str(tmp_path / "b"), key, build)
+    assert d1 == d2 == _stage_cache_dir(key)
+    assert len(calls) == 1
+    assert os.path.exists(os.path.join(d1, "_STAGE_COMPLETE"))
+    # uncached: builds into the caller's dir every time
+    d3 = _stage_cached(str(tmp_path / "c"), None, build)
+    assert d3 == str(tmp_path / "c") and len(calls) == 2
+    # a generation without the marker is rebuilt, not trusted
+    os.remove(os.path.join(d1, "_STAGE_COMPLETE"))
+    import shutil
+
+    shutil.rmtree(d1)
+    d4 = _stage_cached(str(tmp_path / "d"), key, build)
+    assert d4 == d1 and len(calls) == 3
