@@ -810,7 +810,10 @@ def streaming_session_close(spark, sf_dir):
 def streaming_late_drop(spark, sf_dir):
     stage = _workdir("latedrop_stage")
     return W.run_streaming_late_drop(
-        spark, read_events(spark, sf_dir), stage
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        cache_key=f"events_latedrop3:{sf_dir}",
     )
 
 

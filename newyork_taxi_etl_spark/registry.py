@@ -387,6 +387,16 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # shared code changed so both re-check.
     "bigram_lm_compare",
     "ccnet_perplexity_buckets",
+    # r12 perf — the five time-sliced drains now read their deterministic
+    # staged input from a content-keyed build-once cache (values proven
+    # identical on both the miss and hit paths at sf0.01; the stage is
+    # harness scaffolding with fixed mtimes, state/checkpoints stay
+    # per-run); plan-adjacent code changed so all five re-check.
+    "stream_stream_outer_join",
+    "stream_stream_full_outer_join",
+    "stream_stream_right_outer_join",
+    "streaming_session_close",
+    "streaming_late_drop",
 })
 
 def _tier(name: str) -> int:

@@ -1842,6 +1842,7 @@ def run_streaming_late_drop(
     stage_dir: str,
     watermark: str = "1 hour",
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Watermark LATE-DATA DROP accounting — the streaming semantic every
     other drain here deliberately avoids (their watermarks exceed the
@@ -1872,59 +1873,70 @@ def run_streaming_late_drop(
     only, and the dropped total is reported beside it.
     """
     import os
-    import shutil
-
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    # lates live ONLY in the 3rd batch, stamped BEFORE the corpus start:
-    # below every possible operative watermark once any earlier batch has
-    # committed. (Planting in batch 2 is not robust: the late-filter's
-    # operative watermark empirically lags the progress-reported one by a
-    # batch, so batch-2 lates can still be aggregated-and-emitted.)
-    bounds = src_df.agg(
-        F.min("ts").alias("m"),
-        F.unix_micros(F.min("ts")).alias("mn_us"),
-        F.unix_micros(F.max("ts")).alias("mx_us"),
-    ).collect()[0]
-    mn = bounds["m"]
-    mn_us, span = bounds["mn_us"], bounds["mx_us"] - bounds["mn_us"] + 1
-    sliced = src_df.withColumn(
-        "_slice",
-        F.expr(
-            f"CAST(1 + (unix_micros(ts) - {mn_us}L) * 3 DIV {span}L AS INT)"
-        ),
-    ).withColumn(
-        "ts",
-        F.when(
-            (F.col("_slice") == 3) & (F.col("event_id") % 25 == 0),
-            F.lit(mn) - F.expr("INTERVAL 2 HOURS"),
-        ).otherwise(F.col("ts")),
-    )
     from datetime import timedelta
 
-    def _append_stamped(df, seq):
-        before = set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
-        df.coalesce(1).write.mode("append").parquet(stage_dir)
-        t = 1_600_000_000 + seq * 10
-        for f in os.listdir(stage_dir):
-            if f not in before:
-                os.utime(os.path.join(stage_dir, f), (t, t))
-
-    for i in (1, 2, 3):
-        _append_stamped(sliced.filter(F.col("_slice") == i).drop("_slice"), i)
-
-    # APPEND mode is mandatory: complete mode never drops late rows (state
-    # is fully retained, watermark unused) — verified empirically before
-    # this runner switched. Append emits a window only once the watermark
-    # finalizes it, so a far-future sentinel (4th file) must push the
-    # final watermark past every real window; the engine's no-data
-    # micro-batch then flushes them all. The sentinel's own window is
-    # excluded from the counts below.
+    # needed both for the sentinel (staging) and the sentinel-window
+    # filter on the drained output
     mx = src_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    sent = spark.createDataFrame(
-        [(-1, mx + timedelta(hours=100), -1, "click", 0.0, None)],
-        src_df.schema,
-    )
-    _append_stamped(sent, 4)
+
+    def build(target: str) -> None:
+        # lates live ONLY in the 3rd batch, stamped BEFORE the corpus
+        # start: below every possible operative watermark once any earlier
+        # batch has committed. (Planting in batch 2 is not robust: the
+        # late-filter's operative watermark empirically lags the
+        # progress-reported one by a batch, so batch-2 lates can still be
+        # aggregated-and-emitted.)
+        bounds = src_df.agg(
+            F.min("ts").alias("m"),
+            F.unix_micros(F.min("ts")).alias("mn_us"),
+            F.unix_micros(F.max("ts")).alias("mx_us"),
+        ).collect()[0]
+        mn = bounds["m"]
+        mn_us = bounds["mn_us"]
+        span = bounds["mx_us"] - bounds["mn_us"] + 1
+        sliced = src_df.withColumn(
+            "_slice",
+            F.expr(
+                f"CAST(1 + (unix_micros(ts) - {mn_us}L) * 3 DIV {span}L"
+                " AS INT)"
+            ),
+        ).withColumn(
+            "ts",
+            F.when(
+                (F.col("_slice") == 3) & (F.col("event_id") % 25 == 0),
+                F.lit(mn) - F.expr("INTERVAL 2 HOURS"),
+            ).otherwise(F.col("ts")),
+        )
+
+        def _append_stamped(df, seq):
+            before = (
+                set(os.listdir(target)) if os.path.exists(target) else set()
+            )
+            df.coalesce(1).write.mode("append").parquet(target)
+            t = 1_600_000_000 + seq * 10
+            for f in os.listdir(target):
+                if f not in before:
+                    os.utime(os.path.join(target, f), (t, t))
+
+        for i in (1, 2, 3):
+            _append_stamped(
+                sliced.filter(F.col("_slice") == i).drop("_slice"), i
+            )
+
+        # APPEND mode is mandatory: complete mode never drops late rows
+        # (state is fully retained, watermark unused) — verified
+        # empirically before this runner switched. Append emits a window
+        # only once the watermark finalizes it, so a far-future sentinel
+        # (4th file) must push the final watermark past every real window;
+        # the engine's no-data micro-batch then flushes them all. The
+        # sentinel's own window is excluded from the counts below.
+        sent = spark.createDataFrame(
+            [(-1, mx + timedelta(hours=100), -1, "click", 0.0, None)],
+            src_df.schema,
+        )
+        _append_stamped(sent, 4)
+
+    stage_dir = _stage_cached(stage_dir, cache_key, build)
 
     stream = (
         spark.readStream.schema(src_df.schema)
