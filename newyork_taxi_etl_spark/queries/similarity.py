@@ -1050,15 +1050,23 @@ def ann_pq_adc_topk(spark, sf_dir):
     return _pq_adc_topk(emb, k=5)
 
 
-def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False, query_ids=None):
+def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False, query_ids=None,
+                 base=None):
     """ADC search over PQ codes. ``query_ids=None`` keeps the registered
     queries' fixed probe set (vec_id < 5); passing explicit ids lets the
     planted-corpus training gate (tests/test_quality_gates.py) probe with
     queries DISJOINT from the seed vectors while running this exact
-    production chain (no test-local copy to drift)."""
+    production chain (no test-local copy to drift).  ``base`` (vec_id,
+    v: array<double>) substitutes a pre-shaped vector table — the
+    rotated-PQ gate points this at Hadamard-rotated vectors; everything
+    downstream (seeds, codebook, encode, ADC) is the shared chain."""
     from pyspark.sql import Window
 
-    subvecs, codebook, encoded, d = _pq_parts(emb, k_codes, train)
+    subvecs, codebook, encoded, d = (
+        _pq_parts_v(base, k_codes, train)
+        if base is not None
+        else _pq_parts(emb, k_codes, train)
+    )
     encoded = encoded.select("vec_id", "subspace", "code")
     q_pred = (
         F.col("vec_id") < 5
@@ -5472,3 +5480,148 @@ def ann_recall_sq_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("bits")
+
+
+# --- rotated PQ (the OPQ idea, structured: Hadamard x deterministic signs) --
+
+import hashlib as _hashlib  # noqa: E402
+
+#: deterministic diagonal sign bits s_j = md5(j) parity — materialized as a
+#: literal in BOTH engines' texts so the rotation cannot drift
+_HD_SIGNS = [
+    int(_hashlib.md5(str(j).encode()).hexdigest()[:2], 16) % 2
+    for j in range(1, 65)
+]
+
+
+def _hd_parity(idiv: str) -> str:
+    """popcount((i-1) & (j-1)) % 2 for 6-bit indices as pure integer
+    arithmetic (engine-portable — no bit_count dependency); ``idiv`` is
+    the engine's integer-division operator."""
+    x = "((i - 1) & (j - 1))"
+    return "(" + " + ".join(
+        f"(({x} {idiv} {1 << b}) % 2)" for b in range(6)
+    ) + ")"
+
+
+def _hd_rotate_spark() -> str:
+    """rv[i] = (sum_j (-1)^(parity(i,j)+s_j) * v[j]) / 8 — the orthogonal
+    rotation R = H * diag(+-1) / sqrt(64): H'H = 64 I so R'R = I and L2 /
+    dot products are preserved exactly (1/8 is a power of two — exact in
+    binary).  Ascending-j fold, identical association order to the DuckDB
+    twin."""
+    signs = ", ".join(str(s) for s in _HD_SIGNS)
+    return (
+        "transform(sequence(1, 64), i -> "
+        "aggregate(sequence(1, 64), 0D, (acc, j) -> "
+        f"acc + CASE WHEN ({_hd_parity('DIV')} "
+        f"+ element_at(array({signs}), j)) % 2 = 0 "
+        "THEN element_at(v, j) ELSE -element_at(v, j) END) / 8D)"
+    )
+
+
+def _hd_rotate_duck() -> str:
+    signs = ", ".join(str(s) for s in _HD_SIGNS)
+    return (
+        "list_transform(range(1, 65), i -> "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, 65), j -> "
+        f"CASE WHEN ({_hd_parity('//')} + ([{signs}])[j]) % 2 = 0 "
+        "THEN v[j] ELSE -v[j] END)), (acc, z) -> acc + z) / 8)"
+    )
+
+
+@register(
+    "ann_pq_rotated_recall",
+    f"""
+    WITH {_BF10_SQL},
+    emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    rotv AS (
+      SELECT vec_id, {_hd_rotate_duck()} AS v FROM emb
+    ),
+    subvecs AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM emb e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    subvecs_rot AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM rotv e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_t16', train=True)},
+    {_pq_sql_ctes(16, '_rt16', train=True, emb='rotv',
+                  subvecs='subvecs_rot')},
+    pq_raw AS (SELECT query_id, cand_id FROM pq_ranked_t16 WHERE rank <= 10),
+    pq_rot AS (
+      SELECT query_id, cand_id FROM pq_ranked_rt16 WHERE rank <= 10
+    )
+    {_recall_row_sql('pq_raw')}
+    UNION ALL
+    {_recall_row_sql('pq_rot')}
+    ORDER BY method
+    """,
+    doc="ROTATED PQ recall gate — the OPQ insight (Ge et al. 2013: PQ "
+    "quantization error depends on how variance distributes across "
+    "subspaces; an orthogonal rotation before encoding rebalances it) "
+    "in its structured, relationally-expressible form: R = "
+    "H * diag(+-1) / sqrt(64) with H the 64-dim Hadamard matrix "
+    "(H[i][j] = (-1)^popcount((i-1)&(j-1))) and deterministic md5 sign "
+    "bits — the HD rotation used by structured-projection ANN systems. "
+    "R is exactly orthogonal and 1/8 is a binary power, so true L2 is "
+    "preserved and the exact ground truth is UNCHANGED; only the PQ "
+    "grid moves.  Both legs (raw / rotated) train the identical "
+    "m=4, k=16, 1-Lloyd-round codebook chain and report recall@10 "
+    "against the same pinned truth — the measured answer to 'does a "
+    "rotation help PQ on THIS corpus', not an assumption either way.  "
+    "Scale: the rotation is a scan-side projection (4096 adds/vector, "
+    "no shuffle); everything downstream is the existing PQ dataflow",
+)
+def ann_pq_rotated_recall(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = (
+        S.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    rot = base.select("vec_id", F.expr(_hd_rotate_spark()).alias("v"))
+
+    def leg(df, method):
+        return (
+            df.select("query_id", "cand_id")
+            .join(bf, ["query_id", "cand_id"], "semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .withColumn("method", F.lit(method))
+            .crossJoin(total)
+        )
+
+    out = leg(
+        _pq_adc_topk(emb, k=10, k_codes=16, train=True), "pq_raw"
+    ).unionAll(
+        leg(
+            _pq_adc_topk(None, k=10, k_codes=16, train=True, base=rot),
+            "pq_rot",
+        )
+    )
+    return out.select(
+        "method",
+        "hits",
+        "total",
+        F.round(F.col("hits").cast("double") / F.col("total"), 6).alias(
+            "recall"
+        ),
+    ).orderBy("method")

@@ -392,3 +392,62 @@ def test_stage_cache_build_once_and_atomic(spark, tmp_path):
     shutil.rmtree(d1)
     d4 = _stage_cached(str(tmp_path / "d"), key, build)
     assert d4 == d1 and len(calls) == 3
+
+
+def test_hd_rotation_is_orthogonal_and_l2_preserving(spark):
+    """The Hadamard x sign rotation must be exactly orthogonal (R'R = I
+    in exact arithmetic — verified via numpy on the literal matrix) and
+    preserve pairwise L2 on real vectors to fp tolerance; rotated
+    vectors must actually differ from the raw ones (the rotation is not
+    a permutation-free identity)."""
+    import numpy as np
+
+    from newyork_taxi_etl_spark.queries.similarity import (
+        _HD_SIGNS,
+        _hd_rotate_spark,
+    )
+
+    H = np.array(
+        [
+            [(-1) ** bin((i & j)).count("1") for j in range(64)]
+            for i in range(64)
+        ],
+        dtype=float,
+    )
+    R = H @ np.diag([(-1) ** s for s in _HD_SIGNS]) / 8.0
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-12)
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(20)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    rot = base.select("vec_id", F.expr(_hd_rotate_spark()).alias("v"))
+    raw = {r["vec_id"]: np.array(r["v"]) for r in base.collect()}
+    got = {r["vec_id"]: np.array(r["v"]) for r in rot.collect()}
+    ids = sorted(raw)
+    for vid in ids:
+        assert np.allclose(got[vid], R @ raw[vid], atol=1e-9)
+        assert not np.allclose(got[vid], raw[vid])
+    a, b = ids[0], ids[1]
+    d_raw = np.linalg.norm(raw[a] - raw[b])
+    d_rot = np.linalg.norm(got[a] - got[b])
+    assert abs(d_raw - d_rot) < 1e-9
+
+
+def test_rotated_pq_gate_contract(spark):
+    """Gate sanity: both legs score against the same pinned truth, the
+    raw leg equals ann_recall_trained's pq_adc_t16 operating point (one
+    shared chain — drift-proof), and recalls are valid fractions."""
+    rows = {
+        r["method"]: r
+        for r in queries()["ann_pq_rotated_recall"](spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == {"pq_raw", "pq_rot"}
+    trained = {
+        r["method"]: r
+        for r in queries()["ann_recall_trained"](spark, SF_ORACLE).collect()
+    }
+    assert rows["pq_raw"]["recall"] == trained["pq_adc_t16"]["recall"]
+    for r in rows.values():
+        assert r["total"] == 50 and 0.0 <= r["recall"] <= 1.0
