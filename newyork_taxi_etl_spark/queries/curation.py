@@ -2971,3 +2971,152 @@ def span_corruption_plan(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- curriculum x CCNet stage agreement -------------------------------------
+
+_CURR_CCNET_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
+    qscored AS (
+      SELECT f.doc_id, {_LOGREG_P} AS p
+      FROM (
+        SELECT doc_id,
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+                 / 30.0 AS x1,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+               CASE WHEN n_chars BETWEEN 100 AND 400
+                    THEN 1.0 ELSE 0.0 END AS x3
+        FROM documents
+      ) f CROSS JOIN it16 w
+    ),
+    qstaged AS (
+      SELECT doc_id,
+             CAST(NTILE(4) OVER (ORDER BY p DESC, doc_id) AS INT) AS stage
+      FROM qscored
+    ),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    utot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab
+      FROM uni GROUP BY lang
+    ),
+    uni_nll AS (
+      SELECT t.doc_id, t.lang,
+             ROUND(-ln((u.cnt + 1)
+                       / CAST(ut.total + ut.vocab AS DOUBLE)), 12) AS nll
+      FROM toks t
+      JOIN uni u ON t.lang = u.lang AND t.tok = u.tok
+      JOIN utot ut ON t.lang = ut.lang
+    ),
+    du AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*), 6) AS score
+      FROM uni_nll GROUP BY 1, 2
+    ),
+    tiles AS (
+      SELECT doc_id,
+             CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY score, doc_id)
+                  AS INT) AS tile
+      FROM du
+    ),
+    j AS (
+      SELECT s.stage, t.tile
+      FROM qstaged s JOIN tiles t ON s.doc_id = t.doc_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM j)
+    SELECT stage, tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(tot.nt AS DOUBLE), 6) AS share
+    FROM j, tot
+    GROUP BY stage, tile, tot.nt
+    ORDER BY stage, tile
+    """
+
+
+@register(
+    "curriculum_ccnet_agreement",
+    _CURR_CCNET_SQL,
+    doc="CURRICULUM x CCNET STAGE AGREEMENT — the two quality orderings "
+    "this engine ships (the supervised logistic curriculum's global "
+    "NTILE(4) by model score and CCNet's per-language NTILE(3) by "
+    "unigram perplexity) cross-tabulated doc-for-doc: cell (stage, "
+    "bucket) counts and corpus shares.  The table a curation team "
+    "reads to decide whether the two signals are redundant (mass on "
+    "the stage-1 x head corner) or complementary (spread) — measured "
+    "on THIS corpus, not assumed.  Both cuts ride their existing "
+    "machinery: the curriculum stage via the ordered_positions "
+    "range-partitioned NTILE(4) closed form, the CCNet bucket via the "
+    "shared _lang_ntile3 fold — no per-corpus or per-language global "
+    "window anywhere; the join is doc-keyed and the output is O(12) "
+    "rows",
+)
+def curriculum_ccnet_agreement(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+    from newyork_taxi_etl_spark.queries.text import (
+        _doc_mean_nll,
+        _lang_ntile3,
+        _tok_stream,
+        _uni_add1_nll,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        "doc_id",
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    scored = feats.select(
+        "doc_id", logistic_prob(w, ["x1", "x2", "x3"]).alias("p")
+    )
+    pos = ordered_positions(scored, [("p", False), ("doc_id", True)])
+    n_df = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    stage = F.expr(
+        "CAST(CASE WHEN gpos <= (n_all % 4) * (n_all DIV 4 + 1) "
+        "THEN (gpos + (n_all DIV 4)) DIV (n_all DIV 4 + 1) "
+        "ELSE (n_all % 4) + (gpos - (n_all % 4) * (n_all DIV 4 + 1) "
+        "+ (n_all DIV 4) - 1) DIV (n_all DIV 4) END AS INT)"
+    )
+    qstaged = pos.crossJoin(F.broadcast(n_df)).select(
+        "doc_id", stage.alias("stage")
+    )
+    du = _doc_mean_nll(_uni_add1_nll(_tok_stream(docs)), out="score")
+    tiles = _lang_ntile3(du).select("doc_id", "tile")
+    j = qstaged.join(tiles, "doc_id")
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    return (
+        j.groupBy("stage", "tile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "tile",
+            F.expr(
+                "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.col("nt").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("stage", "tile")
+    )

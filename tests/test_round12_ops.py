@@ -451,3 +451,30 @@ def test_rotated_pq_gate_contract(spark):
     assert rows["pq_raw"]["recall"] == trained["pq_adc_t16"]["recall"]
     for r in rows.values():
         assert r["total"] == 50 and 0.0 <= r["recall"] <= 1.0
+
+
+def test_curriculum_ccnet_agreement_marginals(spark):
+    """Cross-tab sanity: shares sum to 1, the stage marginal reproduces
+    the curriculum's equal-count NTILE(4) sizes and the bucket marginal
+    the per-language NTILE(3) sizes (both cuts cover the same full
+    corpus — every doc appears exactly once)."""
+    rows = queries()["curriculum_ccnet_agreement"](spark, SF_ORACLE).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    stage_m = {}
+    tile_m = {}
+    for r in rows:
+        stage_m[r["stage"]] = stage_m.get(r["stage"], 0) + r["n_docs"]
+        tile_m[r["tile"]] = tile_m.get(r["tile"], 0) + r["n_docs"]
+    curr = {
+        r["stage"]: r["n_docs"]
+        for r in queries()["curriculum_quality_stages"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert stage_m == curr
+    ccnet = {}
+    for r in queries()["ccnet_perplexity_buckets"](spark, SF_ORACLE).collect():
+        ccnet[r["tile"]] = ccnet.get(r["tile"], 0) + r["n_docs"]
+    assert tile_m == ccnet
+    assert total == sum(stage_m.values())
