@@ -3120,3 +3120,136 @@ def curriculum_ccnet_agreement(spark, sf_dir):
         )
         .orderBy("stage", "tile")
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) ---------
+
+from newyork_taxi_etl_spark.queries.similarity import _COS_SQL  # noqa: E402
+
+_RRF_K = 60
+_RRF_TERMS = ("spark", "join", "vector")
+
+
+@register(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, tok, dl, COUNT(*) AS tf
+      FROM toks WHERE tok IN ('spark', 'join', 'vector')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM posting GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 4) AS bm25
+      FROM posting JOIN dfreq USING (tok), stats
+      GROUP BY doc_id
+    ),
+    text50 AS (
+      SELECT doc_id, text_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                 AS text_rank
+        FROM bm
+      ) WHERE text_rank <= 50
+    ),
+    vec50 AS (
+      SELECT cand_id AS doc_id, CAST(rank AS INT) AS vec_rank FROM (
+        SELECT c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 {_COS_SQL.format(a='q.embedding', b='c.embedding')} DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+      ) WHERE rank <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             t.text_rank, v.vec_rank,
+             ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + t.text_rank), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + v.vec_rank),
+                              0), 6) AS rrf_score
+      FROM text50 t FULL OUTER JOIN vec50 v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(text_rank, -1) AS INT) AS text_rank,
+           CAST(COALESCE(vec_rank, -1) AS INT) AS vec_rank,
+           rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    doc="HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack, Clarke & "
+    "Buettcher 2009 — the fusion rule production hybrid search ships, "
+    "e.g. lexical+vector engines): the BM25 leg ranks documents for the "
+    "bag-of-terms query ('spark','join','vector'), the dense leg ranks "
+    "by cosine against probe vector 0; each leg keeps its top-50 and "
+    "fuses with score(d) = sum over legs of 1/(60 + rank_leg(d)) — "
+    "rank-based, so the two legs' incomparable score scales never need "
+    "calibration.  Output: fused top-10 with both member ranks (-1 = "
+    "not retrieved by that leg).  Scale: each leg is already a bounded "
+    "top-K retrieval (BM25 scan touches only query-term postings and "
+    "TakeOrderedAndProject keeps the distributed top-50; the rank "
+    "window then orders 50 rows, never the corpus), and the fusion "
+    "joins two 50-row sets — O(K) everywhere after the leg scans",
+)
+def hybrid_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators import similarity as S
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    text50 = (
+        C.bm25_scores(docs, list(_RRF_TERMS))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+    # rank window over the ALREADY-LIMITed 50-row frame (bounded by K,
+    # same O(K) discipline as the offset windows elsewhere)
+    wt = Window.orderBy(F.desc("bm25"), "doc_id")
+    text_r = text50.select(
+        "doc_id", F.row_number().over(wt).cast("int").alias("text_rank")
+    )
+    vec_r = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(
+        F.col("cand_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("vec_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("text_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        text_r.join(vec_r, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_rank"), F.lit(-1))
+            .cast("int")
+            .alias("text_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(-1))
+            .cast("int")
+            .alias("vec_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )

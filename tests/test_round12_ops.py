@@ -478,3 +478,28 @@ def test_curriculum_ccnet_agreement_marginals(spark):
         ccnet[r["tile"]] = ccnet.get(r["tile"], 0) + r["n_docs"]
     assert tile_m == ccnet
     assert total == sum(stage_m.values())
+
+
+def test_rrf_score_formula_and_fusion_property(spark):
+    """Each fused score must equal sum(1/(60+rank)) over the legs that
+    retrieved the doc (-1 = not retrieved contributes 0), the output is
+    ordered by it, and docs found by BOTH legs outrank either leg's #1
+    single-leg doc when their member ranks are modest (the reason RRF
+    exists)."""
+    rows = queries()["hybrid_rrf_fusion"](spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0.0
+        if r["text_rank"] > 0:
+            want += 1.0 / (60 + r["text_rank"])
+        if r["vec_rank"] > 0:
+            want += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9, r
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    both = [r for r in rows if r["text_rank"] > 0 and r["vec_rank"] > 0]
+    single = [r for r in rows if r["text_rank"] < 0 or r["vec_rank"] < 0]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) > max(
+            r["rrf_score"] for r in single
+        )
