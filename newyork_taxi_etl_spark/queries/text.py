@@ -3172,3 +3172,154 @@ def ccnet_kn_bucket_agreement(spark, sf_dir):
         )
         .orderBy("tile_add1", "tile_kn")
     )
+
+
+_WP_DRIFT_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    wsyms0 AS (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(_wp_round_sql(r) for r in (1, 2, 3))},
+    gwords AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    gvocab AS (
+      SELECT DISTINCT substring(w, i.i, 1) AS piece
+      FROM gwords, unnest(range(1, length(w) + 1)) AS i(i)
+      UNION
+      SELECT a || b FROM wtop1
+      UNION
+      SELECT a || b FROM wtop2
+      UNION
+      SELECT a || b FROM wtop3
+    ),
+    {greedy_segment_ctes_duckdb('gwords', 'gvocab')},
+    gseg AS (
+      SELECT t.w, len({greedy_fold_sql_duckdb()}) AS g_syms
+      FROM gwords t JOIN gbest USING (w)
+    ),
+    langvocab AS (
+      SELECT lang, w, COUNT(*) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+      GROUP BY 1, 2
+    ),
+    asyms0 AS (
+      SELECT lang, cnt, w,
+             list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM langvocab
+    ),
+    asyms1 AS ({_bpe_fold_sql('asyms0', 'wtop1', keep='s.lang, s.cnt, s.w')}),
+    asyms2 AS ({_bpe_fold_sql('asyms1', 'wtop2', keep='s.lang, s.cnt, s.w')}),
+    asyms3 AS ({_bpe_fold_sql('asyms2', 'wtop3', keep='s.lang, s.cnt, s.w')}),
+    fold_lang AS (
+      SELECT lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_instances,
+             ROUND(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+               AS fold_fertility
+      FROM asyms3 GROUP BY lang
+    ),
+    greedy_lang AS (
+      SELECT lv.lang,
+             ROUND(CAST(SUM(lv.cnt * g.g_syms) AS DOUBLE) / SUM(lv.cnt), 6)
+               AS greedy_fertility
+      FROM langvocab lv JOIN gseg g ON lv.w = g.w
+      GROUP BY lv.lang
+    )
+    SELECT f.lang, f.n_instances, f.fold_fertility, g.greedy_fertility,
+           ROUND(f.fold_fertility - g.greedy_fertility, 6)
+             AS fertility_delta
+    FROM fold_lang f JOIN greedy_lang g ON f.lang = g.lang
+    ORDER BY f.lang
+    """
+
+
+@register(
+    "wordpiece_runtime_drift",
+    _WP_DRIFT_SQL,
+    doc="TRAIN/DEPLOY TOKENIZER DRIFT — the same WordPiece vocabulary "
+    "encoded two ways, side by side per language: the trainer's "
+    "merge-ORDER fold (apply merges in training sequence — what "
+    "wordpiece_holdout_fertility measures) vs the deployed BERT "
+    "runtime's greedy longest-match against the FINAL vocabulary "
+    "(wordpiece_greedy_segment's operator).  The two disagree whenever "
+    "a later merge's output overlaps an earlier merge's span, and the "
+    "fertility delta is the measured cost of shipping a runtime that "
+    "differs from the trainer — the drift every tokenizer deployment "
+    "quietly carries (HuggingFace vs SentencePiece encodings of the "
+    "same vocab differ exactly this way).  Both legs run once per "
+    "DISTINCT (lang, word); the greedy leg segments each distinct word "
+    "ONCE globally and joins back by word.  All vocab-sized; merges "
+    "broadcast",
+)
+def wordpiece_runtime_drift(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.unigram import word_vocab
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tops = _wp_train_tops(docs)
+    wv = word_vocab(docs)
+    vocab = vocab_from_tops(wv, tops)
+    gseg = greedy_segment_words(wv, vocab).select(
+        "w", F.size("pieces").alias("g_syms")
+    )
+    lv = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = lv.select(
+        "lang",
+        "cnt",
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for top in tops:
+        enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "lang", "cnt", "w", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    fold_lang = enc.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_instances"),
+        F.round(
+            F.sum(F.col("cnt") * F.size("syms")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("fold_fertility"),
+    )
+    greedy_lang = (
+        lv.join(gseg, "w")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("g_syms")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("greedy_fertility")
+        )
+    )
+    return (
+        fold_lang.join(greedy_lang, "lang")
+        .select(
+            "lang",
+            "n_instances",
+            "fold_fertility",
+            "greedy_fertility",
+            F.round(
+                F.col("fold_fertility") - F.col("greedy_fertility"), 6
+            ).alias("fertility_delta"),
+        )
+        .orderBy("lang")
+    )

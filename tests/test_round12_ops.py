@@ -503,3 +503,46 @@ def test_rrf_score_formula_and_fusion_property(spark):
         assert max(r["rrf_score"] for r in both) > max(
             r["rrf_score"] for r in single
         )
+
+
+def test_wordpiece_runtime_drift_detects_planted_divergence(spark):
+    """The drift the registered query measures is real: with merges
+    learned in order (b,c) -> (bc,c) -> (a,b), the trainer's merge-ORDER
+    fold encodes 'abcc' as [a, bcc] (2 pieces) while the deployed greedy
+    longest-match runtime takes the locally-longest 'ab' first and ends
+    at [ab, c, c] (3 pieces) — same vocabulary, different encoding and
+    different fertility.  (On the synthetic corpus the registered
+    query's measured delta is 0.0 — correct there, as the oracle
+    proves; this pins that the machinery DOES diverge when the merge
+    structure overlaps.)"""
+    from newyork_taxi_etl_spark.operators.wordpiece import (
+        greedy_segment_words,
+        vocab_from_tops,
+    )
+    from newyork_taxi_etl_spark.queries.text import _BPE_MERGE_EXPR
+
+    tops = [
+        spark.createDataFrame([(a, b)], "a string, b string")
+        for (a, b) in (("b", "c"), ("bc", "c"), ("a", "b"))
+    ]
+    words = spark.createDataFrame([("abcc", 1)], "w string, freq long")
+
+    # trainer-order fold encode
+    enc = words.select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for top in tops:
+        enc = enc.crossJoin(F.broadcast(top)).select(
+            "w", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    fold = enc.collect()[0]["syms"]
+    assert fold == ["a", "bcc"]
+
+    # deployed greedy longest-match against the SAME final vocabulary
+    vocab = vocab_from_tops(words, tops)
+    greedy = greedy_segment_words(words, vocab).collect()[0]["pieces"]
+    assert list(greedy) == ["ab", "c", "c"]
+    assert len(greedy) != len(fold)  # fertility drift is real
