@@ -376,7 +376,12 @@ def test_stage_cache_build_once_and_atomic(spark, tmp_path):
         with open(os.path.join(target, "part-0.parquet"), "w") as f:
             f.write("x")
 
-    key = f"pytest-stage-{tmp_path.name}"
+    # unique per test RUN: the cache root persists in the system temp dir
+    # across pytest invocations by design, so a stable key would hit the
+    # previous run's generation and see zero builds
+    import uuid
+
+    key = f"pytest-stage-{uuid.uuid4().hex}"
     d1 = _stage_cached(str(tmp_path / "a"), key, build)
     d2 = _stage_cached(str(tmp_path / "b"), key, build)
     assert d1 == d2 == _stage_cache_dir(key)
