@@ -3191,9 +3191,14 @@ _RRF_TERMS = ("spark", "join", "vector")
            rrf_score
     FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
     """,
-    doc="HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack, Clarke & "
-    "Buettcher 2009 — the fusion rule production hybrid search ships, "
-    "e.g. lexical+vector engines): the BM25 leg ranks documents for the "
+    doc="CROSS-MODAL hybrid retrieval via reciprocal-rank fusion "
+    "(Cormack, Clarke & Buettcher 2009 — the fusion rule production "
+    "hybrid search ships): the LEXICAL + DENSE pairing, complementing "
+    "rrf_hybrid_retrieval (queries/similarity.py), which fuses two "
+    "dense legs (full-dim vs truncated) — there the legs share a "
+    "metric, here they do not even share a feature space, which is "
+    "what makes rank-based fusion necessary.  The BM25 leg ranks "
+    "documents for the "
     "bag-of-terms query ('spark','join','vector'), the dense leg ranks "
     "by cosine against probe vector 0; each leg keeps its top-50 and "
     "fuses with score(d) = sum over legs of 1/(60 + rank_leg(d)) — "
