@@ -3146,7 +3146,11 @@ def ccnet_kn_bucket_agreement(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     du = _doc_mean_nll(_uni_add1_nll(_tok_stream(docs)), out="su")
     dk = _doc_mean_nll(_kn_nll(_bi_stream(docs)), out="sk")
-    both = du.join(dk, ["doc_id", "lang"])
+    # one row per doc consumed by BOTH tilings (each _lang_ntile3 has two
+    # internal consumers of its input): pin it or the unigram AND the
+    # full KN bigram scoring chains re-run once per cut (measured 9.2 s
+    # -> ~5 s at sf0.1)
+    both = du.join(dk, ["doc_id", "lang"]).localCheckpoint(eager=False)
     tu = _lang_ntile3(both.select("doc_id", "lang", "su"), "su").select(
         "doc_id", "lang", F.col("tile").alias("tile_add1")
     )
@@ -3322,4 +3326,143 @@ def wordpiece_runtime_drift(spark, sf_dir):
             ).alias("fertility_delta"),
         )
         .orderBy("lang")
+    )
+
+
+# --- quality-rule funnel (Gopher rules, Rae et al. 2021 Appendix A) ---------
+
+#: (rule, spark/duck boolean over the token-stats row) — ONE ordered list so
+#: the funnel stages cannot drift between engines; all six stats derive from
+#: the split token array
+_QR_RULES = [
+    ("token_count_bounds", "n_tokens BETWEEN 20 AND 80"),
+    ("mean_word_len_bounds", "mean_wl BETWEEN 3.0 AND 8.0"),
+    ("type_token_ratio_floor", "ttr >= 0.5"),
+    ("char_count_bounds", "n_chars BETWEEN 100 AND 600"),
+    ("max_word_len_cap", "max_wl <= 15"),
+]
+
+
+def _qr_stage_rows_sql() -> str:
+    rows = []
+    passed = []
+    for i, (rule, cond) in enumerate(_QR_RULES, start=1):
+        prefix = " AND ".join(passed) if passed else "TRUE"
+        rows.append(f"""
+      SELECT {i} AS stage, '{rule}' AS rule,
+             CAST(SUM(CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS failed_alone,
+             CAST(SUM(CASE WHEN ({prefix}) AND NOT ({cond})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS killed_at_stage,
+             CAST(SUM(CASE WHEN ({prefix}) AND ({cond})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+      FROM qstats""")
+        passed.append(f"({cond})")
+    return "\n      UNION ALL\n".join(rows)
+
+
+@register(
+    "quality_rule_funnel",
+    f"""
+    WITH qstats AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(SUM(length(w)) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_wl,
+             MAX(length(w)) AS max_wl,
+             CAST(COUNT(DISTINCT w) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM (SELECT doc_id, n_chars, text,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, n_chars, text
+    ),
+    stages AS (
+      {_qr_stage_rows_sql()}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qstats)
+    SELECT stage, rule, failed_alone, killed_at_stage, survivors,
+           ROUND(survivors / CAST(tot.n AS DOUBLE), 6) AS survivor_share
+    FROM stages, tot
+    ORDER BY stage
+    """,
+    doc="QUALITY-RULE FUNNEL (the Gopher rule-set audit, Rae et al. 2021 "
+    "Appendix A; FineWeb publishes exactly this per-rule ablation): "
+    "five document-quality rules — token-count bounds, mean-word-length "
+    "bounds, type-token-ratio floor, char-count bounds, max-word-length "
+    "cap — each reported three ways: docs failing the rule ALONE "
+    "(marginal strictness), docs KILLED AT ITS STAGE of the sequential "
+    "funnel (what the rule uniquely removes after its predecessors), "
+    "and the running survivor count/share.  The funnel ordering is ONE "
+    "shared list so the two engines cannot disagree about stages.  "
+    "Scale: one pass computes all six per-doc stats (token explode -> "
+    "per-doc aggregate, map-side combinable); the funnel itself is five "
+    "conditional sums over that one table — no second scan, no shuffle "
+    "beyond the doc aggregate",
+)
+def quality_rule_funnel(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    qstats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_wl"),
+        F.array_max(F.transform(toks, F.length)).alias("max_wl"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+    )
+    tot = qstats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    legs = []
+    passed = []
+    for i, (rule, cond) in enumerate(_QR_RULES, start=1):
+        prefix = " AND ".join(passed) if passed else "TRUE"
+        legs.append(
+            qstats.agg(
+                F.lit(i).alias("stage"),
+                F.lit(rule).alias("rule"),
+                F.sum(F.expr(f"CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END"))
+                .cast("bigint")
+                .alias("failed_alone"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN ({prefix}) AND NOT ({cond}) "
+                        "THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("killed_at_stage"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN ({prefix}) AND ({cond}) "
+                        "THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("survivors"),
+            )
+        )
+        passed.append(f"({cond})")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "rule",
+            "failed_alone",
+            "killed_at_stage",
+            "survivors",
+            F.round(
+                F.col("survivors") / F.col("n").cast("double"), 6
+            ).alias("survivor_share"),
+        )
+        .orderBy("stage")
     )

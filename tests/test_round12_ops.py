@@ -551,3 +551,50 @@ def test_wordpiece_runtime_drift_detects_planted_divergence(spark):
     greedy = greedy_segment_words(words, vocab).collect()[0]["pieces"]
     assert list(greedy) == ["ab", "c", "c"]
     assert len(greedy) != len(fold)  # fertility drift is real
+
+
+def test_quality_rule_funnel_identities(spark):
+    """Funnel algebra: survivors are monotone non-increasing, each
+    stage's survivors = previous survivors - killed_at_stage, stage 1's
+    killed == its failed_alone (no predecessor), killed_at_stage <=
+    failed_alone for every later stage, and the final survivor share is
+    the fraction passing ALL rules (recomputed directly)."""
+    rows = sorted(
+        queries()["quality_rule_funnel"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        if prev is None:
+            assert r["killed_at_stage"] == r["failed_alone"]
+        else:
+            assert r["survivors"] == prev - r["killed_at_stage"]
+            assert r["killed_at_stage"] <= r["failed_alone"]
+            assert r["survivors"] <= prev
+        prev = r["survivors"]
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    stats = docs.select(
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_wl"),
+        F.array_max(F.transform(toks, F.length)).alias("max_wl"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+    )
+    passed_all = stats.filter(
+        F.expr(
+            "n_tokens BETWEEN 20 AND 80 AND mean_wl BETWEEN 3.0 AND 8.0 "
+            "AND ttr >= 0.5 AND n_chars BETWEEN 100 AND 600 "
+            "AND max_wl <= 15"
+        )
+    ).count()
+    assert rows[-1]["survivors"] == passed_all
