@@ -3361,49 +3361,11 @@ def _qr_stage_rows_sql() -> str:
     return "\n      UNION ALL\n".join(rows)
 
 
-@register(
-    "quality_rule_funnel",
-    f"""
-    WITH qstats AS (
-      SELECT doc_id, n_chars,
-             len(string_split(text, ' ')) AS n_tokens,
-             CAST(SUM(length(w)) AS DOUBLE)
-               / len(string_split(text, ' ')) AS mean_wl,
-             MAX(length(w)) AS max_wl,
-             CAST(COUNT(DISTINCT w) AS DOUBLE)
-               / len(string_split(text, ' ')) AS ttr
-      FROM (SELECT doc_id, n_chars, text,
-                   unnest(string_split(text, ' ')) AS w
-            FROM documents)
-      GROUP BY doc_id, n_chars, text
-    ),
-    stages AS (
-      {_qr_stage_rows_sql()}
-    ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qstats)
-    SELECT stage, rule, failed_alone, killed_at_stage, survivors,
-           ROUND(survivors / CAST(tot.n AS DOUBLE), 6) AS survivor_share
-    FROM stages, tot
-    ORDER BY stage
-    """,
-    doc="QUALITY-RULE FUNNEL (the Gopher rule-set audit, Rae et al. 2021 "
-    "Appendix A; FineWeb publishes exactly this per-rule ablation): "
-    "five document-quality rules — token-count bounds, mean-word-length "
-    "bounds, type-token-ratio floor, char-count bounds, max-word-length "
-    "cap — each reported three ways: docs failing the rule ALONE "
-    "(marginal strictness), docs KILLED AT ITS STAGE of the sequential "
-    "funnel (what the rule uniquely removes after its predecessors), "
-    "and the running survivor count/share.  The funnel ordering is ONE "
-    "shared list so the two engines cannot disagree about stages.  "
-    "Scale: one pass computes all six per-doc stats (token explode -> "
-    "per-doc aggregate, map-side combinable); the funnel itself is five "
-    "conditional sums over that one table — no second scan, no shuffle "
-    "beyond the doc aggregate",
-)
-def quality_rule_funnel(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+def _qr_stats(docs):
+    """Per-doc quality stats for the rule funnel — ONE pass derives all
+    five rule inputs from the split token array."""
     toks = F.split(F.col("text"), " ")
-    qstats = docs.select(
+    return docs.select(
         "doc_id",
         "n_chars",
         F.size(toks).alias("n_tokens"),
@@ -3418,7 +3380,14 @@ def quality_rule_funnel(spark, sf_dir):
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("ttr"),
     )
-    tot = qstats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def _qr_stage_counts(qstats):
+    """Per-stage funnel counts over a qstats frame: (stage, rule,
+    failed_alone, killed_at_stage, survivors, n_docs) — all five columns
+    are per-doc-independent integer sums, so the rows are ADDITIVE
+    across any partition of the corpus (the property the streaming
+    ingest twin folds on)."""
     legs = []
     passed = []
     for i, (rule, cond) in enumerate(_QR_RULES, start=1):
@@ -3446,23 +3415,102 @@ def quality_rule_funnel(spark, sf_dir):
                 )
                 .cast("bigint")
                 .alias("survivors"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             )
         )
         passed.append(f"({cond})")
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionAll(leg)
-    return (
-        out.crossJoin(F.broadcast(tot))
-        .select(
-            "stage",
-            "rule",
-            "failed_alone",
-            "killed_at_stage",
-            "survivors",
-            F.round(
-                F.col("survivors") / F.col("n").cast("double"), 6
-            ).alias("survivor_share"),
-        )
-        .orderBy("stage")
-    )
+    return out
+
+
+def _qr_finalize(counts):
+    """Counts -> the funnel's output shape (share from the additive
+    sums)."""
+    return counts.select(
+        "stage",
+        "rule",
+        "failed_alone",
+        "killed_at_stage",
+        "survivors",
+        F.round(
+            F.col("survivors") / F.col("n_docs").cast("double"), 6
+        ).alias("survivor_share"),
+    ).orderBy("stage")
+
+
+_QR_FUNNEL_SQL = f"""
+    WITH qstats AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(SUM(length(w)) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_wl,
+             MAX(length(w)) AS max_wl,
+             CAST(COUNT(DISTINCT w) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM (SELECT doc_id, n_chars, text,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, n_chars, text
+    ),
+    stages AS (
+      {_qr_stage_rows_sql()}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qstats)
+    SELECT stage, rule, failed_alone, killed_at_stage, survivors,
+           ROUND(survivors / CAST(tot.n AS DOUBLE), 6) AS survivor_share
+    FROM stages, tot
+    ORDER BY stage
+    """
+
+
+@register(
+    "quality_rule_funnel",
+    _QR_FUNNEL_SQL,
+    doc="QUALITY-RULE FUNNEL (the Gopher rule-set audit, Rae et al. 2021 "
+    "Appendix A; FineWeb publishes exactly this per-rule ablation): "
+    "five document-quality rules — token-count bounds, mean-word-length "
+    "bounds, type-token-ratio floor, char-count bounds, max-word-length "
+    "cap — each reported three ways: docs failing the rule ALONE "
+    "(marginal strictness), docs KILLED AT ITS STAGE of the sequential "
+    "funnel (what the rule uniquely removes after its predecessors), "
+    "and the running survivor count/share.  The funnel ordering is ONE "
+    "shared list so the two engines cannot disagree about stages.  "
+    "Scale: one pass computes all six per-doc stats (token explode -> "
+    "per-doc aggregate, map-side combinable); the funnel itself is five "
+    "conditional sums over that one table — no second scan, no shuffle "
+    "beyond the doc aggregate",
+)
+def quality_rule_funnel(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    qstats = _qr_stats(docs).localCheckpoint(eager=False)
+    return _qr_finalize(_qr_stage_counts(qstats))
+
+
+@register(
+    "streaming_quality_funnel_ingest",
+    _QR_FUNNEL_SQL,
+    doc="quality_rule_funnel folded AT INGEST — the seventh per-batch "
+    "fold, and the first with NO build phase at all: every funnel "
+    "column (failed-alone, killed-at-stage, survivors, doc count) is a "
+    "per-doc-independent integer sum, so each micro-batch computes its "
+    "own 5-row stage table and the state fold is plain addition, "
+    "replay-guarded by the applied-batch sidecar.  The drained funnel "
+    "equals the one-shot batch audit bit-for-bit under ANY slicing "
+    "(integer sums commute), so the batch oracle covers every "
+    "batching.  This is the shape a crawl pipeline actually monitors: "
+    "per-rule kill rates updating as documents arrive, state "
+    "O(rules).",
+)
+def streaming_quality_funnel_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_funnelingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_funnel_ingest(spark, docs, work)

@@ -3088,6 +3088,74 @@ def run_streaming_dsir_ingest(
     ).orderBy("lang")
 
 
+def run_streaming_funnel_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """QUALITY-RULE FUNNEL AT INGEST — the seventh per-batch fold, and
+    the first with NO build phase: every funnel column is a per-doc-
+    independent integer sum (see _qr_stage_counts), so each micro-batch
+    computes its own 5-row stage table and the state fold is plain
+    addition, replay-guarded by the applied-batch sidecar.  Drained ==
+    batch bit-for-bit under any slicing (integer sums commute); state is
+    O(rules)."""
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.text import (
+        _qr_finalize,
+        _qr_stage_counts,
+        _qr_stats,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    parts_dir = os.path.join(work_dir, "stage_partials")
+    for d in (stage_dir, parts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    staged = docs_df.select("doc_id", "n_chars", "text")
+    staged.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(parts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its partials are already folded
+        part = _qr_stage_counts(_qr_stats(batch_df))
+        os.makedirs(parts_dir, exist_ok=True)
+        part.write.mode("append").parquet(parts_dir)
+        _mark_applied(parts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    counts = (
+        spark.read.parquet(parts_dir)
+        .groupBy("stage", "rule")
+        .agg(
+            F.sum("failed_alone").cast("bigint").alias("failed_alone"),
+            F.sum("killed_at_stage").cast("bigint").alias("killed_at_stage"),
+            F.sum("survivors").cast("bigint").alias("survivors"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+    return _qr_finalize(counts)
+
+
 def run_streaming_decon_ingest(
     spark,
     docs_df: DataFrame,

@@ -598,3 +598,23 @@ def test_quality_rule_funnel_identities(spark):
         )
     ).count()
     assert rows[-1]["survivors"] == passed_all
+
+
+def test_funnel_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
+    """Funnel columns are per-doc-independent integer sums, so the
+    drained monitor must equal itself under 1 vs 4 slices AND equal the
+    one-shot batch audit bit-for-bit."""
+    from newyork_taxi_etl_spark.streaming.windows import (
+        run_streaming_funnel_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    one = run_streaming_funnel_ingest(
+        spark, docs, str(tmp_path / "one"), n_slices=1
+    ).collect()
+    four = run_streaming_funnel_ingest(
+        spark, docs, str(tmp_path / "four"), n_slices=4
+    ).collect()
+    batch = queries()["quality_rule_funnel"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, four))
+    assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
