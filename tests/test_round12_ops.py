@@ -618,3 +618,54 @@ def test_funnel_ingest_batching_invariant_and_equals_batch(spark, tmp_path):
     batch = queries()["quality_rule_funnel"](spark, SF_ORACLE).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, four))
     assert sorted(map(tuple, one)) == sorted(map(tuple, batch))
+
+
+def test_wordpiece_greedy_property_random_vocabs(spark):
+    """Property (hypothesis): for random words over a small alphabet and
+    a random vocabulary that always contains the singles, the relational
+    greedy fold equals the plain-Python longest-match reference and
+    roundtrips, for every word.  One Spark job per example — examples
+    kept small (the test_properties.py budget discipline)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from newyork_taxi_etl_spark.operators.wordpiece import (
+        greedy_segment_words,
+    )
+
+    alphabet = "abc"
+    words_st = st.lists(
+        st.text(alphabet=alphabet, min_size=1, max_size=7),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+    pieces_st = st.sets(
+        st.text(alphabet=alphabet, min_size=2, max_size=4), max_size=6
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(words_st, pieces_st)
+    def run(words, pieces):
+        vocab_set = set(alphabet) | pieces
+        wdf = spark.createDataFrame(
+            [(w, i + 1) for i, w in enumerate(words)],
+            "w string, freq long",
+        )
+        vdf = spark.createDataFrame(
+            [(p,) for p in sorted(vocab_set)], "piece string"
+        )
+        got = {
+            r["w"]: list(r["pieces"])
+            for r in greedy_segment_words(wdf, vdf).collect()
+        }
+        assert set(got) == set(words)
+        for w in words:
+            assert got[w] == _py_greedy(w, vocab_set), (w, vocab_set)
+            assert "".join(got[w]) == w
+
+    run()
