@@ -3262,3 +3262,98 @@ def hybrid_rrf_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
+
+
+# --- data-constrained mixture plan (Muennighoff et al. 2023) ----------------
+
+
+@register(
+    "mixture_epochs_plan",
+    """
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, avail_tokens,
+             ROUND(sqrt(CAST(avail_tokens AS DOUBLE)), 6) AS sq
+      FROM avail
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens,
+             CAST(CAST(SUM(CAST(CAST(sq AS VARCHAR) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS s
+      FROM wts
+    )
+    SELECT w.source, w.avail_tokens,
+           ROUND(w.sq / tot.s, 6) AS weight,
+           CAST(ROUND(ROUND(w.sq / tot.s, 6)
+                      * (2 * tot.total_tokens)) AS BIGINT)
+             AS requested_tokens,
+           ROUND(CAST(ROUND(ROUND(w.sq / tot.s, 6)
+                            * (2 * tot.total_tokens)) AS DOUBLE)
+                 / w.avail_tokens, 4) AS epochs,
+           CAST(CASE WHEN CAST(ROUND(ROUND(w.sq / tot.s, 6)
+                                     * (2 * tot.total_tokens)) AS DOUBLE)
+                          / w.avail_tokens > 4.0
+                THEN 1 ELSE 0 END AS INT) AS over_repeat_cap
+    FROM wts w, tot
+    ORDER BY w.source
+    """,
+    doc="DATA-CONSTRAINED MIXTURE PLAN (Muennighoff et al. 2023, 'Scaling "
+    "Data-Constrained Language Models'): given a token budget of 2x the "
+    "corpus (a data-constrained run by construction) and a temperature "
+    "mixture w_d proportional to sqrt(available_d) (alpha = 0.5, the "
+    "temperature_mix_sampling rule — sqrt, not pow, because sqrt is "
+    "correctly-rounded IEEE on both engines), report per source: the "
+    "requested token allocation, the implied EPOCH count "
+    "(requested/available), and the over_repeat_cap flag at 4 epochs — "
+    "the paper's threshold beyond which repeating data stops buying "
+    "loss.  The flagged rows are exactly the domains a data-constrained "
+    "recipe must either up-source or down-weight (pair with "
+    "dsir_domain_affinity to find substitutes).  Determinism: the "
+    "mixture normalizer is a DECIMAL sum of 6-dp-rounded sqrts (a "
+    "cross-group float sum's accumulation order is engine-dependent); "
+    "weights round before the budget multiply so every boundary is "
+    "shared.  Scale: one per-source token aggregate (map-side "
+    "combinable) + O(sources) arithmetic",
+)
+def mixture_epochs_plan(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("avail_tokens")
+    )
+    wts = avail.select(
+        "source",
+        "avail_tokens",
+        F.round(F.sqrt(F.col("avail_tokens").cast("double")), 6).alias("sq"),
+    )
+    tot = wts.agg(
+        F.sum("avail_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("sq").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s"),
+    )
+    weight = F.round(F.col("sq") / F.col("s"), 6)
+    requested = F.round(weight * (2 * F.col("total_tokens"))).cast("bigint")
+    epochs = F.round(
+        requested.cast("double") / F.col("avail_tokens"), 4
+    )
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            weight.alias("weight"),
+            requested.alias("requested_tokens"),
+            epochs.alias("epochs"),
+            (requested.cast("double") / F.col("avail_tokens") > 4.0)
+            .cast("int")
+            .alias("over_repeat_cap"),
+        )
+        .orderBy("source")
+    )

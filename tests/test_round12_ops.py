@@ -669,3 +669,47 @@ def test_wordpiece_greedy_property_random_vocabs(spark):
             assert "".join(got[w]) == w
 
     run()
+
+
+def test_mixture_epochs_plan_identities_and_planted_cap(spark):
+    """Plan identities at the oracle SF (weights sum to ~1, requested sums
+    to ~2x the corpus, epochs == requested/available), and a planted
+    skewed corpus where temperature up-weighting pushes a tiny domain
+    past the 4-epoch repetition cap while the big domain stays under."""
+    rows = queries()["mixture_epochs_plan"](spark, SF_ORACLE).collect()
+    total = sum(r["avail_tokens"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["requested_tokens"] for r in rows) - 2 * total) < len(
+        rows
+    ) * 2
+    for r in rows:
+        assert (
+            abs(
+                r["epochs"]
+                - round(r["requested_tokens"] / r["avail_tokens"], 4)
+            )
+            < 1e-9
+        )
+        assert r["over_repeat_cap"] == (
+            1 if r["requested_tokens"] / r["avail_tokens"] > 4.0 else 0
+        )
+
+    # planted skew: 1 tiny domain vs 1 large one; sqrt-temperature gives
+    # the tiny domain a weight far above its share -> >4 epochs
+    from newyork_taxi_etl_spark.queries.curation import mixture_epochs_plan
+
+    docs = spark.createDataFrame(
+        [(i, "big", "tok " * 50) for i in range(400)]
+        + [(10_000, "tiny", "tok tok tok")],
+        "doc_id long, source string, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        planted = {
+            r["source"]: r for r in mixture_epochs_plan(spark, d).collect()
+        }
+    assert planted["tiny"]["over_repeat_cap"] == 1
+    assert planted["big"]["over_repeat_cap"] == 0
+    assert planted["tiny"]["epochs"] > 4.0 > planted["big"]["epochs"]
