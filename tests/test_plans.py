@@ -1012,3 +1012,34 @@ def test_zipf_rank_is_rangepartitioned_fold(spark):
     assert "rangepartitioning" in plan
     win = plan.index("Window")
     assert "HashAggregate(keys=[_pid" in plan[win:], plan[win:win + 400]
+
+
+def test_wordpiece_greedy_vocab_is_broadcast(spark):
+    """The greedy runtime's vocabulary (chars + merges) must broadcast
+    onto the cell grid — a shuffle join on `piece` would exchange the
+    whole O(vocab x len x L) candidate grid."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["wordpiece_greedy_segment"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_affinity_models_are_broadcast(spark):
+    """The all-targets log-ratio table (targets x 64 rows) must broadcast
+    onto the token-bucket stream — shuffling the corpus-sized stream
+    against a tiny model table would be the scale-killer."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["dsir_domain_affinity"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_bm25_leg_is_distributed_topk(spark):
+    """The BM25 leg's top-50 must plan as TakeOrderedAndProject (the
+    distributed top-K), never a global sort of all scored docs; the rank
+    window then runs over the 50-row result only."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["hybrid_rrf_fusion"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
