@@ -5625,3 +5625,118 @@ def ann_pq_rotated_recall(spark, sf_dir):
             "recall"
         ),
     ).orderBy("method")
+
+
+@register(
+    "ann_ivf_balance",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS vec
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.v,
+             (SELECT c.cid FROM c0 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY i) AS vec
+      FROM (SELECT cid, r.i AS i,
+                   CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS m
+            FROM a1, unnest(range(1, len(v)+1)) AS r(i)
+            GROUP BY cid, r.i)
+      GROUP BY cid
+    ),
+    assigned AS (
+      SELECT e.vec_id,
+             (SELECT c.cid FROM c1 c
+              ORDER BY {_IVF_KM_DIST.format(a='e.v', b='c.vec')}, c.cid
+              LIMIT 1) AS cid
+      FROM emb e
+    ),
+    lists AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_i FROM assigned GROUP BY cid
+    ),
+    tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM lists),
+    terms AS (
+      SELECT l.n_i, tot.n,
+             ROUND((l.n_i / CAST(tot.n AS DOUBLE))
+                   * ln(l.n_i / CAST(tot.n AS DOUBLE)), 12) AS t
+      FROM lists l, tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+           MAX(n) AS n_vecs,
+           CAST(MIN(n_i) AS BIGINT) AS min_list,
+           CAST(MAX(n_i) AS BIGINT) AS max_list,
+           ROUND(MAX(n_i) / (MAX(n) / CAST(COUNT(*) AS DOUBLE)), 4)
+             AS skew,
+           ROUND(-CAST(CAST(SUM(CAST(CAST(t AS VARCHAR) AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / ln(COUNT(*)), 6) AS entropy_norm
+    FROM terms
+    """,
+    doc="IVF INDEX BALANCE diagnostics — the health dashboard an index "
+    "operator watches: after the shared kmeans build (8 lists, 1 exact-"
+    "mean Lloyd round — the ann_ivf_kmeans_topk centroids), report list "
+    "count, corpus size, min/max list sizes, SKEW (max list over the "
+    "uniform mean — probe latency is bounded by the hottest list, so "
+    "this is the p99 driver), and normalized assignment entropy "
+    "(H / ln k; 1.0 = perfectly balanced).  A skewed index wastes "
+    "n_probe budget exactly like a skewed shuffle wastes executors — "
+    "same pathology, measured the same way (cf. skew_diagnostics for "
+    "joins).  Entropy terms round at 12 and decimal-sum (a cross-list "
+    "float sum's order is engine-dependent).  Scale: the zero-shuffle "
+    "broadcast-argmin assignment + one k-row aggregate",
+)
+def ann_ivf_balance(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    lists = (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
+    tot = lists.agg(F.sum("n_i").cast("bigint").alias("n"))
+    p = F.col("n_i") / F.col("n").cast("double")
+    terms = lists.crossJoin(F.broadcast(tot)).select(
+        "n_i", "n", F.round(p * F.log(p), 12).alias("t")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.max("n").alias("n_vecs"),
+        F.min("n_i").cast("bigint").alias("min_list"),
+        F.max("n_i").cast("bigint").alias("max_list"),
+        F.round(
+            F.max("n_i") / (F.max("n") / F.count(F.lit(1)).cast("double")),
+            4,
+        ).alias("skew"),
+        F.round(
+            -F.sum(F.col("t").cast("decimal(38,12)")).cast("double")
+            / F.log(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("entropy_norm"),
+    )

@@ -713,3 +713,37 @@ def test_mixture_epochs_plan_identities_and_planted_cap(spark):
     assert planted["tiny"]["over_repeat_cap"] == 1
     assert planted["big"]["over_repeat_cap"] == 0
     assert planted["tiny"]["epochs"] > 4.0 > planted["big"]["epochs"]
+
+
+def test_ivf_balance_identities_and_planted_skew(spark):
+    """Balance identities (list sizes sum to the corpus, entropy_norm in
+    (0, 1], skew >= 1) and a planted two-blob corpus with a 9:1 mass
+    split must show skew well above the real corpus's near-uniform
+    value and entropy below it."""
+    import tempfile
+
+    import numpy as np
+
+    from newyork_taxi_etl_spark.queries.similarity import ann_ivf_balance
+
+    row = queries()["ann_ivf_balance"](spark, SF_ORACLE).collect()[0]
+    assert row["n_lists"] == 8
+    assert row["min_list"] >= 1 and row["max_list"] <= row["n_vecs"]
+    assert row["skew"] >= 1.0
+    assert 0.0 < row["entropy_norm"] <= 1.0
+
+    rng = np.random.RandomState(7)
+    vecs = []
+    for i in range(450):  # hot blob
+        vecs.append((i, (rng.randn(64) * 0.01 + 5.0).tolist()))
+    for i in range(450, 500):  # 50-vector cold blob far away
+        vecs.append((i, (rng.randn(64) * 0.01 - 5.0).tolist()))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        planted = ann_ivf_balance(spark, d).collect()[0]
+    assert planted["skew"] > row["skew"]
+    assert planted["entropy_norm"] < row["entropy_norm"]
