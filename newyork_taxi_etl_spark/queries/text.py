@@ -3058,7 +3058,10 @@ def kneser_ney_lm_compare(spark, sf_dir):
         F.sum("cnt").cast("bigint").alias("total"),
         F.count(F.lit(1)).alias("vocab"),
     )
-    bi = _bi_stream(docs)
+    # the exploded bigram stream feeds BOTH scoring legs (each with its
+    # own model joins): pin it or the corpus scan + shingle transform
+    # re-runs per leg
+    bi = _bi_stream(docs).localCheckpoint(eager=False)
     da = _doc_mean_nll(_bi_add1_nll(bi, utot), out="sa")
     dk = _doc_mean_nll(_kn_nll(bi), out="sk")
     avg_a = F.sum(F.col("sa").cast(dec)).cast("double") / F.count(F.lit(1))
