@@ -397,6 +397,17 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "stream_stream_right_outer_join",
     "streaming_session_close",
     "streaming_late_drop",
+    # r12 refactor — dsir_importance_select's chain factored into the
+    # shared buckets/model/doc-weights/profile stages the streaming twin
+    # and the affinity matrix consume; _pq_adc_topk gained the pre-shaped
+    # base parameter for the rotated-PQ gate (default path identical).
+    # Values verified unchanged in this round's full 337-query sweep,
+    # but the shared code changed so all re-check.
+    "dsir_importance_select",
+    "ann_pq_adc_topk",
+    "ann_pq_adc_k16_topk",
+    "ann_pq_adc_trained_topk",
+    "ann_recall_trained",
 })
 
 def _tier(name: str) -> int:

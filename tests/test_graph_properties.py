@@ -141,7 +141,7 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("training_shard_assignment", 12), # r11-reverified: min-3 fingerprint
         ("wordpiece_merge_loop", 1),   # r12-changed: log-domain score
         ("ann_recall_sq8", 1),         # r12-changed: shared-helper refactor
-        ("dsir_importance_select", 12),        # r11-latest (first verdict)
+        ("dsir_importance_select", 1), # r12-changed: shared-stage refactor
         ("wordpiece_greedy_segment", 0),       # r12 new: never verified
         ("streaming_dsir_ingest", 0),          # r12 new: never verified
         ("ann_recall_sq_sweep", 0),            # r12 new: never verified
