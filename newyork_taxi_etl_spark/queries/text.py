@@ -3517,3 +3517,280 @@ def streaming_quality_funnel_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="nyetl_funnelingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return W.run_streaming_funnel_ingest(spark, docs, work)
+
+
+# ---------------------------------------------------------------------------
+# Readability + character-coverage (round 12, session 2): the two classic
+# corpus-prep audits still missing between the quality-rule funnel (document
+# gates) and the tokenizer trainers (vocabulary builders).
+
+_READABILITY_SQL = """
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS n_words,
+             GREATEST(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+               AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               + len(list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '' AND
+                                      NOT regexp_matches(t, '[aeiouy]')))
+               AS n_syll
+      FROM documents
+    ),
+    p AS (
+      SELECT lang,
+             CAST(ROUND(CAST(n_words AS DOUBLE) / n_sents, 12)
+                  AS DECIMAL(38,12)) AS wps,
+             CAST(ROUND(CAST(n_syll AS DOUBLE) / n_words, 12)
+                  AS DECIMAL(38,12)) AS spw,
+             CAST(ROUND(206.835
+                        - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                        - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 12)
+                  AS DECIMAL(38,12)) AS fre
+      FROM d WHERE n_words > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(wps) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_words_per_sentence,
+           ROUND(CAST(CAST(SUM(spw) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_syllables_per_word,
+           ROUND(CAST(CAST(SUM(fre) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_flesch
+    FROM p GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "readability_scores",
+    _READABILITY_SQL,
+    doc="FLESCH READING-EASE per language (Flesch 1948; the readability "
+    "gate CCNet/Gopher pipelines run beside perplexity): 206.835 - "
+    "1.015*(words/sentences) - 84.6*(syllables/word), with the two "
+    "standard corpus heuristics made explicit — sentences = count of "
+    "'[.!?]+' runs with a single-sentence FALLBACK (GREATEST 1: this "
+    "synthetic corpus carries no punctuation, so every doc degrades to "
+    "one sentence and the words/sentence term measures document "
+    "length; the pytest plants punctuated text to prove the real "
+    "split), and syllables = lowercase vowel GROUPS '[aeiouy]+' plus "
+    "one per vowel-less word (the min-1-syllable correction).  "
+    "Engine-exactness: each per-doc term is one double division chain "
+    "(identical IEEE order both engines), rounded 12 dp and "
+    "DECIMAL-summed so the per-language mean is order-independent; "
+    "output rounds at 6.  Scale: pure scan-side HOFs per document, "
+    "shuffle is the O(langs) rollup — nothing grows with corpus size.",
+)
+def readability_scores(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _readability_finalize(_readability_terms(docs))
+
+
+def _readability_terms(docs):
+    """Per-doc (lang, wps, spw, fre) Flesch terms as 12-dp decimals —
+    pure scan-side expressions (one double division chain per term,
+    identical IEEE order on both engines)."""
+    dec = "decimal(38,12)"
+    low = F.lower(F.col("text"))
+    n_words = F.size(
+        F.filter(F.split(low, " "), lambda t: t != F.lit(""))
+    )
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[.!?]+', 0)")),
+        F.lit(1),
+    )
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ) + F.size(
+        F.expr(
+            "filter(split(lower(text), ' '), "
+            "t -> t <> '' AND NOT t rlike '[aeiouy]')"
+        )
+    )
+    d = docs.select(
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syll").cast("double") / F.col("n_words")
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return d.select(
+        "lang",
+        F.round(wps, 12).cast(dec).alias("wps"),
+        F.round(spw, 12).cast(dec).alias("spw"),
+        F.round(fre, 12).cast(dec).alias("fre"),
+    )
+
+
+def _readability_finalize(terms):
+    """Order-independent per-language mean of the decimal Flesch terms."""
+    cnt = F.count(F.lit(1))
+    return (
+        terms.groupBy("lang")
+        .agg(
+            cnt.cast("bigint").alias("n_docs"),
+            F.round(F.sum("wps").cast("double") / cnt, 6).alias(
+                "avg_words_per_sentence"
+            ),
+            F.round(F.sum("spw").cast("double") / cnt, 6).alias(
+                "avg_syllables_per_word"
+            ),
+            F.round(F.sum("fre").cast("double") / cnt, 6).alias(
+                "avg_flesch"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _char_counts(docs):
+    """Per-(lang, char) frequency table over lowercased non-space text —
+    the ONE corpus-sized pass of the character-coverage family (and the
+    additive state of its streaming twin: plain integer counts commute
+    and replay-fold idempotently behind a sidecar).  The per-character
+    explode is map-side; partial aggregation bounds the shuffle at
+    langs x alphabet regardless of corpus size."""
+    return (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, length(lower(text))), "
+                    "i -> substring(lower(text), i, 1)), c -> c <> ' ')"
+                )
+            ).alias("ch"),
+        )
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _char_coverage_finalize(counts):
+    """(lang, ch, cnt) -> the per-language coverage-budget row.  All
+    windows run over the alphabet-sized frequency table, never the
+    corpus; the 90% / 99.5% thresholds compare in INTEGER arithmetic
+    (cum*10 >= 9*total, cum*1000 >= 995*total) so no float boundary can
+    diverge across engines."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("cnt"), F.asc("ch"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "ch",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ch")))
+        .alias("rn"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("total").cast("bigint").alias("n_chars_total"),
+            F.count(F.lit(1)).cast("bigint").alias("alphabet_size"),
+            F.min(
+                F.when(F.col("cum") * 10 >= 9 * F.col("total"), F.col("rn"))
+            )
+            .cast("bigint")
+            .alias("chars_for_90"),
+            F.min(
+                F.when(
+                    F.col("cum") * 1000 >= 995 * F.col("total"), F.col("rn")
+                )
+            )
+            .cast("bigint")
+            .alias("chars_for_995"),
+            F.max(F.when(F.col("rn") == 1, F.col("ch"))).alias("top_char"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("double")
+                / F.max("total"),
+                6,
+            ).alias("top_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CHAR_COVERAGE_SQL = """
+    WITH c AS (
+      SELECT lang, substring(lower(text), r.i, 1) AS ch,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+      WHERE substring(lower(text), r.i, 1) <> ' '
+      GROUP BY lang, ch
+    ),
+    ranked AS (
+      SELECT lang, ch, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, ch ASC) AS rn,
+             SUM(cnt) OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, ch ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS total
+      FROM c
+    )
+    SELECT lang,
+           CAST(MAX(total) AS BIGINT) AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS alphabet_size,
+           CAST(MIN(CASE WHEN cum * 10 >= 9 * total THEN rn END) AS BIGINT)
+             AS chars_for_90,
+           CAST(MIN(CASE WHEN cum * 1000 >= 995 * total THEN rn END)
+                AS BIGINT) AS chars_for_995,
+           MAX(CASE WHEN rn = 1 THEN ch END) AS top_char,
+           ROUND(CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+                 / MAX(total), 6) AS top_share
+    FROM ranked GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "char_coverage_budget",
+    _CHAR_COVERAGE_SQL,
+    doc="CHARACTER-COVERAGE BUDGET per language — the SentencePiece "
+    "`character_coverage` decision (Kudo & Richardson 2018) made "
+    "explicit: rank characters by frequency and report how many cover "
+    "90% and 99.5% of the character mass (the knob that decides which "
+    "rare codepoints become <unk>/byte-fallback before BPE/Unigram/"
+    "WordPiece training starts), plus alphabet size and the top "
+    "character's share.  Threshold compares are INTEGER (cum*10 >= "
+    "9*total) — no float boundary.  Scale: the corpus reduces map-side "
+    "to the (lang, char) frequency table (langs x alphabet rows); "
+    "every window runs over THAT, never over character instances.",
+)
+def char_coverage_budget(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _char_coverage_finalize(_char_counts(docs))
+
+
+@register(
+    "streaming_char_coverage_ingest",
+    _CHAR_COVERAGE_SQL,
+    doc="char_coverage_budget folded AT INGEST — the eighth per-batch "
+    "fold (run_streaming_char_coverage_ingest): each micro-batch "
+    "reduces to its own (lang, char) integer partial and the state "
+    "fold is plain addition behind the applied-batch replay sidecar, "
+    "so the drained budget equals the one-shot batch audit bit-for-bit "
+    "under any slicing and the batch oracle covers every batching.  "
+    "State O(langs x alphabet); the coverage windows run at drain time "
+    "over the folded alphabet table.",
+)
+def streaming_char_coverage_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_charcov_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_char_coverage_ingest(spark, docs, work)

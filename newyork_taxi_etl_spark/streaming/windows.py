@@ -3231,3 +3231,71 @@ def run_streaming_decon_ingest(
         _drain(q, timeout_sec)
 
     return _decon_top(spark.read.parquet(runs_dir))
+
+
+def run_streaming_char_coverage_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """CHARACTER-COVERAGE AT INGEST — the eighth per-batch fold, second
+    with no build phase: each micro-batch reduces to its own
+    (lang, char) frequency partial (``_char_counts`` — the batch
+    query's one corpus-sized pass) and the state fold is plain integer
+    addition, replay-guarded by the applied-batch sidecar.  Integer
+    sums commute, so the drained coverage budget equals the one-shot
+    batch audit (``char_coverage_budget``) bit-for-bit under ANY
+    slicing and the batch oracle covers every batching.  This is how a
+    crawl actually discovers its alphabet: codepoint counts update as
+    documents arrive, and the 99.5% budget (which rare chars become
+    <unk>/byte-fallback) firms up long before tokenizer training.
+    State is O(langs x alphabet); the coverage windows run at drain
+    time over that table, never over character instances."""
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.text import (
+        _char_counts,
+        _char_coverage_finalize,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    parts_dir = os.path.join(work_dir, "char_partials")
+    for d in (stage_dir, parts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    staged = docs_df.select("doc_id", "lang", "text")
+    staged.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(parts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its partials are already folded
+        part = _char_counts(batch_df)
+        os.makedirs(parts_dir, exist_ok=True)
+        part.write.mode("append").parquet(parts_dir)
+        _mark_applied(parts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    counts = (
+        spark.read.parquet(parts_dir)
+        .groupBy("lang", "ch")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return _char_coverage_finalize(counts)
