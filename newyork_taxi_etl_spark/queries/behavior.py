@@ -3101,3 +3101,199 @@ def wasserstein_value_drift(spark, sf_dir):
         F.sum((F.col("grp") == "b").cast("int")).alias("cb"),
     )
     return w1_from_counts(counts)
+
+
+_EWMA_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR)
+                                      AS DECIMAL(38,12))) AS VARCHAR)
+                        AS DOUBLE), 6) AS x
+      FROM events GROUP BY event_type, day
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS r
+      FROM daily
+    ),
+    s AS (
+      SELECT t.event_type, t.r,
+             CAST(CAST(SUM(CAST(ROUND(
+                 (CASE WHEN i.r = 1
+                       THEN ROUND(pow(0.7, t.r - 1), 12)
+                       ELSE 0.3 * ROUND(pow(0.7, t.r - i.r), 12)
+                  END) * i.x, 12) AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS ew
+      FROM idx t JOIN idx i
+        ON i.event_type = t.event_type AND i.r <= t.r
+      GROUP BY t.event_type, t.r
+    ),
+    resid AS (
+      SELECT t.event_type, t.r, ROUND(t.x - s.ew, 12) AS rr
+      FROM idx t JOIN s
+        ON s.event_type = t.event_type AND s.r = t.r - 1
+    ),
+    sig AS (
+      SELECT event_type,
+             COUNT(*) AS nr,
+             CAST(CAST(SUM(CAST(CAST(rr AS VARCHAR) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS sr,
+             CAST(CAST(SUM(CAST(CAST(ROUND(rr * rr, 12) AS VARCHAR)
+                                AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) AS sr2,
+             ROUND(MAX(abs(rr)), 6) AS max_abs_resid
+      FROM resid GROUP BY event_type
+    ),
+    sd AS (
+      SELECT event_type, nr, max_abs_resid,
+             sqrt((sr2 - sr * sr / nr) / NULLIF(nr - 1, 0)) AS sigma
+      FROM sig
+    ),
+    flags AS (
+      SELECT r.event_type,
+             CAST(SUM(CASE WHEN abs(r.rr) > 3 * d.sigma
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+      FROM resid r JOIN sd d USING (event_type)
+      GROUP BY r.event_type
+    ),
+    last AS (
+      SELECT s.event_type, s.ew
+      FROM s JOIN (SELECT event_type, MAX(r) AS mr FROM idx
+                   GROUP BY event_type) m
+        ON m.event_type = s.event_type AND s.r = m.mr
+    )
+    SELECT d.event_type,
+           CAST(d.nr + 1 AS BIGINT) AS n_days,
+           f.n_flags,
+           ROUND(d.sigma, 6) AS sigma_resid,
+           d.max_abs_resid,
+           ROUND(l.ew, 6) AS last_ewma
+    FROM sd d
+    JOIN flags f USING (event_type)
+    JOIN last l USING (event_type)
+    ORDER BY d.event_type
+    """
+
+
+@register(
+    "ewma_anomaly_flags",
+    _EWMA_SQL,
+    doc="EWMA CONTROL CHART over the daily value series per event type "
+    "(Roberts 1959; the monitoring layer beside cusum_changepoint's "
+    "level-shift detector): s_t = alpha*x_t + (1-alpha)*s_(t-1) with "
+    "alpha=0.3 and s_1=x_1, each day's residual x_t - s_(t-1) tested "
+    "against 3 sigma of the residual distribution.  The recursion is "
+    "evaluated in CLOSED FORM as a pair join over day indices "
+    "(w = alpha*(1-alpha)^(t-i), the i=1 term keeps the (1-alpha)^(t-1) "
+    "seed weight) — O(days^2) rows per type where days is CALENDAR-"
+    "bounded (a decade is ~3.7k days -> 13M pairs per type, trivially "
+    "partitioned by type), never scaling with event rows: the corpus "
+    "reduces map-side to the daily table first.  Engine-exactness: "
+    "daily x and every weighted term rounded 12 dp and DECIMAL-summed "
+    "(order-independent); pow() ulp drift dies in the 12-dp weight "
+    "round; sigma via the sum/sum-of-squares identity in double from "
+    "two exact decimal sums (NULLIF on n-1: a 2-day series has one "
+    "residual and no variance).  Flag compares run on bit-identical "
+    "doubles, so both engines flag the same days.",
+)
+def ewma_anomaly_flags(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.functions.exact import sum_exact
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(sum_exact("value"), 6).alias("x"))
+    idx = daily.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ),
+    )
+    t = idx.select(
+        F.col("event_type"), F.col("r").alias("tr"), F.col("x").alias("tx")
+    )
+    i = idx.select(
+        F.col("event_type").alias("ie"),
+        F.col("r").alias("ir"),
+        F.col("x").alias("ix"),
+    )
+    w = F.when(
+        F.col("ir") == 1, F.round(F.pow(F.lit(0.7), F.col("tr") - 1), 12)
+    ).otherwise(
+        F.lit(0.3) * F.round(F.pow(F.lit(0.7), F.col("tr") - F.col("ir")), 12)
+    )
+    s = (
+        t.join(
+            i,
+            (F.col("ie") == F.col("event_type")) & (F.col("ir") <= F.col("tr")),
+        )
+        .select(
+            "event_type",
+            "tr",
+            F.round(w * F.col("ix"), 12).cast("decimal(38,12)").alias("term"),
+        )
+        .groupBy("event_type", "tr")
+        .agg(F.sum("term").cast("double").alias("ew"))
+    )
+    resid = (
+        idx.join(
+            s.select(
+                F.col("event_type").alias("se"),
+                (F.col("tr") + 1).alias("nr_next"),
+                "ew",
+            ),
+            (F.col("se") == F.col("event_type"))
+            & (F.col("nr_next") == F.col("r")),
+        )
+        .select("event_type", "r", F.round(F.col("x") - F.col("ew"), 12).alias("rr"))
+    )
+    sig = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.col("rr").cast("decimal(38,12)")).cast("double").alias("sr"),
+        F.sum(F.round(F.col("rr") * F.col("rr"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sr2"),
+        F.round(F.max(F.abs("rr")), 6).alias("max_abs_resid"),
+    )
+    sd = sig.select(
+        "event_type",
+        "nr",
+        "max_abs_resid",
+        F.sqrt(
+            (F.col("sr2") - F.col("sr") * F.col("sr") / F.col("nr"))
+            / F.nullif((F.col("nr") - 1).cast("double"), F.lit(0.0))
+        ).alias("sigma"),
+    )
+    flags = (
+        resid.join(F.broadcast(sd.select("event_type", "sigma")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.abs("rr") > 3 * F.col("sigma"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flags")
+        )
+    )
+    mr = idx.groupBy("event_type").agg(F.max("r").alias("mr")).select(
+        F.col("event_type").alias("me"), "mr"
+    )
+    last = s.join(
+        mr, (F.col("tr") == F.col("mr")) & (F.col("event_type") == F.col("me"))
+    ).select(F.col("event_type").alias("le"), F.col("ew").alias("lew"))
+    return (
+        sd.join(flags, "event_type")
+        .join(last, F.col("le") == F.col("event_type"))
+        .select(
+            "event_type",
+            (F.col("nr") + 1).cast("bigint").alias("n_days"),
+            "n_flags",
+            F.round(F.col("sigma"), 6).alias("sigma_resid"),
+            "max_abs_resid",
+            F.round(F.col("lew"), 6).alias("last_ewma"),
+        )
+        .orderBy("event_type")
+    )

@@ -2184,3 +2184,92 @@ def gini_revenue_concentration(spark, sf_dir):
             "top10pct_share"
         ),
     )
+
+
+_HILL_SQL = """
+    WITH base AS (
+      SELECT lang, n_chars, doc_id FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM base
+    ),
+    thr AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS xk1 FROM ranked WHERE rn = 65
+    ),
+    top AS (
+      SELECT r.lang, r.n_chars, t.xk1
+      FROM ranked r JOIN thr t USING (lang) WHERE r.rn <= 64
+    ),
+    s AS (
+      SELECT lang, MAX(xk1) AS xk1,
+             CAST(CAST(SUM(CAST(ROUND(ln(CAST(n_chars AS DOUBLE))
+                                      - ln(CAST(xk1 AS DOUBLE)), 12)
+                               AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+               AS lsum
+      FROM top GROUP BY lang
+    )
+    SELECT lang,
+           CAST(64 AS BIGINT) AS k,
+           xk1 AS tail_threshold,
+           ROUND(lsum / 64, 6) AS xi_hill,
+           ROUND(64.0 / NULLIF(lsum, 0), 6) AS alpha_tail
+    FROM s ORDER BY lang
+    """
+
+
+@register(
+    "hill_tail_index",
+    _HILL_SQL,
+    doc="HILL TAIL-INDEX ESTIMATOR per language (Hill 1975) over document "
+    "lengths: xi = (1/k) * sum_{i<=k} ln(x_(i) / x_(k+1)) on the top "
+    "k=64 order statistics, alpha = 1/xi — the standard heavy-tail "
+    "exponent a curation pipeline checks before trusting mean-based "
+    "length stats (alpha <= 2 means infinite variance: cap-by-quantile, "
+    "not by sigma).  Languages with fewer than 65 docs drop out (the "
+    "inner threshold join).  Engine-exactness: per-row ln difference "
+    "rounded 12 dp and DECIMAL-summed (order-independent); alpha takes "
+    "ONE division of the same sum (NULLIF-guarded: a degenerate "
+    "all-equal top-65 yields xi=0 -> NULL on both engines).  Scale: the "
+    "rank filter is a WindowGroupLimit (plan-tested) — each map task "
+    "keeps its local top-65 per language BEFORE the shuffle, so the "
+    "window never sorts a language's full document set; state is "
+    "O(langs x 65).",
+)
+def hill_tail_index(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    base = docs.select("lang", "n_chars", "doc_id").filter(
+        F.col("n_chars") > 0
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 65
+    )
+    thr = ranked.filter(F.col("rn") == 65).select(
+        "lang", F.col("n_chars").cast("bigint").alias("xk1")
+    )
+    top = ranked.filter(F.col("rn") <= 64).join(F.broadcast(thr), "lang")
+    term = F.round(
+        F.log(F.col("n_chars").cast("double"))
+        - F.log(F.col("xk1").cast("double")),
+        12,
+    )
+    s = top.groupBy("lang").agg(
+        F.max("xk1").alias("xk1"),
+        F.sum(term.cast("decimal(38,12)")).cast("double").alias("lsum"),
+    )
+    return s.select(
+        "lang",
+        F.lit(64).cast("bigint").alias("k"),
+        F.col("xk1").alias("tail_threshold"),
+        F.round(F.col("lsum") / 64, 6).alias("xi_hill"),
+        F.round(F.lit(64.0) / F.nullif(F.col("lsum"), F.lit(0.0)), 6).alias(
+            "alpha_tail"
+        ),
+    ).orderBy("lang")

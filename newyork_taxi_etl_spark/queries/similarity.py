@@ -5740,3 +5740,171 @@ def ann_ivf_balance(spark, sf_dir):
             6,
         ).alias("entropy_norm"),
     )
+
+
+_LABEL_MARGIN_SQL = """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, CAST(r.i - 1 AS INT) AS dim,
+             ROUND(CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE), 12) AS m
+      FROM e, unnest(range(1, len(v) + 1)) AS r(i)
+      GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.label,
+             CAST(CAST(SUM(CAST(ROUND((e.v[c.dim + 1] - c.m)
+                                       * (e.v[c.dim + 1] - c.m), 12)
+                               AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+               AS dd
+      FROM e JOIN cent c ON c.label = e.label
+      GROUP BY e.vec_id, e.label
+    ),
+    within AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ROUND(CAST(CAST(SUM(CAST(CAST(ROUND(sqrt(dd), 12) AS VARCHAR)
+                        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*), 6) AS within_mean
+      FROM d2 GROUP BY label
+    ),
+    cpair AS (
+      SELECT a.label AS la, b.label AS lb,
+             ROUND(sqrt(CAST(CAST(SUM(CAST(ROUND((a.m - b.m) * (a.m - b.m),
+                                               12) AS DECIMAL(38,12)))
+                        AS VARCHAR) AS DOUBLE)), 12) AS cdist
+      FROM cent a JOIN cent b
+        ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ),
+    near AS (
+      SELECT la AS label, MIN(cdist) AS bmin FROM cpair GROUP BY la
+    ),
+    nearlab AS (
+      SELECT n.label, n.bmin,
+             MIN(p.lb) AS nearest_label
+      FROM near n JOIN cpair p ON p.la = n.label AND p.cdist = n.bmin
+      GROUP BY n.label, n.bmin
+    )
+    SELECT w.label, w.n_vecs, w.within_mean,
+           ROUND(nl.bmin, 6) AS between_min,
+           nl.nearest_label,
+           ROUND(nl.bmin / NULLIF(w.within_mean, 0), 6) AS margin
+    FROM within w JOIN nearlab nl USING (label)
+    ORDER BY w.label
+    """
+
+
+@register(
+    "embedding_label_margin",
+    _LABEL_MARGIN_SQL,
+    doc="LABEL SEPARABILITY MARGIN in embedding space — the Fisher-style "
+    "audit behind Davies-Bouldin (1979): per label, the mean L2 "
+    "distance of members to their own centroid (WITHIN spread) vs the "
+    "L2 distance to the NEAREST other centroid (BETWEEN), margin = "
+    "between/within.  Margin < 1 means the nearest class prototype "
+    "sits inside the class's own scatter — the label set is not "
+    "linearly separable and centroid classifiers / hard-negative "
+    "mining over it will be noisy.  Scale: centroids are a labels x "
+    "dims partial-aggregated mean (one corpus pass); member distances "
+    "join each vector to ITS OWN broadcast centroid row (zero "
+    "cross-vector pairs); the centroid pair table is labels^2 — "
+    "nothing quadratic in corpus size.  Engine-exactness: 12-dp "
+    "rounded decimal sums at every reduction, nearest-label ties "
+    "break by MIN(label) on both engines.",
+)
+def embedding_label_margin(spark, sf_dir):
+    dec = "decimal(38,12)"
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("dim", "x")
+    )
+    cnt = F.count(F.lit(1))
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(
+            (F.sum(F.col("x").cast(dec)).cast("double") / cnt).cast(
+                "double"
+            ),
+            12,
+        ).alias("m")
+    )
+    d2 = (
+        ex.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("cl"), F.col("dim").alias("cd"), "m"
+                )
+            ),
+            (F.col("cl") == F.col("label")) & (F.col("cd") == F.col("dim")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")), 12)
+            .cast(dec)
+            .alias("term"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").cast("double").alias("dd"))
+    )
+    within = d2.groupBy("label").agg(
+        cnt.cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.sqrt("dd"), 12).cast(dec)).cast("double") / cnt,
+            6,
+        ).alias("within_mean"),
+    )
+    a = cent.select(
+        F.col("label").alias("la"), F.col("dim").alias("da"), F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"), F.col("m").alias("mb")
+    )
+    cpair = (
+        a.join(
+            F.broadcast(b),
+            (F.col("da") == F.col("db")) & (F.col("la") != F.col("lb")),
+        )
+        .select(
+            "la",
+            "lb",
+            F.round(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12
+            )
+            .cast(dec)
+            .alias("term"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.round(F.sqrt(F.sum("term").cast("double")), 12).alias("cdist"))
+    )
+    near = cpair.groupBy("la").agg(F.min("cdist").alias("bmin"))
+    nearlab = (
+        near.join(
+            cpair.select(F.col("la").alias("pa"), "lb", "cdist"),
+            (F.col("pa") == F.col("la")) & (F.col("cdist") == F.col("bmin")),
+        )
+        .groupBy("la", "bmin")
+        .agg(F.min("lb").alias("nearest_label"))
+    )
+    return (
+        within.join(nearlab, F.col("la") == F.col("label"))
+        .select(
+            "label",
+            "n_vecs",
+            "within_mean",
+            F.round(F.col("bmin"), 6).alias("between_min"),
+            "nearest_label",
+            F.round(
+                F.col("bmin") / F.nullif(F.col("within_mean"), F.lit(0.0)), 6
+            ).alias("margin"),
+        )
+        .orderBy("label")
+    )

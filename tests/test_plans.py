@@ -1043,3 +1043,41 @@ def test_rrf_bm25_leg_is_distributed_topk(spark):
 
     plan = _plan(queries()["hybrid_rrf_fusion"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hill_topk_is_window_group_limit(spark):
+    """The Hill estimator's top-65 order statistics must never sort a
+    language's full document set: the rn<=65 filter sits directly above
+    row_number so Spark plans WindowGroupLimit (map-side local top-65
+    per language before the exchange), and the threshold row joins back
+    by broadcast."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["hill_tail_index"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_label_margin_centroids_are_broadcast(spark):
+    """Member-to-centroid distances join each vector to its OWN centroid
+    row via broadcast (labels x dims — never a shuffle of the exploded
+    corpus against itself), and the labels^2 centroid-pair leg is
+    broadcast too; the corpus-sized reductions are partial-aggregated."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["embedding_label_margin"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_ewma_reduces_before_pair_join(spark):
+    """The O(days^2) EWMA pair join runs over the DAILY table: the plan
+    must partial-aggregate events down to (type, day) before any join
+    (map-side combine), and the pair join itself is day-index
+    equi-joined on event_type — no join touches raw event rows."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["ewma_anomaly_flags"](spark, SF_SMOKE))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan

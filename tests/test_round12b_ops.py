@@ -98,3 +98,123 @@ def test_streaming_char_coverage_matches_batch_any_slicing(spark, tmp_path):
             ).collect()
         ]
         assert got == batch, f"slicing {n_slices} diverged"
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hill_matches_python_reference(spark):
+    """Hill estimator vs a direct Python recomputation on the real
+    sf0.001 corpus (order statistics + log-ratio mean), plus the
+    analytic sanity alpha > 0."""
+    import math
+
+    import duckdb
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    got = {
+        r.lang: r
+        for r in queries()["hill_tail_index"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT lang, n_chars, doc_id FROM '{SF}/documents.parquet' "
+        "WHERE n_chars > 0"
+    ).fetchall()
+    by_lang = {}
+    for lang, n_chars, doc_id in rows:
+        by_lang.setdefault(lang, []).append((-n_chars, doc_id, n_chars))
+    for lang, items in by_lang.items():
+        items.sort()
+        if len(items) < 65:
+            assert lang not in got
+            continue
+        xs = [x for _, _, x in items[:65]]
+        xk1 = xs[64]
+        lsum = sum(round(math.log(x) - math.log(xk1), 12) for x in xs[:64])
+        r = got[lang]
+        assert r.tail_threshold == xk1
+        assert abs(r.xi_hill - round(lsum / 64, 6)) <= 2e-6
+        if lsum:
+            assert abs(r.alpha_tail - round(64.0 / lsum, 6)) <= 2e-6
+            assert r.alpha_tail > 0
+
+
+def test_ewma_matches_recursive_reference(spark):
+    """The closed-form pair join IS the textbook recursion: recompute
+    s_t = 0.3 x_t + 0.7 s_(t-1) in Python over the real daily series
+    and compare sigma / flags / last EWMA."""
+    import math
+    from decimal import Decimal
+
+    import duckdb
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    got = {
+        r.event_type: r
+        for r in queries()["ewma_anomaly_flags"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        "ROUND(CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) "
+        "AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS x "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(float(x))
+    for et, xs in series.items():
+        s = xs[0]
+        resids = []
+        for x in xs[1:]:
+            resids.append(x - s)
+            s = 0.3 * x + 0.7 * s
+        r = got[et]
+        assert r.n_days == len(xs)
+        assert abs(r.last_ewma - s) <= 1e-4, et
+        n = len(resids)
+        mu = sum(resids) / n
+        sigma = math.sqrt(sum((v - mu) ** 2 for v in resids) / (n - 1))
+        assert abs(r.sigma_resid - sigma) <= 1e-4, et
+        # NOTE sigma here is mean-centered; the query's control-chart
+        # sigma uses the same sum/sumsq identity -> equal by algebra
+        flags = sum(1 for v in resids if abs(v) > 3 * sigma)
+        assert r.n_flags == flags, et
+        assert abs(r.max_abs_resid - max(abs(v) for v in resids)) <= 1e-4
+
+
+def test_label_margin_matches_numpy(spark):
+    """Within/between/margin vs a numpy recomputation on sf0.001."""
+    import duckdb
+    import numpy as np
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    got = {
+        r.label: r
+        for r in queries()["embedding_label_margin"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    by_label = {}
+    for label, vec in rows:
+        by_label.setdefault(label, []).append(np.array(vec, dtype=np.float64))
+    cents = {l: np.mean(np.stack(v), axis=0) for l, v in by_label.items()}
+    for l, vecs in by_label.items():
+        within = float(
+            np.mean([np.linalg.norm(v - cents[l]) for v in vecs])
+        )
+        dists = {
+            o: float(np.linalg.norm(cents[l] - cents[o]))
+            for o in cents
+            if o != l
+        }
+        nearest = min(dists, key=lambda o: (dists[o], o))
+        r = got[l]
+        assert r.n_vecs == len(vecs)
+        assert abs(r.within_mean - within) <= 1e-4
+        assert abs(r.between_min - dists[nearest]) <= 1e-4
+        assert r.nearest_label == nearest
+        assert abs(r.margin - dists[nearest] / within) <= 1e-3
