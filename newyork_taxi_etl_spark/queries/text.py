@@ -3794,3 +3794,269 @@ def streaming_char_coverage_ingest(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="nyetl_charcov_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return W.run_streaming_char_coverage_ingest(spark, docs, work)
+
+
+_OOV_FALLBACK_SQL = """
+    WITH c AS (
+      SELECT lang, substring(lower(text), r.i, 1) AS ch,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+      WHERE substring(lower(text), r.i, 1) <> ' '
+      GROUP BY lang, ch
+    ),
+    ranked AS (
+      SELECT lang, ch, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, ch ASC) AS rn,
+             SUM(cnt) OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, ch ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS total
+      FROM c
+    ),
+    cut AS (
+      SELECT lang,
+             MIN(CASE WHEN cum * 1000 >= 995 * total THEN rn END) AS kcut
+      FROM ranked GROUP BY lang
+    ),
+    budget AS (
+      SELECT r.lang, r.ch
+      FROM ranked r JOIN cut USING (lang)
+      WHERE r.rn <= cut.kcut
+    ),
+    tv AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY lang, tok
+    ),
+    tchars AS (
+      SELECT t.lang, t.tok, substring(t.tok, r.i, 1) AS ch
+      FROM tv t, unnest(range(1, len(t.tok) + 1)) AS r(i)
+    ),
+    flagged AS (
+      SELECT tc.lang, tc.tok,
+             MAX(CASE WHEN b.ch IS NULL THEN 1 ELSE 0 END) AS has_oov
+      FROM tchars tc LEFT JOIN budget b
+        ON b.lang = tc.lang AND b.ch = tc.ch
+      GROUP BY tc.lang, tc.tok
+    )
+    SELECT t.lang,
+           CAST(SUM(t.cnt) AS BIGINT) AS n_instances,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MAX(cut.kcut) AS BIGINT) AS budget_size,
+           ROUND(CAST(SUM(CASE WHEN f.has_oov = 1 THEN t.cnt ELSE 0 END)
+                      AS DOUBLE) / SUM(t.cnt), 6) AS oov_instance_rate,
+           ROUND(CAST(SUM(CASE WHEN f.has_oov = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_type_rate
+    FROM tv t
+    JOIN flagged f ON f.lang = t.lang AND f.tok = t.tok
+    JOIN cut ON cut.lang = t.lang
+    GROUP BY t.lang ORDER BY t.lang
+    """
+
+
+@register(
+    "oov_fallback_rate",
+    _OOV_FALLBACK_SQL,
+    doc="BYTE-FALLBACK RATE under the 99.5% character budget — what "
+    "char_coverage_budget's knob actually COSTS: a token containing "
+    "any character outside the per-language budget will byte-fallback "
+    "(or <unk>) in a SentencePiece-style tokenizer, so this reports "
+    "the share of token INSTANCES and token TYPES so affected, per "
+    "language.  Rare chars concentrate in rare tokens, so the "
+    "instance rate is typically far below the 0.5%% char mass cut — "
+    "measured, not assumed.  Scale: char counts reduce map-side to "
+    "langs x alphabet; the OOV check runs over the DISTINCT (lang, "
+    "token) vocabulary (vocab-sized char explode joined against the "
+    "broadcast budget set), then joins back to frequency-weighted "
+    "counts — no corpus-sized per-character join anywhere.",
+)
+def oov_fallback_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    counts = _char_counts(docs)
+    w_ord = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ch"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        "lang",
+        "ch",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("total"),
+    )
+    cut = ranked.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") * 1000 >= 995 * F.col("total"), F.col("rn"))
+        ).alias("kcut")
+    )
+    budget = (
+        ranked.join(F.broadcast(cut), "lang")
+        .filter(F.col("rn") <= F.col("kcut"))
+        .select("lang", "ch")
+    )
+    tv = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tchars = tv.select(
+        "lang",
+        "tok",
+        F.explode(
+            F.expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+        ).alias("ch"),
+    )
+    flagged = (
+        tchars.join(
+            F.broadcast(budget.withColumn("inb", F.lit(1))),
+            ["lang", "ch"],
+            "left",
+        )
+        .groupBy("lang", "tok")
+        .agg(
+            F.max(F.when(F.col("inb").isNull(), 1).otherwise(0)).alias(
+                "has_oov"
+            )
+        )
+    )
+    oov = F.col("has_oov") == 1
+    return (
+        tv.join(flagged, ["lang", "tok"])
+        .join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_instances"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.max("kcut").cast("bigint").alias("budget_size"),
+            F.round(
+                F.sum(F.when(oov, F.col("cnt")).otherwise(0)).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("oov_instance_rate"),
+            F.round(
+                F.sum(F.when(oov, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_type_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SELECTION_CURVE_SQL = """
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+               + 0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE) / len(string_split(text, ' ')))
+               + 0.2 * (CASE WHEN n_chars BETWEEN 100 AND 400
+                             THEN 1.0 ELSE 0.0 END), 4) AS quality,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT quality, ws_tokens,
+             row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS gpos,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    dec AS (
+      SELECT CAST((gpos - 1) * 10 // n + 1 AS BIGINT) AS decile,
+             quality, ws_tokens
+      FROM pos
+    ),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+             MIN(quality) AS min_quality,
+             ROUND(CAST(CAST(SUM(CAST(CAST(quality AS VARCHAR)
+                        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_quality
+      FROM dec GROUP BY decile
+    )
+    SELECT decile, n_docs, n_tokens, min_quality, mean_quality,
+           ROUND(CAST(SUM(n_tokens) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / SUM(n_tokens) OVER (), 6) AS cum_token_share
+    FROM per ORDER BY decile
+    """
+
+
+@register(
+    "quality_selection_curve",
+    _SELECTION_CURVE_SQL,
+    doc="DATA-SELECTION BUDGET CURVE — the table a curation run reads "
+    "before choosing its quality threshold: documents deciled by the "
+    "composite text_quality_score (best = decile 1), and per decile "
+    "the doc count, token mass, quality floor, and the CUMULATIVE "
+    "token share kept if selection stops there ('top 3 deciles = 31% "
+    "of tokens').  Decile assignment is INTEGER arithmetic over the "
+    "global position (((gpos-1)*10) div n + 1 — no float boundary), "
+    "and the position comes from the ordered_positions range-"
+    "partitioned fold (operators/profile.py), NOT an unpartitioned "
+    "row_number — no single-task corpus sort (the zipf_token_slope / "
+    "ccnet lesson).  The final cumulative window runs over 10 rows.  "
+    "(quality DESC, doc_id ASC) is the unique composite sort key.",
+)
+def quality_selection_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    quality = F.round(
+        0.4 * F.least(F.size(toks) / 50.0, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.when(F.col("n_chars").between(100, 400), 1.0).otherwise(0.0),
+        4,
+    )
+    scored = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+    )
+    pos = ordered_positions(scored, [("quality", False), ("doc_id", True)])
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    dec = pos.crossJoin(F.broadcast(n)).select(
+        (F.expr("(gpos - 1) * 10 div n") + 1).cast("bigint").alias("decile"),
+        "quality",
+        "ws_tokens",
+    )
+    cnt = F.count(F.lit(1))
+    per = dec.groupBy("decile").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("n_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(38,12)")).cast("double")
+            / cnt,
+            6,
+        ).alias("mean_quality"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_docs",
+        "n_tokens",
+        "min_quality",
+        "mean_quality",
+        F.round(
+            F.sum("n_tokens").over(w_cum).cast("double")
+            / F.sum("n_tokens").over(w_all),
+            6,
+        ).alias("cum_token_share"),
+    ).orderBy("decile")

@@ -218,3 +218,53 @@ def test_label_margin_matches_numpy(spark):
         assert abs(r.between_min - dists[nearest]) <= 1e-4
         assert r.nearest_label == nearest
         assert abs(r.margin - dists[nearest] / within) <= 1e-3
+
+
+@pytest.mark.quick
+def test_oov_fallback_planted_rare_char(spark):
+    """A char below the 99.5% mass cut must flag every token containing
+    it: corpus a/b/c dominate, one 'ß' token -> budget {a,b,c}, the
+    'aß' instances count as OOV on the instance AND type rate."""
+    from newyork_taxi_etl_spark.registry import _REGISTRY
+
+    # 100 docs of clean text + 1 doc carrying the rare char twice
+    rows = [(i, "xx", "aaaa bbbb cccc") for i in range(100)]
+    rows.append((100, "xx", "aß aß"))
+    docs = _docs(spark, rows)
+
+    # drive the registered builder against a temp parquet dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        out = _REGISTRY["oov_fallback_rate"].fn(spark, td).collect()
+    r = out[0]
+    # alphabet: a(402) b(400) c(400) ß(2), total 1204; cum at c covers
+    # 1202/1204 = 99.83% >= 99.5% -> budget 3 chars, ß out of budget
+    assert r.budget_size == 3
+    # token vocab: aaaa, bbbb, cccc, aß; instances 100+100+100+2
+    assert r.n_types == 4 and r.n_instances == 302
+    assert r.oov_instance_rate == round(2 / 302, 6)
+    assert r.oov_type_rate == 0.25
+
+
+@pytest.mark.quick
+def test_selection_curve_identities(spark):
+    """Conservation + monotonicity on real data: deciles partition the
+    corpus, cumulative token share is nondecreasing and ends at 1.0,
+    and quality floors decline with decile (best first)."""
+    import duckdb
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    rows = queries()["quality_selection_curve"](spark, SF).collect()
+    n_corpus = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_corpus
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_token_share for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1.0
+    floors = [r.min_quality for r in rows]
+    assert floors == sorted(floors, reverse=True)
