@@ -985,3 +985,82 @@ def dedup_substring_strip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_SOURCE_MATRIX_SQL = """
+    WITH keyed AS (
+      SELECT string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]
+               AS k,
+             source
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    c AS (
+      SELECT k, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM keyed GROUP BY k, source
+    ),
+    m AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source
+                  THEN a.n * (a.n - 1) // 2
+                  ELSE a.n * b.n END AS mass
+      FROM c a JOIN c b
+        ON a.k = b.k AND a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_keys,
+           CAST(SUM(mass) AS BIGINT) AS pair_mass
+    FROM m WHERE mass > 0
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "dedup_source_matrix",
+    _SOURCE_MATRIX_SQL,
+    doc="CROSS-SOURCE DUPLICATION MATRIX — which sources mirror each "
+    "other (the crawl-dedup planning table: a high off-diagonal cell "
+    "means two feeds shingle-collide and should dedup TOGETHER; the "
+    "diagonal is within-source dup pressure).  Candidate mass under "
+    "the 2-token prefix blocking key is computed ALGEBRAICALLY from "
+    "per-(key, source) counts — n_a*n_b cross pairs / C(n,2) within — "
+    "so no pair is ever enumerated: the join carries sources^2 rows "
+    "per key, not group_size^2 (the same counts-not-pairs trick as "
+    "linkage's inverted-index mass audit).  Single-token docs (NULL "
+    "key) are excluded on both engines.  Scale: one corpus-sized "
+    "groupBy to (key, source), then key-equi-joined count algebra.",
+)
+def dedup_source_matrix(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    keyed = docs.filter(F.size(toks) >= 2).select(
+        F.concat(
+            F.element_at(toks, 1), F.lit(" "), F.element_at(toks, 2)
+        ).alias("k"),
+        "source",
+    )
+    c = keyed.groupBy("k", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = c.select(F.col("k"), F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = c.select(
+        F.col("k").alias("kb"), F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    mass = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("na * (na - 1) div 2"),
+    ).otherwise(F.col("na") * F.col("nb"))
+    m = (
+        a.join(b, (F.col("k") == F.col("kb")) & (F.col("source_a") <= F.col("source_b")))
+        .select("source_a", "source_b", mass.alias("mass"))
+        .filter(F.col("mass") > 0)
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_keys"),
+            F.sum("mass").cast("bigint").alias("pair_mass"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -5908,3 +5908,144 @@ def embedding_label_margin(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_ISOTROPY_SQL = """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label,
+             ROUND(list_reduce(list_transform(v, x -> x * x),
+                               (a, b) -> a + b), 12) AS nrm2
+      FROM e
+    ),
+    pern AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(CAST(SUM(CAST(CAST(ROUND(sqrt(nrm2), 12) AS VARCHAR)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s_norm,
+             CAST(CAST(SUM(CAST(CAST(ROUND(nrm2, 12) AS VARCHAR)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s_sq
+      FROM norms GROUP BY label
+    ),
+    cent AS (
+      SELECT label, CAST(r.i - 1 AS INT) AS dim,
+             ROUND(CAST(CAST(CAST(SUM(CAST(CAST(v[r.i] AS VARCHAR)
+                        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE), 12) AS m
+      FROM e, unnest(range(1, len(v) + 1)) AS r(i)
+      GROUP BY label, dim
+    ),
+    cn AS (
+      SELECT label,
+             CAST(CAST(SUM(CAST(ROUND(m * m, 12) AS DECIMAL(38,12)))
+                  AS VARCHAR) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    )
+    SELECT p.label, p.n_vecs,
+           ROUND(p.s_norm / p.n_vecs, 6) AS mean_norm,
+           ROUND(sqrt(GREATEST(ROUND((p.s_sq - p.s_norm * p.s_norm
+                                              / p.n_vecs)
+                                      / NULLIF(p.n_vecs - 1, 0), 9), 0))
+                 / NULLIF(p.s_norm / p.n_vecs, 0), 6) AS norm_cv,
+           ROUND(sqrt(c.cnorm2), 6) AS centroid_norm,
+           ROUND(c.cnorm2 / NULLIF(p.s_sq / p.n_vecs, 0), 6) AS isotropy
+    FROM pern p JOIN cn c USING (label)
+    ORDER BY p.label
+    """
+
+
+@register(
+    "embedding_isotropy_audit",
+    _ISOTROPY_SQL,
+    doc="EMBEDDING GEOMETRY AUDIT per label — the checks that decide "
+    "whether cosine ANN / centroid classifiers can be trusted on this "
+    "space: mean vector norm and its coefficient of variation (norm "
+    "spread breaks dot-product shortcuts), centroid norm, and the "
+    "ANISOTROPY ratio ||centroid||^2 / E[||v||^2] — equal to the "
+    "expected pairwise cosine for unit vectors (Ethayarajh 2019 "
+    "measured ~0.9 for GPT-2: a collapsed cone where cosine stops "
+    "discriminating; near 0 = isotropic).  Scale: per-vector norms "
+    "are a scan-side left fold (bit-identical to DuckDB list_reduce "
+    "— same add order from the same arrays); the only shuffles are "
+    "the labels- and labels x dims-sized aggregates.  Norm sigma via "
+    "the sum/sumsq identity on 12-dp decimal sums; every variance "
+    "guard NULLIFs (n=1 label, zero-norm degenerate).",
+)
+def embedding_isotropy_audit(spark, sf_dir):
+    dec = "decimal(38,12)"
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    norms = emb.select(
+        "label",
+        F.round(
+            F.expr(
+                "aggregate(slice(transform(v, x -> x * x), 2, size(v) - 1), "
+                "transform(v, x -> x * x)[0], (a, b) -> a + b)"
+            ),
+            12,
+        ).alias("nrm2"),
+    )
+    pern = norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.round(F.sqrt("nrm2"), 12).cast(dec)).cast("double").alias(
+            "s_norm"
+        ),
+        F.sum(F.round(F.col("nrm2"), 12).cast(dec)).cast("double").alias(
+            "s_sq"
+        ),
+    )
+    ex = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cnt = F.count(F.lit(1))
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(
+            (F.sum(F.col("x").cast(dec)).cast("double") / cnt).cast("double"),
+            12,
+        ).alias("m")
+    )
+    cn = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("m") * F.col("m"), 12).cast(dec))
+        .cast("double")
+        .alias("cnorm2")
+    )
+    mean_norm = F.col("s_norm") / F.col("n_vecs")
+    # variance quantized at 9 dp and clamped: with unit-normalized
+    # vectors the true spread is ~1e-12 — pure catastrophic-cancellation
+    # residue of the 12-dp decimal sums, which DIFFERS between engines.
+    # Quantizing sends noise to exactly 0 on both; real spread down to
+    # sigma ~3e-5 survives.
+    var = F.greatest(
+        F.round(
+            (
+                F.col("s_sq")
+                - F.col("s_norm") * F.col("s_norm") / F.col("n_vecs")
+            )
+            / F.nullif((F.col("n_vecs") - 1).cast("double"), F.lit(0.0)),
+            9,
+        ),
+        F.lit(0.0),
+    )
+    return (
+        pern.join(cn, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(mean_norm, 6).alias("mean_norm"),
+            F.round(F.sqrt(var) / F.nullif(mean_norm, F.lit(0.0)), 6).alias(
+                "norm_cv"
+            ),
+            F.round(F.sqrt("cnorm2"), 6).alias("centroid_norm"),
+            F.round(
+                F.col("cnorm2")
+                / F.nullif(F.col("s_sq") / F.col("n_vecs"), F.lit(0.0)),
+                6,
+            ).alias("isotropy"),
+        )
+        .orderBy("label")
+    )

@@ -268,3 +268,72 @@ def test_selection_curve_identities(spark):
     assert shares[-1] == 1.0
     floors = [r.min_quality for r in rows]
     assert floors == sorted(floors, reverse=True)
+
+
+def test_isotropy_matches_numpy(spark):
+    """Geometry audit vs numpy on sf0.001: mean/cv of norms, centroid
+    norm, anisotropy ratio."""
+    import duckdb
+    import numpy as np
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    got = {
+        r.label: r
+        for r in queries()["embedding_isotropy_audit"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    by_label = {}
+    for label, vec in rows:
+        by_label.setdefault(label, []).append(np.array(vec, dtype=np.float64))
+    for l, vecs in by_label.items():
+        M = np.stack(vecs)
+        norms = np.linalg.norm(M, axis=1)
+        cent = M.mean(axis=0)
+        r = got[l]
+        assert r.n_vecs == len(vecs)
+        assert abs(r.mean_norm - norms.mean()) <= 1e-4
+        cv = norms.std(ddof=1) / norms.mean()
+        # the query quantizes sub-3e-5 spread to exactly 0 (noise floor)
+        assert abs(r.norm_cv - cv) <= 1e-4
+        assert abs(r.centroid_norm - np.linalg.norm(cent)) <= 1e-4
+        iso = float(np.dot(cent, cent) / (norms**2).mean())
+        assert abs(r.isotropy - iso) <= 1e-4
+        # unit-normalized synthetic embeddings: sane ranges
+        assert 0 <= r.isotropy <= 1
+
+
+def test_source_matrix_algebra_equals_enumeration(spark):
+    """The counts-not-pairs algebra must equal brute-force pair
+    enumeration on the real sf0.001 corpus."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    got = {
+        (r.source_a, r.source_b): (r.shared_keys, r.pair_mass)
+        for r in queries()["dedup_source_matrix"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        "SELECT string_split(text, ' ')[1] || ' ' || "
+        "string_split(text, ' ')[2] AS k, source "
+        f"FROM '{SF}/documents.parquet' "
+        "WHERE len(string_split(text, ' ')) >= 2"
+    ).fetchall()
+    groups = defaultdict(list)
+    for k, src in rows:
+        groups[k].append(src)
+    mass = defaultdict(int)
+    keys = defaultdict(set)
+    for k, members in groups.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = sorted((members[i], members[j]))
+                mass[(a, b)] += 1
+                keys[(a, b)].add(k)
+    want = {p: (len(keys[p]), m) for p, m in mass.items() if m > 0}
+    assert got == want
