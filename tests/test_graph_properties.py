@@ -145,6 +145,10 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("wordpiece_greedy_segment", 0),       # r12 new: never verified
         ("streaming_dsir_ingest", 0),          # r12 new: never verified
         ("ann_recall_sq_sweep", 0),            # r12 new: never verified
+        ("readability_scores", 0),             # r12 session 2: new
+        ("streaming_char_coverage_ingest", 0), # r12 session 2: new
+        ("ewma_anomaly_flags", 0),             # r12 session 2: new
+        ("dedup_source_matrix", 0),            # r12 session 2: new
     ):
         assert registry._tier(probe) == want, probe
 
