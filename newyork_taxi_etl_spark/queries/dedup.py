@@ -1064,3 +1064,104 @@ def dedup_source_matrix(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def _semantic_decon_sql() -> str:
+    from newyork_taxi_etl_spark.queries.similarity import bands_sql
+
+    cos = (
+        "ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[])))), 4)"
+    )
+    return f"""
+    WITH k AS (
+      {bands_sql('vec_id')}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k a JOIN k b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b, {cos} AS cosine
+      FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+                JOIN embeddings eb ON cand.id_b = eb.vec_id
+      WHERE {cos} >= 0.4
+    ),
+    cross_split AS (
+      SELECT * FROM scored
+      WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+    ),
+    base AS (
+      SELECT CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_train
+      FROM embeddings
+    )
+    SELECT base.n_eval, base.n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_split)
+             AS n_cross_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_split
+             WHERE cosine >= 0.95) AS n_leaked,
+           (SELECT MAX(cosine) FROM cross_split) AS max_cross_cosine
+    FROM base
+    """
+
+
+@register(
+    "semantic_decontamination",
+    _semantic_decon_sql(),
+    doc="EMBEDDING-SPACE DECONTAMINATION — the semantic twin of "
+    "decontamination_exact_substring: does any EVAL document sit "
+    "nearly-on-top of a TRAIN document in embedding space (the leak "
+    "verbatim matching misses: paraphrases, translations, "
+    "re-renderings)?  Split is deterministic (vec_id % 10 = eval), "
+    "candidates come from the SAME multi-band sign-LSH index the "
+    "dedup/ANN paths share (12 bands x 4 bits, OR-construction, "
+    "recall gated by ann_recall_at_k) and only split-CROSSING pairs "
+    "are scored; leaked = cosine >= 0.95.  Zero leaks on this corpus "
+    "is the correct answer (no planted clones — the pytest plants "
+    "one and watches it surface).  Scale: never all-pairs; the "
+    "bucket join is the 100 TB path, and the report is one row.",
+)
+def semantic_decontamination(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import (
+        cosine_pairs_lsh_multiband_blas,
+    )
+    from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    pairs = cosine_pairs_lsh_multiband_blas(
+        emb, threshold=0.4, bands=LSH_BANDS
+    )
+    is_eval_a = F.col("id_a") % 10 == 0
+    is_eval_b = F.col("id_b") % 10 == 0
+    cross = pairs.filter(is_eval_a != is_eval_b)
+    agg = cross.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cross_candidates"),
+        F.sum(F.when(F.col("cosine") >= 0.95, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked"),
+        F.max("cosine").alias("max_cross_cosine"),
+    )
+    base = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 10 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval"),
+        F.sum(F.when(F.col("vec_id") % 10 == 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_train"),
+    )
+    return base.crossJoin(agg).select(
+        "n_eval",
+        "n_train",
+        "n_cross_candidates",
+        "n_leaked",
+        "max_cross_cosine",
+    )

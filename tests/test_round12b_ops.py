@@ -225,8 +225,9 @@ def test_oov_fallback_planted_rare_char(spark):
     """A char below the 99.5% mass cut must flag every token containing
     it: corpus a/b/c dominate, one 'ß' token -> budget {a,b,c}, the
     'aß' instances count as OOV on the instance AND type rate."""
-    from newyork_taxi_etl_spark.registry import _REGISTRY
+    from newyork_taxi_etl_spark.registry import queries
 
+    qf = queries()["oov_fallback_rate"]
     # 100 docs of clean text + 1 doc carrying the rare char twice
     rows = [(i, "xx", "aaaa bbbb cccc") for i in range(100)]
     rows.append((100, "xx", "aß aß"))
@@ -237,7 +238,7 @@ def test_oov_fallback_planted_rare_char(spark):
 
     with tempfile.TemporaryDirectory() as td:
         docs.write.parquet(f"{td}/documents.parquet")
-        out = _REGISTRY["oov_fallback_rate"].fn(spark, td).collect()
+        out = qf(spark, td).collect()
     r = out[0]
     # alphabet: a(402) b(400) c(400) ß(2), total 1204; cum at c covers
     # 1202/1204 = 99.83% >= 99.5% -> budget 3 chars, ß out of budget
@@ -337,3 +338,35 @@ def test_source_matrix_algebra_equals_enumeration(spark):
                 keys[(a, b)].add(k)
     want = {p: (len(keys[p]), m) for p, m in mass.items() if m > 0}
     assert got == want
+
+
+def test_semantic_decontamination_planted_clone(spark, tmp_path):
+    """An exact train-side clone of an eval vector MUST surface: clones
+    share every sign-LSH band bucket (candidate by construction), cross
+    the split, and score cosine 1.0 >= the 0.95 leak gate."""
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    q = queries()["semantic_decontamination"]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    donor = emb.filter(F.col("vec_id") == 20).select(
+        F.col("embedding").alias("clone")
+    )
+    planted = (
+        emb.crossJoin(F.broadcast(donor))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") == 21, F.col("clone"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            "label",
+        )
+    )
+    planted.write.parquet(f"{tmp_path}/embeddings.parquet")
+    r = q(spark, str(tmp_path)).collect()[0]
+    assert r.n_leaked >= 1
+    assert r.max_cross_cosine == 1.0
+    # baseline: the real corpus has no planted clones
+    r0 = q(spark, SF).collect()[0]
+    assert r0.n_leaked == 0
