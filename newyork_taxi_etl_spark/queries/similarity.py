@@ -6049,3 +6049,185 @@ def embedding_isotropy_audit(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_SWEEP_CONFIGS = ((2, 4), (6, 4), (12, 4), (12, 6))
+
+_SWEEP_COS = (
+    "ROUND(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))), 4)"
+)
+
+
+def _lsh_sweep_sql() -> str:
+    from newyork_taxi_etl_spark.operators.similarity import lsh_multiband_dims
+
+    legs = []
+    ctes = []
+    for nb, bits in _SWEEP_CONFIGS:
+        bands = lsh_multiband_dims(dim=64, n_bands=nb, bits=bits)
+        band_sel = "\n      UNION ALL\n      ".join(
+            f"SELECT vec_id, {i} AS band_idx, "
+            f"{band_bucket_sql('v', dims)} AS bucket FROM s"
+            for i, dims in enumerate(bands)
+        )
+        tag = f"{nb}_{bits}"
+        ctes.append(
+            f"""k_{tag} AS (
+      {band_sel}
+    ),
+    cand_{tag} AS (
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM k_{tag} a JOIN k_{tag} b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    m_{tag} AS (
+      SELECT CAST({nb} AS BIGINT) AS n_bands, CAST({bits} AS BIGINT) AS bits,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN {_SWEEP_COS} >= 0.4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM cand_{tag}
+      JOIN s a ON a.vec_id = cand_{tag}.ia
+      JOIN s b ON b.vec_id = cand_{tag}.ib
+    )"""
+        )
+        legs.append(f"SELECT * FROM m_{tag}")
+    union = "\n      UNION ALL\n      ".join(legs)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH s AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 512
+    ),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {_SWEEP_COS} >= 0.4
+    ),
+    {joined},
+    m AS (
+      {union}
+    )
+    SELECT m.n_bands, m.bits, m.n_candidates, m.n_hits, truth.n_truth,
+           ROUND(CAST(m.n_hits AS DOUBLE) / NULLIF(truth.n_truth, 0), 6)
+             AS recall,
+           ROUND(CAST(m.n_hits AS DOUBLE) / NULLIF(m.n_candidates, 0), 6)
+             AS precision
+    FROM m CROSS JOIN truth
+    ORDER BY m.n_bands, m.bits
+    """
+
+
+@register(
+    "lsh_band_sweep",
+    _lsh_sweep_sql(),
+    doc="SIGN-LSH OPERATING-POINT SWEEP — the tuning table behind the "
+    "deployed 12x4 choice (the ann_recall_sq_sweep shape, applied to "
+    "the OR-construction): for (bands, bits) in (2,4)(6,4)(12,4)(12,6), "
+    "candidate-pair count, true-positive hits, RECALL against the "
+    "exact-cosine truth set (>= 0.4 pairs on the fixed 512-doc md5 "
+    "sample — the dedup_embedding_cosine discipline, so the quadratic "
+    "term is a CONSTANT at any corpus size), and bucket PRECISION.  "
+    "More bands buy recall (OR-construction), more bits buy precision "
+    "(AND within band) — the table shows both axes measured.  Scale: "
+    "the sweep runs on the capped sample; corpus-scale candidates use "
+    "the same band construction in dedup_embedding_lsh's bucket join.",
+)
+def lsh_band_sweep(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import (
+        _DOT_D,
+        lsh_band_structs,
+        lsh_multiband_dims,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    s = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(512)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = F.round(
+        F.expr(_DOT_D.format(a="a.v", b="b.v"))
+        / (
+            F.sqrt(F.expr(_DOT_D.format(a="a.v", b="a.v")))
+            * F.sqrt(F.expr(_DOT_D.format(a="b.v", b="b.v")))
+        ),
+        4,
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.4)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    )
+    legs = []
+    for nb, bits in _SWEEP_CONFIGS:
+        bands = lsh_multiband_dims(dim=64, n_bands=nb, bits=bits)
+        k = s.select(
+            "vec_id", F.explode(lsh_band_structs("v", bands)).alias("bb")
+        ).select("vec_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+        ka = k.select(
+            F.col("vec_id").alias("ia"), "band_idx", "bucket"
+        )
+        kb = k.select(
+            F.col("vec_id").alias("ib"),
+            F.col("band_idx").alias("band_idx_b"),
+            F.col("bucket").alias("bucket_b"),
+        )
+        cand = (
+            ka.join(
+                kb,
+                (F.col("band_idx") == F.col("band_idx_b"))
+                & (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("ia") < F.col("ib")),
+            )
+            .select("ia", "ib")
+            .distinct()
+        )
+        scored = (
+            cand.join(a, F.col("a.vec_id") == F.col("ia"))
+            .join(F.broadcast(b), F.col("b.vec_id") == F.col("ib"))
+            .select(cos.alias("cosine"))
+        )
+        legs.append(
+            scored.agg(
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                F.lit(bits).cast("bigint").alias("bits"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum(F.when(F.col("cosine") >= 0.4, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+        )
+    m = legs[0]
+    for leg in legs[1:]:
+        m = m.unionByName(leg)
+    return (
+        m.crossJoin(F.broadcast(truth))
+        .select(
+            "n_bands",
+            "bits",
+            "n_candidates",
+            "n_hits",
+            "n_truth",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("n_bands", "bits")
+    )

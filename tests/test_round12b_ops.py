@@ -370,3 +370,26 @@ def test_semantic_decontamination_planted_clone(spark, tmp_path):
     # baseline: the real corpus has no planted clones
     r0 = q(spark, SF).collect()[0]
     assert r0.n_leaked == 0
+
+
+def test_lsh_band_sweep_gates(spark):
+    """The two LSH axes must behave as theory says on real data:
+    OR-construction (more bands) buys recall monotonically and the
+    deployed 12x4 point clears 0.85; AND-construction (more bits)
+    shrinks the candidate set and raises precision."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    rows = {
+        (r.n_bands, r.bits): r
+        for r in queries()["lsh_band_sweep"](spark, SF).collect()
+    }
+    r2, r6, r12 = rows[(2, 4)], rows[(6, 4)], rows[(12, 4)]
+    r12b6 = rows[(12, 6)]
+    assert r2.recall <= r6.recall <= r12.recall
+    assert r12.recall >= 0.85
+    assert r12b6.n_candidates < r12.n_candidates
+    assert r12b6.precision > r12.precision
+    # conservation: hits never exceed truth or candidates
+    for r in rows.values():
+        assert r.n_hits <= r.n_truth
+        assert r.n_hits <= r.n_candidates
