@@ -393,3 +393,95 @@ def test_lsh_band_sweep_gates(spark):
     for r in rows.values():
         assert r.n_hits <= r.n_truth
         assert r.n_hits <= r.n_candidates
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the readability terms and coverage budget vs direct
+# Python recomputation over random corpora (hypothesis).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(
+    alphabet="abcz.!?|", min_size=1, max_size=6
+).filter(lambda w: w.strip() != "")
+_TEXT = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+_CORPUS = st.lists(_TEXT, min_size=1, max_size=10)
+
+_PROP_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _py_flesch(text):
+    import re
+
+    words = [t for t in text.lower().split(" ") if t]
+    if not words:
+        return None
+    sents = max(len(re.findall(r"[.!?]+", text.lower())), 1)
+    syll = len(re.findall(r"[aeiouy]+", text.lower())) + sum(
+        1 for w in words if not re.search(r"[aeiouy]", w)
+    )
+    wps = len(words) / sents
+    spw = syll / len(words)
+    return wps, spw, 206.835 - 1.015 * wps - 84.6 * spw
+
+
+@settings(**_PROP_SETTINGS)
+@given(_CORPUS)
+def test_readability_terms_match_python(spark, texts):
+    """Spark per-doc Flesch terms == the regex recomputation for ANY
+    random corpus over an alphabet that stresses the vowel / no-vowel /
+    punctuation paths."""
+    rows = [(i, "xx", t) for i, t in enumerate(texts)]
+    out = _readability_finalize(
+        _readability_terms(_docs(spark, rows))
+    ).collect()
+    refs = [_py_flesch(t) for t in texts]
+    refs = [r for r in refs if r is not None]
+    if not refs:
+        assert out == []
+        return
+    n = len(refs)
+    want_wps = round(sum(round(r[0], 12) for r in refs) / n, 6)
+    want_spw = round(sum(round(r[1], 12) for r in refs) / n, 6)
+    want_fre = round(sum(round(r[2], 12) for r in refs) / n, 6)
+    r = out[0]
+    assert abs(r.avg_words_per_sentence - want_wps) <= 1e-6
+    assert abs(r.avg_syllables_per_word - want_spw) <= 1e-6
+    assert abs(r.avg_flesch - want_fre) <= 1e-6
+
+
+@settings(**_PROP_SETTINGS)
+@given(_CORPUS)
+def test_char_coverage_budget_matches_python(spark, texts):
+    """Coverage budget == direct recomputation: rank chars by (count
+    desc, char asc), integer thresholds, for ANY random corpus."""
+    from collections import Counter
+
+    rows = [(i, "xx", t) for i, t in enumerate(texts)]
+    out = _char_coverage_finalize(_char_counts(_docs(spark, rows))).collect()
+    counts = Counter(
+        c for t in texts for c in t.lower() if c != " "
+    )
+    if not counts:
+        assert out == []
+        return
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    cum, k90, k995 = 0, None, None
+    for i, (_, c) in enumerate(ranked, 1):
+        cum += c
+        if k90 is None and cum * 10 >= 9 * total:
+            k90 = i
+        if k995 is None and cum * 1000 >= 995 * total:
+            k995 = i
+    r = out[0]
+    assert r.n_chars_total == total
+    assert r.alphabet_size == len(ranked)
+    assert (r.chars_for_90, r.chars_for_995) == (k90, k995)
+    assert r.top_char == ranked[0][0]
+    assert r.top_share == round(ranked[0][1] / total, 6)
