@@ -4060,3 +4060,213 @@ def quality_selection_curve(spark, sf_dir):
             6,
         ).alias("cum_token_share"),
     ).orderBy("decile")
+
+
+_HEAVY_HITTERS_SQL = """
+    WITH c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c),
+    heavy AS (
+      SELECT c.tok, c.cnt, t.n_total FROM c, t
+      WHERE c.cnt * 10000 >= 50 * t.n_total
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+               AS rank,
+             tok, cnt,
+             ROUND(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+      FROM heavy
+    )
+    SELECT rank, tok, cnt, share FROM ranked
+    WHERE rank <= 20 ORDER BY rank
+    """
+
+
+@register(
+    "streaming_heavy_hitters_ingest",
+    _HEAVY_HITTERS_SQL,
+    doc="PHI-HEAVY TOKENS AT INGEST — the ninth per-batch fold "
+    "(run_streaming_heavy_hitters): (token, count) integer partials "
+    "fold additively behind the replay sidecar; drain reports tokens "
+    "whose EXACT total crosses phi=0.5% of token instances (integer "
+    "compare), top-20 by (count desc, token asc).  Drained == batch "
+    "bit-for-bit under any slicing (integer sums commute), so the "
+    "batch oracle covers every batching.  State O(vocab) — exact is "
+    "right for the bounded vocabularies this engine monitors; the "
+    "CMS gate (freq_tokens_cms) is the documented bounded-state path "
+    "for open vocab, with the pigeonhole per-batch-candidate "
+    "prefilter noted in the runner docstring.  The rank window runs "
+    "over the PHI-FILTERED set (<= 1/phi = 200 rows by algebra), "
+    "never the vocabulary.",
+)
+def streaming_heavy_hitters_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_hh_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_heavy_hitters(spark, docs, work)
+
+
+_HEAPS_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS gpos,
+             SUM(ws) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_ws,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    toks AS (
+      SELECT t.tok, MIN(p.gpos) AS firstpos
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents) t
+      JOIN pos p ON p.doc_id = t.doc_id
+      WHERE t.tok <> ''
+      GROUP BY t.tok
+    ),
+    cps AS (
+      SELECT CAST(g.d AS BIGINT) AS decile,
+             (SELECT MAX(n) FROM pos) * g.d // 10 AS p_docs
+      FROM (SELECT unnest(range(1, 11)) AS d) g
+    ),
+    pts AS (
+      SELECT cps.decile, cps.p_docs,
+             CAST(p.cum_ws AS BIGINT) AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+               WHERE toks.firstpos <= cps.p_docs) AS vocab
+      FROM cps JOIN pos p ON p.gpos = cps.p_docs
+    ),
+    reg AS (
+      SELECT COUNT(*) AS m,
+             CAST(CAST(SUM(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(ROUND(ln(CAST(vocab AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE))
+                                      * ln(CAST(vocab AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE))
+                                      * ln(CAST(n_tokens AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT pts.decile, pts.p_docs, pts.n_tokens, pts.vocab,
+           ROUND((reg.sxy - reg.sx * reg.sy / reg.m)
+                 / NULLIF(reg.sxx - reg.sx * reg.sx / reg.m, 0), 6)
+             AS beta_heaps,
+           ROUND(exp(reg.sy / reg.m
+                     - ((reg.sxy - reg.sx * reg.sy / reg.m)
+                        / NULLIF(reg.sxx - reg.sx * reg.sx / reg.m, 0))
+                       * reg.sx / reg.m), 6) AS k_heaps
+    FROM pts CROSS JOIN reg
+    ORDER BY pts.decile
+    """
+
+
+@register(
+    "heaps_law_exponent",
+    _HEAPS_SQL,
+    doc="HEAPS'-LAW VOCABULARY GROWTH (Heaps 1978; V = K * N^beta) — the "
+    "growth-side companion to Chao1's asymptote and the Zipf slope: "
+    "vocabulary size at ten document-prefix checkpoints, with beta/K "
+    "from the log-log OLS over those ten points.  Real web text runs "
+    "beta ~0.4-0.6; this 31-word synthetic corpus SATURATES instantly "
+    "(V flat -> beta ~0 — the honest answer, the planted pytest grows "
+    "a real vocabulary and recovers beta ~0.5).  Scale: first-"
+    "occurrence position per token is one corpus explode reduced to "
+    "the vocab-sized MIN table; checkpoints are a 10-row broadcast; "
+    "the regression runs over 10 points with 12-dp decimal-summed "
+    "moments.  The doc-position fold here is the oracle's ROW_NUMBER "
+    "twin kept distributed via ordered_positions (range-partitioned, "
+    "never a single-task corpus sort).",
+)
+def heaps_law_exponent(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != F.lit(""))
+        )
+        .cast("bigint")
+        .alias("ws"),
+    )
+    pos = ordered_positions(
+        d.select("doc_id", "ws"), [("doc_id", True)], cum_cols=("ws",)
+    ).select("doc_id", "gpos", F.col("cum_ws").cast("bigint").alias("cum_ws"))
+    n = pos.agg(F.max("gpos").alias("n"))
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .join(pos.select("doc_id", "gpos"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("gpos").alias("firstpos"))
+    )
+    cps = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("bigint").alias("decile"))
+        .crossJoin(F.broadcast(n))
+        .select("decile", F.expr("n * decile div 10").alias("p_docs"))
+    )
+    vocab = (
+        toks.join(
+            F.broadcast(cps), F.col("firstpos") <= F.col("p_docs")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = (
+        cps.join(pos, F.col("gpos") == F.col("p_docs"))
+        .join(vocab, "decile")
+        .select(
+            "decile", "p_docs", F.col("cum_ws").alias("n_tokens"), "vocab"
+        )
+    )
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    reg = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.round(lx, 12).cast(dec)).cast("double").alias("sx"),
+        F.sum(F.round(ly, 12).cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(lx * ly, 12).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(lx * lx, 12).cast(dec)).cast("double").alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")) / F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"), F.lit(0.0)
+    )
+    return (
+        pts.crossJoin(F.broadcast(reg))
+        .select(
+            "decile",
+            "p_docs",
+            "n_tokens",
+            "vocab",
+            F.round(beta, 6).alias("beta_heaps"),
+            F.round(
+                F.exp(F.col("sy") / F.col("m") - beta * F.col("sx") / F.col("m")),
+                6,
+            ).alias("k_heaps"),
+        )
+        .orderBy("decile")
+    )

@@ -3299,3 +3299,92 @@ def run_streaming_char_coverage_ingest(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return _char_coverage_finalize(counts)
+
+
+def run_streaming_heavy_hitters(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """PHI-HEAVY TOKENS AT INGEST — the ninth per-batch fold: each
+    micro-batch reduces to its (token, count) integer partial, the
+    state fold is plain addition behind the applied-batch sidecar, and
+    the drain reports tokens whose EXACT total crosses phi = 0.5% of
+    all token instances (integer compare: cnt*10000 >= 50*N), top-20
+    by (count desc, token asc).  Integer sums commute -> drained ==
+    batch bit-for-bit under any slicing.  State is O(vocab): exact is
+    the right answer for bounded vocabularies (event types, domains,
+    zone ids — this engine's monitors); for open web vocab the
+    bounded-state path is the CMS gate (freq_tokens_cms), and the
+    pigeonhole fact that any phi-heavy token must be phi-heavy in at
+    least one batch makes per-batch candidates a sound prefilter when
+    vocab-sized state is too big."""
+    import os
+    import shutil
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    parts_dir = os.path.join(work_dir, "hh_partials")
+    for d in (stage_dir, parts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    staged = docs_df.select("doc_id", "text")
+    staged.repartition(n_slices).write.parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(parts_dir)
+        if int(batch_id) in applied:
+            return
+        part = (
+            batch_df.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        os.makedirs(parts_dir, exist_ok=True)
+        part.write.mode("append").parquet(parts_dir)
+        _mark_applied(parts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    counts = (
+        spark.read.parquet(parts_dir)
+        .groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    heavy = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 10000 >= 50 * F.col("n_total"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        heavy.select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "tok",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

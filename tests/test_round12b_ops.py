@@ -485,3 +485,63 @@ def test_char_coverage_budget_matches_python(spark, texts):
     assert (r.chars_for_90, r.chars_for_995) == (k90, k995)
     assert r.top_char == ranked[0][0]
     assert r.top_share == round(ranked[0][1] / total, 6)
+
+
+def test_heavy_hitters_planted_and_slicing_invariant(spark, tmp_path):
+    """Planted shares: 'hot' at 1% crosses the 0.5% gate, 'warm' at
+    0.4% does not, unique fillers never do; and the drained table is
+    identical under 1 vs 4 slices (integer sums commute)."""
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    filler = " ".join(f"f{i}" for i in range(986))
+    rows = [(0, "hot " * 10 + "warm " * 4 + filler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for n_slices in (1, 4):
+        out = [
+            tuple(r)
+            for r in W.run_streaming_heavy_hitters(
+                spark, docs, str(tmp_path / f"s{n_slices}"), n_slices=n_slices
+            ).collect()
+        ]
+        outs.append(out)
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert got[0][1] == "hot" and got[0][2] == 10
+    toks = {t for _, t, _, _ in got}
+    assert "warm" not in toks  # 0.4% < phi
+    assert all(not t.startswith("f") for t in toks)
+
+
+def test_heaps_recovers_sqrt_growth(spark, tmp_path):
+    """A corpus built so vocab(N) ~ sqrt(N) must fit beta ~ 0.5; the
+    synthetic 31-word testdata corpus saturates to beta ~ 0 (checked
+    against the registered run on real data)."""
+    import math
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    q = queries()["heaps_law_exponent"]
+    # 200 docs x 10 tokens; global token k carries tok = t_floor(sqrt(k))
+    rows = []
+    k = 1
+    for i in range(200):
+        toks = []
+        for _ in range(10):
+            toks.append(f"t{int(math.isqrt(k))}")
+            k += 1
+        rows.append((i, "xx", "src", " ".join(toks), len(" ".join(toks))))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_chars long"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = q(spark, str(tmp_path)).collect()
+    beta = out[0].beta_heaps
+    assert 0.40 <= beta <= 0.60, beta
+    # conservation: vocab nondecreasing, last point sees every token
+    vs = [r.vocab for r in out]
+    assert vs == sorted(vs)
+    assert vs[-1] == int(math.isqrt(2000))
+    # the real synthetic corpus saturates: beta ~ 0
+    real = q(spark, SF).collect()
+    assert abs(real[0].beta_heaps) <= 0.05
