@@ -1081,3 +1081,25 @@ def test_ewma_reduces_before_pair_join(spark):
     plan = _plan(queries()["ewma_anomaly_flags"](spark, SF_SMOKE))
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heaps_positions_are_rangepartitioned(spark):
+    """Heaps' first-occurrence positions come from the ordered_positions
+    fold: the corpus range-partitions and no unpartitioned row_number
+    ranks documents (the zipf/ccnet discipline); checkpoint joins are
+    broadcast."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["heaps_law_exponent"](spark, SF_SMOKE))
+    assert "row_number" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_decon_never_all_pairs(spark):
+    """Candidates meet only inside LSH band buckets: no cartesian
+    product anywhere in the decontamination plan."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["semantic_decontamination"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
