@@ -4270,3 +4270,109 @@ def heaps_law_exponent(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+_ZIPF_BY_SOURCE_SQL = f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY source, tok
+    ),
+    ranked AS (
+      SELECT source, cnt,
+             ROUND(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY cnt DESC, tok)
+                           AS DOUBLE)), 12) AS x,
+             ROUND(ln(CAST(cnt AS DOUBLE)), 12) AS y
+      FROM tf
+    ),
+    s AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS n_instances,
+             {dec_out_sql('SUM(CAST(x AS DECIMAL(38,12)))')} AS sx,
+             {dec_out_sql('SUM(CAST(y AS DECIMAL(38,12)))')} AS sy,
+             {dec_out_sql('SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))')}
+               AS sxy,
+             {dec_out_sql('SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))')}
+               AS sxx
+      FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS vocab,
+           n_instances,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy)
+                       / NULLIF(n * sxx - sx * sx, 0) * sx) / n, 6)
+             AS intercept
+    FROM s ORDER BY source
+    """
+
+
+@register(
+    "zipf_slope_by_source",
+    _ZIPF_BY_SOURCE_SQL,
+    doc="ZIPF SLOPE PER SOURCE — the per-feed shape audit pairing "
+    "quality_psi_by_domain's calibration drift: a feed whose ln(freq)/"
+    "ln(rank) slope sits far from its peers is templated boilerplate "
+    "(steep) or shredded/near-random text (flat) and should be "
+    "reweighted before mixing.  The per-source rank does NOT use a "
+    "source-partitioned row_number window (per-source vocab is "
+    "millions of rows at 100 TB and 20 sources would shuffle-skew "
+    "into 20 sort tasks): ONE ordered_positions range-partitioned "
+    "fold over the composite (source, cnt DESC, tok) order gives the "
+    "global position, and rank-in-source = gpos - min(gpos per "
+    "source) + 1 with the 20-row offset table broadcast back.  Same "
+    "12-dp decimal OLS moments as zipf_token_slope.",
+)
+def zipf_slope_by_source(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tf = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pos = ordered_positions(
+        tf, [("source", True), ("cnt", False), ("tok", True)]
+    )
+    base = pos.groupBy("source").agg(F.min("gpos").alias("g0"))
+    ranked = pos.join(F.broadcast(base), "source").select(
+        "source",
+        "cnt",
+        F.round(
+            F.log((F.col("gpos") - F.col("g0") + 1).cast("double")), 12
+        ).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 12).alias("y"),
+    )
+    s = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").cast("bigint").alias("n_instances"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    )
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / den
+    return s.select(
+        "source",
+        n.cast("bigint").alias("vocab"),
+        "n_instances",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("source")

@@ -1103,3 +1103,15 @@ def test_semantic_decon_never_all_pairs(spark):
 
     plan = _plan(queries()["semantic_decontamination"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_by_source_uses_composite_fold(spark):
+    """Per-source rank comes from ONE composite ordered_positions fold
+    (rangepartitioning) with the 20-row base-offset broadcast back —
+    never a source-partitioned row_number over per-source vocabularies."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["zipf_slope_by_source"](spark, SF_SMOKE))
+    assert "row_number" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan

@@ -545,3 +545,43 @@ def test_heaps_recovers_sqrt_growth(spark, tmp_path):
     # the real synthetic corpus saturates: beta ~ 0
     real = q(spark, SF).collect()
     assert abs(real[0].beta_heaps) <= 0.05
+
+
+def test_zipf_by_source_matches_python(spark):
+    """Per-source OLS vs direct Python recomputation on sf0.001 (rank
+    within source by (cnt desc, tok asc) over the composite fold)."""
+    from collections import defaultdict
+    import math
+
+    import duckdb
+
+    from newyork_taxi_etl_spark.registry import queries
+
+    got = {
+        r.source: r
+        for r in queries()["zipf_slope_by_source"](spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        "SELECT source, tok, COUNT(*) AS cnt FROM ("
+        "SELECT source, unnest(string_split(text, ' ')) AS tok "
+        f"FROM '{SF}/documents.parquet') WHERE tok <> '' GROUP BY 1, 2"
+    ).fetchall()
+    by_src = defaultdict(list)
+    for src, tok, cnt in rows:
+        by_src[src].append((-cnt, tok, cnt))
+    for src, items in by_src.items():
+        items.sort()
+        xs = [round(math.log(i + 1), 12) for i in range(len(items))]
+        ys = [round(math.log(c), 12) for _, _, c in items]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(round(x * y, 12) for x, y in zip(xs, ys))
+        sxx = sum(round(x * x, 12) for x in xs)
+        den = n * sxx - sx * sx
+        r = got[src]
+        assert r.vocab == n
+        assert r.n_instances == sum(c for _, _, c in items)
+        if den:
+            slope = (n * sxy - sx * sy) / den
+            assert abs(r.slope - slope) <= 1e-4, src
+            assert abs(r.intercept - (sy - slope * sx) / n) <= 1e-4, src
