@@ -343,71 +343,67 @@ _R11_VERIFIED = frozenset({
     "wordpiece_merge_loop",
 })
 
+# Value-verified in round 12 (the 50 names in CORRECTNESS_r12.json — all
+# rows+schema+hash green, including ALL 17 then-standing
+# _CHANGED_SINCE_VERIFY names: the zipf ordered_positions migration, the
+# log-domain WordPiece score, the SQ/LM/DSIR/PQ shared-helper refactors,
+# and the five stage-cached drains).
+_R12_VERIFIED = frozenset({
+    "ann_ivf_balance", "ann_pq_adc_k16_topk", "ann_pq_adc_topk",
+    "ann_pq_adc_trained_topk", "ann_pq_rotated_recall", "ann_recall_sq8",
+    "ann_recall_sq_sweep", "ann_recall_trained", "ann_sq8_adc_topk",
+    "bigram_lm_compare", "ccnet_kn_bucket_agreement",
+    "ccnet_perplexity_buckets", "char_coverage_budget",
+    "curriculum_ccnet_agreement", "dedup_source_matrix",
+    "dsir_domain_affinity", "dsir_importance_select",
+    "embedding_isotropy_audit", "embedding_label_margin",
+    "ewma_anomaly_flags", "heaps_law_exponent", "hill_tail_index",
+    "hybrid_rrf_fusion", "kneser_ney_lm_compare", "lsh_band_sweep",
+    "mixture_epochs_plan", "oov_fallback_rate", "psi_value_drift",
+    "quality_rule_funnel", "quality_selection_curve", "readability_scores",
+    "semantic_decontamination", "sql_frontend_topk",
+    "stream_stream_full_outer_join", "stream_stream_outer_join",
+    "stream_stream_right_outer_join", "streaming_char_coverage_ingest",
+    "streaming_dsir_ingest", "streaming_heavy_hitters_ingest",
+    "streaming_late_drop", "streaming_quality_funnel_ingest",
+    "streaming_session_close", "time_weighted_avg_value",
+    "trimmed_mean_pandas", "wordpiece_greedy_segment",
+    "wordpiece_holdout_fertility", "wordpiece_merge_loop",
+    "wordpiece_runtime_drift", "zipf_slope_by_source", "zipf_token_slope",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
-    _R11_VERIFIED,
+    _R11_VERIFIED, _R12_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 7 re-verified all eight of
 # that round's entries; round 8 all three; round 9 all six; round 10 all 19;
-# round 11 ALL 27 (commutative checksum, min-3 head, time-span tertiles,
-# both ADVICE fixes, and the 22-query with_shingles migration).  Round 12
-# entries are added below as code changes land:
+# round 11 all 27; round 12 ALL 17 (zipf ordered_positions, log-domain
+# WordPiece score, SQ/LM/DSIR/PQ shared-helper refactors, the five
+# stage-cached drains).  Round 13 entries are added below as code changes
+# land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r12 verdict item #3 — zipf_token_slope's vocabulary rank migrated
-    # from an unpartitioned row_number window (single-task sort at 1e8+
-    # distinct tokens) to the ordered_positions range-partitioned fold
-    # (operators/profile.py), the same machinery ccnet_perplexity_buckets
-    # uses; values identical, oracle unchanged.
-    "zipf_token_slope",
-    # r12 ADVICE fix — the WordPiece merge score moved to the log domain
-    # (ln n - ln fa - ln fb, DOUBLE arithmetic) on BOTH engines: the raw
-    # n/(fa*fb) ratio multiplies two BIGINT frequencies, which overflows
-    # int64 at 100 TB corpus scale (silent wrap on non-ANSI Spark vs a
-    # DuckDB raise — engine divergence), and ROUND(ratio, 12) flushes
-    # sub-1e-12 scores to zero.  Same argmax (monotone); the emitted
-    # score VALUES change, so both queries re-verify.
-    "wordpiece_merge_loop",
-    "wordpiece_holdout_fertility",
-    # r12 refactor — the SQ8 codec generalized to arbitrary bit budgets
-    # (_sq_ranked(levels)) and the exact-L2 truth/recall-row algebra
-    # factored into _l2_bf_top10/_recall_row for the ann_recall_sq_sweep
-    # operating-point curve; values verified identical at sf0.01, but the
-    # shared code changed so both re-check.
-    "ann_sq8_adc_topk",
-    "ann_recall_sq8",
-    # r12 refactor — the LM family's token/bigram streams, add-1 NLL legs,
-    # doc-mean fold, and ccnet's per-language NTILE(3) machinery factored
-    # into shared helpers (_tok_stream/_bi_stream/_uni_add1_nll/
-    # _bi_add1_nll/_doc_mean_nll/_lang_ntile3) now also consumed by the
-    # Kneser-Ney queries; values verified identical at sf0.01, but the
-    # shared code changed so both re-check.
-    "bigram_lm_compare",
-    "ccnet_perplexity_buckets",
-    # r12 perf — the five time-sliced drains now read their deterministic
-    # staged input from a content-keyed build-once cache (values proven
-    # identical on both the miss and hit paths at sf0.01; the stage is
-    # harness scaffolding with fixed mtimes, state/checkpoints stay
-    # per-run); plan-adjacent code changed so all five re-check.
-    "stream_stream_outer_join",
-    "stream_stream_full_outer_join",
-    "stream_stream_right_outer_join",
-    "streaming_session_close",
-    "streaming_late_drop",
-    # r12 refactor — dsir_importance_select's chain factored into the
-    # shared buckets/model/doc-weights/profile stages the streaming twin
-    # and the affinity matrix consume; _pq_adc_topk gained the pre-shaped
-    # base parameter for the rotated-PQ gate (default path identical).
-    # Values verified unchanged in this round's full 337-query sweep,
-    # but the shared code changed so all re-check.
-    "dsir_importance_select",
-    "ann_pq_adc_topk",
-    "ann_pq_adc_k16_topk",
-    "ann_pq_adc_trained_topk",
-    "ann_recall_trained",
+    # r13 ADVICE fix #2 — the char-coverage family's DuckDB oracles now
+    # index a precomputed lowered column with the range bounded by ITS
+    # length (len(text) under-/over-ran when lower() changes length);
+    # values identical on this ASCII corpus, oracle text changed.
+    "char_coverage_budget",
+    "streaming_char_coverage_ingest",
+    "oov_fallback_rate",
+    # r13 ADVICE fix #3 — degenerate-decile alignment: zero-vocab and
+    # p_docs=0 checkpoints now drop EXPLICITLY on both engines (left
+    # join + coalesce + vocab>0 on Spark; WHERE on the oracle) instead
+    # of inner-join-drop vs ln(0).  Values unchanged at sf>=0.001.
+    "heaps_law_exponent",
+    # r13 refactor — the per-source Zipf OLS factored into the shared
+    # _zipf_source_stats helper source_growth_matrix also consumes;
+    # values verified identical at sf0.001 + sf0.01, shared code changed
+    # so it re-checks.
+    "zipf_slope_by_source",
 })
 
 def _tier(name: str) -> int:

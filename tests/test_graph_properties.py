@@ -103,8 +103,8 @@ def test_registration_order_is_tiered_by_driver_verdict():
     never-verified queries lead (tier 0), changed-since-verify next (1),
     then standing verdicts oldest-round-first — a latest-round-N verdict
     maps to tier N+1, so a hypothetical round-1-only name would rank ahead
-    of round-2 names rather than colliding with tier 1.  Round 12: every
-    registered query holds a green verdict and round 11 re-verified all 27
+    of round-2 names rather than colliding with tier 1.  Round 13: every
+    registered query holds a green verdict and round 12 re-verified all 17
     changed names, so the window is (new registrations +
     changed-since-verify) followed by the stalest standing verdicts — the
     round-4-latest cohort (tier 5)."""
@@ -124,7 +124,6 @@ def test_registration_order_is_tiered_by_driver_verdict():
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
         ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
-        ("zipf_token_slope", 1),      # r12-changed: ordered_positions rank
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
@@ -139,16 +138,22 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("curriculum_quality_stages", 11),     # r10-reverified: position fold
         ("corpus_shard_export", 12),      # r11-reverified: commutative checksum
         ("training_shard_assignment", 12), # r11-reverified: min-3 fingerprint
-        ("wordpiece_merge_loop", 1),   # r12-changed: log-domain score
-        ("ann_recall_sq8", 1),         # r12-changed: shared-helper refactor
-        ("dsir_importance_select", 1), # r12-changed: shared-stage refactor
-        ("wordpiece_greedy_segment", 0),       # r12 new: never verified
-        ("streaming_dsir_ingest", 0),          # r12 new: never verified
-        ("ann_recall_sq_sweep", 0),            # r12 new: never verified
-        ("readability_scores", 0),             # r12 session 2: new
-        ("streaming_char_coverage_ingest", 0), # r12 session 2: new
-        ("ewma_anomaly_flags", 0),             # r12 session 2: new
-        ("dedup_source_matrix", 0),            # r12 session 2: new
+        ("zipf_token_slope", 13),      # r12-reverified: ordered_positions rank
+        ("wordpiece_merge_loop", 13),  # r12-reverified: log-domain score
+        ("ann_recall_sq8", 13),        # r12-reverified: shared-helper refactor
+        ("dsir_importance_select", 13),  # r12-reverified: shared-stage refactor
+        ("wordpiece_greedy_segment", 13),       # r12 new, verified r12
+        ("streaming_dsir_ingest", 13),          # r12 new, verified r12
+        ("ann_recall_sq_sweep", 13),            # r12 new, verified r12
+        ("readability_scores", 13),             # r12 session 2, verified r12
+        ("ewma_anomaly_flags", 13),             # r12 session 2, verified r12
+        ("dedup_source_matrix", 13),            # r12 session 2, verified r12
+        ("char_coverage_budget", 1),     # r13-changed: lowered-column oracle
+        ("streaming_char_coverage_ingest", 1),  # r13-changed: same fix
+        ("oov_fallback_rate", 1),               # r13-changed: same fix
+        ("heaps_law_exponent", 1),   # r13-changed: degenerate-decile align
+        ("bytebpe_merge_loop", 0),              # r13 new: never verified
+        ("bytebpe_holdout_fertility", 0),       # r13 new: never verified
     ):
         assert registry._tier(probe) == want, probe
 
