@@ -24,10 +24,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: word -> UTF-8 byte symbols as hex pairs.  hex() is uppercase on both
-#: engines; `div` keeps the index integral.
+#: engines; `div` keeps the index integral.  The empty-word guard is
+#: load-bearing for cross-engine seed equality (r12 ADVICE): Spark's
+#: sequence(1, 0) yields a DESCENDING [1, 0] — so w = '' would seed
+#: syms = ['', ''] and a ('','') pair could pollute the merge argmax —
+#: while DuckDB's range(1, 1) yields [].  Guarded, both engines seed [].
 BYTE_SYMS_EXPR = (
-    "transform(sequence(1, length(hex(encode(w, 'UTF-8'))) div 2), "
-    "i -> substring(hex(encode(w, 'UTF-8')), 2 * i - 1, 2))"
+    "CASE WHEN w = '' THEN CAST(array() AS ARRAY<STRING>) "
+    "ELSE transform(sequence(1, length(hex(encode(w, 'UTF-8'))) div 2), "
+    "i -> substring(hex(encode(w, 'UTF-8')), 2 * i - 1, 2)) END"
 )
 
 #: DuckDB twin of BYTE_SYMS_EXPR (encode() -> BLOB, hex() -> uppercase).

@@ -3357,3 +3357,117 @@ def mixture_epochs_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-LCP repetition depth (round-13): the cross-doc boilerplate axis
+# doc_repetition_profile (within-doc) and dedup_exact_substring (pairwise
+# spans) flag but do not PROFILE.
+
+#: depth ladder — suffix-array LCP distribution checkpoints.  The classic
+#: identity makes this distributable: a suffix's LCP with its neighbour in
+#: the sorted suffix stream is >= d  <=>  the d-gram at that position is
+#: NON-UNIQUE in the corpus, so P(LCP >= d) per language is a duplicated-
+#: d-gram counting problem — no sorted suffix stream is ever materialized.
+_LCP_DEPTHS = (1, 2, 4, 8, 16)
+
+
+@register(
+    "lcp_repetition_depth",
+    f"""
+    WITH toks AS (
+      SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    lad AS (SELECT unnest([{', '.join(str(d) for d in _LCP_DEPTHS)}]) AS d),
+    g AS (
+      SELECT tk.lang, tk.doc_id, lad.d,
+             array_to_string(tk.t[r.i : r.i + lad.d - 1], ' ') AS gram
+      FROM toks tk, lad, unnest(range(1, len(tk.t) - lad.d + 2)) AS r(i)
+    ),
+    c AS (
+      SELECT lang, d, gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      FROM g GROUP BY lang, d, gram
+    )
+    SELECT lang, CAST(d AS BIGINT) AS depth,
+           CAST(SUM(cnt) AS BIGINT) AS n_positions,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS dup_positions,
+           CAST(SUM(CASE WHEN mn <> mx THEN cnt ELSE 0 END) AS BIGINT)
+             AS crossdoc_positions,
+           ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / SUM(cnt), 6) AS dup_share,
+           ROUND(CAST(SUM(CASE WHEN mn <> mx THEN cnt ELSE 0 END) AS DOUBLE)
+                 / SUM(cnt), 6) AS crossdoc_share
+    FROM c GROUP BY lang, d ORDER BY lang, depth
+    """,
+    doc="SUFFIX-LCP REPETITION DEPTH per language (the suffix-array view "
+    "of Lee et al. 2022's ExactSubstr, as a PROFILE instead of a dedup "
+    "pass): the distribution of longest-common-prefix depth over the "
+    "corpus's suffix stream at checkpoint depths 1/2/4/8/16, i.e. what "
+    "fraction of token positions start a span that recurs elsewhere "
+    "(dup_share ~ P(LCP >= d)) and — the axis within-doc "
+    "doc_repetition_profile cannot see — recurs in ANOTHER document "
+    "(crossdoc_share, the boilerplate mass dedup_exact_substring would "
+    "cut).  DISTRIBUTED FORM: a suffix's LCP with its sorted-stream "
+    "neighbour is >= d exactly when its d-gram is non-unique, so the "
+    "whole profile is duplicated-d-gram counting — one positional "
+    "ladder explode (|ladder| x token positions, map-side), one count "
+    "per (lang, depth, gram) with min/max doc_id deciding cross-doc "
+    "membership algebraically (a gram spans >= 2 docs iff min <> max — "
+    "no distinct-count sketch needed), and an O(langs x ladder) rollup; "
+    "NO suffix sort, NO pair join, NOTHING quadratic.  Integer masses, "
+    "two exact int/int divisions at 6 dp — engine-exact.",
+)
+def lcp_repetition_depth(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    ladder = ", ".join(str(d) for d in _LCP_DEPTHS)
+    # _toks bound ONCE per row (the with_shingles lesson: split() inlined
+    # into a lambda re-splits per iteration once CollapseProject folds it)
+    grams = (
+        docs.withColumn("_toks", F.split("text", " "))
+        .select(
+            "lang",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(array({ladder}), d -> "
+                    "CASE WHEN size(_toks) >= d THEN "
+                    "transform(sequence(1, size(_toks) - d + 1), "
+                    "i -> named_struct('d', d, 'gram', "
+                    "array_join(slice(_toks, i, d), ' '))) "
+                    "ELSE CAST(array() AS ARRAY<STRUCT<d: INT, gram: STRING>>) "
+                    "END))"
+                )
+            ).alias("e"),
+        )
+        .select(
+            "lang", "doc_id", F.col("e.d").alias("d"), F.col("e.gram").alias("gram")
+        )
+    )
+    c = grams.groupBy("lang", "d", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    )
+    dup = F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+    xdoc = F.sum(
+        F.when(F.col("mn") != F.col("mx"), F.col("cnt")).otherwise(F.lit(0))
+    )
+    return (
+        c.groupBy("lang", F.col("d").cast("bigint").alias("depth"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_positions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            dup.cast("bigint").alias("dup_positions"),
+            xdoc.cast("bigint").alias("crossdoc_positions"),
+            F.round(
+                dup.cast("double") / F.sum("cnt"), 6
+            ).alias("dup_share"),
+            F.round(
+                xdoc.cast("double") / F.sum("cnt"), 6
+            ).alias("crossdoc_share"),
+        )
+        .orderBy("lang", "depth")
+    )

@@ -3720,11 +3720,22 @@ def _char_coverage_finalize(counts):
 
 
 _CHAR_COVERAGE_SQL = """
-    WITH c AS (
-      SELECT lang, substring(lower(text), r.i, 1) AS ch,
+    WITH lowered AS (
+      -- index into a PRECOMPUTED lowered column with the range bounded
+      -- by ITS length (r12 ADVICE): bounding by len(text) while
+      -- indexing lower(text) silently truncates when lower() lengthens
+      -- the string (e.g. Spark lower('İ') -> 'i' + U+0307, 2 chars from
+      -- 1).  NOTE the residual engine gap: Spark and DuckDB lower()
+      -- themselves disagree on such codepoints (ICU full case mapping
+      -- vs simple) — invisible on this corpus, documented in the
+      -- registration docstring.
+      SELECT lang, lower(text) AS lt FROM documents
+    ),
+    c AS (
+      SELECT lang, substring(lt, r.i, 1) AS ch,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
-      WHERE substring(lower(text), r.i, 1) <> ' '
+      FROM lowered, unnest(range(1, len(lt) + 1)) AS r(i)
+      WHERE substring(lt, r.i, 1) <> ' '
       GROUP BY lang, ch
     ),
     ranked AS (
@@ -3762,9 +3773,15 @@ _CHAR_COVERAGE_SQL = """
     "rare codepoints become <unk>/byte-fallback before BPE/Unigram/"
     "WordPiece training starts), plus alphabet size and the top "
     "character's share.  Threshold compares are INTEGER (cum*10 >= "
-    "9*total) — no float boundary.  Scale: the corpus reduces map-side "
-    "to the (lang, char) frequency table (langs x alphabet rows); "
-    "every window runs over THAT, never over character instances.",
+    "9*total) — no float boundary.  Engine note (r12 ADVICE): the "
+    "oracle indexes a precomputed lowered column bounded by ITS length, "
+    "since lower() can change string length (İ -> i + U+0307); Spark "
+    "(ICU full case mapping) and DuckDB (simple mapping) still disagree "
+    "on WHICH chars such codepoints lower to — invisible on this "
+    "corpus, flagged here for non-ASCII data.  Scale: the corpus "
+    "reduces map-side to the (lang, char) frequency table (langs x "
+    "alphabet rows); every window runs over THAT, never over character "
+    "instances.",
 )
 def char_coverage_budget(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
@@ -3797,11 +3814,16 @@ def streaming_char_coverage_ingest(spark, sf_dir):
 
 
 _OOV_FALLBACK_SQL = """
-    WITH c AS (
-      SELECT lang, substring(lower(text), r.i, 1) AS ch,
+    WITH lowered AS (
+      -- precomputed lowered column, range bounded by ITS length (r12
+      -- ADVICE — see _CHAR_COVERAGE_SQL for the İ-style rationale)
+      SELECT lang, lower(text) AS lt FROM documents
+    ),
+    c AS (
+      SELECT lang, substring(lt, r.i, 1) AS ch,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
-      WHERE substring(lower(text), r.i, 1) <> ' '
+      FROM lowered, unnest(range(1, len(lt) + 1)) AS r(i)
+      WHERE substring(lt, r.i, 1) <> ' '
       GROUP BY lang, ch
     ),
     ranked AS (
@@ -4146,11 +4168,20 @@ _HEAPS_SQL = """
       FROM (SELECT unnest(range(1, 11)) AS d) g
     ),
     pts AS (
-      SELECT cps.decile, cps.p_docs,
-             CAST(p.cum_ws AS BIGINT) AS n_tokens,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
-               WHERE toks.firstpos <= cps.p_docs) AS vocab
-      FROM cps JOIN pos p ON p.gpos = cps.p_docs
+      -- degenerate prefixes take the SAME path on both engines (r12
+      -- ADVICE): p_docs = 0 checkpoints (n_docs < 10) and zero-vocab
+      -- prefixes are dropped explicitly here, mirroring the Spark
+      -- side's left-join + coalesce + vocab > 0 filter — otherwise the
+      -- correlated COUNT(*) would return 0 and feed ln(0) while Spark's
+      -- inner join silently dropped the row.
+      SELECT * FROM (
+        SELECT cps.decile, cps.p_docs,
+               CAST(p.cum_ws AS BIGINT) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+                 WHERE toks.firstpos <= cps.p_docs) AS vocab
+        FROM cps JOIN pos p ON p.gpos = cps.p_docs
+        WHERE cps.p_docs >= 1
+      ) WHERE vocab > 0
     ),
     reg AS (
       SELECT COUNT(*) AS m,
@@ -4236,12 +4267,22 @@ def heaps_law_exponent(spark, sf_dir):
         .groupBy("decile")
         .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
     )
+    # degenerate prefixes aligned cross-engine (r12 ADVICE): drop
+    # p_docs = 0 checkpoints (n_docs < 10) and zero-vocab prefixes
+    # EXPLICITLY — a left join + coalesce + filter — instead of relying
+    # on the inner join's silent drop, which the oracle couldn't mirror
+    # (its correlated COUNT(*) returns 0 and would feed ln(0)).
     pts = (
-        cps.join(pos, F.col("gpos") == F.col("p_docs"))
-        .join(vocab, "decile")
+        cps.filter(F.col("p_docs") >= 1)
+        .join(pos, F.col("gpos") == F.col("p_docs"))
+        .join(vocab, "decile", "left")
         .select(
-            "decile", "p_docs", F.col("cum_ws").alias("n_tokens"), "vocab"
+            "decile",
+            "p_docs",
+            F.col("cum_ws").alias("n_tokens"),
+            F.coalesce(F.col("vocab"), F.lit(0)).cast("bigint").alias("vocab"),
         )
+        .filter(F.col("vocab") > 0)
     )
     lx = F.log(F.col("n_tokens").cast("double"))
     ly = F.log(F.col("vocab").cast("double"))
@@ -4328,10 +4369,20 @@ _ZIPF_BY_SOURCE_SQL = f"""
     "12-dp decimal OLS moments as zipf_token_slope.",
 )
 def zipf_slope_by_source(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _zipf_source_stats(docs).orderBy("source")
+
+
+def _zipf_source_stats(docs):
+    """Per-source Zipf OLS — (source, vocab, n_instances, slope,
+    intercept), unordered.  Factored (r13) so zipf_slope_by_source and
+    source_growth_matrix run the IDENTICAL composite ordered_positions
+    fold and float path (one range-partitioned (source, cnt DESC, tok)
+    order, per-source rank via the broadcast min-gpos offset table,
+    12-dp decimal OLS moments)."""
     from newyork_taxi_etl_spark.operators.profile import ordered_positions
 
     dec = "decimal(38,12)"
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
     tf = (
         docs.select(
             "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -4375,4 +4426,458 @@ def zipf_slope_by_source(spark, sf_dir):
         "n_instances",
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style; Radford et al. 2019 §2.2) — the FOURTH
+# tokenizer family beside char-BPE (bpe_merge_loop), unigram-LM and
+# WordPiece: merges learned over UTF-8 BYTES (hex-pair symbols), so no
+# input is ever out-of-vocabulary — the <unk>-free guarantee whose need
+# char_coverage_budget and oov_fallback_rate quantify.  The seeds come
+# from operators/bytebpe.py (cross-engine equality + multi-byte
+# round-trip pytest-pinned there); the merge loop itself is the SHARED
+# leftmost-non-overlapping fold every other family uses.
+
+from newyork_taxi_etl_spark.operators.bytebpe import (  # noqa: E402
+    BYTE_SYMS_SQL,
+    bytebpe_train_tops,
+)
+
+
+@register(
+    "bytebpe_merge_loop",
+    f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    syms0 AS (
+      SELECT cnt, {BYTE_SYMS_SQL} AS syms FROM vocab
+    ),{','.join(_bpe_round_sql(r) for r in (1, 2, 3))}
+    SELECT 1 AS step, a || '+' || b AS pair, a || b AS merged, n FROM top1
+    UNION ALL
+    SELECT 2, a || '+' || b, a || b, n FROM top2
+    UNION ALL
+    SELECT 3, a || '+' || b, a || b, n FROM top3
+    ORDER BY step
+    """,
+    doc="BYTE-LEVEL BPE TRAINING (GPT-2 style) — the merge loop seeded "
+    "from each word's UTF-8 BYTE sequence as hex-pair symbols instead of "
+    "its characters, completing the fourth tokenizer family: byte "
+    "seeding means the base alphabet is at most 256 symbols and NO input "
+    "can ever be out-of-vocabulary (the <unk>-free guarantee "
+    "char_coverage_budget / oov_fallback_rate quantify the need for), "
+    "with multi-byte codepoints splitting into learnable byte pairs.  "
+    "Identical structure to bpe_merge_loop: corpus collapses ONCE to a "
+    "frequency-weighted word vocab, each round counts adjacent symbol "
+    "pairs (map-side-combinable, pair-vocabulary shuffle), takes the "
+    "(n DESC, a, b) argmax and rewrites symbols with the SHARED "
+    "leftmost-non-overlapping merge fold (the 1-row winner broadcasts); "
+    "on this ASCII corpus the merge sequence equals char-BPE's under the "
+    "char<->hex bijection (pytest-pinned honesty check) and the "
+    "multi-byte path is pinned by the round-trip + Python-reference "
+    "tests in tests/test_bytebpe.py.  Vocab-sized per round at 100 TB, "
+    "same contract as the char trainer.",
+)
+def bytebpe_merge_loop(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tops = bytebpe_train_tops(vocab, rounds=3)
+    outs = [
+        top.select(
+            F.lit(step).alias("step"),
+            F.concat_ws("+", "a", "b").alias("pair"),
+            F.concat("a", "b").alias("merged"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        for step, top in enumerate(tops, start=1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("step")
+
+
+_BYTEBPE_HOLDOUT_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % 5 <> 0)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    syms0 AS (
+      SELECT cnt, {BYTE_SYMS_SQL} AS syms FROM vocab
+    ),{','.join(_bpe_round_sql(r, mat=True) for r in (1, 2, 3))},
+    langvocab AS (
+      SELECT doc_id % 5 = 0 AS is_val, lang, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+      GROUP BY 1, lang, w
+    ),
+    asyms0 AS (
+      SELECT is_val, lang, cnt, {BYTE_SYMS_SQL} AS syms
+      FROM langvocab
+    ),
+    asyms1 AS ({_bpe_fold_sql('asyms0', 'top1',
+                              keep='s.is_val, s.lang, s.cnt')}),
+    asyms2 AS ({_bpe_fold_sql('asyms1', 'top2',
+                              keep='s.is_val, s.lang, s.cnt')}),
+    asyms3 AS ({_bpe_fold_sql('asyms2', 'top3',
+                              keep='s.is_val, s.lang, s.cnt')})
+    SELECT CASE WHEN is_val THEN 'holdout' ELSE 'train' END AS split,
+           lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_instances,
+           CAST(SUM(cnt * len(syms)) AS BIGINT) AS bb_symbols,
+           ROUND(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+             AS bb_fertility,
+           ROUND(CAST(SUM(cnt * length(
+                   list_reduce(syms, (a, b) -> a || b))) AS DOUBLE)
+                 / 2 / SUM(cnt * len(syms)), 6) AS bytes_per_symbol
+    FROM asyms3
+    GROUP BY 1, lang
+    ORDER BY split, lang"""
+
+
+@register(
+    "bytebpe_holdout_fertility",
+    _BYTEBPE_HOLDOUT_SQL,
+    doc="BYTE-LEVEL BPE GENERALIZATION — the held-out fertility eval of "
+    "the byte trainer (bpe_holdout_fertility's twin for the fourth "
+    "family): merges train ONLY on the 80% hash split (doc_id % 5 <> 0), "
+    "then encode BOTH splits and report per-(split, lang) byte-BPE "
+    "fertility (symbols per word instance) plus mean BYTES per symbol — "
+    "the compression the byte merges bought, the byte-path number the "
+    "char trainer cannot report.  Unlike char-BPE, the holdout can "
+    "contain NO unrepresentable word: unmerged words fall back to raw "
+    "byte symbols, never <unk> — so fertility degrades gracefully "
+    "instead of failing, which is exactly the property this query "
+    "measures.  Same shared training fold (operators/bytebpe.py "
+    "bytebpe_train_tops -> the common merge fold) and apply fold as "
+    "every tokenizer family; training is vocab-sized per round, apply "
+    "runs once over the (split, lang, word) vocab with each 1-row merge "
+    "broadcast; symbol/byte sums integer (the /2 halves an exact int "
+    "sum), engine-exact.",
+)
+def bytebpe_holdout_fertility(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.bytebpe import BYTE_SYMS_EXPR
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    train_vocab = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tops = bytebpe_train_tops(train_vocab, rounds=3)
+    lv = (
+        docs.select(
+            (F.col("doc_id") % 5 == 0).alias("is_val"),
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("is_val", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = lv.select(
+        "is_val", "lang", "cnt", F.expr(BYTE_SYMS_EXPR).alias("syms")
+    )
+    for top in tops:
+        enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        )
+    n_hex = F.expr("aggregate(syms, 0L, (acc, s) -> acc + length(s))")
+    return (
+        enc.select(
+            F.when(F.col("is_val"), "holdout").otherwise("train").alias(
+                "split"
+            ),
+            "lang",
+            "cnt",
+            F.size("syms").alias("n_syms"),
+            n_hex.alias("n_hex"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_instances"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("bb_symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("bb_fertility"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_hex")).cast("double")
+                / 2
+                / F.sum(F.col("cnt") * F.col("n_syms")),
+                6,
+            ).alias("bytes_per_symbol"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _heaps_source_stats(spark, docs):
+    """Per-source Heaps-law leg of source_growth_matrix: (source,
+    heaps_beta, heaps_k, n_checkpoints).  ONE composite ordered_positions
+    fold over (source, doc_id) with a running non-empty-token sum gives
+    every source's document positions and cumulative token counts; the
+    per-source decile checkpoints, first-occurrence vocab table and
+    10-point log-log OLS all follow heaps_law_exponent's machinery (incl.
+    its degenerate-checkpoint discipline: p_docs >= 1 and vocab > 0
+    dropped explicitly).  Raw (non-lowered) tokens, matching the Zipf leg
+    so both growth exponents describe the same token stream."""
+    from newyork_taxi_etl_spark.operators.profile import ordered_positions
+
+    dec = "decimal(38,12)"
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        )
+        .cast("bigint")
+        .alias("ws"),
+    )
+    pos = ordered_positions(
+        d, [("source", True), ("doc_id", True)], cum_cols=("ws",)
+    )
+    # per-source offsets off the ONE global fold: g0/g1 bound the
+    # source's gpos range; cum0 = min(cum_ws - ws) is the running token
+    # sum BEFORE the source's first row (cum_ws - ws is nondecreasing in
+    # gpos, so the min lands on the first row)
+    base = pos.groupBy("source").agg(
+        F.min("gpos").alias("g0"),
+        F.max("gpos").alias("g1"),
+        F.min(F.col("cum_ws") - F.col("ws")).alias("cum0"),
+    )
+    cps = (
+        base.crossJoin(
+            spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+        )
+        .select(
+            "source",
+            "decile",
+            "cum0",
+            F.expr("(g1 - g0 + 1) * decile div 10").alias("p_docs"),
+            F.expr("g0 - 1 + (g1 - g0 + 1) * decile div 10").alias("gcp"),
+        )
+        .filter(F.col("p_docs") >= 1)
+    )
+    pts_base = pos.select("source", "gpos", "cum_ws").join(
+        F.broadcast(cps.withColumnRenamed("source", "csource")),
+        (F.col("source") == F.col("csource")) & (F.col("gpos") == F.col("gcp")),
+    ).select(
+        "source",
+        "decile",
+        "p_docs",
+        "gcp",
+        (F.col("cum_ws") - F.col("cum0")).cast("bigint").alias("n_tokens"),
+    )
+    toks = (
+        docs.select(
+            "source", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .join(pos.select("doc_id", "gpos"), "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.min("gpos").alias("firstpos"))
+    )
+    vocab = (
+        toks.withColumnRenamed("source", "tsource")
+        .join(
+            F.broadcast(cps.select("source", "decile", "gcp")),
+            (F.col("tsource") == F.col("source"))
+            & (F.col("firstpos") <= F.col("gcp")),
+        )
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = (
+        pts_base.join(vocab, ["source", "decile"], "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("vocab"), F.lit(0)).cast("bigint").alias("vocab"),
+        )
+        .filter(F.col("vocab") > 0)
+    )
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    reg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.round(lx, 12).cast(dec)).cast("double").alias("sx"),
+        F.sum(F.round(ly, 12).cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(lx * ly, 12).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(lx * lx, 12).cast(dec)).cast("double").alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")) / F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"), F.lit(0.0)
+    )
+    return reg.select(
+        "source",
+        # + 0.0 normalizes IEEE -0.0 after the round (saturating sources)
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        F.round(
+            F.exp(F.col("sy") / F.col("m") - beta * F.col("sx") / F.col("m")), 6
+        ).alias("heaps_k"),
+        F.col("m").cast("bigint").alias("n_checkpoints"),
+    )
+
+
+_SOURCE_GROWTH_SQL = f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY source, tok
+    ),
+    zr AS (
+      SELECT source, cnt,
+             ROUND(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY cnt DESC, tok)
+                           AS DOUBLE)), 12) AS x,
+             ROUND(ln(CAST(cnt AS DOUBLE)), 12) AS y
+      FROM tf
+    ),
+    zs AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS n_instances,
+             {dec_out_sql('SUM(CAST(x AS DECIMAL(38,12)))')} AS sx,
+             {dec_out_sql('SUM(CAST(y AS DECIMAL(38,12)))')} AS sy,
+             {dec_out_sql('SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12)))')}
+               AS sxy,
+             {dec_out_sql('SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))')}
+               AS sxx
+      FROM zr GROUP BY source
+    ),
+    d AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS gpos,
+             SUM(ws) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_ws,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    ),
+    toks AS (
+      SELECT t.source, t.tok, MIN(p.gpos) AS firstpos
+      FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t
+      JOIN pos p ON p.doc_id = t.doc_id
+      WHERE t.tok <> ''
+      GROUP BY t.source, t.tok
+    ),
+    cps AS (
+      SELECT s.source, CAST(g.d AS BIGINT) AS decile, s.n * g.d // 10 AS p_docs
+      FROM (SELECT source, MAX(n) AS n FROM pos GROUP BY source) s,
+           (SELECT unnest(range(1, 11)) AS d) g
+    ),
+    pts AS (
+      SELECT * FROM (
+        SELECT cps.source, cps.decile,
+               CAST(p.cum_ws AS BIGINT) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+                 WHERE toks.source = cps.source
+                   AND toks.firstpos <= cps.p_docs) AS vocab
+        FROM cps JOIN pos p
+          ON p.source = cps.source AND p.gpos = cps.p_docs
+        WHERE cps.p_docs >= 1
+      ) WHERE vocab > 0
+    ),
+    hr AS (
+      SELECT source, COUNT(*) AS m,
+             {dec_out_sql('SUM(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 12) '
+                          'AS DECIMAL(38,12)))')} AS sx,
+             {dec_out_sql('SUM(CAST(ROUND(ln(CAST(vocab AS DOUBLE)), 12) '
+                          'AS DECIMAL(38,12)))')} AS sy,
+             {dec_out_sql('SUM(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) '
+                          '* ln(CAST(vocab AS DOUBLE)), 12) '
+                          'AS DECIMAL(38,12)))')} AS sxy,
+             {dec_out_sql('SUM(CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) '
+                          '* ln(CAST(n_tokens AS DOUBLE)), 12) '
+                          'AS DECIMAL(38,12)))')} AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT zs.source,
+           CAST(zs.n AS BIGINT) AS vocab,
+           zs.n_instances,
+           -- + 0 normalizes IEEE -0.0 (a saturating source's beta rounds
+           -- to the zero the engines sign differently)
+           ROUND((zs.n * zs.sxy - zs.sx * zs.sy)
+                 / NULLIF(zs.n * zs.sxx - zs.sx * zs.sx, 0), 6) + 0
+             AS zipf_slope,
+           ROUND((hr.sxy - hr.sx * hr.sy / hr.m)
+                 / NULLIF(hr.sxx - hr.sx * hr.sx / hr.m, 0), 6) + 0
+             AS heaps_beta,
+           ROUND(exp(hr.sy / hr.m
+                     - ((hr.sxy - hr.sx * hr.sy / hr.m)
+                        / NULLIF(hr.sxx - hr.sx * hr.sx / hr.m, 0))
+                       * hr.sx / hr.m), 6) AS heaps_k,
+           CAST(hr.m AS BIGINT) AS n_checkpoints
+    FROM zs JOIN hr USING (source)
+    ORDER BY zs.source"""
+
+
+@register(
+    "source_growth_matrix",
+    _SOURCE_GROWTH_SQL,
+    doc="PER-SOURCE GROWTH/SHAPE MATRIX — Heaps (K, beta) x Zipf slope "
+    "per feed in one result, the curation analog of "
+    "quality_psi_by_domain for feed REWEIGHTING decisions: a feed whose "
+    "vocabulary stops growing (beta -> 0) while its Zipf slope steepens "
+    "is templated boilerplate to down-weight; one that keeps minting "
+    "vocabulary (beta ~0.5+) with a flat slope is shredded/noisy text "
+    "to screen.  Zipf leg: the SHARED _zipf_source_stats composite fold "
+    "(one range-partitioned (source, cnt DESC, tok) order — no "
+    "per-source sorts).  Heaps leg: ONE composite ordered_positions "
+    "fold over (source, doc_id) with a running token sum; per-source "
+    "decile checkpoints come off the broadcast 10-rows-per-source "
+    "offset table, vocabulary growth from the vocab-sized "
+    "first-occurrence MIN table, and the per-source log-log OLS runs "
+    "over <= 10 points — heaps_law_exponent's machinery, including its "
+    "degenerate-checkpoint discipline (p_docs >= 1, vocab > 0, dropped "
+    "identically on both engines).  Both legs read the same raw token "
+    "stream.  Scale: two corpus passes (term-frequency vocab + "
+    "first-occurrence explode), both reduced map-side to vocab-sized "
+    "tables; everything downstream is O(sources x 10).",
+)
+def source_growth_matrix(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    zipf = _zipf_source_stats(docs).select(
+        "source",
+        "vocab",
+        "n_instances",
+        # + 0.0 mirrors the oracle's -0.0 normalization
+        (F.col("slope") + F.lit(0.0)).alias("zipf_slope"),
+    )
+    heaps = _heaps_source_stats(spark, docs)
+    return zipf.join(heaps, "source").select(
+        "source",
+        "vocab",
+        "n_instances",
+        "zipf_slope",
+        "heaps_beta",
+        "heaps_k",
+        "n_checkpoints",
     ).orderBy("source")

@@ -133,3 +133,20 @@ def test_ascii_degenerates_to_char_bpe(spark):
         # hex->char bijection: unhex the byte symbols
         assert bytes.fromhex(b.a).decode("utf-8") == c.a
         assert bytes.fromhex(b.b).decode("utf-8") == c.b
+
+
+@pytest.mark.quick
+def test_empty_word_seeds_empty_on_both_engines(spark):
+    """r12 ADVICE guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
+    so an unguarded seed turns w = '' into ['', ''] — the guarded
+    expression must yield [] on BOTH engines (DuckDB's range(1, 1)
+    already does), keeping the cross-engine seed-equality contract even
+    if a caller ever skips the non-empty-vocab filter."""
+    got = byte_symbol_words(_words(spark, [("", 1), ("ab", 2)])).collect()
+    by_w = {r.w: r.syms for r in got}
+    assert by_w[""] == []
+    assert by_w["ab"] == ["61", "62"]
+    duck = duckdb.sql(
+        "SELECT " + BYTE_SYMS_SQL + " FROM (VALUES ('')) AS t(w)"
+    ).fetchall()
+    assert duck[0][0] == []

@@ -1,0 +1,181 @@
+"""Round-13 operator tests: ADVICE-fix pins (heaps degenerate deciles)
+and the byte-BPE registration support."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_harness import _normalize
+
+
+@pytest.mark.quick
+def test_heaps_degenerate_deciles_same_path_both_engines(spark, tmp_path):
+    """r13 ADVICE fix #3: with n_docs < 10 (duplicate/zero p_docs
+    checkpoints) and an all-empty leading document (zero-vocab prefix),
+    BOTH engines must drop the degenerate deciles identically — the
+    oracle previously fed ln(0) where Spark's inner join silently
+    dropped the row."""
+    from newyork_taxi_etl_spark import registry
+
+    rows = [
+        (1, "en", "web", ""),            # empty text: prefix-1 vocab = 0
+        (2, "en", "web", "aa bb aa"),
+        (3, "en", "web", "bb cc dd aa"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    q = registry.queries()["heaps_law_exponent"]
+    got = q(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(registry.oracle_sql()["heaps_law_exponent"]).fetchdf()
+    con.close()
+
+    # deciles 1-3 (p_docs = 0) and 4-6 (p_docs = 1, zero-vocab prefix)
+    # drop on BOTH engines; 7-10 survive
+    assert sorted(got["decile"]) == [7, 8, 9, 10]
+    assert sorted(want["decile"]) == [7, 8, 9, 10]
+    pd.testing.assert_frame_equal(_normalize(got), _normalize(want))
+
+
+@pytest.mark.quick
+def test_char_coverage_oracle_indexes_lowered_column(spark):
+    """r13 ADVICE fix #2 regression pin: the coverage oracle must index
+    a precomputed lowered column bounded by ITS length — on a string
+    whose lower() LENGTHENS it (DuckDB lower('İ') = 'i̇', 2 chars) the
+    old len(text) bound silently truncated the last char."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT 1 AS doc_id, 'xx' AS lang, 'w' AS source, 'İa' AS text"
+    )
+    from newyork_taxi_etl_spark import registry
+
+    out = con.execute(
+        registry.oracle_sql()["char_coverage_budget"]
+    ).fetchdf()
+    con.close()
+    # DuckDB's simple mapping lowers 'İa' to a 2-char string whose chars
+    # must BOTH be counted (the pre-fix bound counted only len('İa')=2
+    # positions of the lowered string — equal here, but alphabet must
+    # include the trailing 'a', which the truncating form dropped when
+    # lower() lengthened; assert the invariant: total chars == length of
+    # the lowered text).
+    lowered_len = duckdb.sql("SELECT len(lower('İa'))").fetchone()[0]
+    assert int(out["n_chars_total"][0]) == lowered_len
+
+
+@pytest.mark.quick
+def test_lcp_depth_profile_sees_planted_crossdoc_boilerplate(spark, tmp_path):
+    """Planted-boilerplate discrimination: a 16-token boilerplate
+    sentence shared by 3 docs must surface as crossdoc mass at EVERY
+    ladder depth, while a fully-unique corpus profiles zero duplicated
+    positions at every depth; the Spark profile must equal the DuckDB
+    oracle on the same planted data."""
+    from newyork_taxi_etl_spark import registry
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        # 3 docs sharing the 16-token boilerplate + unique tails
+        (1, "en", "web", boiler + " u1 u2"),
+        (2, "en", "web", boiler + " u3 u4"),
+        (3, "en", "web", "u5 " + boiler),
+        # a lang with NO repetition at all (all tokens globally unique)
+        (4, "xx", "web", "q1 q2 q3 q4"),
+        (5, "xx", "web", "q5 q6 q7"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    q = registry.queries()["lcp_repetition_depth"]
+    got = q(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(
+        registry.oracle_sql()["lcp_repetition_depth"]
+    ).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(_normalize(got), _normalize(want))
+
+    en = got[got["lang"] == "en"].set_index("depth")
+    xx = got[got["lang"] == "xx"].set_index("depth")
+    # the unique-corpus lang has zero duplicated suffix mass at EVERY depth
+    assert (xx["dup_positions"] == 0).all()
+    assert (xx["crossdoc_positions"] == 0).all()
+    # the boilerplate lang has cross-doc mass at every depth, including
+    # the full 16-gram: exactly one 16-gram position per boilerplate doc
+    # starts the shared sentence (doc 3's copy starts at position 2 but
+    # its 16-gram is identical), so crossdoc_positions at depth 16 == 3
+    assert int(en.loc[16, "crossdoc_positions"]) == 3
+    assert (en["crossdoc_positions"] > 0).all()
+    # P(LCP >= d) is non-increasing in d (suffix-LCP distribution sanity)
+    shares = en["dup_share"].tolist()
+    assert shares == sorted(shares, reverse=True)
+
+
+def test_source_growth_matrix_discriminates_planted_growth(spark, tmp_path):
+    """Planted-growth discrimination: a source whose vocabulary genuinely
+    grows ~sqrt(N) must fit heaps_beta ~0.5 while a saturating 4-word
+    source fits beta ~0; the Zipf leg must equal zipf_slope_by_source on
+    the same data and the whole matrix must equal the DuckDB oracle."""
+    import math
+
+    from newyork_taxi_etl_spark import registry
+
+    rows = []
+    k = 1
+    for i in range(120):  # growing source: global token k -> t_isqrt(k)
+        toks = []
+        for _ in range(10):
+            toks.append(f"t{int(math.isqrt(k))}")
+            k += 1
+        rows.append((i, "xx", "grow", " ".join(toks)))
+    for i in range(120, 240):  # saturating source: 4-word vocabulary
+        rows.append((i, "xx", "flat", "a b c d a b"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    q = registry.queries()["source_growth_matrix"]
+    got = q(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(
+        registry.oracle_sql()["source_growth_matrix"]
+    ).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(_normalize(got), _normalize(want))
+
+    m = got.set_index("source")
+    assert 0.40 <= m.loc["grow", "heaps_beta"] <= 0.60
+    assert abs(m.loc["flat", "heaps_beta"]) <= 0.05
+    # the Zipf leg is the SAME fold as zipf_slope_by_source
+    z = (
+        registry.queries()["zipf_slope_by_source"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("source")
+    )
+    for s in ("grow", "flat"):
+        assert m.loc[s, "zipf_slope"] == z.loc[s, "slope"]
+        assert m.loc[s, "vocab"] == z.loc[s, "vocab"]
