@@ -1240,7 +1240,11 @@ def streaming_quality_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_qingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_quality_ingest(spark, docs, work)
+    # shares the ":logreg_weights" sub-key with the PSI monitor —
+    # identical training, one cached scorer build
+    return W.run_streaming_quality_ingest(
+        spark, docs, work, cache_key=f"documents_qg:{sf_dir}"
+    )
 
 
 _AUC_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
@@ -2192,7 +2196,9 @@ def streaming_quality_psi_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_psiingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_psi_ingest(spark, docs, work)
+    return W.run_streaming_psi_ingest(
+        spark, docs, work, cache_key=f"documents_qg:{sf_dir}"
+    )
 
 
 # ---------------------------------------------------------------------------

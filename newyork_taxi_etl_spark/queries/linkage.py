@@ -387,4 +387,6 @@ def streaming_linkage_ingest(spark, sf_dir):
     a, b = _corpora(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="nyetl_linkingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_linkage_ingest(spark, a, b, work)
+    return W.run_streaming_linkage_ingest(
+        spark, a, b, work, cache_key=f"linkage_ab:{sf_dir}"
+    )

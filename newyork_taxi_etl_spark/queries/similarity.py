@@ -5494,41 +5494,59 @@ _HD_SIGNS = [
 ]
 
 
-def _hd_parity(idiv: str) -> str:
-    """popcount((i-1) & (j-1)) % 2 for 6-bit indices as pure integer
-    arithmetic (engine-portable — no bit_count dependency); ``idiv`` is
-    the engine's integer-division operator."""
-    x = "((i - 1) & (j - 1))"
-    return "(" + " + ".join(
-        f"(({x} {idiv} {1 << b}) % 2)" for b in range(6)
-    ) + ")"
-
-
 def _hd_rotate_spark() -> str:
-    """rv[i] = (sum_j (-1)^(parity(i,j)+s_j) * v[j]) / 8 — the orthogonal
-    rotation R = H * diag(+-1) / sqrt(64): H'H = 64 I so R'R = I and L2 /
-    dot products are preserved exactly (1/8 is a power of two — exact in
-    binary).  Ascending-j fold, identical association order to the DuckDB
-    twin."""
+    """R v = H diag(+-1) v / sqrt(64) via the FAST Walsh-Hadamard
+    transform: sign-flip the input, then 6 butterfly stages (h = 2^b:
+    y[i] = x[i] + x[i+h] on the even half-block, x[i-h] - x[i] on the
+    odd), then /8.  Identical result to the dense H[i][j] =
+    (-1)^popcount((i-1)&(j-1)) product (numpy-pinned in tests), but
+    O(64 log 64) adds per vector instead of O(64^2) CASE terms — the
+    dense form's 4096-term expression was the query's 6-7 s codegen
+    hotspot (r12 verdict item #4) and would be the per-vector flop
+    bottleneck at 100 TB.  One expression (the stage fold binds acc), so
+    callers still write F.expr(...); butterfly association order is
+    IDENTICAL to the DuckDB CTE chain, keeping the legs bit-equal
+    cross-engine.  1/8 is a binary power — exact."""
     signs = ", ".join(str(s) for s in _HD_SIGNS)
+    flip = (
+        f"transform(sequence(1, 64), j -> "
+        f"CASE WHEN element_at(array({signs}), j) = 1 "
+        "THEN -element_at(v, j) ELSE element_at(v, j) END)"
+    )
     return (
+        f"aggregate(sequence(0, 5), {flip}, (acc, b) -> "
         "transform(sequence(1, 64), i -> "
-        "aggregate(sequence(1, 64), 0D, (acc, j) -> "
-        f"acc + CASE WHEN ({_hd_parity('DIV')} "
-        f"+ element_at(array({signs}), j)) % 2 = 0 "
-        "THEN element_at(v, j) ELSE -element_at(v, j) END) / 8D)"
+        "CASE WHEN ((i - 1) DIV shiftleft(1, b)) % 2 = 0 "
+        "THEN element_at(acc, i) + element_at(acc, i + shiftleft(1, b)) "
+        "ELSE element_at(acc, i - shiftleft(1, b)) - element_at(acc, i) "
+        "END), acc -> transform(acc, e -> e / 8D))"
     )
 
 
-def _hd_rotate_duck() -> str:
+def _hd_rotate_duck_ctes(src: str = "emb", out: str = "rotv") -> str:
+    """DuckDB twin of :func:`_hd_rotate_spark` as a CTE chain (DuckDB
+    1.0's list_reduce cannot thread a LIST accumulator, so the 6
+    butterfly stages chain as CTEs — each referenced once, no inline
+    blowup).  Same stage order and elementwise ops as the Spark fold."""
     signs = ", ".join(str(s) for s in _HD_SIGNS)
-    return (
-        "list_transform(range(1, 65), i -> "
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        "list_transform(range(1, 65), j -> "
-        f"CASE WHEN ({_hd_parity('//')} + ([{signs}])[j]) % 2 = 0 "
-        "THEN v[j] ELSE -v[j] END)), (acc, z) -> acc + z) / 8)"
+    ctes = [
+        f"hd0 AS (SELECT vec_id, list_transform(range(1, 65), j -> "
+        f"CASE WHEN ([{signs}])[j] = 1 THEN -v[j] ELSE v[j] END) AS x "
+        f"FROM {src})"
+    ]
+    for b in range(6):
+        h = 1 << b
+        ctes.append(
+            f"hd{b + 1} AS (SELECT vec_id, list_transform(range(1, 65), "
+            f"i -> CASE WHEN ((i - 1) // {h}) % 2 = 0 "
+            f"THEN x[i] + x[i + {h}] ELSE x[i - {h}] - x[i] END) AS x "
+            f"FROM hd{b})"
+        )
+    ctes.append(
+        f"{out} AS (SELECT vec_id, list_transform(x, e -> e / 8) AS v "
+        "FROM hd6)"
     )
+    return ",\n    ".join(ctes)
 
 
 @register(
@@ -5540,9 +5558,7 @@ def _hd_rotate_duck() -> str:
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    rotv AS (
-      SELECT vec_id, {_hd_rotate_duck()} AS v FROM emb
-    ),
+    {_hd_rotate_duck_ctes('emb', 'rotv')},
     subvecs AS (
       SELECT e.vec_id, s.s AS subspace,
              e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
@@ -5594,11 +5610,24 @@ def ann_pq_rotated_recall(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     total = bf.agg(F.count(F.lit(1)).alias("total"))
+    # BOTH legs feed _pq_parts_v from an eagerly-checkpointed (vec_id, v)
+    # table of identical shape (r12 verdict item #4): the raw leg going
+    # through _pq_parts(emb) while the rotated leg inlined the 4096-term
+    # Hadamard fold through its whole trained-PQ chain made the two legs
+    # compile as two DIFFERENT giant codegen units — the query's 10-11 s
+    # first-execution cost and the suite's 4.5-21.5 s spread.  Pinning
+    # the inputs makes the downstream chains structurally identical, so
+    # the second leg compiles against the first's codegen cache and the
+    # rotation fold is evaluated exactly once per vector at the pin.
+    # Values are unchanged (raw-leg equality with _pq_parts was already
+    # pytested; re-oracled at sf0.001 + sf0.01).
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    rot = base.select("vec_id", F.expr(_hd_rotate_spark()).alias("v"))
+    ).localCheckpoint(eager=True)
+    rot = base.select(
+        "vec_id", F.expr(_hd_rotate_spark()).alias("v")
+    ).localCheckpoint(eager=True)
 
     def leg(df, method):
         return (
@@ -5610,7 +5639,8 @@ def ann_pq_rotated_recall(spark, sf_dir):
         )
 
     out = leg(
-        _pq_adc_topk(emb, k=10, k_codes=16, train=True), "pq_raw"
+        _pq_adc_topk(None, k=10, k_codes=16, train=True, base=base),
+        "pq_raw",
     ).unionAll(
         leg(
             _pq_adc_topk(None, k=10, k_codes=16, train=True, base=rot),

@@ -207,7 +207,11 @@ def streaming_upsert_counts(spark, sf_dir):
     stage = _workdir("upsert_stage")
     target = _workdir("upsert_target")
     return W.run_foreachbatch_upsert(
-        spark, read_events(spark, sf_dir), stage, target
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        target,
+        cache_key=f"events_rep4:{sf_dir}",
     )
 
 
@@ -234,8 +238,13 @@ def streaming_upsert_counts(spark, sf_dir):
 def foreachbatch_idempotent_replay(spark, sf_dir):
     stage = _workdir("replay_stage")
     target = _workdir("replay_target")
+    # same read-only stage (and key) as streaming_upsert_counts
     return W.run_upsert_replay_proof(
-        spark, read_events(spark, sf_dir), stage, target
+        spark,
+        read_events(spark, sf_dir),
+        stage,
+        target,
+        cache_key=f"events_rep4:{sf_dir}",
     )
 
 

@@ -532,6 +532,7 @@ def run_foreachbatch_upsert(
     src_df: DataFrame,
     stage_dir: str,
     target_dir: str,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Incremental materialized view via ``foreachBatch``: per micro-batch,
     aggregate the batch and MERGE the partial aggregates into a target
@@ -550,7 +551,16 @@ def run_foreachbatch_upsert(
     import os
     import shutil
 
-    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    # read-only stage shared build-once via the r12 _stage_cached
+    # discipline (harness scaffolding only — checkpoints, sinks and the
+    # applied-batch sidecar stay strictly per-run)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key,
+        lambda target: src_df.repartition(4)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     shutil.rmtree(target_dir, ignore_errors=True)
     stream = (
         spark.readStream.schema(src_df.schema)
@@ -589,6 +599,7 @@ def run_upsert_replay_proof(
     src_df: DataFrame,
     stage_dir: str,
     target_dir: str,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Idempotent-retry PROOF for the foreachBatch fold family: drain the
     incremental upsert exactly like ``run_foreachbatch_upsert``, then call
@@ -606,7 +617,15 @@ def run_upsert_replay_proof(
     import os
     import shutil
 
-    src_df.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    # same read-only stage (and cache key) as run_foreachbatch_upsert —
+    # both drain src_df.repartition(4); per-run state stays private
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key,
+        lambda target: src_df.repartition(4)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     shutil.rmtree(target_dir, ignore_errors=True)
     stream = (
         spark.readStream.schema(src_df.schema)
@@ -1986,6 +2005,7 @@ def run_streaming_linkage_ingest(
     max_df_frac: float = 0.10,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Record LINKAGE AT INGEST: incoming records stream in micro-batches
     and each batch is linked against a STATIC reference corpus's
@@ -2014,39 +2034,54 @@ def run_streaming_linkage_ingest(
     idx_dir = os.path.join(work_dir, "a_index")
     stage_dir = os.path.join(work_dir, "b_stage")
     target_dir = os.path.join(work_dir, "matches")
-    for d in (idx_dir, stage_dir, target_dir):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(target_dir, ignore_errors=True)
 
-    # -- static A-side index, built once and persisted ------------------
+    # -- static A-side index, built once and persisted (and shared
+    # build-once across runs via _stage_cached: the pruned inverted
+    # index, hot list and per-doc sizes are a deterministic function of
+    # (corpus, max_df_frac)) ---------------------------------------------
     # one shingle pass: the inverted index feeds THREE consumers (hot
     # computation, the persisted index, per-doc sizes) — materialize it
     # once instead of re-tokenizing the corpus per consumer
-    sh_a = with_shingles(docs_df, "text", 3).select(
-        "doc_id",
-        F.col("lang").alias("blk"),
-        F.array_distinct("sh").alias("s"),
-    )
-    inv_a0 = sh_a.select(
-        "doc_id", "blk", F.explode("s").alias("g")
-    ).localCheckpoint(eager=True)
-    n_docs = sh_a.groupBy("blk").agg(F.count(F.lit(1)).alias("n_docs"))
-    hot = (
-        inv_a0.groupBy("blk", "g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .join(n_docs, "blk")
-        .filter(F.col("df") > F.col("n_docs") * F.lit(max_df_frac))
-        .select("blk", "g")
-    )
-    inv_a = inv_a0.join(F.broadcast(hot), ["blk", "g"], "left_anti")
-    inv_a.write.parquet(os.path.join(idx_dir, "inv"))
-    hot.write.parquet(os.path.join(idx_dir, "hot"))
-    (
-        inv_a.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_a"))
-        .write.parquet(os.path.join(idx_dir, "sizes"))
+    def build_index(target: str) -> None:
+        sh_a = with_shingles(docs_df, "text", 3).select(
+            "doc_id",
+            F.col("lang").alias("blk"),
+            F.array_distinct("sh").alias("s"),
+        )
+        inv_a0 = sh_a.select(
+            "doc_id", "blk", F.explode("s").alias("g")
+        ).localCheckpoint(eager=True)
+        n_docs = sh_a.groupBy("blk").agg(F.count(F.lit(1)).alias("n_docs"))
+        hot = (
+            inv_a0.groupBy("blk", "g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .join(n_docs, "blk")
+            .filter(F.col("df") > F.col("n_docs") * F.lit(max_df_frac))
+            .select("blk", "g")
+        )
+        inv_a = inv_a0.join(F.broadcast(hot), ["blk", "g"], "left_anti")
+        inv_a.write.parquet(os.path.join(target, "inv"))
+        hot.write.parquet(os.path.join(target, "hot"))
+        (
+            inv_a.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_a"))
+            .write.parquet(os.path.join(target, "sizes"))
+        )
+
+    idx_dir = _stage_cached(
+        idx_dir,
+        cache_key and f"{cache_key}:a_index{max_df_frac}",
+        build_index,
     )
 
-    b_df.repartition(n_slices).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:b_stage{n_slices}",
+        lambda target: b_df.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema(b_df.schema)
         .format("parquet")
@@ -2431,6 +2466,7 @@ def run_streaming_quality_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """QUALITY GATING AT INGEST with a PERSISTED learned scorer — the
     third instance of the build-once/apply-per-batch pattern (after the
@@ -2458,33 +2494,46 @@ def run_streaming_quality_ingest(
     stage_dir = os.path.join(work_dir, "doc_stage")
     weights_dir = os.path.join(work_dir, "weights")
     target_dir = os.path.join(work_dir, "decisions")
-    for d in (stage_dir, weights_dir, target_dir):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(target_dir, ignore_errors=True)
 
-    toks = F.split(F.col("text"), " ")
-    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    x1 = ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1")
-    x2 = ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2")
-    x3 = (
-        F.when(F.col("n_chars").between(100, 400), 1.0)
-        .otherwise(0.0)
-        .alias("x3")
+    # build-once artifacts behind the r12 _stage_cached discipline: the
+    # 16-step logistic training and the doc stage are deterministic
+    # functions of the source corpus — only the read-only inputs are
+    # shared; decisions/sidecar stay per-run.  The weights key is
+    # deliberately sharable with run_streaming_psi_ingest (identical
+    # features, label, steps and lr over the same corpus).
+    def build_weights(target: str) -> None:
+        toks = F.split(F.col("text"), " ")
+        ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        feats = docs_df.select(
+            ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+            ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+            F.when(F.col("n_chars").between(100, 400), 1.0)
+            .otherwise(0.0)
+            .alias("x3"),
+            F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        ).localCheckpoint()
+        w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+        spark.createDataFrame(
+            [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
+        ).coalesce(1).write.mode("overwrite").parquet(target)
+
+    weights_dir = _stage_cached(
+        weights_dir,
+        cache_key and f"{cache_key}:logreg_weights",
+        build_weights,
     )
-    feats = docs_df.select(
-        x1,
-        x2,
-        x3,
-        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
-        .otherwise(0.0)
-        .alias("y"),
-    ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
-    spark.createDataFrame(
-        [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
-    ).coalesce(1).write.parquet(weights_dir)
 
     staged = docs_df.select("doc_id", "text", "lang", "n_chars")
-    staged.repartition(n_slices).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:quality_stage{n_slices}",
+        lambda target: staged.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema(staged.schema)
         .format("parquet")
@@ -2739,6 +2788,7 @@ def run_streaming_psi_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """CALIBRATION-DRIFT (PSI) MONITORING AT INGEST — the fourth
     build-once/apply-per-batch instance (ANN index, linkage index,
@@ -2766,28 +2816,43 @@ def run_streaming_psi_ingest(
     stage_dir = os.path.join(work_dir, "doc_stage")
     weights_dir = os.path.join(work_dir, "weights")
     counts_dir = os.path.join(work_dir, "bin_counts")
-    for d in (stage_dir, weights_dir, counts_dir):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(counts_dir, ignore_errors=True)
 
-    toks = F.split(F.col("text"), " ")
-    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    feats = docs_df.select(
-        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
-        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
-        F.when(F.col("n_chars").between(100, 400), 1.0)
-        .otherwise(0.0)
-        .alias("x3"),
-        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
-        .otherwise(0.0)
-        .alias("y"),
-    ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
-    spark.createDataFrame(
-        [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
-    ).coalesce(1).write.parquet(weights_dir)
+    # the training is IDENTICAL to run_streaming_quality_ingest's
+    # (features, label, steps, lr, corpus) — same ":logreg_weights"
+    # cache key, so the two monitors share one trained scorer build
+    def build_weights(target: str) -> None:
+        toks = F.split(F.col("text"), " ")
+        ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        feats = docs_df.select(
+            ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+            ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+            F.when(F.col("n_chars").between(100, 400), 1.0)
+            .otherwise(0.0)
+            .alias("x3"),
+            F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        ).localCheckpoint()
+        w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+        spark.createDataFrame(
+            [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
+        ).coalesce(1).write.mode("overwrite").parquet(target)
+
+    weights_dir = _stage_cached(
+        weights_dir,
+        cache_key and f"{cache_key}:logreg_weights",
+        build_weights,
+    )
 
     staged = docs_df.select("doc_id", "source", "text", "n_chars")
-    staged.repartition(n_slices).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:psi_stage{n_slices}",
+        lambda target: staged.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema(staged.schema)
         .format("parquet")
