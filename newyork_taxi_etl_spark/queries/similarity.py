@@ -6,7 +6,7 @@ import math as _math
 
 from pyspark.sql import functions as F
 
-from newyork_taxi_etl_spark.functions.exact import avg_exact_sql
+from newyork_taxi_etl_spark.functions.exact import avg_exact_sql, dec_out_sql
 from newyork_taxi_etl_spark.operators import similarity as S
 from newyork_taxi_etl_spark.registry import register
 from newyork_taxi_etl_spark.sources.readers import table_path
@@ -1051,7 +1051,7 @@ def ann_pq_adc_topk(spark, sf_dir):
 
 
 def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False, query_ids=None,
-                 base=None):
+                 base=None, parts=None):
     """ADC search over PQ codes. ``query_ids=None`` keeps the registered
     queries' fixed probe set (vec_id < 5); passing explicit ids lets the
     planted-corpus training gate (tests/test_quality_gates.py) probe with
@@ -1059,11 +1059,16 @@ def _pq_adc_topk(emb, k=5, k_codes=_PQ_K, train=False, query_ids=None,
     production chain (no test-local copy to drift).  ``base`` (vec_id,
     v: array<double>) substitutes a pre-shaped vector table — the
     rotated-PQ gate points this at Hadamard-rotated vectors; everything
-    downstream (seeds, codebook, encode, ADC) is the shared chain."""
+    downstream (seeds, codebook, encode, ADC) is the shared chain.
+    ``parts`` substitutes an already-built _pq_parts_v tuple — the OPQ
+    gate reuses ONE training for both its reconstruction matrix and this
+    ADC ranking instead of training twice."""
     from pyspark.sql import Window
 
     subvecs, codebook, encoded, d = (
-        _pq_parts_v(base, k_codes, train)
+        parts
+        if parts is not None
+        else _pq_parts_v(base, k_codes, train)
         if base is not None
         else _pq_parts(emb, k_codes, train)
     )
@@ -5655,6 +5660,437 @@ def ann_pq_rotated_recall(spark, sf_dir):
             "recall"
         ),
     ).orderBy("method")
+
+
+# --- trained OPQ (Ge et al. 2013 §3: non-parametric alternating argmin) ----
+
+#: Newton-Schulz polar iterations.  The embeddings' M = Xhat X' is
+#: EXACTLY singular in 3 directions (measured: sigma ~1e-11 at sf0.001
+#: and sf0.01 — the PQ reconstructions don't span them), so the
+#: Procrustes subproblem is damped toward the HD prior (_OPQ_DAMP x
+#: scale x R_hd added to M): null directions fall back to the
+#: initialization instead of being left undefined, data-supported
+#: directions (sigma >= 0.09 x scale) move by < 1e-2 relative.  24
+#: iterations converge the damped U0 (sigma_min ~5e-3) to orthogonality
+#: <= 1e-9 (measured; pytest gates 1e-6).
+_OPQ_NS_ITERS = 24
+_OPQ_DAMP = 0.01
+
+
+def _hd_parity(idiv: str) -> str:
+    """popcount((i-1) & (j-1)) % 2 for 6-bit indices as pure integer
+    arithmetic (engine-portable — no bit_count dependency); ``idiv`` is
+    the engine's integer-division operator.  Used for the LITERAL
+    R_hd[i][j] = (-1)^(parity+sign_j) / 8 entries of the damping prior
+    (the fast rotation itself runs as the FWHT butterfly)."""
+    x = "((i - 1) & (j - 1))"
+    return "(" + " + ".join(
+        f"(({x} {idiv} {1 << b}) % 2)" for b in range(6)
+    ) + ")"
+
+
+def _hd_matrix_np():
+    """The literal R_hd as a numpy array (entries +-1/8, exact)."""
+    import numpy as np
+
+    h = np.array(
+        [
+            [(-1.0) ** bin(i & j).count("1") for j in range(64)]
+            for i in range(64)
+        ]
+    )
+    return h @ np.diag([(-1.0) ** s for s in _HD_SIGNS]) / 8.0
+
+
+def _ns_polar_np(m, s):
+    """Driver-side Newton-Schulz polar factor of the damped M — the OPQ
+    R-update argmin_R ||R X - Xhat|| (= polar factor of M = Xhat X',
+    Higham).  A 64x64 iteration is metadata-scale work: it runs on the
+    driver (the logistic_gd precedent — bounded O(d^2) state, zero data
+    motion), while the DuckDB oracle replays the IDENTICAL arithmetic as
+    single-row 4096-array fold CTEs (_opq_ns_sql).  Bit-equality needs
+    no rounding anywhere: both sides perform the same IEEE-double ops in
+    the same order — matmul entries accumulate in ascending k (numpy
+    rank-1 updates == the engines' left-to-right list_reduce fold), and
+    3-A / 0.5*C are elementwise single ops."""
+    import numpy as np
+
+    u = (m + (_OPQ_DAMP * s) * _hd_matrix_np()) / (1.01 * s)
+    diag = np.eye(64, dtype=bool)
+    for _ in range(_OPQ_NS_ITERS):
+        a = np.zeros((64, 64))
+        for k in range(64):  # ascending-k accumulation == the SQL fold
+            a += np.outer(u[k, :], u[k, :])
+        # 3 - a on the diagonal, NEGATION (sign-bit flip, not 0 - a) off
+        # it — matching the SQL's CASE ... ELSE -a END bit-for-bit
+        b = np.where(diag, 3.0 - a, -a)
+        c = np.zeros((64, 64))
+        for k in range(64):
+            c += np.outer(u[:, k], b[k, :])
+        u = 0.5 * c
+    return u
+
+
+def _opq_m0(base, parts_hd):
+    """M = Xhat X' as a (i, j, v) table, factored through the codebook:
+    x-hat is constant within a (subspace, code) cell, so M decomposes as
+    sum over codes of cw (x) sx with sx = the per-cell raw-coordinate
+    sums — N x 64 explode into 4096 decimal-summed cells, then 65k
+    codeword-level products, instead of N x 4096 per-vector products
+    (the naive Gram pass measured 15 s at sf0.1; this is ~1 s and the
+    SAME at any corpus size past the cell reduction).  Products and the
+    cell sums round 12 dp into DECIMAL(38,12) (order-independent), so
+    the collected matrix matches the oracle's m0 CTE."""
+    dec = "decimal(38,12)"
+    _, cb, enc, _ = parts_hd
+    xr = base.select(
+        "vec_id", F.posexplode("v").alias("p", "x")
+    ).select("vec_id", (F.col("p") + 1).alias("j"), "x")
+    sx = (
+        enc.select("vec_id", "subspace", "code")
+        .join(xr, "vec_id")
+        .groupBy("subspace", "code", "j")
+        .agg(
+            F.sum(F.round(F.col("x"), 12).cast(dec))
+            .cast("double")
+            .alias("sx")
+        )
+    )
+    cwx = cb.select(
+        "subspace", "code", F.posexplode("cw").alias("p", "cx")
+    ).select(
+        "subspace",
+        "code",
+        (F.col("subspace") * _PQ_D + F.col("p") + 1).cast("int").alias("i"),
+        "cx",
+    )
+    return (
+        cwx.join(sx, ["subspace", "code"])
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("cx") * F.col("sx"), 12).cast(dec)
+                ).cast("double"),
+                12,
+            ).alias("v")
+        )
+    )
+
+
+def _opq_rotation(spark, base, parts_hd):
+    """The trained OPQ rotation as a 4096-row (i, j, v) DataFrame: M
+    aggregated engine-side (bit-equal to the oracle's m0), the scale and
+    polar iteration replayed on the driver with the exact arithmetic the
+    oracle's CTE chain performs.  Exposed for the orthogonality pytest."""
+    import numpy as np
+
+    rows = _opq_m0(base, parts_hd).collect()
+    m = np.zeros((64, 64))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["v"]
+    # scale s = ROUND(sqrt(max_col_abs_sum * max_row_abs_sum), 12): the
+    # 12-dp m entries sum EXACTLY in 1e-12 integer units (64 terms x
+    # <=~1e13 units << 2^53), and unit-count/1e12 is the same correctly-
+    # rounded double the engines' DECIMAL->VARCHAR->DOUBLE cast yields
+    units = np.rint(m * 1e12)
+    n1 = np.abs(units).sum(axis=0).max() / 1e12
+    ninf = np.abs(units).sum(axis=1).max() / 1e12
+    s = _round12(float(np.sqrt(n1 * ninf)))
+    u = _ns_polar_np(m, s)
+    return spark.createDataFrame(
+        [
+            (i + 1, j + 1, float(u[i, j]))
+            for i in range(64)
+            for j in range(64)
+        ],
+        "i int, j int, v double",
+    )
+
+
+def _round12(x: float) -> float:
+    """Spark's ROUND(double, 12): BigDecimal.valueOf (shortest decimal
+    repr) + HALF_UP — replicated exactly via Decimal(repr(x))."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1E-12"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _apply_rotation(base, r):
+    """x -> R x as a relational matmul: explode to (vec_id, j, x), join
+    the broadcast 4096-row R, decimal-sum per (vec_id, i), reassemble the
+    64-array ordered by i.  12-dp rounding keeps the rotated coordinates
+    bit-equal to the DuckDB twin."""
+    dec = "decimal(38,12)"
+    xr = base.select(
+        "vec_id", F.posexplode("v").alias("p", "x")
+    ).select("vec_id", (F.col("p") + 1).alias("j"), "x")
+    rotx = (
+        xr.join(F.broadcast(r), "j")
+        .groupBy("vec_id", "i")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v") * F.col("x"), 12).cast(dec)).cast(
+                    "double"
+                ),
+                12,
+            ).alias("val")
+        )
+    )
+    return rotx.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct"
+            "('i', i, 'val', val))), e -> e.val)"
+        ).alias("v")
+    )
+
+
+def _mse_of(enc):
+    """Mean per-vector squared reconstruction error of an encoded table
+    that kept its argmin distance d — the OPQ objective, decimal-summed
+    at 6 dp exactly like pq_encode_profile."""
+    dec = "decimal(38,12)"
+    return enc.agg(
+        F.round(
+            F.sum(F.round(F.col("d"), 6).cast(dec)).cast("double")
+            / (F.count(F.lit(1)) / F.lit(_PQ_M)),
+            6,
+        ).alias("mse")
+    )
+
+
+def _opq_ns_sql(iters: int = _OPQ_NS_ITERS) -> str:
+    """DuckDB twin of :func:`_ns_polar_np`: the damped scale, U0, and
+    the polar iteration as single-row 4096-array MATERIALIZED CTEs whose
+    matmul entries are left-to-right list_reduce folds over ascending k
+    — the exact op order the driver-side numpy accumulation performs, so
+    every iterate is bit-equal with NO intermediate rounding.  Row-major
+    indexing: element e (1-based) is (i, j) = ((e-1)//64 + 1,
+    (e-1)%64 + 1).  Emits ``rfin (i, j, v)``."""
+    dec = "DECIMAL(38,12)"
+    colsum = dec_out_sql(f"SUM(CAST(abs(v) AS {dec}))")
+    signs = ", ".join(str(s) for s in _HD_SIGNS)
+    # R_hd[i][j] literal entry for the damping prior
+    rhd = (
+        f"(CASE WHEN ({_hd_parity('//')} + ([{signs}])[j]) % 2 = 0 "
+        "THEN 0.125 ELSE -0.125 END)"
+    )
+
+    def fold(terms: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, 65), k -> {terms})), "
+            "(acc, z) -> acc + z)"
+        )
+
+    parts = [
+        "nsscl AS (SELECT ROUND(sqrt("
+        f"(SELECT MAX(s) FROM (SELECT j, {colsum} AS s FROM m0 GROUP BY j))"
+        " * (SELECT MAX(s) FROM "
+        f"(SELECT i, {colsum} AS s FROM m0 GROUP BY i))), 12) AS s)",
+        "u0 AS MATERIALIZED (SELECT list("
+        f"(v + (SELECT {_OPQ_DAMP} * s FROM nsscl) * {rhd})"
+        " / (SELECT 1.01 * s FROM nsscl) ORDER BY i, j) AS u FROM m0)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"nsa{t} AS MATERIALIZED (SELECT list_transform(range(1, 4097), "
+            "e -> "
+            + fold(
+                "u[(k-1)*64 + ((e-1)//64 + 1)] * u[(k-1)*64 + ((e-1)%64 + 1)]"
+            )
+            + f") AS a FROM u{t})"
+        )
+        parts.append(
+            f"u{t + 1} AS MATERIALIZED (SELECT list_transform("
+            "range(1, 4097), e -> 0.5 * "
+            + fold(
+                "uu.u[((e-1)//64)*64 + k] * (CASE WHEN (k-1) = "
+                "((e-1)%64) THEN 3 - bb.a[(k-1)*64 + ((e-1)%64 + 1)] "
+                "ELSE -bb.a[(k-1)*64 + ((e-1)%64 + 1)] END)"
+            )
+            + f") AS u FROM u{t} uu, nsa{t} bb)"
+        )
+    parts.append(
+        f"rfin AS (SELECT (g.e - 1) // 64 + 1 AS i, (g.e - 1) % 64 + 1 AS j,"
+        f" u[g.e] AS v FROM u{iters}, unnest(range(1, 4097)) AS g(e))"
+    )
+    return ",\n    ".join(parts)
+
+
+def _opq_leg_sql(method: str, mse_cte: str) -> str:
+    return f"""
+    SELECT '{method}' AS method,
+           (SELECT COUNT(*) FROM {method} JOIN bf USING (query_id, cand_id))
+             AS hits,
+           (SELECT COUNT(*) FROM bf) AS total,
+           ROUND(CAST((SELECT COUNT(*) FROM {method}
+                       JOIN bf USING (query_id, cand_id)) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM bf), 6) AS recall,
+           (SELECT mse FROM {mse_cte}) AS mse"""
+
+
+def _opq_mse_sql(name: str, sfx: str, subvecs: str) -> str:
+    """Per-leg reconstruction MSE from the trained codebook (the encoded
+    CTE drops d, so the argmin distance is recomputed via the same
+    _PQ_SUBDIST both engines share)."""
+    d = _PQ_SUBDIST.format(a="sv.sub", b="cb.cw", d=_PQ_D)
+    return f"""
+    {name} AS (
+      SELECT ROUND({dec_out_sql(
+          f"SUM(CAST(ROUND({d}, 6) AS DECIMAL(38,12)))")}
+                 / (COUNT(*) / {_PQ_M}), 6) AS mse
+      FROM encoded{sfx} e
+      JOIN codebook{sfx} cb ON e.subspace = cb.subspace AND e.code = cb.code
+      JOIN {subvecs} sv ON sv.vec_id = e.vec_id AND sv.subspace = e.subspace
+    )"""
+
+
+_OPQ_SQL = f"""
+    WITH {_BF10_SQL},
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    {_hd_rotate_duck_ctes('emb', 'rotv')},
+    subvecs_rot AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM rotv e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_hd16', train=True, emb='rotv',
+                  subvecs='subvecs_rot')},
+    pq_hd AS (SELECT query_id, cand_id FROM pq_ranked_hd16 WHERE rank <= 10),
+    xr AS MATERIALIZED (
+      SELECT vec_id, g.i AS j, v[g.i] AS x
+      FROM emb, unnest(range(1, 65)) AS g(i)
+    ),
+    sx AS (
+      SELECT e.subspace, e.code, xr.j,
+             {dec_out_sql(
+                 "SUM(CAST(ROUND(xr.x, 12) AS DECIMAL(38,12)))")} AS sx
+      FROM encoded_hd16 e JOIN xr ON xr.vec_id = e.vec_id
+      GROUP BY e.subspace, e.code, xr.j
+    ),
+    cwx AS (
+      SELECT cb.subspace, cb.code,
+             CAST(cb.subspace * {_PQ_D} + g.i AS INT) AS i, cb.cw[g.i] AS cx
+      FROM codebook_hd16 cb, unnest(range(1, {_PQ_D} + 1)) AS g(i)
+    ),
+    m0 AS MATERIALIZED (
+      SELECT cwx.i, sx.j,
+             ROUND({dec_out_sql(
+                 "SUM(CAST(ROUND(cwx.cx * sx.sx, 12) AS DECIMAL(38,12)))")},
+                   12) AS v
+      FROM cwx JOIN sx ON cwx.subspace = sx.subspace AND cwx.code = sx.code
+      GROUP BY cwx.i, sx.j
+    ),
+    {_opq_ns_sql()},
+    xrot AS MATERIALIZED (
+      SELECT xr.vec_id, rr.i AS i,
+             ROUND({dec_out_sql(
+                 "SUM(CAST(ROUND(rr.v * xr.x, 12) AS DECIMAL(38,12)))")}, 12)
+               AS val
+      FROM xr JOIN rfin rr ON rr.j = xr.j
+      GROUP BY xr.vec_id, rr.i
+    ),
+    opqv AS (SELECT vec_id, list(val ORDER BY i) AS v FROM xrot GROUP BY vec_id),
+    subvecs_opq AS (
+      SELECT e.vec_id, s.s AS subspace,
+             e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
+      FROM opqv e, (SELECT unnest(range({_PQ_M})) AS s) s
+    ),
+    {_pq_sql_ctes(16, '_opq16', train=True, emb='opqv',
+                  subvecs='subvecs_opq')},
+    pq_opq AS (
+      SELECT query_id, cand_id FROM pq_ranked_opq16 WHERE rank <= 10
+    ),{_opq_mse_sql('mse_hd', '_hd16', 'subvecs_rot')},
+    {_opq_mse_sql('mse_opq', '_opq16', 'subvecs_opq')}
+    {_opq_leg_sql('pq_hd', 'mse_hd')}
+    UNION ALL
+    {_opq_leg_sql('pq_opq', 'mse_opq')}
+    ORDER BY method
+    """
+
+
+@register(
+    "ann_opq_trained_recall",
+    _OPQ_SQL,
+    doc="TRAINED OPQ rotation (Ge et al. 2013 §3, non-parametric "
+    "alternating argmin) vs the structured-Hadamard baseline "
+    "ann_pq_rotated_recall already measured recall-neutral: one "
+    "alternation round starting FROM the HD rotation — (1) train the "
+    "m=4,k=16 PQ on HD-rotated data (the baseline leg, shared chain), "
+    "(2) R-update: the orthogonal-Procrustes argmin_R ||R X - Xhat|| is "
+    "the polar factor of M = Xhat X' (reconstructions x raw vectors), "
+    "computed RELATIONALLY via Newton-Schulz iteration (U0 = M/"
+    "sqrt(||M||_1 ||M||_inf), U <- U(3I - U'U)/2 — pure 64x64 matmuls, "
+    "no SVD black box; orthogonality of the result is pytested), "
+    "(3) re-train PQ on R*-rotated data and report recall@10 AND the "
+    "actual OPQ objective (mean squared reconstruction error) for both "
+    "legs against the same pinned truth.  Cross-engine exactness: every "
+    "matmul product rounds 12 dp into DECIMAL(38,12) sums (the zipf "
+    "moment discipline), so the 14 polar iterates — and hence R, the "
+    "rotated coordinates, and both trained codebooks — are bit-equal "
+    "between Spark and the DuckDB oracle.  Scale: M and the rotation "
+    "apply are Gram-matrix-shaped passes (N x 4096 products, map-side "
+    "combined into 4096 / N x 64 groups); the polar iteration is 64x64 "
+    "— driver-free, constant size; everything else is the shared PQ "
+    "dataflow.  100 TB cost = two corpus passes more than plain PQ.",
+)
+def ann_opq_trained_recall(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    bf = (
+        S.brute_force_topk(emb, qs, k=10)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).localCheckpoint(eager=True)
+    rot_hd = base.select(
+        "vec_id", F.expr(_hd_rotate_spark()).alias("v")
+    ).localCheckpoint(eager=True)
+
+    # HD leg: ONE _pq_parts_v build feeds the ADC ranking, the MSE and
+    # the OPQ reconstruction matrix (codebook + encoded pinned so the
+    # Lloyd round does not re-execute per consumer)
+    sub_hd, cb_hd, enc_hd, d_hd = _pq_parts_v(rot_hd, 16, train=True)
+    cb_hd = cb_hd.localCheckpoint(eager=True)
+    enc_hd = enc_hd.localCheckpoint(eager=True)
+    parts_hd = (sub_hd, cb_hd, enc_hd, d_hd)
+    pairs_hd = _pq_adc_topk(None, k=10, k_codes=16, parts=parts_hd)
+
+    r = _opq_rotation(spark, base, parts_hd)
+    opqv = _apply_rotation(base, r).localCheckpoint(eager=True)
+    sub_oq, cb_oq, enc_oq, d_oq = _pq_parts_v(opqv, 16, train=True)
+    cb_oq = cb_oq.localCheckpoint(eager=True)
+    enc_oq = enc_oq.localCheckpoint(eager=True)
+    pairs_opq = _pq_adc_topk(
+        None, k=10, k_codes=16, parts=(sub_oq, cb_oq, enc_oq, d_oq)
+    )
+
+    def leg(pairs, enc, method):
+        return (
+            _recall_row(pairs.select("query_id", "cand_id"), bf, method)
+            .crossJoin(_mse_of(enc))
+        )
+
+    return (
+        leg(pairs_hd, enc_hd, "pq_hd")
+        .unionAll(leg(pairs_opq, enc_oq, "pq_opq"))
+        .orderBy("method")
+    )
 
 
 @register(

@@ -422,6 +422,14 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "streaming_quality_ingest",
     "streaming_quality_psi_ingest",
     "streaming_linkage_ingest",
+    # r13 — _pq_adc_topk gained the pre-built `parts` parameter (the OPQ
+    # gate reuses ONE training for reconstruction + ADC); default path
+    # identical, values re-oracled green at sf0.01, shared code changed
+    # so the consumers re-check (the r12 `base`-param precedent).
+    "ann_pq_adc_topk",
+    "ann_pq_adc_k16_topk",
+    "ann_pq_adc_trained_topk",
+    "ann_recall_trained",
 })
 
 def _tier(name: str) -> int:

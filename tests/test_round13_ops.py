@@ -179,3 +179,59 @@ def test_source_growth_matrix_discriminates_planted_growth(spark, tmp_path):
     for s in ("grow", "flat"):
         assert m.loc[s, "zipf_slope"] == z.loc[s, "slope"]
         assert m.loc[s, "vocab"] == z.loc[s, "vocab"]
+
+
+def test_opq_rotation_is_orthogonal_and_cuts_the_objective(spark):
+    """The trained OPQ rotation (Newton-Schulz polar of the damped
+    Procrustes matrix) must be orthogonal to <= 1e-6, differ from the
+    structured HD init it was seeded with, and CUT the actual OPQ
+    objective (mean squared reconstruction error) vs the HD baseline —
+    recall@10 on the 50-pair probe set is noise-dominated (r12 verdict:
+    the corpus is rotation-neutral), so the objective is the trained
+    claim's gate, mirroring Ge et al.'s own evaluation."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+    from newyork_taxi_etl_spark.queries.similarity import (
+        _hd_matrix_np,
+        _hd_rotate_spark,
+        _opq_rotation,
+        _pq_parts_v,
+    )
+    from newyork_taxi_etl_spark.registry import queries
+
+    emb = spread_small_scan(
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).localCheckpoint(eager=True)
+    rot_hd = base.select(
+        "vec_id", F.expr(_hd_rotate_spark()).alias("v")
+    ).localCheckpoint(eager=True)
+    sub, cb, enc, d = _pq_parts_v(rot_hd, 16, train=True)
+    cb = cb.localCheckpoint(eager=True)
+    enc = enc.localCheckpoint(eager=True)
+
+    r_rows = _opq_rotation(spark, base, (sub, cb, enc, d)).collect()
+    R = np.zeros((64, 64))
+    for r in r_rows:
+        R[r["i"] - 1, r["j"] - 1] = r["v"]
+    assert np.abs(R @ R.T - np.eye(64)).max() <= 1e-6
+    assert np.abs(R - _hd_matrix_np()).max() > 1e-3  # actually trained
+
+    rows = {
+        r["method"]: r
+        for r in queries()["ann_opq_trained_recall"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(rows) == {"pq_hd", "pq_opq"}
+    assert rows["pq_opq"]["mse"] < rows["pq_hd"]["mse"]
+    for r in rows.values():
+        assert r["total"] == 50 and 0.0 <= r["recall"] <= 1.0
+        assert r["mse"] > 0.0
