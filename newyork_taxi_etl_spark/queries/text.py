@@ -4881,3 +4881,205 @@ def source_growth_matrix(spark, sf_dir):
         "heaps_k",
         "n_checkpoints",
     ).orderBy("source")
+
+
+_SMOOTH_HOLDOUT_SQL = """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    hold AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+    uni AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM train GROUP BY lang, tok
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM uni GROUP BY lang
+    ),
+    ff AS (
+      SELECT lang, cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM uni GROUP BY lang, cnt
+    ),
+    oov AS (
+      SELECT h.lang, CAST(COUNT(*) AS BIGINT) AS u
+      FROM (SELECT DISTINCT lang, tok FROM hold) h
+      LEFT JOIN uni ON uni.lang = h.lang AND uni.tok = h.tok
+      WHERE uni.tok IS NULL
+      GROUP BY h.lang
+    ),
+    scored AS (
+      SELECT h.lang,
+             uni.cnt,
+             ROUND(-ln((COALESCE(uni.cnt, 0) + 1)
+                       / CAST(tot.n + tot.v + COALESCE(oov.u, 0)
+                              AS DOUBLE)), 12) AS nll_add1,
+             ROUND(-ln(CASE
+               WHEN uni.cnt IS NULL
+                 THEN CAST(GREATEST(tot.n1, 1) AS DOUBLE) / tot.n / oov.u
+               WHEN uni.cnt <= 5 AND COALESCE(f1.n_r, 0) > 0
+                 THEN (uni.cnt + 1) * CAST(f1.n_r AS DOUBLE) / f0.n_r / tot.n
+               ELSE CAST(uni.cnt AS DOUBLE) / tot.n END), 12) AS nll_gt,
+             ROUND(-ln(CASE
+               WHEN uni.cnt IS NULL
+                 THEN 0.75 * tot.v / tot.n / oov.u
+               ELSE (uni.cnt - 0.75) / tot.n END), 12) AS nll_abs
+      FROM hold h
+      LEFT JOIN uni ON uni.lang = h.lang AND uni.tok = h.tok
+      LEFT JOIN ff f0 ON f0.lang = h.lang AND f0.r = uni.cnt
+      LEFT JOIN ff f1 ON f1.lang = h.lang AND f1.r = uni.cnt + 1
+      JOIN tot ON tot.lang = h.lang
+      LEFT JOIN oov ON oov.lang = h.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_instances,
+           ROUND(CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate,
+           ROUND(CAST(CAST(SUM(CAST(nll_add1 AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS nll_add1,
+           ROUND(CAST(CAST(SUM(CAST(nll_gt AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS nll_gt,
+           ROUND(CAST(CAST(SUM(CAST(nll_abs AS DECIMAL(38,12)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS nll_absdisc
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "smoothing_holdout_nll",
+    _SMOOTH_HOLDOUT_SQL,
+    doc="SMOOTHER BAKE-OFF ON HELD-OUT DATA — the r12-verdict Good-"
+    "Turing-vs-KN follow-through at the order where the comparison is "
+    "clean: train unigram LMs on the 80% hash split, score the 20% "
+    "holdout (OOV included) with three published smoothers and report "
+    "per-language mean NLL side by side: add-1 (the family baseline), "
+    "Katz-regime GOOD-TURING (r* = (r+1)N_{r+1}/N_r for r <= 5 with raw "
+    "frequency-of-frequency tables, MLE above — the good_turing_"
+    "smoothing query's masses actually USED for prediction, unseen mass "
+    "N_1/N split over the holdout's OOV types), and ABSOLUTE "
+    "DISCOUNTING D=0.75 (Ney & Essen — the discounting core Kneser-Ney "
+    "builds its continuation distribution on; leftover DV/N mass to "
+    "OOV, exactly normalized).  Measured result (pytest-planted on a "
+    "Zipfian corpus with real holdout OOV, probed across six "
+    "size/skew/OOV regimes): ABSOLUTE DISCOUNTING beats add-1 wherever "
+    "OOV mass matters; Katz-regime GT with RAW N_r tables tracks "
+    "add-1/MLE instead of beating them — its r <= 5 discounts are "
+    "frequency-of-frequency noise at these corpus sizes (exactly the "
+    "instability Gale & Sampson's smoothed SGT exists to fix), which "
+    "is itself the honest, useful answer.  This synthetic 31-word "
+    "corpus has ~zero OOV, so the columns separate on discounting "
+    "alone.  Scale: model "
+    "tables are lang x vocab aggregates (map-side), the frequency-of-"
+    "frequency table is O(max count), scoring is one broadcast-join "
+    "pass over holdout tokens; per-language decimal-sum means.",
+)
+def smoothing_holdout_nll(spark, sf_dir):
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = _tok_stream(docs)
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    hold = toks.filter(F.col("doc_id") % 5 == 0)
+    uni = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = uni.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    ff = uni.groupBy("lang", F.col("cnt").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    oov = (
+        hold.select("lang", "tok")
+        .distinct()
+        .join(uni, ["lang", "tok"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    )
+    f0 = ff.select(
+        F.col("lang").alias("lang0"),
+        F.col("r").alias("r0"),
+        F.col("n_r").alias("nr0"),
+    )
+    f1 = ff.select(
+        F.col("lang").alias("lang1"),
+        F.col("r").alias("r1"),
+        F.col("n_r").alias("nr1"),
+    )
+    scored = (
+        hold.join(F.broadcast(uni), ["lang", "tok"], "left")
+        .join(
+            F.broadcast(f0),
+            (F.col("r0") == F.col("cnt")) & (F.col("lang0") == F.col("lang")),
+            "left",
+        )
+        .join(
+            F.broadcast(f1),
+            (F.col("r1") == F.col("cnt") + 1)
+            & (F.col("lang1") == F.col("lang")),
+            "left",
+        )
+        .join(F.broadcast(tot), "lang")
+        .join(F.broadcast(oov), "lang", "left")
+    )
+    p_add1 = (F.coalesce(F.col("cnt"), F.lit(0)) + 1) / (
+        F.col("n") + F.col("v") + F.coalesce(F.col("u"), F.lit(0))
+    ).cast("double")
+    p_gt = (
+        F.when(
+            F.col("cnt").isNull(),
+            # hapax floor: a train profile with NO singletons (this
+            # saturated synthetic corpus) degenerates the GT unseen
+            # estimate N_1/N to 0 — floor N_1 at 1 on BOTH engines
+            F.greatest(F.col("n1"), F.lit(1)).cast("double")
+            / F.col("n")
+            / F.col("u"),
+        )
+        .when(
+            (F.col("cnt") <= 5) & (F.coalesce(F.col("nr1"), F.lit(0)) > 0),
+            (F.col("cnt") + 1)
+            * F.col("nr1").cast("double")
+            / F.col("nr0")
+            / F.col("n"),
+        )
+        .otherwise(F.col("cnt").cast("double") / F.col("n"))
+    )
+    p_abs = F.when(
+        F.col("cnt").isNull(),
+        F.lit(0.75) * F.col("v") / F.col("n") / F.col("u"),
+    ).otherwise((F.col("cnt") - F.lit(0.75)) / F.col("n"))
+    s = scored.select(
+        "lang",
+        "cnt",
+        F.round(-F.log(p_add1), 12).alias("nll_add1"),
+        F.round(-F.log(p_gt), 12).alias("nll_gt"),
+        F.round(-F.log(p_abs), 12).alias("nll_abs"),
+    )
+    cnt_all = F.count(F.lit(1))
+    oov_i = F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+    return (
+        s.groupBy("lang")
+        .agg(
+            cnt_all.cast("bigint").alias("n_holdout"),
+            oov_i.cast("bigint").alias("oov_instances"),
+            F.round(oov_i.cast("double") / cnt_all, 6).alias("oov_rate"),
+            F.round(
+                F.sum(F.col("nll_add1").cast(dec)).cast("double") / cnt_all, 6
+            ).alias("nll_add1"),
+            F.round(
+                F.sum(F.col("nll_gt").cast(dec)).cast("double") / cnt_all, 6
+            ).alias("nll_gt"),
+            F.round(
+                F.sum(F.col("nll_abs").cast(dec)).cast("double") / cnt_all, 6
+            ).alias("nll_absdisc"),
+        )
+        .orderBy("lang")
+    )
