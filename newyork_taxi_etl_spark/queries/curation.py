@@ -3477,3 +3477,162 @@ def lcp_repetition_depth(spark, sf_dir):
         )
         .orderBy("lang", "depth")
     )
+
+
+_DOREMI_SQL = """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY source, tok
+    ),
+    st AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS v_s
+      FROM tf GROUP BY source
+    ),
+    g AS (
+      SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cnt_g FROM tf GROUP BY tok
+    ),
+    gt AS (
+      SELECT CAST(SUM(cnt_g) AS BIGINT) AS n_g,
+             CAST(COUNT(*) AS BIGINT) AS v_g
+      FROM g
+    ),
+    scored AS (
+      SELECT tf.source,
+             SUM(CAST(ROUND(tf.cnt * -ln((g.cnt_g + 1)
+                   / CAST(gt.n_g + gt.v_g AS DOUBLE)), 12)
+                 AS DECIMAL(38,12))) AS sr,
+             SUM(CAST(ROUND(tf.cnt * -ln((tf.cnt + 1)
+                   / CAST(st.n_s + gt.v_g AS DOUBLE)), 12)
+                 AS DECIMAL(38,12))) AS si
+      FROM tf
+      JOIN g USING (tok) JOIN st USING (source) CROSS JOIN gt
+      GROUP BY tf.source
+    ),
+    m AS (
+      SELECT s.source, st.n_s,
+             ROUND(CAST(CAST(s.sr AS VARCHAR) AS DOUBLE) / st.n_s, 12)
+               AS nll_ref,
+             ROUND(CAST(CAST(s.si AS VARCHAR) AS DOUBLE) / st.n_s, 12)
+               AS nll_in
+      FROM scored s JOIN st USING (source)
+    ),
+    w AS (
+      SELECT source, n_s, nll_ref, nll_in,
+             ROUND((CAST(n_s AS DOUBLE)
+                    / (SELECT CAST(SUM(n_s) AS DOUBLE) FROM m))
+                   * exp(nll_ref - nll_in), 12) AS raw_w
+      FROM m
+    )
+    SELECT source,
+           n_s AS n_tokens,
+           ROUND(nll_ref, 6) AS nll_ref,
+           ROUND(nll_in, 6) AS nll_in,
+           ROUND(nll_ref - nll_in, 6) AS excess,
+           ROUND(raw_w / (SELECT CAST(CAST(SUM(CAST(raw_w
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) FROM w), 6)
+             AS weight
+    FROM w ORDER BY source
+    """
+
+
+@register(
+    "doremi_domain_weights",
+    _DOREMI_SQL,
+    doc="DoReMi-STYLE DOMAIN REWEIGHTING (Xie et al. 2023, one-step "
+    "proxy): per-source EXCESS LOSS — the mean token NLL a GLOBAL add-1 "
+    "unigram reference pays on the domain minus what the IN-DOMAIN "
+    "model pays — measures how much domain-specific structure the "
+    "shared model misses; mixture weights are the token-share baseline "
+    "exponentially tilted by the excess (eta = 1) and normalized, the "
+    "multiplicative-weights update DoReMi iterates (one step here: the "
+    "proxy is the in-domain LM, not a trained transformer — stated, "
+    "not hidden).  Pairs with domain_mix_weights (size-only heuristic) "
+    "and quality_psi_by_domain (drift): together size, difficulty and "
+    "drift per feed.  Scale: scoring happens at VOCAB level — "
+    "Sum(cnt x nll) over the (source, tok) frequency table, never a "
+    "per-token-instance join — so the whole query is two vocab-sized "
+    "aggregates, two broadcast model joins and an O(sources) softmax; "
+    "12-dp decimal sums keep both engines exact.",
+)
+def doremi_domain_weights(spark, sf_dir):
+    dec = "decimal(38,12)"
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    tf = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    st = tf.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("v_s"),
+    )
+    g = tf.groupBy("tok").agg(F.sum("cnt").cast("bigint").alias("cnt_g"))
+    gt = g.agg(
+        F.sum("cnt_g").cast("bigint").alias("n_g"),
+        F.count(F.lit(1)).cast("bigint").alias("v_g"),
+    )
+    nll_ref_t = -F.log(
+        (F.col("cnt_g") + 1) / (F.col("n_g") + F.col("v_g")).cast("double")
+    )
+    # BOTH models smooth over the GLOBAL vocabulary: add-1 with the
+    # domain's own (smaller) vocab would manufacture excess out of the
+    # normalization term alone (planted-test finding: the mirror domain
+    # out-scored the niche one on pure V_s size) — with a shared event
+    # space the excess is a smoothed divergence of the distributions
+    nll_in_t = -F.log(
+        (F.col("cnt") + 1) / (F.col("n_s") + F.col("v_g")).cast("double")
+    )
+    scored = (
+        tf.join(g, "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.sum(F.round(F.col("cnt") * nll_ref_t, 12).cast(dec)).alias("sr"),
+            F.sum(F.round(F.col("cnt") * nll_in_t, 12).cast(dec)).alias("si"),
+        )
+    )
+    m = scored.join(F.broadcast(st), "source").select(
+        "source",
+        "n_s",
+        F.round(F.col("sr").cast("double") / F.col("n_s"), 12).alias(
+            "nll_ref"
+        ),
+        F.round(F.col("si").cast("double") / F.col("n_s"), 12).alias(
+            "nll_in"
+        ),
+    )
+    ntot = m.agg(F.sum("n_s").cast("double").alias("ntot"))
+    w = m.crossJoin(F.broadcast(ntot)).select(
+        "source",
+        "n_s",
+        "nll_ref",
+        "nll_in",
+        F.round(
+            (F.col("n_s").cast("double") / F.col("ntot"))
+            * F.exp(F.col("nll_ref") - F.col("nll_in")),
+            12,
+        ).alias("raw_w"),
+    )
+    wtot = w.agg(
+        F.sum(F.col("raw_w").cast(dec)).cast("double").alias("wtot")
+    )
+    return (
+        w.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.round(F.col("nll_ref"), 6).alias("nll_ref"),
+            F.round(F.col("nll_in"), 6).alias("nll_in"),
+            F.round(F.col("nll_ref") - F.col("nll_in"), 6).alias("excess"),
+            F.round(F.col("raw_w") / F.col("wtot"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

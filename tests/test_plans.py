@@ -1115,3 +1115,30 @@ def test_zipf_by_source_uses_composite_fold(spark):
     assert "row_number" not in plan
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lcp_depth_is_pure_counting(spark):
+    """The suffix-LCP profile is duplicated-d-gram COUNTING: one ladder
+    explode + two hash aggregates — no suffix sort (no global
+    rangepartitioning of the gram stream into a window), no pair join,
+    no cartesian anywhere."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["lcp_repetition_depth"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "row_number" not in plan
+    assert "SortMergeJoin" not in plan  # aggregates only, never a pair join
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_source_growth_matrix_uses_composite_folds(spark):
+    """Both growth legs run off composite range-partitioned folds (the
+    zipf/heaps discipline): no per-source row_number windows; checkpoint
+    and offset tables broadcast back."""
+    from newyork_taxi_etl_spark.registry import queries
+
+    plan = _plan(queries()["source_growth_matrix"](spark, SF_SMOKE))
+    assert "row_number" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -292,3 +292,60 @@ def test_smoothing_holdout_discounting_beats_add1_with_real_oov(
     assert row["nll_absdisc"] < row["nll_add1"]
     # GT: finite through the OOV branch, in the same band as the others
     assert 0 < row["nll_gt"] < row["nll_add1"] * 1.2
+
+
+def test_doremi_upweights_the_domain_the_global_model_misses(
+    spark, tmp_path
+):
+    """Planted discrimination for the DoReMi-style update: a domain with
+    its own private vocabulary (the global reference pays extra NLL on
+    it) must be up-weighted ABOVE its token share, while a domain that
+    mirrors the global mix lands at ~its share; weights normalize to 1;
+    Spark equals the DuckDB oracle."""
+    import random
+
+    from newyork_taxi_etl_spark import registry
+
+    rng = random.Random(7)
+    common = [f"c{r}" for r in range(1, 40)]
+    rows = []
+    # 'mirror' carries ~90% of the tokens, so the global mixture ~IS
+    # mirror's distribution (a same-sized niche would actually sit
+    # CLOSER to the mixture in KL than mirror does — the first plant's
+    # lesson); 'niche' is a small feed with half its mass on a private
+    # vocabulary the mixture barely covers
+    for d in range(180):  # 'mirror': draws only from the common vocab
+        rows.append(
+            (d, "xx", "mirror", " ".join(rng.choices(common, k=25)))
+        )
+    for d in range(180, 200):  # 'niche': half from a private vocabulary
+        toks = [
+            f"p{rng.randrange(40)}" if rng.random() < 0.5
+            else rng.choice(common)
+            for _ in range(25)
+        ]
+        rows.append((d, "xx", "niche", " ".join(toks)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    q = registry.queries()["doremi_domain_weights"]
+    got = q(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(
+        registry.oracle_sql()["doremi_domain_weights"]
+    ).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(_normalize(got), _normalize(want))
+
+    m = got.set_index("source")
+    shares = m["n_tokens"] / m["n_tokens"].sum()
+    assert abs(m["weight"].sum() - 1.0) < 1e-4
+    assert m.loc["niche", "excess"] > m.loc["mirror", "excess"]
+    assert m.loc["niche", "weight"] > shares["niche"]
+    assert m.loc["mirror", "weight"] < shares["mirror"]
