@@ -3428,6 +3428,15 @@ _LCP_DEPTHS = (1, 2, 4, 8, 16)
 )
 def lcp_repetition_depth(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _lcp_finalize(_lcp_gram_stats(docs))
+
+
+def _lcp_gram_stats(docs):
+    """(lang, d, gram, cnt, mn, mx) — the LCP family's one corpus-sized
+    pass (and the streaming twin's per-batch partial: cnt is an integer
+    sum, mn/mx are min/max — all three fold associatively and
+    commutatively, so any micro-batching drains to the identical
+    state)."""
     ladder = ", ".join(str(d) for d in _LCP_DEPTHS)
     # _toks bound ONCE per row (the with_shingles lesson: split() inlined
     # into a lambda re-splits per iteration once CollapseProject folds it)
@@ -3452,11 +3461,15 @@ def lcp_repetition_depth(spark, sf_dir):
             "lang", "doc_id", F.col("e.d").alias("d"), F.col("e.gram").alias("gram")
         )
     )
-    c = grams.groupBy("lang", "d", "gram").agg(
+    return grams.groupBy("lang", "d", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.min("doc_id").alias("mn"),
         F.max("doc_id").alias("mx"),
     )
+
+
+def _lcp_finalize(c):
+    """(lang, d, gram, cnt, mn, mx) -> the per-(lang, depth) profile."""
     dup = F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0)))
     xdoc = F.sum(
         F.when(F.col("mn") != F.col("mx"), F.col("cnt")).otherwise(F.lit(0))
@@ -3477,6 +3490,64 @@ def lcp_repetition_depth(spark, sf_dir):
         )
         .orderBy("lang", "depth")
     )
+
+
+@register(
+    "streaming_lcp_depth_ingest",
+    f"""
+    WITH toks AS (
+      SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    lad AS (SELECT unnest([{', '.join(str(d) for d in _LCP_DEPTHS)}]) AS d),
+    g AS (
+      SELECT tk.lang, tk.doc_id, lad.d,
+             array_to_string(tk.t[r.i : r.i + lad.d - 1], ' ') AS gram
+      FROM toks tk, lad, unnest(range(1, len(tk.t) - lad.d + 2)) AS r(i)
+    ),
+    c AS (
+      SELECT lang, d, gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      FROM g GROUP BY lang, d, gram
+    )
+    SELECT lang, CAST(d AS BIGINT) AS depth,
+           CAST(SUM(cnt) AS BIGINT) AS n_positions,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS dup_positions,
+           CAST(SUM(CASE WHEN mn <> mx THEN cnt ELSE 0 END) AS BIGINT)
+             AS crossdoc_positions,
+           ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / SUM(cnt), 6) AS dup_share,
+           ROUND(CAST(SUM(CASE WHEN mn <> mx THEN cnt ELSE 0 END) AS DOUBLE)
+                 / SUM(cnt), 6) AS crossdoc_share
+    FROM c GROUP BY lang, d ORDER BY lang, depth
+    """,
+    doc="SUFFIX-LCP DEPTH AT INGEST — the tenth per-batch fold: each "
+    "micro-batch reduces to its own (lang, depth, gram) partial of "
+    "(count, min doc_id, max doc_id) and the state fold is plain "
+    "SUM/MIN/MAX behind the applied-batch replay sidecar — all three "
+    "commute and associate, so the drained profile equals the one-shot "
+    "batch audit (lcp_repetition_depth) bit-for-bit under ANY slicing "
+    "and the batch oracle covers every batching.  This is how a crawl "
+    "watches boilerplate accumulate: cross-doc duplicated-span mass "
+    "per depth firms up as documents arrive, BEFORE a dedup pass is "
+    "scheduled.  State is O(depths x gram vocabulary) — the largest "
+    "state of the fold family, the honest cost of an exact profile "
+    "(the bounded-state alternative is a CMS over grams, the "
+    "freq_tokens_cms path); the profile windows run at drain time over "
+    "the folded vocabulary table, never over positions.",
+)
+def streaming_lcp_depth_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_lcpingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_lcp_depth_ingest(spark, docs, work)
 
 
 _DOREMI_SQL = """

@@ -3453,3 +3453,78 @@ def run_streaming_heavy_hitters(
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+def run_streaming_lcp_depth_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SUFFIX-LCP REPETITION DEPTH AT INGEST — the tenth per-batch fold
+    (third with no build phase): each micro-batch reduces to its own
+    (lang, depth, gram) partial of (cnt, min doc_id, max doc_id) via the
+    batch query's one corpus-sized pass (``_lcp_gram_stats``), and the
+    state fold is SUM/MIN/MAX — associative AND commutative, so the
+    drained profile equals the one-shot batch audit bit-for-bit under
+    any slicing; appends are replay-guarded by the applied-batch
+    sidecar.  State is O(depths x gram vocabulary), the exact-profile
+    cost (CMS is the bounded-state alternative); the finalize windows
+    run over the folded vocabulary table only."""
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        _lcp_finalize,
+        _lcp_gram_stats,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    parts_dir = os.path.join(work_dir, "lcp_partials")
+    shutil.rmtree(parts_dir, ignore_errors=True)
+
+    staged = docs_df.select("doc_id", "lang", "text")
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:lcp_stage{n_slices}",
+        lambda target: staged.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(parts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its partials are already folded
+        part = _lcp_gram_stats(batch_df)
+        os.makedirs(parts_dir, exist_ok=True)
+        part.write.mode("append").parquet(parts_dir)
+        _mark_applied(parts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    folded = (
+        spark.read.parquet(parts_dir)
+        .groupBy("lang", "d", "gram")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return _lcp_finalize(folded)

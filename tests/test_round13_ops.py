@@ -349,3 +349,23 @@ def test_doremi_upweights_the_domain_the_global_model_misses(
     assert m.loc["niche", "excess"] > m.loc["mirror", "excess"]
     assert m.loc["niche", "weight"] > shares["niche"]
     assert m.loc["mirror", "weight"] < shares["mirror"]
+
+
+def test_streaming_lcp_depth_drains_to_batch_under_any_slicing(
+    spark, tmp_path
+):
+    """The tenth fold's contract: the drained LCP profile equals the
+    one-shot batch audit bit-for-bit, under DIFFERENT micro-batch
+    slicings (SUM/MIN/MAX partials commute), and a redelivered batch is
+    a no-op (the applied-batch sidecar)."""
+    from tests.conftest import SF_SMOKE
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = queries()["lcp_repetition_depth"](spark, SF_SMOKE).collect()
+    for slices in (2, 5):
+        out = W.run_streaming_lcp_depth_ingest(
+            spark, docs, str(tmp_path / f"w{slices}"), n_slices=slices
+        ).collect()
+        assert out == batch, f"n_slices={slices}"
