@@ -5083,3 +5083,152 @@ def smoothing_holdout_nll(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _bpe_stats_sql(r: int) -> str:
+    return f"""
+    stats{r} AS (
+      SELECT {r} AS round,
+             CAST(SUM(cnt * len(syms)) AS BIGINT) AS total_syms,
+             ROUND(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+               AS fertility
+      FROM syms{r}
+    )"""
+
+
+_BPE_GAIN_SQL = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    syms0 AS MATERIALIZED (
+      SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+    ),{','.join(
+        _bpe_round_sql(rr, mat=True).replace(
+            f'syms{rr} AS (', f'syms{rr} AS MATERIALIZED (')
+        for rr in (1, 2, 3)
+    )},{','.join(_bpe_stats_sql(rr) for rr in (0, 1, 2, 3))}
+    SELECT s.round,
+           CASE WHEN s.round = 0 THEN NULL
+                WHEN s.round = 1 THEN (SELECT a || '+' || b FROM top1)
+                WHEN s.round = 2 THEN (SELECT a || '+' || b FROM top2)
+                ELSE (SELECT a || '+' || b FROM top3) END AS merge_taken,
+           CASE WHEN s.round = 0 THEN NULL
+                WHEN s.round = 1 THEN (SELECT n FROM top1)
+                WHEN s.round = 2 THEN (SELECT n FROM top2)
+                ELSE (SELECT n FROM top3) END AS merge_n,
+           s.total_syms,
+           s.fertility,
+           CASE WHEN s.round = 0 THEN NULL ELSE ROUND(
+             (SELECT p.fertility FROM (
+                SELECT * FROM stats0 UNION ALL SELECT * FROM stats1
+                UNION ALL SELECT * FROM stats2) p
+              WHERE p.round = s.round - 1) - s.fertility, 6) END
+             AS fertility_gain
+    FROM (SELECT * FROM stats0 UNION ALL SELECT * FROM stats1
+          UNION ALL SELECT * FROM stats2 UNION ALL SELECT * FROM stats3) s
+    ORDER BY s.round
+    """
+
+
+@register(
+    "bpe_merge_gain_curve",
+    _BPE_GAIN_SQL,
+    doc="BPE MERGE-GAIN CURVE — the vocab-size decision's operating-"
+    "point table (the lsh_band_sweep / ann_recall_sq_sweep pattern "
+    "applied to the tokenizer axis): corpus fertility over the training "
+    "vocabulary after 0/1/2/3 merges of the SHARED training fold, with "
+    "each round's merge, its pair count, and the MARGINAL fertility it "
+    "bought — the diminishing-returns curve a tokenizer team reads to "
+    "pick vocabulary size (merge gains decay roughly with pair "
+    "frequency; when the marginal gain flattens, growing the vocab buys "
+    "compression the model pays for in embedding parameters).  Same "
+    "vocab-sized loop as bpe_merge_loop (the corpus collapses once; "
+    "every round is pair-vocabulary-sized with the 1-row winner "
+    "broadcast); per-round stats are integer sums off the current "
+    "symbol table.  Conservation identity (pytest): total_syms drops by "
+    "EXACTLY merge_n each round — a leftmost-non-overlapping merge "
+    "replaces merge_n adjacent pairs by single symbols and nothing "
+    "else.",
+)
+def bpe_merge_gain_curve(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = vocab.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    def stats(df, rnd):
+        return df.agg(
+            F.lit(rnd).alias("round"),
+            F.sum(F.col("cnt") * F.size("syms"))
+            .cast("bigint")
+            .alias("total_syms"),
+            F.round(
+                F.sum(F.col("cnt") * F.size("syms")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("fertility"),
+        )
+
+    rows = [stats(syms, 0).collect()[0]]
+    merges = [(None, None)]
+    for rnd in (1, 2, 3):
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2 "
+                    "THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) "
+                    "ELSE transform(sequence(1, size(syms) - 1), "
+                    "i -> named_struct('a', element_at(syms, i), "
+                    "'b', element_at(syms, i + 1))) END"
+                )
+            ).alias("e"),
+        )
+        counts = pairs.groupBy(
+            F.col("e.a").alias("a"), F.col("e.b").alias("b")
+        ).agg(F.sum("cnt").alias("n"))
+        top = counts.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint()
+        t = top.collect()[0]
+        merges.append((f"{t['a']}+{t['b']}", int(t["n"])))
+        syms = (
+            syms.crossJoin(F.broadcast(top))
+            .select("cnt", F.expr(_BPE_MERGE_EXPR).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+        rows.append(stats(syms, rnd).collect()[0])
+
+    out = []
+    prev_f = None
+    for rnd, row in enumerate(rows):
+        gain = (
+            None if prev_f is None else round(prev_f - row["fertility"], 6)
+        )
+        out.append(
+            (
+                rnd,
+                merges[rnd][0],
+                merges[rnd][1],
+                int(row["total_syms"]),
+                float(row["fertility"]),
+                gain,
+            )
+        )
+        prev_f = row["fertility"]
+    return spark.createDataFrame(
+        out,
+        "round int, merge_taken string, merge_n bigint, "
+        "total_syms bigint, fertility double, fertility_gain double",
+    ).orderBy("round")

@@ -369,3 +369,22 @@ def test_streaming_lcp_depth_drains_to_batch_under_any_slicing(
             spark, docs, str(tmp_path / f"w{slices}"), n_slices=slices
         ).collect()
         assert out == batch, f"n_slices={slices}"
+
+
+@pytest.mark.quick
+def test_bpe_merge_gain_conservation(spark):
+    """Leftmost-non-overlapping merge conservation: each round's symbol
+    total drops by EXACTLY the merged pair count, so the fertility gain
+    equals merge_n / total word instances at 6 dp."""
+    from tests.conftest import SF_ORACLE
+    from newyork_taxi_etl_spark.registry import queries
+
+    rows = queries()["bpe_merge_gain_curve"](spark, SF_ORACLE).collect()
+    assert [r["round"] for r in rows] == [0, 1, 2, 3]
+    n_instances = round(rows[0]["total_syms"] / rows[0]["fertility"])
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["total_syms"] == prev["total_syms"] - cur["merge_n"]
+        assert abs(
+            cur["fertility_gain"] - cur["merge_n"] / n_instances
+        ) < 2e-6
+        assert cur["fertility_gain"] > 0
