@@ -6713,3 +6713,325 @@ def lsh_band_sweep(spark, sf_dir):
         )
         .orderBy("n_bands", "bits")
     )
+
+
+# --- ZCA whitening audit (coupled Newton-Schulz inverse square root) -------
+
+#: coupled-NS iterations for C^{-1/2}; the 1% relative ridge floors the
+#: scaled spectrum at ~1.6e-4 so 26 iterations converge (measured; the
+#: whitened-covariance pytest gates max |W Cr W' - I| <= 1e-6)
+_ZCA_NS_ITERS = 26
+_ZCA_RIDGE = 0.01
+
+
+def _zca_cov(base):
+    """Covariance of the vec_id %% 5 == 0 estimation sample as a 12-dp
+    (i, j, v) table: C_ij = ROUND(S_ij/n - mu_i mu_j, 12) with S the
+    12-dp-product decimal cross-moment sums and mu the 12-dp decimal
+    means — order-independent, bit-equal to the oracle's CTEs.  The
+    sample IS the production shape: at 100 TB a covariance is always
+    estimated from a hash sample, never the full corpus."""
+    dec = "decimal(38,12)"
+    samp = base.filter(F.col("vec_id") % 5 == 0)
+    xr = samp.select(
+        "vec_id", F.posexplode("v").alias("p", "x")
+    ).select("vec_id", (F.col("p") + 1).alias("i"), "x")
+    n = samp.agg(F.count(F.lit(1)).alias("n"))
+    mu = xr.groupBy("i").agg(
+        F.round(
+            F.sum(F.round(F.col("x"), 12).cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("mu")
+    )
+    s = (
+        xr.alias("a")
+        .join(xr.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.x") * F.col("b.x"), 12).cast(dec)
+            ).alias("sxy")
+        )
+    )
+    mu_i = mu.select(F.col("i"), F.col("mu").alias("mu_i"))
+    mu_j = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        s.join(F.broadcast(mu_i), "i")
+        .join(F.broadcast(mu_j), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy").cast("double") / F.col("n")
+                - F.col("mu_i") * F.col("mu_j"),
+                12,
+            ).alias("v"),
+        )
+    )
+
+
+def _zca_invsqrt_np(c):
+    """Driver-side coupled Newton-Schulz (Higham's stable Y/Z pair):
+    Y0 = Cr/s, Z0 = I; T = 0.5(3I - Z Y); Y <- Y T; Z <- T Z, so
+    Z -> (Cr/s)^{-1/2} and W = Z/sqrt(s), with Cr = C + eps I
+    (eps = _ZCA_RIDGE x trace/64 — shrinkage for the near-null
+    directions of unit-normalized embeddings) and s = trace(Cr)
+    (lambda_max <= trace for SPD).  Exact IEEE op-order replica of the
+    oracle's CTE chain (the _ns_polar_np discipline: ascending-k
+    rank-1 accumulation == the SQL list_reduce fold; elementwise single
+    ops).  Returns (W, Cw) with Cw = ROUND12(W C W') — the whitened
+    covariance, computed analytically from the one estimated C (no
+    second data pass)."""
+    import numpy as np
+
+    diag = np.eye(64, dtype=bool)
+    # trace via exact 1e-12-unit integer sum (matches the decimal sum)
+    tr = float(np.rint(np.diag(c) * 1e12).sum()) / 1e12
+    eps = tr / 64 * _ZCA_RIDGE
+    cr = np.where(diag, c + eps, c)
+    s = tr + eps * 64
+    y = cr / s
+    z = np.where(diag, 1.0, 0.0)
+    for _ in range(_ZCA_NS_ITERS):
+        a = np.zeros((64, 64))
+        for k in range(64):
+            a += np.outer(z[:, k], y[k, :])
+        t = 0.5 * np.where(diag, 3.0 - a, -a)
+        yn = np.zeros((64, 64))
+        zn = np.zeros((64, 64))
+        for k in range(64):
+            yn += np.outer(y[:, k], t[k, :])
+            zn += np.outer(t[:, k], z[k, :])
+        y, z = yn, zn
+    w = z / np.sqrt(s)
+    a2 = np.zeros((64, 64))
+    for k in range(64):
+        a2 += np.outer(w[:, k], c[k, :])
+    cw = np.zeros((64, 64))
+    for k in range(64):
+        cw += np.outer(a2[:, k], w[:, k])
+    cwr = np.vectorize(_round12)(cw)
+    return w, cwr
+
+
+def _zca_stats_py(mat, stage):
+    """(stage, trace, var_max, var_min, var_ratio, mean_abs_offdiag) from
+    a 12-dp 64x64 matrix — exact-integer-unit sums so the row equals the
+    oracle's aggregate bit-for-bit."""
+    import numpy as np
+
+    units = np.rint(mat * 1e12)
+    d = np.diag(mat)
+    trace = _round6(float(np.diag(units).sum()) / 1e12)
+    offsum = float(np.abs(units[~np.eye(64, dtype=bool)]).sum()) / 1e12
+    return (
+        stage,
+        trace,
+        _round6(float(d.max())),
+        _round6(float(d.min())),
+        _round6(float(d.max() / d.min())),
+        _round6(offsum / 4032),
+    )
+
+
+def _round6(x: float) -> float:
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1E-6"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _zca_ns_sql(iters: int = _ZCA_NS_ITERS) -> str:
+    """DuckDB twin of :func:`_zca_invsqrt_np`: ridge, scale, the coupled
+    Y/Z iteration and the analytic whitened covariance as single-row
+    4096-array fold CTEs (ascending-k list_reduce == the numpy rank-1
+    order; row-major index (i-1)*64 + j).  Expects ``craw (i, j, v)``;
+    emits ``cwm (i, j, v)`` with 12-dp entries."""
+    dec = "DECIMAL(38,12)"
+
+    def fold(terms: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, 65), k -> {terms})), "
+            "(acc, q) -> acc + q)"
+        )
+
+    diag_e = "((e-1)//64 = (e-1)%64)"
+    parts = [
+        "ztr AS (SELECT "
+        + dec_out_sql(f"SUM(CAST(v AS {dec}))")
+        + " AS tr FROM craw WHERE i = j)",
+        f"zeps AS (SELECT tr, tr / 64 * {_ZCA_RIDGE} AS eps, "
+        f"tr + tr / 64 * {_ZCA_RIDGE} * 64 AS s FROM ztr)",
+        "yz0 AS MATERIALIZED (SELECT "
+        "(SELECT list((CASE WHEN i = j THEN v + (SELECT eps FROM zeps) "
+        "ELSE v END) / (SELECT s FROM zeps) ORDER BY i, j) FROM craw) AS y, "
+        f"list_transform(range(1, 4097), e -> CASE WHEN {diag_e} "
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS z)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"za{t} AS MATERIALIZED (SELECT y, z, "
+            "list_transform(range(1, 4097), e -> "
+            + fold(
+                "z[((e-1)//64)*64 + k] * y[(k-1)*64 + ((e-1)%64 + 1)]"
+            )
+            + f") AS a FROM yz{t})"
+        )
+        parts.append(
+            f"zt{t} AS (SELECT y, z, list_transform(range(1, 4097), e -> "
+            f"0.5 * (CASE WHEN {diag_e} THEN 3 - a[e] ELSE -a[e] END)) AS t "
+            f"FROM za{t})"
+        )
+        parts.append(
+            f"yz{t + 1} AS MATERIALIZED (SELECT "
+            "list_transform(range(1, 4097), e -> "
+            + fold("y[((e-1)//64)*64 + k] * t[(k-1)*64 + ((e-1)%64 + 1)]")
+            + ") AS y, "
+            "list_transform(range(1, 4097), e -> "
+            + fold("t[((e-1)//64)*64 + k] * z[(k-1)*64 + ((e-1)%64 + 1)]")
+            + f") AS z FROM zt{t})"
+        )
+    parts.append(
+        # DuckDB lambdas cannot contain subqueries: sqrt(s) joins in as
+        # a plain column instead
+        f"zw AS MATERIALIZED (SELECT list_transform(z, e2 -> "
+        f"e2 / zs_sqrt) AS w FROM yz{iters}, "
+        "(SELECT sqrt(s) AS zs_sqrt FROM zeps))"
+    )
+    parts.append(
+        "zcarr AS (SELECT (SELECT list(v ORDER BY i, j) FROM craw) AS c)"
+    )
+    parts.append(
+        "zwc AS MATERIALIZED (SELECT w, "
+        "list_transform(range(1, 4097), e -> "
+        + fold("w[((e-1)//64)*64 + k] * c[(k-1)*64 + ((e-1)%64 + 1)]")
+        + ") AS a2 FROM zw, zcarr)"
+    )
+    parts.append(
+        "cwm AS MATERIALIZED (SELECT (g.e - 1) // 64 + 1 AS i, "
+        "(g.e - 1) % 64 + 1 AS j, ROUND("
+        + fold(
+            "a2[((g.e-1)//64)*64 + k] * w[((g.e-1)%64)*64 + k]"
+        )
+        + ", 12) AS v FROM zwc, unnest(range(1, 4097)) AS g(e))"
+    )
+    return ",\n    ".join(parts)
+
+
+_ZCA_SQL = f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    samp AS (SELECT vec_id, v FROM emb WHERE vec_id % 5 = 0),
+    zxr AS MATERIALIZED (
+      SELECT vec_id, g.i AS i, v[g.i] AS x
+      FROM samp, unnest(range(1, 65)) AS g(i)
+    ),
+    zn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samp),
+    zmu AS (
+      SELECT i, ROUND({dec_out_sql(
+          "SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))")} / COUNT(*), 12)
+               AS mu
+      FROM zxr GROUP BY i
+    ),
+    zsm AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(ROUND(a.x * b.x, 12) AS DECIMAL(38,12))) AS sxy
+      FROM zxr a JOIN zxr b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    craw AS MATERIALIZED (
+      SELECT zsm.i, zsm.j,
+             ROUND({dec_out_sql('zsm.sxy')} / zn.n - mi.mu * mj.mu, 12) AS v
+      FROM zsm
+      JOIN zmu mi ON mi.i = zsm.i
+      JOIN zmu mj ON mj.i = zsm.j
+      CROSS JOIN zn
+    ),
+    {{ns}}
+    SELECT 'raw' AS stage,
+           ROUND({dec_out_sql(
+               "SUM(CASE WHEN i = j THEN CAST(v AS DECIMAL(38,12)) "
+               "ELSE CAST(0 AS DECIMAL(38,12)) END)")}, 6) AS trace,
+           ROUND(MAX(CASE WHEN i = j THEN v END), 6) AS var_max,
+           ROUND(MIN(CASE WHEN i = j THEN v END), 6) AS var_min,
+           ROUND(MAX(CASE WHEN i = j THEN v END)
+                 / MIN(CASE WHEN i = j THEN v END), 6) AS var_ratio,
+           ROUND({dec_out_sql(
+               "SUM(CASE WHEN i <> j THEN CAST(abs(v) AS DECIMAL(38,12)) "
+               "ELSE CAST(0 AS DECIMAL(38,12)) END)")} / 4032, 6)
+             AS mean_abs_offdiag
+    FROM craw
+    UNION ALL
+    SELECT 'whitened',
+           ROUND({dec_out_sql(
+               "SUM(CASE WHEN i = j THEN CAST(v AS DECIMAL(38,12)) "
+               "ELSE CAST(0 AS DECIMAL(38,12)) END)")}, 6),
+           ROUND(MAX(CASE WHEN i = j THEN v END), 6),
+           ROUND(MIN(CASE WHEN i = j THEN v END), 6),
+           ROUND(MAX(CASE WHEN i = j THEN v END)
+                 / MIN(CASE WHEN i = j THEN v END), 6),
+           ROUND({dec_out_sql(
+               "SUM(CASE WHEN i <> j THEN CAST(abs(v) AS DECIMAL(38,12)) "
+               "ELSE CAST(0 AS DECIMAL(38,12)) END)")} / 4032, 6)
+    FROM cwm
+    ORDER BY stage
+    """.replace("{{ns}}", "{ns}")
+
+
+@register(
+    "embedding_whitening_audit",
+    _ZCA_SQL.format(ns=_zca_ns_sql()),
+    doc="ZCA WHITENING AUDIT — the transform retrieval/SemDeDup "
+    "pipelines apply when embedding similarity is dominated by a few "
+    "high-variance directions (anisotropy; pairs with "
+    "embedding_isotropy_audit which only MEASURES it): estimate the "
+    "covariance C on the vec_id%5 hash sample (at 100 TB a covariance "
+    "is ALWAYS estimated from a sample — the sampled estimate is the "
+    "production shape, not a shortcut), compute W = (C + eps I)^(-1/2) "
+    "via Higham's coupled Newton-Schulz Y/Z iteration (pure 64x64 "
+    "matmuls, no eigen black box; eps = 1%% relative ridge for the "
+    "near-null directions of unit-normalized vectors), and report the "
+    "covariance-shape statistics BEFORE and AFTER analytically "
+    "(whitened covariance = W C W' from the one estimated C — no "
+    "second data pass): trace, min/max/ratio of per-dim variance, mean "
+    "|off-diagonal|.  Whitening works <=> the whitened ratio ~1 and "
+    "off-diagonal mass collapses (pytest also gates "
+    "max|W (C+eps I) W' - I| <= 1e-6 and that data-side application "
+    "reproduces the analytic diagonal).  Cross-engine exactness: the "
+    "covariance is 12-dp decimal moments; the iteration replays on the "
+    "driver with the exact IEEE op order of the oracle's fold CTEs "
+    "(the ann_opq_trained_recall architecture).  Scale: one N x 4096 "
+    "sampled moment pass, map-side combined to 4096 cells; everything "
+    "after is constant-size.",
+)
+def embedding_whitening_audit(spark, sf_dir):
+    import numpy as np
+
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    rows = _zca_cov(base).collect()
+    c = np.zeros((64, 64))
+    for r in rows:
+        c[r["i"] - 1, r["j"] - 1] = r["v"]
+    _, cw = _zca_invsqrt_np(c)
+    out = [_zca_stats_py(c, "raw"), _zca_stats_py(cw, "whitened")]
+    return spark.createDataFrame(
+        out,
+        "stage string, trace double, var_max double, var_min double, "
+        "var_ratio double, mean_abs_offdiag double",
+    ).orderBy("stage")

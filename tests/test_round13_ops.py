@@ -388,3 +388,65 @@ def test_bpe_merge_gain_conservation(spark):
             cur["fertility_gain"] - cur["merge_n"] / n_instances
         ) < 2e-6
         assert cur["fertility_gain"] > 0
+
+
+def test_zca_whitening_inverts_the_covariance(spark):
+    """The coupled-NS inverse square root must satisfy
+    max|W (C + eps I) W' - I| <= 1e-6 (W is the actual matrix inverse
+    square root, not an approximation drift), data-side application must
+    reproduce the analytic whitened diagonal, and the audit must show
+    the shape flattening: variance ratio -> ~1 and RELATIVE off-diagonal
+    mass collapsing."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+    from newyork_taxi_etl_spark.queries.similarity import (
+        _ZCA_RIDGE,
+        _zca_cov,
+        _zca_invsqrt_np,
+    )
+    from newyork_taxi_etl_spark.registry import queries
+
+    emb = spread_small_scan(
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    rows = _zca_cov(base).collect()
+    c = np.zeros((64, 64))
+    for r in rows:
+        c[r["i"] - 1, r["j"] - 1] = r["v"]
+    w, cw = _zca_invsqrt_np(c)
+    eps = np.trace(c) / 64 * _ZCA_RIDGE
+    cr = c + eps * np.eye(64)
+    assert np.abs(w @ cr @ w.T - np.eye(64)).max() <= 1e-6
+
+    # data-side apply reproduces the analytic whitened diagonal
+    samp = np.array(
+        [
+            r["v"]
+            for r in base.filter(F.col("vec_id") % 5 == 0)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    xw = (samp - samp.mean(axis=0)) @ w.T
+    var_data = xw.var(axis=0)
+    assert np.abs(var_data - np.diag(cw)).max() < 1e-3
+
+    out = {
+        r["stage"]: r
+        for r in queries()["embedding_whitening_audit"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    raw, wh = out["raw"], out["whitened"]
+    assert wh["var_ratio"] < raw["var_ratio"] and wh["var_ratio"] < 1.1
+    rel_raw = raw["mean_abs_offdiag"] / (raw["trace"] / 64)
+    rel_wh = wh["mean_abs_offdiag"] / (wh["trace"] / 64)
+    assert rel_wh < rel_raw / 5
