@@ -894,6 +894,12 @@ def _pq_parts_v(base, k_codes: int = _PQ_K, train: bool = False):
             .select(
                 "subspace", "code", F.expr("transform(s, e -> e.m)").alias("cw")
             )
+            # the trained codebook is an iterative artifact consumed by
+            # BOTH the encode and the qtab branches of every caller —
+            # without the pin the Lloyd round re-executes once per
+            # reference inside a single action (r13 bench: ~1-2 s per
+            # trained-PQ query).  64 rows; the argmax-lineage rule.
+            .localCheckpoint(eager=True)
         )
     encoded = (
         subvecs.join(F.broadcast(codebook), "subspace")
@@ -5778,11 +5784,12 @@ def _opq_m0(base, parts_hd):
     )
 
 
-def _opq_rotation(spark, base, parts_hd):
-    """The trained OPQ rotation as a 4096-row (i, j, v) DataFrame: M
-    aggregated engine-side (bit-equal to the oracle's m0), the scale and
-    polar iteration replayed on the driver with the exact arithmetic the
-    oracle's CTE chain performs.  Exposed for the orthogonality pytest."""
+def _opq_rotation(base, parts_hd):
+    """The trained OPQ rotation as a numpy 64x64: M aggregated
+    engine-side (bit-equal to the oracle's m0), the scale and polar
+    iteration replayed on the driver with the exact arithmetic the
+    oracle's CTE chain performs.  Exposed for the orthogonality
+    pytest."""
     import numpy as np
 
     rows = _opq_m0(base, parts_hd).collect()
@@ -5797,15 +5804,7 @@ def _opq_rotation(spark, base, parts_hd):
     n1 = np.abs(units).sum(axis=0).max() / 1e12
     ninf = np.abs(units).sum(axis=1).max() / 1e12
     s = _round12(float(np.sqrt(n1 * ninf)))
-    u = _ns_polar_np(m, s)
-    return spark.createDataFrame(
-        [
-            (i + 1, j + 1, float(u[i, j]))
-            for i in range(64)
-            for j in range(64)
-        ],
-        "i int, j int, v double",
-    )
+    return _ns_polar_np(m, s)
 
 
 def _round12(x: float) -> float:
@@ -5821,31 +5820,22 @@ def _round12(x: float) -> float:
 
 
 def _apply_rotation(base, r):
-    """x -> R x as a relational matmul: explode to (vec_id, j, x), join
-    the broadcast 4096-row R, decimal-sum per (vec_id, i), reassemble the
-    64-array ordered by i.  12-dp rounding keeps the rotated coordinates
-    bit-equal to the DuckDB twin."""
-    dec = "decimal(38,12)"
-    xr = base.select(
-        "vec_id", F.posexplode("v").alias("p", "x")
-    ).select("vec_id", (F.col("p") + 1).alias("j"), "x")
-    rotx = (
-        xr.join(F.broadcast(r), "j")
-        .groupBy("vec_id", "i")
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("v") * F.col("x"), 12).cast(dec)).cast(
-                    "double"
-                ),
-                12,
-            ).alias("val")
-        )
-    )
-    return rotx.groupBy("vec_id").agg(
+    """x -> R x as a PER-ROW fold: the driver-computed R ships as a
+    4096-element row-major LITERAL array (constant-folded once) and each
+    output coordinate is an ascending-j aggregate over it — scan-side,
+    no explode, no shuffle, no decimal pass (the groupBy-matmul form
+    this replaces cost 2.7 s at sf0.1).  The DuckDB twin runs the
+    identical fold over its own rfin-derived array, so the rotated
+    coordinates stay bit-equal with no rounding anywhere."""
+    rflat = ", ".join(repr(float(x)) for x in r.flatten())
+    return base.select(
+        "vec_id",
         F.expr(
-            "transform(array_sort(collect_list(named_struct"
-            "('i', i, 'val', val))), e -> e.val)"
-        ).alias("v")
+            "transform(sequence(1, 64), i2 -> "
+            "aggregate(sequence(1, 64), 0D, (acc, j2) -> "
+            f"acc + element_at(array({rflat}), (i2 - 1) * 64 + j2) "
+            "* element_at(v, j2)))"
+        ).alias("v"),
     )
 
 
@@ -5990,15 +5980,16 @@ _OPQ_SQL = f"""
       GROUP BY cwx.i, sx.j
     ),
     {_opq_ns_sql()},
-    xrot AS MATERIALIZED (
-      SELECT xr.vec_id, rr.i AS i,
-             ROUND({dec_out_sql(
-                 "SUM(CAST(ROUND(rr.v * xr.x, 12) AS DECIMAL(38,12)))")}, 12)
-               AS val
-      FROM xr JOIN rfin rr ON rr.j = xr.j
-      GROUP BY xr.vec_id, rr.i
+    rarr AS (SELECT (SELECT list(v ORDER BY i, j) FROM rfin) AS rr),
+    opqv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(1, 65), i2 ->
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), j2 ->
+                   rr[(i2 - 1) * 64 + j2] * v[j2])),
+                 (acc, q) -> acc + q)) AS v
+      FROM emb, rarr
     ),
-    opqv AS (SELECT vec_id, list(val ORDER BY i) AS v FROM xrot GROUP BY vec_id),
     subvecs_opq AS (
       SELECT e.vec_id, s.s AS subspace,
              e.v[(s.s * {_PQ_D} + 1):((s.s + 1) * {_PQ_D})] AS sub
@@ -6063,18 +6054,17 @@ def ann_opq_trained_recall(spark, sf_dir):
     ).localCheckpoint(eager=True)
 
     # HD leg: ONE _pq_parts_v build feeds the ADC ranking, the MSE and
-    # the OPQ reconstruction matrix (codebook + encoded pinned so the
-    # Lloyd round does not re-execute per consumer)
+    # the OPQ reconstruction matrix (the trained codebook pins inside
+    # _pq_parts_v; the encode pins here because it too has three
+    # consumers)
     sub_hd, cb_hd, enc_hd, d_hd = _pq_parts_v(rot_hd, 16, train=True)
-    cb_hd = cb_hd.localCheckpoint(eager=True)
     enc_hd = enc_hd.localCheckpoint(eager=True)
     parts_hd = (sub_hd, cb_hd, enc_hd, d_hd)
     pairs_hd = _pq_adc_topk(None, k=10, k_codes=16, parts=parts_hd)
 
-    r = _opq_rotation(spark, base, parts_hd)
+    r = _opq_rotation(base, parts_hd)
     opqv = _apply_rotation(base, r).localCheckpoint(eager=True)
     sub_oq, cb_oq, enc_oq, d_oq = _pq_parts_v(opqv, 16, train=True)
-    cb_oq = cb_oq.localCheckpoint(eager=True)
     enc_oq = enc_oq.localCheckpoint(eager=True)
     pairs_opq = _pq_adc_topk(
         None, k=10, k_codes=16, parts=(sub_oq, cb_oq, enc_oq, d_oq)

@@ -217,10 +217,7 @@ def test_opq_rotation_is_orthogonal_and_cuts_the_objective(spark):
     cb = cb.localCheckpoint(eager=True)
     enc = enc.localCheckpoint(eager=True)
 
-    r_rows = _opq_rotation(spark, base, (sub, cb, enc, d)).collect()
-    R = np.zeros((64, 64))
-    for r in r_rows:
-        R[r["i"] - 1, r["j"] - 1] = r["v"]
+    R = _opq_rotation(base, (sub, cb, enc, d))
     assert np.abs(R @ R.T - np.eye(64)).max() <= 1e-6
     assert np.abs(R - _hd_matrix_np()).max() > 1e-3  # actually trained
 
