@@ -3630,9 +3630,15 @@ _DOREMI_SQL = """
     "12-dp decimal sums keep both engines exact.",
 )
 def doremi_domain_weights(spark, sf_dir):
-    dec = "decimal(38,12)"
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tf = (
+    return _doremi_from_tf(_doremi_tf(docs))
+
+
+def _doremi_tf(docs):
+    """(source, tok, cnt) term frequencies — the family's one
+    corpus-sized pass and the streaming twin's additive per-batch
+    partial (integer counts commute under any slicing)."""
+    return (
         docs.select(
             "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
         )
@@ -3640,6 +3646,13 @@ def doremi_domain_weights(spark, sf_dir):
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def _doremi_from_tf(tf):
+    """The DoReMi finalize: models, vocab-level scoring, excess and the
+    multiplicative-weights softmax — all from the (source, tok, cnt)
+    table, shared by the batch query and the drain path."""
+    dec = "decimal(38,12)"
     st = tf.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_s"),
         F.count(F.lit(1)).cast("bigint").alias("v_s"),
@@ -3707,3 +3720,34 @@ def doremi_domain_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "streaming_doremi_ingest",
+    _DOREMI_SQL,
+    doc="DoReMi REWEIGHTING AT INGEST — the eleventh per-batch fold "
+    "(fourth with no build phase): each micro-batch reduces to its own "
+    "(source, token) integer term-frequency partial and the state fold "
+    "is plain addition behind the applied-batch replay sidecar; the "
+    "models, vocab-level scoring, excess losses and the multiplicative-"
+    "weights softmax all run AT DRAIN over the folded table via the "
+    "SAME _doremi_from_tf finalize the batch query uses — counts "
+    "commute, so the drained weights equal the one-shot batch answer "
+    "bit-for-bit under any slicing and the batch oracle covers every "
+    "batching.  This is how mixture design actually firms up during a "
+    "crawl: domain difficulty (and hence sampling weights) stabilize "
+    "long before ingestion finishes.  State is O(sources x vocab) — "
+    "the exact-statistic cost, same class as the LCP and heavy-hitter "
+    "folds; per batch nothing shuffles but the batch's own counts.",
+)
+def streaming_doremi_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_doremiingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_doremi_ingest(spark, docs, work)

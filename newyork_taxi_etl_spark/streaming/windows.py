@@ -3528,3 +3528,70 @@ def run_streaming_lcp_depth_ingest(
         )
     )
     return _lcp_finalize(folded)
+
+
+def run_streaming_doremi_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """DoReMi-style domain reweighting AT INGEST — the eleventh
+    per-batch fold: per-batch (source, token) integer term-frequency
+    partials fold additively (replay-guarded by the applied-batch
+    sidecar); models and the excess-loss softmax run at drain via the
+    batch query's own _doremi_from_tf finalize, so the drained weights
+    equal the one-shot batch answer bit-for-bit under any slicing."""
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.curation import (
+        _doremi_from_tf,
+        _doremi_tf,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    parts_dir = os.path.join(work_dir, "tf_partials")
+    shutil.rmtree(parts_dir, ignore_errors=True)
+
+    staged = docs_df.select("doc_id", "source", "text")
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:doremi_stage{n_slices}",
+        lambda target: staged.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(parts_dir)
+        if int(batch_id) in applied:
+            return  # redelivered batch: its partials are already folded
+        part = _doremi_tf(batch_df)
+        os.makedirs(parts_dir, exist_ok=True)
+        part.write.mode("append").parquet(parts_dir)
+        _mark_applied(parts_dir, batch_id, applied)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    folded = (
+        spark.read.parquet(parts_dir)
+        .groupBy("source", "tok")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return _doremi_from_tf(folded)

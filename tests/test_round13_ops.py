@@ -447,3 +447,21 @@ def test_zca_whitening_inverts_the_covariance(spark):
     rel_raw = raw["mean_abs_offdiag"] / (raw["trace"] / 64)
     rel_wh = wh["mean_abs_offdiag"] / (wh["trace"] / 64)
     assert rel_wh < rel_raw / 5
+
+
+def test_streaming_doremi_drains_to_batch_under_any_slicing(
+    spark, tmp_path
+):
+    """The eleventh fold's contract: drained weights equal the one-shot
+    batch answer bit-for-bit under different micro-batch slicings."""
+    from tests.conftest import SF_SMOKE
+    from newyork_taxi_etl_spark.registry import queries
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    batch = queries()["doremi_domain_weights"](spark, SF_SMOKE).collect()
+    for slices in (2, 5):
+        out = W.run_streaming_doremi_ingest(
+            spark, docs, str(tmp_path / f"w{slices}"), n_slices=slices
+        ).collect()
+        assert out == batch, f"n_slices={slices}"
