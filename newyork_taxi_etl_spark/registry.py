@@ -430,6 +430,13 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "ann_pq_adc_k16_topk",
     "ann_pq_adc_trained_topk",
     "ann_recall_trained",
+    # r13 perf — the Lloyd-trained codebook now localCheckpoints inside
+    # _pq_parts_v (it fed encode + qtab, re-executing the training once
+    # per reference within one action); every train=True plan changed,
+    # all re-oracled green at sf0.01.
+    "ann_ivfpq_adc_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_recall_ivfpq",
 })
 
 def _tier(name: str) -> int:
