@@ -2916,6 +2916,31 @@ def _gram_trace(emb):
     ).agg(F.sum(F.col("p").cast(dec)).cast("double").alias("trace"))
 
 
+def _decsum12(products):
+    """Exact DECIMAL(38,12) sum of double products, returned as the
+    correctly-rounded double — the driver-side replay of
+    ``CAST(CAST(SUM(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,12))) AS
+    VARCHAR) AS DOUBLE)``: each product is quantized at 12 dp via its
+    shortest decimal repr (Python ``repr`` == DuckDB double->VARCHAR ==
+    Spark BigDecimal.valueOf) with HALF_UP, summed exactly as 1e-12
+    integer units, and the unit count scaled back (exact scaleb, then
+    Python's correctly-rounded Decimal->float — the same double the
+    engines' DECIMAL->VARCHAR->DOUBLE route yields)."""
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        q = decimal.Decimal("1E-12")
+        units = 0
+        for p in products:
+            units += int(
+                decimal.Decimal(repr(p))
+                .quantize(q, rounding=decimal.ROUND_HALF_UP)
+                .scaleb(12)
+            )
+        return float(decimal.Decimal(units).scaleb(-12))
+
+
 def _gram_norm_of(y_df):
     """Ordered left-fold 2-norm of a (i, y) vector table (== DuckDB
     list_reduce over list(... ORDER BY i))."""
@@ -3739,116 +3764,82 @@ def _gram_subspace_sql(n_pc: int = 3, steps: int = 3) -> str:
     "the exact trace, dominant coordinate, measured |v_c . v_(c-1)|. "
     "On this corpus the three fractions are ~equal (~2%) — the "
     "no-structure baseline a drift monitor alerts AGAINST (numpy eigh "
-    "bounds in tests). Oracle: identical unrolled CTE chain, every CTE "
-    "materialized (inlining would recompute the corpus-sized Gram "
-    "aggregate per matvec).",
+    "bounds in tests). Architecture (r13 verdict item 1): ONE corpus "
+    "pass builds the decimal-exact 64x64 Gram + trace engine-side; the "
+    "9 matvecs + 9 projection dots then run ON THE DRIVER over the "
+    "collected 4096-row state with the oracle's exact arithmetic "
+    "(products quantized to DECIMAL(38,12) via shortest-repr HALF_UP, "
+    "summed exactly in 1e-12 integer units, ordered IEEE norm fold) — "
+    "the _ns_polar_np discipline: 64x64 iterations are metadata-scale, "
+    "and the prior ~20-tiny-job Spark loop was pure scheduling "
+    "overhead, not distribution. Oracle: identical unrolled CTE chain, "
+    "every CTE materialized (inlining would recompute the corpus-sized "
+    "Gram aggregate per matvec).",
 )
 def gram_subspace_topk(spark, sf_dir):
-    from pyspark.sql import Window
+    import math
 
-    dec = "decimal(38,12)"
+    from pyspark.sql import types as T
+
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    g = _gram_checkpointed(emb)
-    tr = _gram_trace(emb).localCheckpoint(eager=True)
+    gram = {
+        (r["i"], r["j"]): r["g"] for r in _gram_checkpointed(emb).collect()
+    }
+    trace = _gram_trace(emb).collect()[0]["trace"]
 
-    comps = []
+    out = []
     finals: list = []
     for c in range(1, 4):
-        x = spark.range(1, 65).select(
-            F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x")
-        )
+        x = [0.125] * 64
         last_n = None
         for _ in range(3):
-            y = (
-                g.join(
-                    F.broadcast(x.select(F.col("i").alias("j"), "x")), "j"
-                )
-                .groupBy("i")
-                .agg(
-                    F.sum((F.col("g") * F.col("x")).cast(dec))
-                    .cast("double")
-                    .alias("y")
-                )
-            ).localCheckpoint(eager=True)
+            # matvec: per-i exact decimal sum of the 12-dp-quantized
+            # products — order-free, == the oracle's ym CTE bit-for-bit
+            y = [
+                _decsum12([gram[(i, j)] * x[j - 1] for j in range(1, 65)])
+                for i in range(1, 65)
+            ]
             for v in finals:
-                d = y.join(
-                    F.broadcast(v.select("i", F.col("x").alias("vx"))), "i"
-                ).agg(
-                    F.sum((F.col("y") * F.col("vx")).cast(dec))
-                    .cast("double")
-                    .alias("d")
-                )
-                y = (
-                    y.join(
-                        F.broadcast(
-                            v.select("i", F.col("x").alias("vx"))
-                        ),
-                        "i",
-                    )
-                    .crossJoin(F.broadcast(d))
-                    .select(
-                        "i",
-                        F.round(
-                            F.col("y") - F.col("d") * F.col("vx"), 12
-                        ).alias("y"),
-                    )
-                ).localCheckpoint(eager=True)
-            last_n = _gram_norm_of(y).localCheckpoint(eager=True)
-            x = (
-                y.crossJoin(F.broadcast(last_n))
-                .select("i", F.round(F.col("y") / F.col("n"), 12).alias("x"))
-                .localCheckpoint(eager=True)
-            )
-        top = (
-            x.withColumn(
-                "r",
-                F.row_number().over(
-                    Window.orderBy(F.abs(F.col("x")).desc(), "i")
-                ),
-            )
-            .filter(F.col("r") == 1)
-            .select(
-                F.col("i").cast("int").alias("top_coord"),
-                F.round("x", 6).alias("top_coord_val"),
-            )
-        )
+                d = _decsum12(
+                    [y[i] * v[i] for i in range(64)]
+                )  # dp CTE
+                y = [_round12(y[i] - d * v[i]) for i in range(64)]  # yp
+            # ordered left fold == list_reduce(list(y*y ORDER BY i))
+            acc = 0.0
+            for yi in y:
+                acc = acc + yi * yi
+            last_n = math.sqrt(acc)
+            x = [_round12(yi / last_n) for yi in y]
+        top_i = min(range(64), key=lambda i: (-abs(x[i]), i))
         if not finals:
-            ortho_col = F.lit(0.0)
-            row = last_n.crossJoin(F.broadcast(tr)).crossJoin(
-                F.broadcast(top)
-            )
+            ortho = 0.0
         else:
-            ortho = x.join(
-                finals[-1].select("i", F.col("x").alias("xp")), "i"
-            ).agg(
-                F.abs(
-                    F.sum((F.col("x") * F.col("xp")).cast(dec)).cast(
-                        "double"
-                    )
-                ).alias("d")
+            v = finals[-1]
+            ortho = _round12(
+                abs(_decsum12([x[i] * v[i] for i in range(64)]))
             )
-            ortho_col = F.round(F.col("d"), 12)
-            row = (
-                last_n.crossJoin(F.broadcast(tr))
-                .crossJoin(F.broadcast(top))
-                .crossJoin(F.broadcast(ortho))
-            )
-        comps.append(
-            row.select(
-                F.lit(c).cast("int").alias("pc"),
-                F.round(F.col("n"), 6).alias("lambda_est"),
-                F.round(F.col("n") / F.col("trace"), 6).alias(
-                    "explained_frac"
-                ),
-                "top_coord",
-                "top_coord_val",
-                ortho_col.alias("ortho_absdot"),
+        out.append(
+            (
+                c,
+                _round6(last_n),
+                _round6(last_n / trace),
+                top_i + 1,
+                _round6(x[top_i]),
+                ortho,
             )
         )
         finals.append(x)
-    return (
-        comps[0].unionByName(comps[1]).unionByName(comps[2]).orderBy("pc")
+    schema = T.StructType(
+        [
+            T.StructField("pc", T.IntegerType()),
+            T.StructField("lambda_est", T.DoubleType()),
+            T.StructField("explained_frac", T.DoubleType()),
+            T.StructField("top_coord", T.IntegerType()),
+            T.StructField("top_coord_val", T.DoubleType()),
+            T.StructField("ortho_absdot", T.DoubleType()),
+        ]
     )
+    return spark.createDataFrame(out, schema).orderBy("pc")
 
 
 @register(
