@@ -910,6 +910,40 @@ def _pq_parts_v(base, k_codes: int = _PQ_K, train: bool = False):
     return subvecs, codebook, encoded, d
 
 
+def _pq_trained_cached(spark, base, cache_key: str, k_codes: int = 16):
+    """Stage-cached trained-PQ build (r13 verdict item 2): the Lloyd
+    round's trained codebook and the argmin code assignment are derived
+    deterministically from the corpus, yet five registered queries
+    (ann_pq_adc_trained_topk, ann_recall_trained's t16 leg, both
+    ann_pq_rotated_recall legs, both ann_opq_trained_recall legs) and
+    the IVFPQ index builds each re-ran the training.  This persists
+    (codebook, encoded) ONCE per (variant, corpus) through the
+    streaming stage cache — doubles round-trip parquet bit-exactly, so
+    hit and miss paths are value-identical — and every family member
+    reads the same artifacts back.  subvecs/d are pure slicing
+    expressions over ``base`` (no training), rebuilt per caller; the
+    returned tuple is _pq_parts_v-shaped."""
+    import os
+
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
+    subvecs, _, _, d = _pq_parts_v(base, k_codes, train=False)
+
+    def build(target: str) -> None:
+        _, cb, enc, _ = _pq_parts_v(base, k_codes, train=True)
+        cb.write.mode("overwrite").parquet(
+            os.path.join(target, "codebook")
+        )
+        enc.select("vec_id", "subspace", "code", "d").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(target, "encoded"))
+
+    sdir = _stage_cached(None, cache_key, build)
+    codebook = spark.read.parquet(os.path.join(sdir, "codebook"))
+    encoded = spark.read.parquet(os.path.join(sdir, "encoded"))
+    return subvecs, codebook, encoded, d
+
+
 @register(
     "pq_encode_profile",
     f"""
@@ -1181,7 +1215,12 @@ def ann_pq_adc_k16_topk(spark, sf_dir):
 )
 def ann_pq_adc_trained_topk(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return _pq_adc_topk(emb, k=5, k_codes=16, train=True)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    parts = _pq_trained_cached(spark, base, f"pqt16_raw:{sf_dir}")
+    return _pq_adc_topk(None, k=5, k_codes=16, parts=parts)
 
 
 # Coarse-quantizer chain shared by the two composed IVF-PQ variants:
@@ -1345,8 +1384,6 @@ def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
     code rows from probed cells only; everything else broadcasts.
     """
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -1359,6 +1396,8 @@ def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
         spread_small_scan,
     )
 
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
     emb = spread_small_scan(
         spark.read.parquet(table_path(sf_dir, "embeddings"))
     )
@@ -1366,35 +1405,54 @@ def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
     )
-    idx_root = os.path.join(
-        tempfile.gettempdir(), f"nyetl_ivfpqidx_{os.getpid()}"
-    )
-    shutil.rmtree(idx_root, ignore_errors=True)
+    # subvecs/d are pure slicing expressions (train flag never touches
+    # them) — the probe's qtab needs only the query rows
+    subvecs, _, _, d = _pq_parts(emb, k_codes=16, train=False)
 
-    # BUILD: coarse quantizer + cell assignment (zero-shuffle argmin fold
-    # over one broadcast centroid-array row), PQ codes from trained
-    # codebooks; inverted lists persisted partitioned by cid
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
-    cent_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
-    )
-    cells = (
-        base.join(F.broadcast(cent_row), how="cross")
-        .withColumn("cid", F.expr(_ARGMIN))
-        .select(F.col("vec_id").alias("cand_id"), "cid")
-    )
-    subvecs, codebook, encoded, d = _pq_parts(emb, k_codes=16, train=True)
-    (
-        encoded.select(F.col("vec_id").alias("cand_id"), "subspace", "code")
-        .join(cells, "cand_id")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(os.path.join(idx_root, "codes"))
-    )
-    codebook.write.mode("overwrite").parquet(
-        os.path.join(idx_root, "codebook")
-    )
-    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+    def build(target: str) -> None:
+        # BUILD: coarse quantizer + cell assignment (zero-shuffle argmin
+        # fold over one broadcast centroid-array row), PQ codes from the
+        # family-cached trained codebooks; inverted lists persisted
+        # partitioned by cid.  Stage-cached per corpus (r13 verdict item
+        # 2): k/n_probe only shape the PROBE, so one persisted index
+        # serves ann_ivfpq_adc_topk AND ann_recall_ivfpq's k=10 leg.
+        cent = kmeans_centroids(emb, k=8, n_iter=1)
+        cent_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias(
+                "cents"
+            )
+        )
+        cells = (
+            base.join(F.broadcast(cent_row), how="cross")
+            .withColumn("cid", F.expr(_ARGMIN))
+            .select(F.col("vec_id").alias("cand_id"), "cid")
+        )
+        base_v = emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "v"
+            ),
+        )
+        _, codebook, encoded, _ = _pq_trained_cached(
+            spark, base_v, f"pqt16_raw:{sf_dir}"
+        )
+        (
+            encoded.select(
+                F.col("vec_id").alias("cand_id"), "subspace", "code"
+            )
+            .join(cells, "cand_id")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(target, "codes"))
+        )
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(target, "codebook")
+        )
+        cent.write.mode("overwrite").parquet(
+            os.path.join(target, "centroids")
+        )
+
+    idx_root = _stage_cached(None, f"ivfpqidx_raw:{sf_dir}", build)
 
     # PROBE: nearest n_probe cells per query from persisted centroids,
     # pushed as a static partition filter on the code scan
@@ -1497,8 +1555,6 @@ def _ivfpq_residual_topk(spark, sf_dir, k=5, n_probe=2):
     that cell's centroid.  Same serving lifecycle as _ivfpq_adc_topk;
     only the encoded SIGNAL changes."""
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -1510,6 +1566,7 @@ def _ivfpq_residual_topk(spark, sf_dir, k=5, n_probe=2):
     from newyork_taxi_etl_spark.operators.similarity import (
         spread_small_scan,
     )
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
 
     emb = spread_small_scan(
         spark.read.parquet(table_path(sf_dir, "embeddings"))
@@ -1518,48 +1575,59 @@ def _ivfpq_residual_topk(spark, sf_dir, k=5, n_probe=2):
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
     )
-    idx_root = os.path.join(
-        tempfile.gettempdir(), f"nyetl_ivfpqres_{os.getpid()}"
-    )
-    shutil.rmtree(idx_root, ignore_errors=True)
+    # the probe only needs the PQ subdistance expression — pure slicing
+    _, _, _, d = _pq_parts(emb, k_codes=16, train=False)
 
-    # BUILD: coarse quantizer, cell assignment, RESIDUALS per vector,
-    # PQ trained on the residuals, codes persisted partitioned by cid
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
-    cent_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
-    )
-    cells = (
-        base.join(F.broadcast(cent_row), how="cross")
-        .withColumn("cid", F.expr(_ARGMIN))
-        .select("vec_id", "cid")
-    )
-    cent_v = cent.select("cid", F.col("vec").alias("cvec"))
-    resid = (
-        base.join(cells, "vec_id")
-        .join(F.broadcast(cent_v), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            F.expr("zip_with(_v, cvec, (x, y) -> x - y)").alias("v"),
+    def build(target: str) -> None:
+        # BUILD: coarse quantizer, cell assignment, RESIDUALS per vector,
+        # PQ trained on the residuals, codes persisted partitioned by
+        # cid.  Stage-cached per corpus (r13 verdict item 2): k/n_probe
+        # shape only the probe, so the one persisted index serves
+        # ann_ivfpq_residual_topk AND ann_recall_ivfpq's k=10 leg.
+        cent = kmeans_centroids(emb, k=8, n_iter=1)
+        cent_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias(
+                "cents"
+            )
         )
-    )
-    _, codebook, encoded, d = _pq_parts_v(
-        resid.select("vec_id", "v"), k_codes=16, train=True
-    )
-    (
-        encoded.select(F.col("vec_id").alias("cand_id"), "subspace", "code")
-        .join(
-            cells.select(F.col("vec_id").alias("cand_id"), "cid"), "cand_id"
+        cells = (
+            base.join(F.broadcast(cent_row), how="cross")
+            .withColumn("cid", F.expr(_ARGMIN))
+            .select("vec_id", "cid")
         )
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(os.path.join(idx_root, "codes"))
-    )
-    codebook.write.mode("overwrite").parquet(
-        os.path.join(idx_root, "codebook")
-    )
-    cent.write.mode("overwrite").parquet(os.path.join(idx_root, "centroids"))
+        cent_v = cent.select("cid", F.col("vec").alias("cvec"))
+        resid = (
+            base.join(cells, "vec_id")
+            .join(F.broadcast(cent_v), "cid")
+            .select(
+                "vec_id",
+                "cid",
+                F.expr("zip_with(_v, cvec, (x, y) -> x - y)").alias("v"),
+            )
+        )
+        _, codebook, encoded, _ = _pq_parts_v(
+            resid.select("vec_id", "v"), k_codes=16, train=True
+        )
+        (
+            encoded.select(
+                F.col("vec_id").alias("cand_id"), "subspace", "code"
+            )
+            .join(
+                cells.select(F.col("vec_id").alias("cand_id"), "cid"),
+                "cand_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(target, "codes"))
+        )
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(target, "codebook")
+        )
+        cent.write.mode("overwrite").parquet(
+            os.path.join(target, "centroids")
+        )
+
+    idx_root = _stage_cached(None, f"ivfpqidx_res:{sf_dir}", build)
 
     # PROBE: n_probe cells per query; the query's distance table is
     # built PER PROBED CELL from its residual against that centroid
@@ -1845,12 +1913,17 @@ def ann_recall_trained(spark, sf_dir):
         )
         return hits.crossJoin(total)
 
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    t16 = _pq_trained_cached(spark, base, f"pqt16_raw:{sf_dir}")
     out = (
         leg(_ivf_kmeans_topk(emb, k=10), "ivf_km")
         .unionAll(leg(_pq_adc_topk(emb, k=10), "pq_adc"))
         .unionAll(leg(_pq_adc_topk(emb, k=10, k_codes=16), "pq_adc_k16"))
         .unionAll(
-            leg(_pq_adc_topk(emb, k=10, k_codes=16, train=True), "pq_adc_t16")
+            leg(_pq_adc_topk(None, k=10, k_codes=16, parts=t16), "pq_adc_t16")
         )
     )
     return out.select(
@@ -5640,12 +5713,19 @@ def ann_pq_rotated_recall(spark, sf_dir):
             .crossJoin(total)
         )
 
+    # trained artifacts come from the family stage cache (r13 verdict
+    # item 2): the raw key is shared with ann_pq_adc_trained_topk /
+    # ann_recall_trained / the IVFPQ index build, the hd key with
+    # ann_opq_trained_recall's baseline leg — one Lloyd round per
+    # (variant, corpus) across the whole suite
+    parts_raw = _pq_trained_cached(spark, base, f"pqt16_raw:{sf_dir}")
+    parts_rot = _pq_trained_cached(spark, rot, f"pqt16_hd:{sf_dir}")
     out = leg(
-        _pq_adc_topk(None, k=10, k_codes=16, train=True, base=base),
+        _pq_adc_topk(None, k=10, k_codes=16, parts=parts_raw),
         "pq_raw",
     ).unionAll(
         leg(
-            _pq_adc_topk(None, k=10, k_codes=16, train=True, base=rot),
+            _pq_adc_topk(None, k=10, k_codes=16, parts=parts_rot),
             "pq_rot",
         )
     )
@@ -6044,19 +6124,54 @@ def ann_opq_trained_recall(spark, sf_dir):
         "vec_id", F.expr(_hd_rotate_spark()).alias("v")
     ).localCheckpoint(eager=True)
 
-    # HD leg: ONE _pq_parts_v build feeds the ADC ranking, the MSE and
-    # the OPQ reconstruction matrix (the trained codebook pins inside
-    # _pq_parts_v; the encode pins here because it too has three
-    # consumers)
-    sub_hd, cb_hd, enc_hd, d_hd = _pq_parts_v(rot_hd, 16, train=True)
-    enc_hd = enc_hd.localCheckpoint(eager=True)
-    parts_hd = (sub_hd, cb_hd, enc_hd, d_hd)
+    # HD leg: ONE family-cached trained build (key shared with
+    # ann_pq_rotated_recall's rotated leg — r13 verdict item 2) feeds
+    # the ADC ranking, the MSE and the OPQ reconstruction matrix; the
+    # parquet-backed artifacts are already materialized, so the old
+    # three-consumer localCheckpoint pins are redundant
+    parts_hd = _pq_trained_cached(spark, rot_hd, f"pqt16_hd:{sf_dir}")
+    enc_hd = parts_hd[2]
     pairs_hd = _pq_adc_topk(None, k=10, k_codes=16, parts=parts_hd)
 
-    r = _opq_rotation(base, parts_hd)
-    opqv = _apply_rotation(base, r).localCheckpoint(eager=True)
-    sub_oq, cb_oq, enc_oq, d_oq = _pq_parts_v(opqv, 16, train=True)
-    enc_oq = enc_oq.localCheckpoint(eager=True)
+    # OPQ leg: the trained rotation persists WITH the trained-PQ stage
+    # so a hit skips the _opq_m0 corpus pass and the full-corpus
+    # rotation-apply checkpoint (only the 5 probe rows ever evaluate
+    # the rotation fold on the hit path)
+    import os as _os
+
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
+    def build_opq(target: str) -> None:
+        import numpy as np
+
+        r = _opq_rotation(base, parts_hd)
+        spark.createDataFrame(
+            [
+                (int(i), int(j), float(r[i, j]))
+                for i in range(64)
+                for j in range(64)
+            ],
+            "i int, j int, v double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(target, "rmat")
+        )
+        opqv = _apply_rotation(base, r).localCheckpoint(eager=True)
+        _, cb, enc, _ = _pq_parts_v(opqv, 16, train=True)
+        cb.write.mode("overwrite").parquet(_os.path.join(target, "codebook"))
+        enc.select("vec_id", "subspace", "code", "d").write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(target, "encoded"))
+
+    sdir = _stage_cached(None, f"pqt16_opq:{sf_dir}", build_opq)
+    import numpy as np
+
+    r = np.zeros((64, 64))
+    for row in spark.read.parquet(_os.path.join(sdir, "rmat")).collect():
+        r[row["i"], row["j"]] = row["v"]
+    opqv = _apply_rotation(base, r)
+    sub_oq, _, _, d_oq = _pq_parts_v(opqv, 16, train=False)
+    cb_oq = spark.read.parquet(_os.path.join(sdir, "codebook"))
+    enc_oq = spark.read.parquet(_os.path.join(sdir, "encoded"))
     pairs_opq = _pq_adc_topk(
         None, k=10, k_codes=16, parts=(sub_oq, cb_oq, enc_oq, d_oq)
     )
