@@ -44,3 +44,61 @@ def test_mapinpandas_preserves_partitioning(spark):
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan    # only the explicit one
     assert plan.count("Exchange") == 1            # mapInPandas adds none
+
+
+def test_phash_bands_deterministic_blocks(spark):
+    """An alternating low/high block pattern yields the expected exact
+    fingerprint: 640 chars -> 64 blocks of 10, blocks of 'z' (mean above
+    global) set their bit, blocks of 'a' clear it."""
+    text = ("a" * 10 + "z" * 10) * 32
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = M.phash_bands(M.attach_blob(docs)).collect()[0]
+    # bit pattern per 16-bit band: 0101... -> 0b1010101010101010
+    expected = sum(1 << k for k in range(1, 16, 2))
+    assert [row.b0, row.b1, row.b2, row.b3] == [expected] * 4
+
+
+def test_phash_near_dup_found_distinct_not(spark, tmp_path):
+    """Planted near-dup through the REGISTERED query: a byte-perturbed
+    copy lands within Hamming <= 8 and shares >= 1 full band (found);
+    a structurally different blob (complementary block pattern, Hamming
+    64) shares no band (not found).  Both engines agree on the planted
+    corpus, not just the shipped one."""
+    import duckdb
+
+    from newyork_taxi_etl_spark import registry
+
+    a = ("a" * 10 + "z" * 10) * 32
+    # perturb 3 bytes in 3 different blocks: each flips at most that
+    # block's bit -> Hamming <= 3, >= 1 of the 4 bands identical
+    b = list(a)
+    b[5], b[205], b[405] = "y", "y", "y"
+    b = "".join(b)
+    c = ("z" * 10 + "a" * 10) * 32  # complement pattern: Hamming 64
+    spark.createDataFrame(
+        [(1, "en", "web", a), (2, "en", "web", b), (3, "en", "web", c)],
+        ["doc_id", "lang", "source", "text"],
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = registry.queries()["dedup_multimodal_phash"](
+        spark, str(tmp_path)
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got}
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs), pairs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        registry.oracle_sql()["dedup_multimodal_phash"]
+    ).fetchall()
+    con.close()
+    assert sorted(pairs.items()) == sorted(
+        ((r[0], r[1]), r[2]) for r in oracle
+    )
