@@ -159,6 +159,78 @@ def token_budget_packing(spark, sf_dir):
 
 
 @register(
+    "sequence_pack_bestfit",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tok DESC, doc_id) AS rn
+      FROM d
+    ),
+    st AS (
+      SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS INT) AS bin,
+             CAST([] AS STRUCT(rem BIGINT, bin INT)[]) AS state
+      FROM (SELECT DISTINCT source FROM o)
+      UNION ALL
+      SELECT o.source, o.rn, o.doc_id, o.n_tok,
+             CASE WHEN fits.best IS NOT NULL THEN fits.best.bin
+                  ELSE CAST(len(st.state) AS INT) END AS bin,
+             CASE WHEN fits.best IS NOT NULL THEN
+               list_transform(st.state, s ->
+                 CASE WHEN s.bin = fits.best.bin
+                      THEN {'rem': s.rem - (o.n_tok + 1), 'bin': s.bin}
+                      ELSE s END)
+             ELSE list_append(st.state,
+                    {'rem': 512 - (o.n_tok + 1),
+                     'bin': CAST(len(st.state) AS INT)})
+             END AS state
+      FROM st
+      JOIN o ON o.source = st.source AND o.rn = st.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT list_sort(
+                 list_filter(st.state, s -> s.rem >= o.n_tok + 1))[1]
+               AS best
+      ) fits
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           ROUND(GREATEST(512 - SUM(n_tok + 1), 0) / 512.0, 6)
+             AS waste_frac
+    FROM st WHERE rn > 0
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc="BEST-FIT-DECREASING sequence packing (r13 verdict item 7 — the "
+    "production concatenate-and-pack variant token_budget_packing's "
+    "fixed cumulative bins approximate): per source, docs sort by "
+    "token count DESC and each goes to the open bin with the smallest "
+    "remaining capacity that fits (ties: lowest bin id; none fits: "
+    "new bin), every doc consuming n_tok + 1 for the EOS separator — "
+    "the classic <= 11/9-OPT heuristic, so the reported per-bin "
+    "waste_frac is what the trainer actually pays.  The open-bin "
+    "capacity vector is genuinely sequential state, so each domain "
+    "packs in ONE applyInPandas group pass (integer-only, Arrow "
+    "boundary) and domains run in parallel — at 100 TB the group key "
+    "becomes (domain, shard) and nothing else changes.  Oracle: the "
+    "identical state machine as a DuckDB recursive CTE over a "
+    "list<struct(rem, bin)> accumulator (list_sort picks min (rem, "
+    "bin) — the same best-fit tie-break).  Conservation (every doc in "
+    "exactly one bin, no bin over budget, BFD beats first-fit's bin "
+    "count on the planted set) is pytested in tests/test_round14_ops.py.",
+)
+def sequence_pack_bestfit(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return C.sequence_pack_bestfit(docs, budget=512)
+
+
+@register(
     "tfidf_top_terms",
     """
     WITH toks AS (

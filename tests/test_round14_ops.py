@@ -1,0 +1,123 @@
+"""Round-14 operators: best-fit-decreasing packing, distillation audit."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.quick
+def test_bestfit_packing_planted_assignment(spark, tmp_path):
+    """The planted 5-doc domain packs exactly as the hand-run BFD: docs
+    of 299/249/199/99/59 tokens (need +1 EOS each) -> bin0 = {299, 199}
+    (best-fit reuses the tighter bin), bin1 = {249, 99, 59}."""
+    from newyork_taxi_etl_spark import registry
+
+    def words(n):  # text with exactly n whitespace tokens
+        return " ".join(["w"] * n)
+
+    rows = [
+        (i + 1, "en", "web", words(n))
+        for i, n in enumerate([299, 249, 199, 99, 59])
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = (
+        registry.queries()["sequence_pack_bestfit"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("bin")
+    )
+    assert got.loc[0, "n_docs"] == 2 and got.loc[0, "bin_tokens"] == 498
+    assert got.loc[1, "n_docs"] == 3 and got.loc[1, "bin_tokens"] == 407
+    # waste = budget - (tokens + one EOS per doc)
+    assert got.loc[0, "waste_frac"] == round((512 - 500) / 512.0, 6)
+    assert got.loc[1, "waste_frac"] == round((512 - 410) / 512.0, 6)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        registry.oracle_sql()["sequence_pack_bestfit"]
+    ).fetchdf()
+    con.close()
+    assert sorted(oracle["bin_tokens"]) == [407, 498]
+
+
+def test_bestfit_packing_conservation_and_capacity(spark):
+    """On the shipped corpus: every doc lands in exactly one bin (token
+    and doc counts conserve per source), no multi-doc bin exceeds the
+    budget including EOS separators, and any over-budget bin is a
+    single oversize doc."""
+    from newyork_taxi_etl_spark import registry
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    import pyspark.sql.functions as F
+
+    got = registry.queries()["sequence_pack_bestfit"](
+        spark, SF_SMOKE
+    ).toPandas()
+    docs = (
+        spark.read.parquet(table_path(SF_SMOKE, "documents"))
+        .select(
+            "source", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+        )
+        .toPandas()
+        .set_index("source")
+    )
+    per_src = got.groupby("source")[["n_docs", "bin_tokens"]].sum()
+    for src, row in per_src.iterrows():
+        assert row["n_docs"] == docs.loc[src, "n_docs"]
+        assert row["bin_tokens"] == docs.loc[src, "tokens"]
+    consumed = got["bin_tokens"] + got["n_docs"]  # + EOS per doc
+    over = got[consumed > 512]
+    assert (over["n_docs"] == 1).all(), over
+    ok = got[consumed <= 512]
+    # waste_frac is 6-dp rounded, so compare at that resolution
+    assert (
+        (ok["waste_frac"] * 512 - (512 - consumed[ok.index])).abs() < 1e-3
+    ).all()
+
+
+def test_bestfit_beats_cumulative_packer_on_planted_fragmentation(
+    spark, tmp_path
+):
+    """A doc-id ordering adversarial to the cumulative packer (big doc
+    after the budget boundary fragments its bin) still packs tight
+    under BFD: the planted domain needs 3 bins cumulative, 2 best-fit."""
+    from newyork_taxi_etl_spark import registry
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    # cumulative (by doc_id): 260 | 260 -> bin0=260, bin1 starts at 260;
+    # doc2 260 spans into bin1, doc3 240 pushes a third bin open.
+    rows = [
+        (1, "en", "web", words(260)),
+        (2, "en", "web", words(260)),
+        (3, "en", "web", words(240)),
+        (4, "en", "web", words(240)),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    bf = registry.queries()["sequence_pack_bestfit"](
+        spark, str(tmp_path)
+    ).toPandas()
+    # BFD: 261+241 <= 512 twice -> exactly 2 bins, zero doc splitting
+    assert len(bf) == 2
+    assert sorted(bf["bin_tokens"]) == [500, 500]
