@@ -988,6 +988,127 @@ def quality_logreg_filter(spark, sf_dir):
     )
 
 
+def _distill_audit_sql() -> str:
+    from newyork_taxi_etl_spark.queries.text import _QR_RULES
+
+    allcond = " AND ".join(cond for _, cond in _QR_RULES)
+    return f"""WITH {_logreg_train_ctes(16, 4.0)},
+    qstats AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(SUM(length(w)) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_wl,
+             MAX(length(w)) AS max_wl,
+             CAST(COUNT(DISTINCT w) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM (SELECT doc_id, n_chars, text,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, n_chars, text
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN {allcond} THEN 1 ELSE 0 END AS funnel_keep
+      FROM qstats
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CASE WHEN {_LOGREG_P} >= 0.5 THEN 1 ELSE 0 END AS model_keep
+      FROM (
+        SELECT doc_id,
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 30.0)
+                 / 30.0 AS x1,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) - 0.2) * 5.0 AS x2,
+               CASE WHEN n_chars BETWEEN 100 AND 400
+                    THEN 1.0 ELSE 0.0 END AS x3
+        FROM documents
+      ) f CROSS JOIN it16 w
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT CAST(s.model_keep AS INT) AS model_keep,
+           CAST(f.funnel_keep AS INT) AS funnel_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(tot.n AS DOUBLE), 6) AS cell_share
+    FROM scored s JOIN flags f USING (doc_id), tot
+    GROUP BY s.model_keep, f.funnel_keep, tot.n
+    ORDER BY model_keep DESC, funnel_keep DESC"""
+
+
+@register(
+    "quality_distillation_audit",
+    _distill_audit_sql(),
+    doc="QUALITY-CLASSIFIER DISTILLATION AUDIT (r13 verdict item 8 — "
+    "'did the learned filter learn the rules'): the 16-step logistic "
+    "scorer (quality_logreg_filter's training, shared CTE chain so "
+    "the oracles cannot drift) is confronted with the FULL 5-rule "
+    "composite gate of quality_rule_funnel — a STRICTER rule set than "
+    "its 2-rule teacher — as a keep/drop confusion table: one row per "
+    "(model_keep, funnel_keep) cell with count and corpus share.  The "
+    "off-diagonal cells are the actionable ledger: (1, 0) = docs the "
+    "model ships that the production funnel would kill (teacher gap + "
+    "linear-boundary residual), (0, 1) = funnel-clean docs the model "
+    "rejects (lost yield).  Scale: the model side is 1 + 16 + 1 "
+    "skinny-projection passes (d+2-scalar aggregates), the funnel "
+    "side one token-explode aggregate; the confusion is a 4-group "
+    "count over a doc_id join — nothing wider than the corpus scan.  "
+    "Planted-disagreement pytest: tests/test_round14_ops.py plants "
+    "teacher-passing docs with a 19-char word (funnel max_word_len "
+    "kill) and asserts they land in exactly the (1, 0) cell.",
+)
+def quality_distillation_audit(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.logreg import (
+        logistic_gd,
+        logistic_prob,
+    )
+    from newyork_taxi_etl_spark.queries.text import _QR_RULES, _qr_stats
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    feats = docs.select(
+        "doc_id",
+        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+        F.when(F.col("n_chars").between(100, 400), 1.0)
+        .otherwise(0.0)
+        .alias("x3"),
+        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    scored = feats.select(
+        "doc_id",
+        (logistic_prob(w, ["x1", "x2", "x3"]) >= F.lit(0.5))
+        .cast("int")
+        .alias("model_keep"),
+    )
+    allcond = " AND ".join(cond for _, cond in _QR_RULES)
+    flags = _qr_stats(docs).select(
+        "doc_id",
+        F.expr(f"CASE WHEN {allcond} THEN 1 ELSE 0 END")
+        .cast("int")
+        .alias("funnel_keep"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        scored.join(flags, "doc_id")
+        .groupBy("model_keep", "funnel_keep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "model_keep",
+            "funnel_keep",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias(
+                "cell_share"
+            ),
+        )
+        .orderBy(F.col("model_keep").desc(), F.col("funnel_keep").desc())
+    )
+
+
 _LEARNED_PIPE_SQL = f"""WITH {_logreg_train_ctes(16, 4.0)},
     scored_docs AS (
       SELECT f.doc_id, f.text, f.lang, {_LOGREG_P} AS p

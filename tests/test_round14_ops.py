@@ -121,3 +121,54 @@ def test_bestfit_beats_cumulative_packer_on_planted_fragmentation(
     # BFD: 261+241 <= 512 twice -> exactly 2 bins, zero doc splitting
     assert len(bf) == 2
     assert sorted(bf["bin_tokens"]) == [500, 500]
+
+
+@pytest.mark.quick
+def test_distillation_audit_planted_disagreement(spark, tmp_path):
+    """Planted corpus: 30 docs pass teacher AND funnel, 20 fail both,
+    5 pass the teacher rule but carry a 19-char word (funnel
+    max_word_len kill) -> they must land in exactly the (model=1,
+    funnel=0) cell; no (0, 1) cell exists."""
+    from newyork_taxi_etl_spark import registry
+
+    rows = []
+    did = 0
+    for i in range(30):  # keep/keep: 40 distinct 3-char words
+        did += 1
+        text = " ".join(f"w{j:02d}" for j in range(40))
+        rows.append((did, "en", "web", text, len(text)))
+    for i in range(20):  # drop/drop: 10 repeats of one word, ttr 0.1
+        did += 1
+        text = " ".join([f"b{i:02d}"] * 10)
+        rows.append((did, "en", "web", text, len(text)))
+    for i in range(5):  # model keeps, funnel kills on the 19-char word
+        did += 1
+        text = " ".join(f"w{j:02d}" for j in range(39)) + " " + "x" * 19
+        rows.append((did, "en", "web", text, len(text)))
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = registry.queries()["quality_distillation_audit"](
+        spark, str(tmp_path)
+    ).toPandas()
+    cells = {
+        (r.model_keep, r.funnel_keep): r.n_docs for r in got.itertuples()
+    }
+    assert cells[(1, 1)] == 30, cells
+    assert cells[(1, 0)] == 5, cells
+    assert cells[(0, 0)] == 20, cells
+    assert (0, 1) not in cells, cells
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        registry.oracle_sql()["quality_distillation_audit"]
+    ).fetchall()
+    con.close()
+    assert {(r[0], r[1]): r[2] for r in oracle} == cells
