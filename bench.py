@@ -86,21 +86,45 @@ def main() -> None:
     qs["traffic_congestion"](spark, sf_dir).collect()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # known-variance guard (r13 verdict item 5): when the base repeats
+    # still show a large spread (box jitter / one-time cache+codegen
+    # builds landing in every rep), buy up to this many EXTRA reps for
+    # that query only — the minimum converges to the warm cost without
+    # paying extra wall time on the ~95% of stable queries.
+    extra_cap = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
     timings: dict[str, float] = {}
     detail: dict[str, list[float]] = {}
     for name in names:
         best = None
         runs = []
-        for _ in range(repeats):
+
+        def one_run():
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # noop sink: computes every projected column and materializes the
             # full plan (unlike count(), which lets pruning skip projections)
             # without timing an unbounded driver-side collect (SURVEY §7.3.6).
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        for _ in range(repeats):
+            dt = one_run()
             runs.append(round(dt, 4))
             best = dt if best is None else min(best, dt)
+        extra = 0
+        while (
+            extra < extra_cap
+            and len(runs) > 1
+            and max(runs) > 1.5 * best
+            and max(runs) - best > 1.0
+        ):
+            dt = one_run()
+            runs.append(round(dt, 4))
+            if dt >= best:
+                # no improvement: the spread was real work, stop probing
+                break
+            best = dt
+            extra += 1
         detail[name] = runs
         # best-of-N: this box shows ±4s single-run jitter (NOTES.md), so the
         # minimum is the stable per-query cost signal round-over-round.

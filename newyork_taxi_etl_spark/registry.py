@@ -372,71 +372,68 @@ _R12_VERIFIED = frozenset({
     "wordpiece_runtime_drift", "zipf_slope_by_source", "zipf_token_slope",
 })
 
+# Value-verified in round 13 (the 50 names in CORRECTNESS_r13.json — all
+# rows+schema+hash green, including ALL 17 then-standing
+# _CHANGED_SINCE_VERIFY names: the char-coverage oracle bounds, the
+# degenerate-decile alignment, the zipf shared helper, the FWHT rotated-PQ
+# legs, the five newly stage-cached drains, and the _pq_parts_v trained-
+# codebook pin consumers).
+_R13_VERIFIED = frozenset({
+    "ann_ivf_kmeans_topk", "ann_ivfpq_adc_topk", "ann_ivfpq_residual_topk",
+    "ann_lsh_bucketed_topk", "ann_opq_trained_recall", "ann_pq_adc_k16_topk",
+    "ann_pq_adc_topk", "ann_pq_adc_trained_topk", "ann_pq_rotated_recall",
+    "ann_recall_at_k", "ann_recall_ivfpq", "ann_recall_trained", "bm25_rank",
+    "bpe_merge_gain_curve", "bytebpe_holdout_fertility", "bytebpe_merge_loop",
+    "char_coverage_budget", "corpus_pipeline_end2end", "cusum_changepoint",
+    "dedup_canonical_docs", "dedup_clusters", "dedup_embedding_lsh",
+    "domain_mix_weights", "doremi_domain_weights", "embedding_whitening_audit",
+    "foreachbatch_idempotent_replay", "heaps_law_exponent",
+    "kmeans_cluster_sizes", "label_rebalance_sample", "lcp_repetition_depth",
+    "market_basket_rules", "oov_fallback_rate", "pagerank_source_lang",
+    "promo_revenue_share", "purchase_attribution", "similarity_triangle_count",
+    "small_qty_revenue_bridge", "smoothing_holdout_nll",
+    "source_growth_matrix", "streaming_char_coverage_ingest",
+    "streaming_doremi_ingest", "streaming_lcp_depth_ingest",
+    "streaming_linkage_ingest", "streaming_quality_ingest",
+    "streaming_quality_psi_ingest", "streaming_upsert_counts",
+    "tfidf_top_terms", "token_budget_packing", "top_supplier_revenue",
+    "zipf_slope_by_source",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
-    _R11_VERIFIED, _R12_VERIFIED,
+    _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 7 re-verified all eight of
 # that round's entries; round 8 all three; round 9 all six; round 10 all 19;
-# round 11 all 27; round 12 ALL 17 (zipf ordered_positions, log-domain
-# WordPiece score, SQ/LM/DSIR/PQ shared-helper refactors, the five
-# stage-cached drains).  Round 13 entries are added below as code changes
-# land:
+# round 11 all 27; round 12 ALL 17; round 13 ALL 17 (char-coverage oracle
+# bounds, decile alignment, zipf helper, FWHT legs, five stage-cached
+# drains, _pq_parts_v pin consumers).  Round 14 entries are added below as
+# code changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r13 ADVICE fix #2 — the char-coverage family's DuckDB oracles now
-    # index a precomputed lowered column with the range bounded by ITS
-    # length (len(text) under-/over-ran when lower() changes length);
-    # values identical on this ASCII corpus, oracle text changed.
-    "char_coverage_budget",
-    "streaming_char_coverage_ingest",
-    "oov_fallback_rate",
-    # r13 ADVICE fix #3 — degenerate-decile alignment: zero-vocab and
-    # p_docs=0 checkpoints now drop EXPLICITLY on both engines (left
-    # join + coalesce + vocab>0 on Spark; WHERE on the oracle) instead
-    # of inner-join-drop vs ln(0).  Values unchanged at sf>=0.001.
-    "heaps_law_exponent",
-    # r13 refactor — the per-source Zipf OLS factored into the shared
-    # _zipf_source_stats helper source_growth_matrix also consumes;
-    # values verified identical at sf0.001 + sf0.01, shared code changed
-    # so it re-checks.
-    "zipf_slope_by_source",
-    # r13 perf (r12 verdict #4) — the Hadamard rotation rewritten as the
-    # fast Walsh-Hadamard butterfly (6 stages, O(64 log 64)) on BOTH
-    # engines and both PQ legs now feed _pq_parts_v from eagerly-pinned
-    # (vec_id, v) tables, collapsing the 4.5-21.5 s compile-order spread
-    # (cold 16.2 -> 13.8 s, in-suite ~5 s after ann_recall_trained);
-    # values re-oracled identical at sf0.001 + sf0.01.
-    "ann_pq_rotated_recall",
-    # r13 perf (r12 verdict #3/#8) — five more drains moved their
-    # build-once artifacts behind _stage_cached (upsert/replay share one
-    # events stage; quality/PSI share one trained-scorer build; linkage
-    # caches its A index + B stage).  Values proven identical on miss
-    # AND hit paths at sf0.01; plan-adjacent code changed so all five
-    # re-check.
-    "streaming_upsert_counts",
-    "foreachbatch_idempotent_replay",
-    "streaming_quality_ingest",
-    "streaming_quality_psi_ingest",
-    "streaming_linkage_ingest",
-    # r13 — _pq_adc_topk gained the pre-built `parts` parameter (the OPQ
-    # gate reuses ONE training for reconstruction + ADC); default path
-    # identical, values re-oracled green at sf0.01, shared code changed
-    # so the consumers re-check (the r12 `base`-param precedent).
-    "ann_pq_adc_topk",
-    "ann_pq_adc_k16_topk",
+    # r14 perf (r13 verdict #1) — gram_subspace_topk's 9-matvec projected
+    # power iteration moved to the driver-side bit-exact decimal fold
+    # (the _ns_polar_np architecture) over the collected 64x64 Gram;
+    # values re-oracled identical at sf0.001 + sf0.01, warm sf0.1
+    # 9.2 -> 3.0 s.
+    "gram_subspace_topk",
+    # r14 perf (r13 verdict #2) — the trained-PQ artifacts (Lloyd
+    # codebook + argmin encode) and both persisted IVFPQ indexes now
+    # build ONCE per (variant, corpus) behind _stage_cached and every
+    # family member reads them back (the OPQ stage also persists its
+    # trained rotation).  Hit and miss paths proven value-identical at
+    # sf0.001 + sf0.01; plan-shaping code changed so all seven re-check.
     "ann_pq_adc_trained_topk",
     "ann_recall_trained",
-    # r13 perf — the Lloyd-trained codebook now localCheckpoints inside
-    # _pq_parts_v (it fed encode + qtab, re-executing the training once
-    # per reference within one action); every train=True plan changed,
-    # all re-oracled green at sf0.01.
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_residual_topk",
     "ann_recall_ivfpq",
+    "ann_pq_rotated_recall",
+    "ann_opq_trained_recall",
 })
 
 def _tier(name: str) -> int:

@@ -123,7 +123,7 @@ def test_registration_order_is_tiered_by_driver_verdict():
     n_head = sum(1 for t in tiers if t in (0, 1))
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
-        ("pagerank_source_lang", 5), ("bm25_rank", 5),         # r4-latest
+        ("profile_nulls", 5), ("summary_stats", 5),            # r4-latest
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
@@ -144,16 +144,21 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("dsir_importance_select", 13),  # r12-reverified: shared-stage refactor
         ("wordpiece_greedy_segment", 13),       # r12 new, verified r12
         ("streaming_dsir_ingest", 13),          # r12 new, verified r12
-        ("ann_recall_sq_sweep", 13),            # r12 new, verified r12
         ("readability_scores", 13),             # r12 session 2, verified r12
-        ("ewma_anomaly_flags", 13),             # r12 session 2, verified r12
-        ("dedup_source_matrix", 13),            # r12 session 2, verified r12
-        ("char_coverage_budget", 1),     # r13-changed: lowered-column oracle
-        ("streaming_char_coverage_ingest", 1),  # r13-changed: same fix
-        ("oov_fallback_rate", 1),               # r13-changed: same fix
-        ("heaps_law_exponent", 1),   # r13-changed: degenerate-decile align
-        ("bytebpe_merge_loop", 0),              # r13 new: never verified
-        ("bytebpe_holdout_fertility", 0),       # r13 new: never verified
+        ("pagerank_source_lang", 14),  # r13-reverified (was the r4 tail)
+        ("bm25_rank", 14),             # r13-reverified (was the r4 tail)
+        ("char_coverage_budget", 14),  # r13-reverified: lowered-column oracle
+        ("heaps_law_exponent", 14),    # r13-reverified: decile align
+        ("bytebpe_merge_loop", 14),             # r13 new, verified r13
+        ("smoothing_holdout_nll", 14),          # r13 new, verified r13
+        ("streaming_doremi_ingest", 14),        # r13 new, verified r13
+        ("gram_subspace_topk", 1),      # r14-changed: driver-side fold port
+        ("ann_recall_ivfpq", 1),        # r14-changed: stage-cached index
+        ("ann_opq_trained_recall", 1),  # r14-changed: cached rotation stage
+        ("ann_pq_rotated_recall", 1),   # r14-changed: family-cached legs
+        ("sequence_pack_bestfit", 0),           # r14 new: never verified
+        ("quality_distillation_audit", 0),      # r14 new: never verified
+        ("dedup_multimodal_phash", 0),          # r14 new: never verified
     ):
         assert registry._tier(probe) == want, probe
 
