@@ -638,17 +638,22 @@ _IVF_KM_SQL = f"""
 )
 def ann_ivf_kmeans_topk(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return _ivf_kmeans_topk(emb, k=5)
+    return _ivf_kmeans_topk(
+        emb, k=5, cent=_ivf_centroids_cached(spark, emb, sf_dir)
+    )
 
 
-def _ivf_kmeans_topk(emb, k=5, n_probe=2):
+def _ivf_kmeans_topk(emb, k=5, n_probe=2, cent=None):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
         kmeans_centroids,
     )
 
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    # ``cent`` lets callers substitute the stage-cached trained quantizer
+    # (_ivf_centroids_cached) — identical 8-row table, training skipped
+    if cent is None:
+        cent = kmeans_centroids(emb, k=8, n_iter=1)
     base = emb.select(
         F.col("vec_id"),
         F.col("embedding"),
@@ -908,6 +913,34 @@ def _pq_parts_v(base, k_codes: int = _PQ_K, train: bool = False):
         .filter(F.col("r") == 1)
     )
     return subvecs, codebook, encoded, d
+
+
+def _ivf_centroids_cached(spark, emb, sf_dir: str):
+    """The trained IVF coarse quantizer (k=8, one exact-mean Lloyd round
+    — deterministic: lowest-vec_id seeds, decimal means, strict-< argmin)
+    persisted ONCE per corpus through the stage cache.  Seven registered
+    queries each re-ran this training on the identical input
+    (ann_ivf_kmeans_topk, ann_recall_trained's ivf leg, the persisted/
+    filtered index probes, knn_label_accuracy_indexed,
+    ann_ranking_quality, ann_ivf_balance) plus both IVFPQ index builds;
+    they now read the same 8-row table back — doubles round-trip parquet
+    bit-exactly, so hit and miss paths are value-identical.  Subset
+    trainers (incremental append, streaming ingest) keep their own
+    builds: their input is not the full corpus."""
+    import os
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
+    def build(target: str) -> None:
+        kmeans_centroids(emb, k=8, n_iter=1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(target, "centroids"))
+
+    sdir = _stage_cached(None, f"ivfcent8:{sf_dir}", build)
+    return spark.read.parquet(os.path.join(sdir, "centroids"))
 
 
 def _pq_trained_cached(spark, base, cache_key: str, k_codes: int = 16):
@@ -1416,7 +1449,7 @@ def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
         # partitioned by cid.  Stage-cached per corpus (r13 verdict item
         # 2): k/n_probe only shape the PROBE, so one persisted index
         # serves ann_ivfpq_adc_topk AND ann_recall_ivfpq's k=10 leg.
-        cent = kmeans_centroids(emb, k=8, n_iter=1)
+        cent = _ivf_centroids_cached(spark, emb, sf_dir)
         cent_row = cent.agg(
             F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias(
                 "cents"
@@ -1584,7 +1617,7 @@ def _ivfpq_residual_topk(spark, sf_dir, k=5, n_probe=2):
         # cid.  Stage-cached per corpus (r13 verdict item 2): k/n_probe
         # shape only the probe, so the one persisted index serves
         # ann_ivfpq_residual_topk AND ann_recall_ivfpq's k=10 leg.
-        cent = kmeans_centroids(emb, k=8, n_iter=1)
+        cent = _ivf_centroids_cached(spark, emb, sf_dir)
         cent_row = cent.agg(
             F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias(
                 "cents"
@@ -1918,8 +1951,9 @@ def ann_recall_trained(spark, sf_dir):
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     t16 = _pq_trained_cached(spark, base, f"pqt16_raw:{sf_dir}")
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
     out = (
-        leg(_ivf_kmeans_topk(emb, k=10), "ivf_km")
+        leg(_ivf_kmeans_topk(emb, k=10, cent=cent), "ivf_km")
         .unionAll(leg(_pq_adc_topk(emb, k=10), "pq_adc"))
         .unionAll(leg(_pq_adc_topk(emb, k=10, k_codes=16), "pq_adc_k16"))
         .unionAll(
@@ -2377,7 +2411,7 @@ def ann_index_persisted_probe(spark, sf_dir):
     shutil.rmtree(idx_root, ignore_errors=True)
 
     # BUILD: train the quantizer, assign the corpus, persist both tables
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
     )
@@ -2550,7 +2584,7 @@ def ann_index_filtered_probe(spark, sf_dir):
 
     # BUILD: the persisted-probe lifecycle, with the filterable payload
     # (label) stored in the index
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
     )
@@ -3586,7 +3620,7 @@ def knn_label_accuracy_indexed(spark, sf_dir):
     # BUILD: identical lifecycle to ann_index_persisted_probe — train the
     # coarse quantizer, assign the corpus, persist partitioned by cid
     # (labels ride along as the payload a serving index would carry)
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
     )
@@ -4767,7 +4801,7 @@ def ann_ranking_quality(spark, sf_dir):
 
     # BUILD: the ann_index_persisted_probe lifecycle — train the coarse
     # quantizer, assign the corpus, persist partitioned by cid
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
     )
@@ -6268,7 +6302,7 @@ def ann_ivf_balance(spark, sf_dir):
     emb = spread_small_scan(
         spark.read.parquet(table_path(sf_dir, "embeddings"))
     )
-    cent = kmeans_centroids(emb, k=8, n_iter=1)
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
     base = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),

@@ -434,6 +434,16 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "ann_recall_ivfpq",
     "ann_pq_rotated_recall",
     "ann_opq_trained_recall",
+    # r14 perf — the trained IVF coarse quantizer (k=8, one exact-mean
+    # Lloyd round) persists once per corpus (_ivf_centroids_cached) and
+    # these re-trainers now read the 8-row table back; hit/miss proven
+    # value-identical, plan-shaping code changed so they re-check.
+    "ann_ivf_kmeans_topk",
+    "ann_index_persisted_probe",
+    "ann_index_filtered_probe",
+    "knn_label_accuracy_indexed",
+    "ann_ranking_quality",
+    "ann_ivf_balance",
 })
 
 def _tier(name: str) -> int:
