@@ -903,6 +903,46 @@ _LOGREG_P = (
 )
 
 
+def _logreg_weights_cached(spark, docs, sf_dir: str) -> list[float]:
+    """The 16-step full-corpus logistic training (quality_logreg_filter's
+    scorer) persisted ONCE per corpus — eight registered queries train
+    the IDENTICAL weights (filter, distillation audit, learned pipeline,
+    AUC, ECE, curriculum stages, PSI, ccnet agreement) and the streaming
+    quality/PSI folds already stage-cache the same build under the same
+    key (streaming/windows.run_streaming_quality_ingest), so batch and
+    stream now share one artifact.  Weights are raw doubles from the
+    deterministic decimal-gradient loop; parquet round-trips them
+    bit-exactly, so hit and miss paths are value-identical."""
+    import os
+
+    from newyork_taxi_etl_spark.operators.logreg import logistic_gd
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
+    def build(target: str) -> None:
+        toks = F.split(F.col("text"), " ")
+        ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        feats = docs.select(
+            ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
+            ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
+            F.when(F.col("n_chars").between(100, 400), 1.0)
+            .otherwise(0.0)
+            .alias("x3"),
+            F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        ).localCheckpoint()
+        w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+        spark.createDataFrame(
+            [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
+        ).coalesce(1).write.mode("overwrite").parquet(target)
+
+    sdir = _stage_cached(
+        None, f"documents_qg:{sf_dir}:logreg_weights", build
+    )
+    rows = spark.read.parquet(sdir).collect()
+    return [r["w"] for r in sorted(rows, key=lambda r: r["j"])]
+
+
 def _logreg_sql(steps: int = 16, lr: float = 4.0) -> str:
     """Full standalone-filter oracle: train CTEs + summary SELECT."""
     return f"""WITH {_logreg_train_ctes(steps, lr)},
@@ -970,7 +1010,7 @@ def quality_logreg_filter(spark, sf_dir):
         .alias("y"),
     ).localCheckpoint()
 
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    w = _logreg_weights_cached(spark, docs, sf_dir)
     keep = logistic_prob(w, ["x1", "x2", "x3"]) >= F.lit(0.5)
     agree = keep == (F.col("y") == F.lit(1.0))
     n = F.count(F.lit(1))
@@ -1077,7 +1117,7 @@ def quality_distillation_audit(spark, sf_dir):
         .otherwise(0.0)
         .alias("y"),
     ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    w = _logreg_weights_cached(spark, docs, sf_dir)
     scored = feats.select(
         "doc_id",
         (logistic_prob(w, ["x1", "x2", "x3"]) >= F.lit(0.5))
@@ -1216,15 +1256,9 @@ def corpus_pipeline_learned(spark, sf_dir):
         .otherwise(0.0)
         .alias("x3")
     )
-    train_feats = docs.select(
-        x1,
-        x2,
-        x3,
-        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
-        .otherwise(0.0)
-        .alias("y"),
-    ).localCheckpoint()
-    w = logistic_gd(train_feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    # training feats live inside the cached build; x1/x2/x3 still score
+    # the corpus below
+    w = _logreg_weights_cached(spark, docs, sf_dir)
 
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
@@ -1503,7 +1537,7 @@ def quality_auc_rank(spark, sf_dir):
         .otherwise(0.0)
         .alias("y"),
     ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    w = _logreg_weights_cached(spark, docs, sf_dir)
 
     by_p = (
         feats.select(
@@ -1607,7 +1641,7 @@ def quality_calibration_ece(spark, sf_dir):
         .otherwise(0.0)
         .alias("y"),
     ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    w = _logreg_weights_cached(spark, docs, sf_dir)
     p = logistic_prob(w, ["x1", "x2", "x3"])
 
     binned = feats.select(
@@ -1735,7 +1769,7 @@ def curriculum_quality_stages(spark, sf_dir):
         .otherwise(0.0)
         .alias("y"),
     ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    w = _logreg_weights_cached(spark, docs, sf_dir)
 
     scored = feats.select(
         "doc_id",
@@ -2340,22 +2374,10 @@ def _scored_bins(docs, w):
     "4-float broadcast), then everything is (source x 10 bins)-sized.",
 )
 def quality_psi_by_domain(spark, sf_dir):
-    from newyork_taxi_etl_spark.operators.logreg import logistic_gd
-
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    feats = docs.select(
-        ((F.size(toks) - F.lit(30.0)) / F.lit(30.0)).alias("x1"),
-        ((ttr - F.lit(0.2)) * F.lit(5.0)).alias("x2"),
-        F.when(F.col("n_chars").between(100, 400), 1.0)
-        .otherwise(0.0)
-        .alias("x3"),
-        F.when((F.size(toks) >= 30) & (ttr >= 0.2), 1.0)
-        .otherwise(0.0)
-        .alias("y"),
-    ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    # the trainer's feature projection lives inside the cached build;
+    # _scored_bins below re-derives the scoring features per doc
+    w = _logreg_weights_cached(spark, docs, sf_dir)
     counts = (
         _scored_bins(docs, w)
         .groupBy("source", "bin")
@@ -3286,7 +3308,7 @@ def curriculum_ccnet_agreement(spark, sf_dir):
         .otherwise(0.0)
         .alias("y"),
     ).localCheckpoint()
-    w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
+    w = _logreg_weights_cached(spark, docs, sf_dir)
     scored = feats.select(
         "doc_id", logistic_prob(w, ["x1", "x2", "x3"]).alias("p")
     )

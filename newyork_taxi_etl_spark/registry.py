@@ -444,6 +444,17 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "knn_label_accuracy_indexed",
     "ann_ranking_quality",
     "ann_ivf_balance",
+    # r14 perf — the 16-step full-corpus logistic training persists once
+    # per corpus (_logreg_weights_cached, key shared with the streaming
+    # quality/PSI folds' existing weights stage) and these trainers now
+    # read the 4 weights back; hit/miss value-identical at both SFs.
+    "quality_logreg_filter",
+    "corpus_pipeline_learned",
+    "quality_auc_rank",
+    "quality_calibration_ece",
+    "curriculum_quality_stages",
+    "quality_psi_by_domain",
+    "curriculum_ccnet_agreement",
 })
 
 def _tier(name: str) -> int:

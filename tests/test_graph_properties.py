@@ -131,11 +131,12 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
         ("linkage_quality_gate", 12),  # r11-reverified: shingle migration
-        ("quality_auc_rank", 10),              # r9-latest
+        ("quality_auc_rank", 1),   # r14-changed: cached logreg weights
+        ("langid_confusion", 10),              # r9-latest
         ("freq_tokens_cms", 11),               # r10-reverified (was r3-latest)
         ("bpe_merge_loop", 11),                # r10-reverified: shared trainer
         ("knn_label_accuracy", 11),            # r10-reverified: spread + cache
-        ("curriculum_quality_stages", 11),     # r10-reverified: position fold
+        ("curriculum_quality_stages", 1),  # r14-changed: cached weights
         ("corpus_shard_export", 12),      # r11-reverified: commutative checksum
         ("training_shard_assignment", 12), # r11-reverified: min-3 fingerprint
         ("zipf_token_slope", 13),      # r12-reverified: ordered_positions rank
