@@ -7165,3 +7165,232 @@ def embedding_whitening_audit(spark, sf_dir):
         "stage string, trace double, var_max double, var_min double, "
         "var_ratio double, mean_abs_offdiag double",
     ).orderBy("stage")
+
+
+# --- SemDeDup + prototype pruning (cluster-scoped curation) ----------------
+
+_SEMDEDUP_TAU = 0.97
+
+
+@register(
+    "semantic_dedup_kmeans",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    {_IVF_COARSE_CTES},
+    members AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM cells GROUP BY cid
+    ),
+    pairs AS (
+      SELECT ca.cid, ca.cand_id AS id_a, cb.cand_id AS id_b,
+             {_COS_SQL.format(a='ea.embedding', b='eb.embedding')} AS cosine
+      FROM cells ca JOIN cells cb
+        ON ca.cid = cb.cid AND ca.cand_id < cb.cand_id
+      JOIN emb ea ON ea.vec_id = ca.cand_id
+      JOIN emb eb ON eb.vec_id = cb.cand_id
+    ),
+    dup AS (
+      SELECT cid,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COUNT(DISTINCT CASE WHEN cosine >= {_SEMDEDUP_TAU}
+                                      THEN id_b END) AS BIGINT) AS n_dropped,
+             MAX(cosine) AS max_cosine
+      FROM pairs
+      GROUP BY cid
+    )
+    SELECT m.cid AS cid,
+           m.n_members,
+           COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM pairs p
+                     WHERE p.cid = m.cid
+                       AND p.cosine >= {_SEMDEDUP_TAU}), 0) AS n_dup_pairs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           d.max_cosine
+    FROM members m LEFT JOIN dup d ON d.cid = m.cid
+    ORDER BY cid
+    """,
+    doc="SEMDEDUP (Abbas et al. 2023, §3): semantic dedup scoped to "
+    "kmeans clusters — embeddings route through the SHARED trained "
+    "coarse quantizer (_ivf_centroids_cached, the IVF/ann family's "
+    "k=8 exact-mean build), pairwise cosine runs ONLY within each "
+    "cluster, and any vector with a >= 0.97-cosine neighbor of lower "
+    "vec_id drops (one representative per semantic-dup group "
+    "survives).  Per cluster: member count, duplicate-pair count, "
+    "dropped count, and max observed cosine — the last is the "
+    "non-vacuous drift signal on this corpus (no semantic dups "
+    "planted, so drops are 0 and max_cosine records how close the "
+    "nearest in-cluster pair gets; the planted pytest proves the "
+    "drop).  100 TB shape: SemDeDup's entire point is that cluster "
+    "count scales with corpus size so per-cluster pair mass stays "
+    "bounded (LAION runs ~100k clusters); the join shuffles on cid "
+    "only, vectors never leave their cluster, and the quantizer is "
+    "the cached 8-row broadcast.",
+)
+def semantic_dedup_kmeans(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.clustering import _ARGMIN
+    from newyork_taxi_etl_spark.operators.similarity import (
+        cosine_expr,
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    cells = (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select("vec_id", "embedding", "cid")
+    )
+    members = cells.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    a = cells.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = cells.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_b", cosine_expr("ea", "eb").alias("cosine"))
+    )
+    is_dup = F.col("cosine") >= F.lit(_SEMDEDUP_TAU)
+    dup = pairs.groupBy("cid").agg(
+        F.sum(is_dup.cast("int")).cast("bigint").alias("n_dup_pairs"),
+        F.countDistinct(F.when(is_dup, F.col("id_b")))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    return (
+        members.join(dup, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            "max_cosine",
+        )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "prototype_pruning_select",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    {_IVF_COARSE_CTES},
+    dist AS (
+      SELECT a.cand_id AS vec_id, a.cid,
+             {_IVF_KM_DIST.format(a='e.v', b='c.vec')} AS d
+      FROM cells a
+      JOIN emb e ON e.vec_id = a.cand_id
+      JOIN c1 c ON c.cid = a.cid
+    ),
+    ranked AS (
+      SELECT vec_id, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d, vec_id) AS r,
+             COUNT(*) OVER (PARTITION BY cid) AS n
+      FROM dist
+    )
+    SELECT cid,
+           CAST(MAX(n) AS BIGINT) AS n_members,
+           CAST(MAX(n) // 5 AS BIGINT) AS n_pruned,
+           ROUND(MAX(CASE WHEN r <= n // 5 THEN d END), 6)
+             AS max_pruned_dist,
+           ROUND(MIN(CASE WHEN r > n // 5 THEN d END), 6)
+             AS min_kept_dist
+    FROM ranked
+    GROUP BY cid
+    ORDER BY cid
+    """,
+    doc="SSL-PROTOTYPES data pruning (Sorscher et al. 2022 'Beyond "
+    "neural scaling laws'): within each cluster of the SHARED trained "
+    "quantizer, the 20% of points CLOSEST to their centroid are the "
+    "most prototypical — least informative to train on — and are "
+    "marked pruned (rank by (sqdist, vec_id), n//5 per cluster).  "
+    "Emits the per-cluster prune ledger: member count, pruned count, "
+    "the distance frontier (max pruned / min kept — the margin a "
+    "monitor watches to see whether easy examples cluster tightly).  "
+    "100 TB shape: one broadcast-argmin assignment pass + one window "
+    "per cluster whose width is bounded because cluster count scales "
+    "with corpus size; nothing global, nothing all-pairs.",
+)
+def prototype_pruning_select(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators.clustering import (
+        _ARGMIN,
+        _SQDIST,
+    )
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    cent = _ivf_centroids_cached(spark, emb, sf_dir)
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    cells = (
+        base.join(F.broadcast(cent_row), how="cross")
+        .withColumn("cid", F.expr(_ARGMIN))
+        .select("vec_id", "_v", "cid")
+    )
+    dist = cells.join(
+        F.broadcast(cent.select("cid", F.col("vec").alias("cvec"))), "cid"
+    ).select(
+        "vec_id",
+        "cid",
+        F.expr(_SQDIST.format(a="_v", b="cvec")).alias("d"),
+    )
+    w = Window.partitionBy("cid").orderBy("d", "vec_id")
+    wn = Window.partitionBy("cid")
+    ranked = dist.select(
+        "cid",
+        "d",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pruned = F.col("r") <= F.floor(F.col("n") / 5)
+    return (
+        ranked.groupBy("cid")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.floor(F.max("n") / 5).cast("bigint").alias("n_pruned"),
+            F.round(F.max(F.when(pruned, F.col("d"))), 6).alias(
+                "max_pruned_dist"
+            ),
+            F.round(F.min(F.when(~pruned, F.col("d"))), 6).alias(
+                "min_kept_dist"
+            ),
+        )
+        .orderBy("cid")
+    )

@@ -172,3 +172,75 @@ def test_distillation_audit_planted_disagreement(spark, tmp_path):
     ).fetchall()
     con.close()
     assert {(r[0], r[1]): r[2] for r in oracle} == cells
+
+
+def _planted_embeddings(spark, tmp_path, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+
+@pytest.mark.quick
+def test_semdedup_drops_planted_near_identical_pair(spark, tmp_path):
+    """A byte-perturbed embedding copy (cosine ~0.9999) is dropped
+    (higher vec_id loses); orthogonal fillers in other directions are
+    not. Both engines agree on the planted corpus."""
+    import random
+
+    import duckdb
+
+    from newyork_taxi_etl_spark import registry
+
+    rng = random.Random(7)
+    rows = []
+    # 12 fillers: unit-ish noise vectors (pairwise cosine << 0.97)
+    for i in range(12):
+        rows.append((i + 1, [rng.uniform(-1, 1) for _ in range(64)], 0))
+    base_v = [rng.uniform(-1, 1) for _ in range(64)]
+    near = list(base_v)
+    near[0] += 0.01  # tiny perturbation: cosine vs base stays >= 0.99
+    rows.append((100, base_v, 1))
+    rows.append((101, near, 1))
+    _planted_embeddings(spark, tmp_path, rows)
+
+    got = registry.queries()["semantic_dedup_kmeans"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert got["n_dropped"].sum() == 1, got
+    assert got["n_dup_pairs"].sum() == 1, got
+    assert got["max_cosine"].max() >= 0.99
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        registry.oracle_sql()["semantic_dedup_kmeans"]
+    ).fetchdf()
+    con.close()
+    assert oracle["n_dropped"].sum() == 1
+
+
+def test_prototype_pruning_conservation(spark):
+    """On the shipped corpus: exactly n//5 pruned per cluster and the
+    distance frontier is consistent (every pruned distance <= every
+    kept distance within a cluster)."""
+    from newyork_taxi_etl_spark import registry
+
+    got = registry.queries()["prototype_pruning_select"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert (got["n_pruned"] == got["n_members"] // 5).all()
+    both = got.dropna(subset=["max_pruned_dist", "min_kept_dist"])
+    assert (both["max_pruned_dist"] <= both["min_kept_dist"]).all()
+    assert got["n_members"].sum() == 500  # every vector in exactly 1 cell
