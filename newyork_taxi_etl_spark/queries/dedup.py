@@ -1165,3 +1165,151 @@ def semantic_decontamination(spark, sf_dir):
         "n_leaked",
         "max_cross_cosine",
     )
+
+
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+
+@register(
+    "dedup_bloom_gate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substring(md5(concat(CAST(i.i AS VARCHAR), '|',
+                                                norm)), 1, 8)) AS BIGINT)
+               % {_BLOOM_M} AS p
+      FROM d, range({_BLOOM_K}) i(i)
+    ),
+    first_setter AS (
+      SELECT p, MIN(doc_id) AS first_id FROM pos GROUP BY p
+    ),
+    cov AS (
+      SELECT pos.doc_id,
+             MIN(CASE WHEN fs.first_id < pos.doc_id THEN 1 ELSE 0 END)
+               AS all_covered
+      FROM pos JOIN first_setter fs ON fs.p = pos.p
+      GROUP BY pos.doc_id
+    ),
+    dup AS (
+      SELECT d.doc_id,
+             CASE WHEN MIN(d2.first_norm_id) < d.doc_id
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM d JOIN (SELECT norm, MIN(doc_id) AS first_norm_id
+                   FROM d GROUP BY norm) d2 ON d2.norm = d.norm
+      GROUP BY d.doc_id
+    ),
+    flags AS (
+      SELECT c.doc_id, c.all_covered AS flagged, du.is_dup
+      FROM cov c JOIN dup du ON du.doc_id = c.doc_id
+    ),
+    bits AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_bits FROM pos)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_true_dup,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN flagged = 1 AND is_dup = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           ROUND(SUM(CASE WHEN flagged = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) - SUM(is_dup) AS DOUBLE), 6) AS fp_rate,
+           MAX(bits.n_bits) AS n_bits_set,
+           ROUND(MAX(bits.n_bits) / CAST({_BLOOM_M} AS DOUBLE), 6)
+             AS fill_frac
+    FROM flags, bits
+    """,
+    doc="BLOOM-FILTER DEDUP GATE — the bounded-memory incremental "
+    "exact-dedup shape a 100 TB ingest runs (the filter rides in RAM "
+    "while the corpus streams past), and the one sketch class the "
+    "registry lacked beside CMS / FM / AMS / HLL: k=3 md5-derived bit "
+    "positions in an m=65536 filter, a doc flags as 'seen' iff EVERY "
+    "one of its bits was already set by a LOWER-doc_id doc.  "
+    "Relational formulation with no sequential state: bit b is set "
+    "before doc d iff min(doc_id) over b's setters < d — one groupBy "
+    "on position + one on normalized text, both shuffle-bounded.  "
+    "Reports the honest sketch ledger: true duplicates (exact-match "
+    "ground truth), flagged count, FALSE POSITIVES and fp_rate "
+    "(fill-dependent — fp ~ fill^k), bits set / fill fraction.  The "
+    "Bloom guarantee (zero false NEGATIVES: a true dup's bits were "
+    "all set by its earlier copy) holds by construction and is "
+    "pytested with planted copies.",
+)
+def dedup_bloom_gate(spark, sf_dir):
+    docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
+    d = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("norm"))
+    pos = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{i}|"), F.col("norm")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint"),
+                            F.lit(_BLOOM_M),
+                        )
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    first_setter = pos.groupBy("p").agg(F.min("doc_id").alias("first_id"))
+    cov = (
+        pos.join(first_setter, "p")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                (F.col("first_id") < F.col("doc_id")).cast("int")
+            ).alias("flagged")
+        )
+    )
+    first_norm = d.groupBy("norm").agg(F.min("doc_id").alias("first_norm_id"))
+    dup = d.join(first_norm, "norm").select(
+        "doc_id",
+        (F.col("first_norm_id") < F.col("doc_id")).cast("int").alias("is_dup"),
+    )
+    flags = cov.join(dup, "doc_id")
+    bits = pos.agg(
+        F.countDistinct("p").cast("bigint").alias("n_bits")
+    )
+    n = F.count(F.lit(1))
+    fp = F.sum(
+        ((F.col("flagged") == 1) & (F.col("is_dup") == 0)).cast("int")
+    )
+    return (
+        flags.agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_true_dup"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            fp.cast("bigint").alias("n_false_pos"),
+            F.round(
+                fp.cast("double") / (n - F.sum("is_dup")), 6
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "n_docs",
+            "n_true_dup",
+            "n_flagged",
+            "n_false_pos",
+            "fp_rate",
+            F.col("n_bits").alias("n_bits_set"),
+            F.round(
+                F.col("n_bits") / F.lit(float(_BLOOM_M)), 6
+            ).alias("fill_frac"),
+        )
+    )

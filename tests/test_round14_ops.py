@@ -244,3 +244,38 @@ def test_prototype_pruning_conservation(spark):
     both = got.dropna(subset=["max_pruned_dist", "min_kept_dist"])
     assert (both["max_pruned_dist"] <= both["min_kept_dist"]).all()
     assert got["n_members"].sum() == 500  # every vector in exactly 1 cell
+
+
+@pytest.mark.quick
+def test_bloom_gate_no_false_negatives_on_planted_copies(spark, tmp_path):
+    """The Bloom guarantee: every exact copy of an earlier doc is
+    flagged (its bits were all set by the original). Distinct docs may
+    false-positive but never false-negative. Both engines agree."""
+    import duckdb
+
+    from newyork_taxi_etl_spark import registry
+
+    rows = [(i + 1, "en", "web", f"unique doc number {i}") for i in range(40)]
+    rows.append((100, "en", "web", "unique doc number 3"))   # exact copy
+    rows.append((101, "en", "web", "Unique Doc Number 7 "))  # copy modulo norm
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = registry.queries()["dedup_bloom_gate"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row.n_true_dup == 2
+    assert row.n_flagged >= row.n_true_dup       # no false negatives
+    assert row.n_false_pos == row.n_flagged - 2  # ledger is consistent
+    assert row.n_bits_set <= 40 * 3              # copies set no new bits
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(registry.oracle_sql()["dedup_bloom_gate"]).fetchall()
+    con.close()
+    assert oracle[0][1] == 2 and oracle[0][2] == row.n_flagged
