@@ -158,25 +158,28 @@ def token_budget_packing(spark, sf_dir):
     return C.token_budget_packing(docs, budget=512)
 
 
-@register(
-    "sequence_pack_bestfit",
-    """
-    WITH RECURSIVE d AS (
+def _bestfit_sql(budget: int, sfx: str = "") -> str:
+    """Recursive-CTE twin of operators/curation.sequence_pack_bestfit at
+    an arbitrary budget (shared by the registered query and the
+    packing_budget_curve sweep so the state machines cannot drift);
+    ``sfx`` uniquifies CTE names when several budgets compose in one
+    statement.  Emits the final per-(source, bin) SELECT."""
+    return """WITH RECURSIVE d{sfx} AS (
       SELECT source, doc_id,
              len(string_split(text, ' ')) AS n_tok
       FROM documents
     ),
-    o AS (
+    o{sfx} AS (
       SELECT source, doc_id, n_tok,
              row_number() OVER (PARTITION BY source
                                 ORDER BY n_tok DESC, doc_id) AS rn
-      FROM d
+      FROM d{sfx}
     ),
-    st AS (
+    st{sfx} AS (
       SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
              CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS INT) AS bin,
              CAST([] AS STRUCT(rem BIGINT, bin INT)[]) AS state
-      FROM (SELECT DISTINCT source FROM o)
+      FROM (SELECT DISTINCT source FROM o{sfx})
       UNION ALL
       SELECT o.source, o.rn, o.doc_id, o.n_tok,
              CASE WHEN fits.best IS NOT NULL THEN fits.best.bin
@@ -184,14 +187,14 @@ def token_budget_packing(spark, sf_dir):
              CASE WHEN fits.best IS NOT NULL THEN
                list_transform(st.state, s ->
                  CASE WHEN s.bin = fits.best.bin
-                      THEN {'rem': s.rem - (o.n_tok + 1), 'bin': s.bin}
+                      THEN {{'rem': s.rem - (o.n_tok + 1), 'bin': s.bin}}
                       ELSE s END)
              ELSE list_append(st.state,
-                    {'rem': 512 - (o.n_tok + 1),
-                     'bin': CAST(len(st.state) AS INT)})
+                    {{'rem': {budget} - (o.n_tok + 1),
+                     'bin': CAST(len(st.state) AS INT)}})
              END AS state
-      FROM st
-      JOIN o ON o.source = st.source AND o.rn = st.rn + 1
+      FROM st{sfx} st
+      JOIN o{sfx} o ON o.source = st.source AND o.rn = st.rn + 1
       CROSS JOIN LATERAL (
         SELECT list_sort(
                  list_filter(st.state, s -> s.rem >= o.n_tok + 1))[1]
@@ -201,12 +204,16 @@ def token_budget_packing(spark, sf_dir):
     SELECT source, bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
-           ROUND(GREATEST(512 - SUM(n_tok + 1), 0) / 512.0, 6)
+           ROUND(GREATEST({budget} - SUM(n_tok + 1), 0) / {budget}.0, 6)
              AS waste_frac
-    FROM st WHERE rn > 0
+    FROM st{sfx} WHERE rn > 0
     GROUP BY source, bin
-    ORDER BY source, bin
-    """,
+    ORDER BY source, bin""".format(budget=budget, sfx=sfx)
+
+
+@register(
+    "sequence_pack_bestfit",
+    _bestfit_sql(512),
     doc="BEST-FIT-DECREASING sequence packing (r13 verdict item 7 — the "
     "production concatenate-and-pack variant token_budget_packing's "
     "fixed cumulative bins approximate): per source, docs sort by "
@@ -228,6 +235,67 @@ def token_budget_packing(spark, sf_dir):
 def sequence_pack_bestfit(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     return C.sequence_pack_bestfit(docs, budget=512)
+
+
+def _budget_leg_sql(budget: int, sfx: str) -> str:
+    return f"""SELECT {budget} AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN bin_tokens + n_docs > {budget}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+           ROUND(SUM(bin_tokens + n_docs)
+                 / (COUNT(*) * {budget}.0), 6) AS fill_frac
+    FROM ({_bestfit_sql(budget, sfx)})"""
+
+
+@register(
+    "packing_budget_curve",
+    f"""
+    {_budget_leg_sql(256, "_a")}
+    UNION ALL
+    {_budget_leg_sql(512, "_b")}
+    UNION ALL
+    {_budget_leg_sql(1024, "_c")}
+    ORDER BY budget
+    """,
+    doc="SEQUENCE-BUDGET SIZING CURVE: the best-fit-decreasing packer "
+    "(sequence_pack_bestfit's exact state machine — shared generator, "
+    "the oracles cannot drift) swept over context budgets 256/512/"
+    "1024, reporting per budget the bin count, packed tokens, "
+    "oversize-doc bins, and the fill fraction (consumed incl. EOS "
+    "over capacity) — the table a trainer consults to pick sequence "
+    "length: short contexts waste capacity on fragmentation, long "
+    "ones on tail underfill, and the curve's knee is the answer.  "
+    "Same scale shape as the packer: one applyInPandas group pass "
+    "per (domain, budget), domains parallel, aggregates bin-sized.",
+)
+def packing_budget_curve(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    legs = []
+    for b in (256, 512, 1024):
+        packed = C.sequence_pack_bestfit(docs, budget=b)
+        legs.append(
+            packed.agg(
+                F.lit(b).cast("int").alias("budget"),
+                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+                F.sum(
+                    (
+                        (F.col("bin_tokens") + F.col("n_docs")) > F.lit(b)
+                    ).cast("int")
+                )
+                .cast("bigint")
+                .alias("n_oversize"),
+                F.round(
+                    F.sum(F.col("bin_tokens") + F.col("n_docs")).cast(
+                        "double"
+                    )
+                    / (F.count(F.lit(1)) * F.lit(float(b))),
+                    6,
+                ).alias("fill_frac"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("budget")
 
 
 @register(

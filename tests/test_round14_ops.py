@@ -279,3 +279,20 @@ def test_bloom_gate_no_false_negatives_on_planted_copies(spark, tmp_path):
     oracle = con.execute(registry.oracle_sql()["dedup_bloom_gate"]).fetchall()
     con.close()
     assert oracle[0][1] == 2 and oracle[0][2] == row.n_flagged
+
+
+def test_packing_budget_curve_shape(spark):
+    """Token totals conserve across budgets (same corpus, same docs),
+    bin count is non-increasing in budget, fill stays in (0, 1] when
+    nothing is oversize."""
+    from newyork_taxi_etl_spark import registry
+
+    got = (
+        registry.queries()["packing_budget_curve"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("budget")
+    )
+    assert got["total_tokens"].nunique() == 1
+    assert (got["n_bins"].diff().dropna() <= 0).all()
+    no_over = got[got["n_oversize"] == 0]
+    assert ((no_over["fill_frac"] > 0) & (no_over["fill_frac"] <= 1)).all()
