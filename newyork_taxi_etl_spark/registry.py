@@ -455,6 +455,11 @@ _CHANGED_SINCE_VERIFY = frozenset({
     "curriculum_quality_stages",
     "quality_psi_by_domain",
     "curriculum_ccnet_agreement",
+    # r14 perf — the UNTRAINED (seed-codebook) PQ encodes now persist
+    # through the same stage (train=False keys pqu4/pqu16), read back
+    # by the two operating-point queries and ann_recall_trained's legs.
+    "ann_pq_adc_topk",
+    "ann_pq_adc_k16_topk",
 })
 
 def _tier(name: str) -> int:
