@@ -1171,9 +1171,7 @@ _BLOOM_M = 65536
 _BLOOM_K = 3
 
 
-@register(
-    "dedup_bloom_gate",
-    f"""
+_BLOOM_SQL = f"""
     WITH d AS (
       SELECT doc_id, lower(trim(text)) AS norm FROM documents
     ),
@@ -1218,7 +1216,12 @@ _BLOOM_K = 3
            ROUND(MAX(bits.n_bits) / CAST({_BLOOM_M} AS DOUBLE), 6)
              AS fill_frac
     FROM flags, bits
-    """,
+    """
+
+
+@register(
+    "dedup_bloom_gate",
+    _BLOOM_SQL,
     doc="BLOOM-FILTER DEDUP GATE — the bounded-memory incremental "
     "exact-dedup shape a 100 TB ingest runs (the filter rides in RAM "
     "while the corpus streams past), and the one sketch class the "
@@ -1312,4 +1315,37 @@ def dedup_bloom_gate(spark, sf_dir):
                 F.col("n_bits") / F.lit(float(_BLOOM_M)), 6
             ).alias("fill_frac"),
         )
+    )
+
+
+@register(
+    "streaming_bloom_gate_ingest",
+    _BLOOM_SQL,
+    doc="BLOOM-GATE DEDUP AT INGEST — the twelfth per-batch fold, and "
+    "the deployment shape the Bloom filter exists for: the bit state "
+    "(per position, lowest setter doc_id — the exact relational image "
+    "of the bit array) and the normalized-text first-seen table ride "
+    "as bounded state while documents stream in doc_id-contiguous "
+    "micro-batches; each batch flags its docs against bits set by "
+    "EARLIER docs (prior state + lower-id docs in the same batch), "
+    "folds its own bits in, and commits state + decisions + replay "
+    "watermark in ONE atomic swap-generation rename.  The drained "
+    "ledger (true dups, flagged, false positives, fill) equals "
+    "dedup_bloom_gate BIT-FOR-BIT — the oracle IS the batch gate's "
+    "SQL, and 2-vs-5-slice equality is pytested.  State is O(m + "
+    "distinct norms) regardless of stream length; per batch nothing "
+    "shuffles but the batch's own positions.",
+)
+def streaming_bloom_gate_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_bloomingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_bloom_ingest(
+        spark, docs, work, cache_key=f"documents_bloom:{sf_dir}:stage3"
     )

@@ -3595,3 +3595,215 @@ def run_streaming_doremi_ingest(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return _doremi_from_tf(folded)
+
+
+def run_streaming_bloom_ingest(
+    spark,
+    docs_df: DataFrame,
+    work_dir: str,
+    n_slices: int = 3,
+    timeout_sec: int = 180,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """BLOOM-GATE DEDUP AT INGEST — the twelfth per-batch fold, and the
+    shape the Bloom filter exists FOR: the bit array (here the exact
+    relational image of one: per bit position, the lowest doc_id that
+    set it) rides as bounded state while documents stream past, each
+    micro-batch flags its docs against bits set by EARLIER docs (prior
+    batches' state plus lower-id docs in the same batch) and then folds
+    its own bits in.  Alongside the bit state the fold keeps the
+    normalized-text first-seen table (the exact-dup ground truth) so
+    the drained ledger carries the same false-positive accounting as
+    the batch gate.
+
+    Determinism by construction: docs stage as doc_id-CONTIGUOUS slices
+    processed in id order (ingest order — production doc_ids are
+    assigned monotonically at ingest), so "some setter with a lower
+    doc_id exists" computes incrementally as min(prior-state first_id,
+    batch-internal min) and the drained decisions equal
+    dedup_bloom_gate's relational formulation BIT-FOR-BIT under any
+    slice count (2-vs-5-slice equality pytested).  All three state
+    tables (bits, norms, decisions) live in ONE swap-generation
+    directory, so the fold and its replay watermark commit in a single
+    atomic rename; state is O(m + distinct norms) for the gate itself
+    — the decisions ledger is per-doc and a production deployment
+    appends it transactionally instead of copying generations.
+    """
+    import os
+    import shutil
+
+    from newyork_taxi_etl_spark.queries.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    stage_dir = os.path.join(work_dir, "doc_stage")
+    state_dir = os.path.join(work_dir, "bloom_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    d = docs_df.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("norm")
+    )
+
+    def build_stage(target: str) -> None:
+        # doc_id-contiguous ranges; partition i writes part-0000i, and
+        # ascending mtimes make the file source deliver them in id order
+        d.repartitionByRange(n_slices, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(target)
+        files = sorted(
+            f for f in os.listdir(target) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            t = 1_600_000_000 + (i + 1) * 10
+            os.utime(os.path.join(target, f), (t, t))
+
+    stage_dir = _stage_cached(stage_dir, cache_key, build_stage)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .format("parquet")
+        .option("path", stage_dir)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+
+    pos_of = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), F.col("norm"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(_BLOOM_M),
+            )
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+    def fold_batch(batch_df, batch_id):
+        applied = _applied_batch_ids(state_dir)
+        if int(batch_id) in applied:
+            return
+        ss = batch_df.sparkSession
+        have_state = os.path.exists(os.path.join(state_dir, "bits"))
+        if have_state:
+            bits = ss.read.parquet(os.path.join(state_dir, "bits"))
+            norms = ss.read.parquet(os.path.join(state_dir, "norms"))
+            dec = ss.read.parquet(os.path.join(state_dir, "decisions"))
+        else:
+            bits = ss.createDataFrame([], "p bigint, first_id bigint")
+            norms = ss.createDataFrame(
+                [], "norm string, first_id bigint"
+            )
+            dec = ss.createDataFrame(
+                [], "doc_id bigint, flagged int, is_dup int"
+            )
+
+        batch = batch_df.select("doc_id", "norm").localCheckpoint()
+        pos = (
+            batch.select("doc_id", F.explode(pos_of).alias("p"))
+            .distinct()
+            .localCheckpoint()
+        )
+        bmin = pos.groupBy("p").agg(F.min("doc_id").alias("bmin"))
+        cov = (
+            pos.join(F.broadcast(bits), "p", "left")
+            .join(F.broadcast(bmin), "p")
+            .groupBy("doc_id")
+            .agg(
+                F.min(
+                    (
+                        (
+                            F.col("first_id").isNotNull()
+                            & (F.col("first_id") < F.col("doc_id"))
+                        )
+                        | (F.col("bmin") < F.col("doc_id"))
+                    ).cast("int")
+                ).alias("flagged")
+            )
+        )
+        nmin = batch.groupBy("norm").agg(F.min("doc_id").alias("nmin"))
+        dup = (
+            batch.join(F.broadcast(norms), "norm", "left")
+            .join(F.broadcast(nmin), "norm")
+            .select(
+                "doc_id",
+                (
+                    F.col("first_id").isNotNull()
+                    | (F.col("nmin") < F.col("doc_id"))
+                )
+                .cast("int")
+                .alias("is_dup"),
+            )
+        )
+        new_dec = cov.join(dup, "doc_id")
+        next_bits = (
+            bits.unionByName(
+                bmin.select("p", F.col("bmin").alias("first_id"))
+            )
+            .groupBy("p")
+            .agg(F.min("first_id").alias("first_id"))
+        )
+        next_norms = (
+            norms.unionByName(
+                nmin.select("norm", F.col("nmin").alias("first_id"))
+            )
+            .groupBy("norm")
+            .agg(F.min("first_id").alias("first_id"))
+        )
+        nxt = state_dir + "_next"
+        shutil.rmtree(nxt, ignore_errors=True)
+        next_bits.write.parquet(os.path.join(nxt, "bits"))
+        next_norms.write.parquet(os.path.join(nxt, "norms"))
+        dec.unionByName(new_dec).write.parquet(
+            os.path.join(nxt, "decisions")
+        )
+        _mark_applied(nxt, batch_id, applied)
+        _swap_dir(nxt, state_dir)
+
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "16"):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_sec)
+
+    flags = spark.read.parquet(os.path.join(state_dir, "decisions"))
+    bits_n = (
+        spark.read.parquet(os.path.join(state_dir, "bits"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bits"))
+    )
+    n = F.count(F.lit(1))
+    fp = F.sum(
+        ((F.col("flagged") == 1) & (F.col("is_dup") == 0)).cast("int")
+    )
+    return (
+        flags.agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_true_dup"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            fp.cast("bigint").alias("n_false_pos"),
+            F.round(
+                fp.cast("double") / (n - F.sum("is_dup")), 6
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(bits_n))
+        .select(
+            "n_docs",
+            "n_true_dup",
+            "n_flagged",
+            "n_false_pos",
+            "fp_rate",
+            F.col("n_bits").alias("n_bits_set"),
+            F.round(
+                F.col("n_bits") / F.lit(float(_BLOOM_M)), 6
+            ).alias("fill_frac"),
+        )
+    )

@@ -296,3 +296,31 @@ def test_packing_budget_curve_shape(spark):
     assert (got["n_bins"].diff().dropna() <= 0).all()
     no_over = got[got["n_oversize"] == 0]
     assert ((no_over["fill_frac"] > 0) & (no_over["fill_frac"] <= 1)).all()
+
+
+def test_streaming_bloom_gate_batch_equality_any_slicing(spark, tmp_path):
+    """The drained Bloom ledger equals the batch gate bit-for-bit at 2
+    and 5 slices, including on planted copies (the false-negative-free
+    guarantee survives the incremental formulation)."""
+    from newyork_taxi_etl_spark import registry
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    rows = [(i + 1, "en", "web", f"streaming doc number {i}") for i in range(30)]
+    rows.append((50, "en", "web", "streaming doc number 4"))   # copy
+    rows.append((51, "en", "web", "Streaming Doc Number 9"))   # copy mod norm
+    spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    batch = registry.queries()["dedup_bloom_gate"](
+        spark, str(tmp_path)
+    ).collect()[0].asDict()
+    for n in (2, 5):
+        drained = W.run_streaming_bloom_ingest(
+            spark, docs, str(tmp_path / f"w{n}"), n_slices=n
+        ).collect()[0].asDict()
+        assert drained == batch, (n, drained, batch)
+    assert batch["n_true_dup"] == 2
+    assert batch["n_flagged"] >= 2
