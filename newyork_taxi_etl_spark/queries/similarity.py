@@ -1440,7 +1440,6 @@ def _ivfpq_adc_topk(spark, sf_dir, k=5, n_probe=2):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
-        kmeans_centroids,
     )
     from newyork_taxi_etl_spark.operators.similarity import (
         spread_small_scan,
@@ -1611,7 +1610,6 @@ def _ivfpq_residual_topk(spark, sf_dir, k=5, n_probe=2):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
-        kmeans_centroids,
     )
     from newyork_taxi_etl_spark.operators.similarity import (
         spread_small_scan,
@@ -2445,7 +2443,6 @@ def ann_index_persisted_probe(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
-        kmeans_centroids,
     )
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
@@ -2611,7 +2608,6 @@ def ann_index_filtered_probe(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
-        kmeans_centroids,
     )
     from newyork_taxi_etl_spark.operators.similarity import (
         spread_small_scan,
@@ -3633,7 +3629,6 @@ def knn_label_accuracy_indexed(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
-        kmeans_centroids,
     )
     from newyork_taxi_etl_spark.operators.similarity import _DOT
 
@@ -4819,7 +4814,6 @@ def ann_ranking_quality(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
         _SQDIST,
-        kmeans_centroids,
     )
     from newyork_taxi_etl_spark.operators.similarity import _DOT
 
@@ -6344,7 +6338,6 @@ def ann_opq_trained_recall(spark, sf_dir):
 def ann_ivf_balance(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.clustering import (
         _ARGMIN,
-        kmeans_centroids,
     )
     from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
 
