@@ -7454,3 +7454,124 @@ def prototype_pruning_select(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+# --- greedy k-center coreset selection -------------------------------------
+
+_KC_K = 8
+_KC_DIST = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    """Unrolled DuckDB twin of the greedy k-center loop: step j's CTE
+    picks the row with MAX min-distance to centers 1..j (tie: lowest
+    vec_id) — that row IS both the coverage radius of the first j
+    centers and center j+1, so one CTE per step serves both outputs.
+    min() over doubles is exact and order-free, so LEAST of the
+    per-center sqdist folds equals the engine's array-fold min."""
+    parts = [
+        """s1 AS (
+      SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for j in range(1, k + 1):
+        dist_terms = ", ".join(
+            _KC_DIST.format(a="e.v", b=f"s{i}.v") for i in range(1, j + 1)
+        )
+        mind = f"LEAST({dist_terms})" if j > 1 else dist_terms
+        froms = ", ".join(f"s{i}" for i in range(1, j + 1))
+        parts.append(f"""r{j} AS (
+      SELECT e.vec_id AS next_id, {mind} AS radius
+      FROM emb e, {froms}
+      ORDER BY {mind} DESC, e.vec_id LIMIT 1
+    )""")
+        if j < k:
+            parts.append(f"""s{j + 1} AS (
+      SELECT e.vec_id, e.v FROM emb e, r{j} WHERE e.vec_id = r{j}.next_id
+    )""")
+    selects = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({j} AS INT) AS step,
+           (SELECT MAX(vec_id) FROM s{j}) AS center_id,
+           ROUND((SELECT MAX(radius) FROM r{j}), 6) AS radius"""
+        for j in range(1, k + 1)
+    )
+    return (
+        "WITH emb AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings),\n    "
+        + ",\n    ".join(parts)
+        + "\n    SELECT * FROM (\n    "
+        + selects
+        + "\n    ) ORDER BY step"
+    )
+
+
+@register(
+    "coreset_kcenter_select",
+    _kcenter_sql(),
+    doc="GREEDY K-CENTER CORESET (Gonzalez 1985 2-approximation; the "
+    "facility-location selection Sener & Savarese 2018 use for "
+    "active-learning coresets): start from the lowest vec_id, then "
+    "repeatedly add the point FARTHEST from the selected set (max "
+    "min-sqdist, tie lowest id).  Emits (step, center_id, radius) "
+    "where radius = the coverage radius of the first ``step`` centers "
+    "— the radius-vs-k curve is the 'how many exemplars cover my "
+    "corpus' sizing table, and the chosen point at step j+1 is "
+    "exactly the point realizing radius j, so each corpus pass serves "
+    "both.  Dataflow: per step ONE scan computing min-dist to the "
+    "(broadcast, <= k-row) selected set with a TakeOrderedAndProject "
+    "argmax — k passes total, never pairwise; driver state is k "
+    "(id, vector) rows (the argmax-lineage rule).  min over doubles "
+    "is exact and order-free, so the engine's array-fold min equals "
+    "the oracle's LEAST chain bit-for-bit; radii round at 6 dp.",
+)
+def coreset_kcenter_select(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.similarity import (
+        spread_small_scan,
+    )
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).localCheckpoint(eager=True)
+
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(first["vec_id"]), list(first["v"]))]
+    out = []
+    for step in range(1, _KC_K + 1):
+        cent_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cv])
+                for _, cv in centers
+            ]
+        )
+        mind = F.expr(
+            "aggregate(transform(cents, c -> "
+            "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, t) -> acc + t)), "
+            "CAST('Infinity' AS DOUBLE), (acc, d) -> least(acc, d))"
+        )
+        top = (
+            base.withColumn("cents", cent_arr)
+            .select("vec_id", mind.alias("d"))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append(
+            (step, int(centers[-1][0]), _round6(float(top["d"])))
+        )
+        if step < _KC_K:
+            nxt = base.filter(
+                F.col("vec_id") == int(top["vec_id"])
+            ).collect()[0]
+            centers.append((int(nxt["vec_id"]), list(nxt["v"])))
+    return spark.createDataFrame(
+        out, "step int, center_id bigint, radius double"
+    ).orderBy("step")

@@ -324,3 +324,45 @@ def test_streaming_bloom_gate_batch_equality_any_slicing(spark, tmp_path):
         assert drained == batch, (n, drained, batch)
     assert batch["n_true_dup"] == 2
     assert batch["n_flagged"] >= 2
+
+
+def test_kcenter_matches_numpy_greedy_reference(spark):
+    """The engine's greedy k-center selection equals an independent
+    numpy implementation of Gonzalez's algorithm on the smoke corpus:
+    same centers in the same order, same coverage radii, radii
+    non-increasing."""
+    import numpy as np
+
+    from newyork_taxi_etl_spark import registry
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    rows = (
+        spark.read.parquet(table_path(SF_SMOKE, "embeddings"))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+
+    centers = [0]  # index of lowest vec_id after the sort
+    expected = []
+    for step in range(1, 9):
+        d = np.min(
+            ((x[:, None, :] - x[centers][None, :, :]) ** 2).sum(axis=2),
+            axis=1,
+        )
+        far = np.lexsort((ids, -d))[0]
+        expected.append((step, int(ids[centers[-1]]), float(d[far])))
+        centers.append(int(far))
+
+    got = registry.queries()["coreset_kcenter_select"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [r["step"] for r in got] == list(range(1, 9))
+    radii = [r["radius"] for r in got]
+    assert radii == sorted(radii, reverse=True)
+    for r, (step, cid, rad) in zip(got, expected):
+        assert r["center_id"] == cid, (r, cid)
+        assert abs(r["radius"] - rad) < 1e-6, (r, rad)
