@@ -915,7 +915,7 @@ def _pq_parts_v(base, k_codes: int = _PQ_K, train: bool = False):
     return subvecs, codebook, encoded, d
 
 
-def _ivf_centroids_cached(spark, emb, sf_dir: str):
+def _ivf_centroids_cached(spark, emb, sf_dir: str, k: int = 8):
     """The trained IVF coarse quantizer (k=8, one exact-mean Lloyd round
     — deterministic: lowest-vec_id seeds, decimal means, strict-< argmin)
     persisted ONCE per corpus through the stage cache.  Seven registered
@@ -935,11 +935,11 @@ def _ivf_centroids_cached(spark, emb, sf_dir: str):
     from newyork_taxi_etl_spark.streaming.windows import _stage_cached
 
     def build(target: str) -> None:
-        kmeans_centroids(emb, k=8, n_iter=1).coalesce(1).write.mode(
+        kmeans_centroids(emb, k=k, n_iter=1).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(target, "centroids"))
 
-    sdir = _stage_cached(None, f"ivfcent8:{sf_dir}", build)
+    sdir = _stage_cached(None, f"ivfcent{k}:{sf_dir}", build)
     return spark.read.parquet(os.path.join(sdir, "centroids"))
 
 
@@ -7214,6 +7214,21 @@ def embedding_whitening_audit(spark, sf_dir):
 _SEMDEDUP_TAU = 0.97
 
 
+#: SemDeDup's scale contract is CONSTANT cluster size (the paper scales
+#: cluster count with the corpus — ~100k clusters for LAION), so the
+#: quantizer's k grows once cells would exceed ~750 members: k =
+#: GREATEST(8, n // 750).  At every shipped SF this resolves to the
+#: shared k=8 build (5000 // 750 = 6), so values are unchanged where
+#: verified; the 10x scale check exercises the adaptive branch.
+_SEMDEDUP_CELL = 750
+
+_IVF_COARSE_ADAPTIVE = _IVF_COARSE_CTES.replace(
+    "LIMIT 8)",
+    f"LIMIT (SELECT GREATEST(8, COUNT(*) // {_SEMDEDUP_CELL}) FROM emb))",
+    1,
+)
+
+
 @register(
     "semantic_dedup_kmeans",
     f"""
@@ -7222,7 +7237,7 @@ _SEMDEDUP_TAU = 0.97
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    {_IVF_COARSE_CTES},
+    {_IVF_COARSE_ADAPTIVE},
     members AS (
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
       FROM cells GROUP BY cid
@@ -7280,7 +7295,11 @@ def semantic_dedup_kmeans(spark, sf_dir):
     emb = spread_small_scan(
         spark.read.parquet(table_path(sf_dir, "embeddings"))
     )
-    cent = _ivf_centroids_cached(spark, emb, sf_dir)
+    # constant cluster SIZE (the SemDeDup contract): k grows with the
+    # corpus once cells would exceed ~750 members; at every shipped SF
+    # this is the shared k=8 build
+    k = max(8, emb.count() // _SEMDEDUP_CELL)
+    cent = _ivf_centroids_cached(spark, emb, sf_dir, k=k)
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
     )
