@@ -400,66 +400,52 @@ _R13_VERIFIED = frozenset({
     "zipf_slope_by_source",
 })
 
+# Value-verified in round 14 (the 50 names in CORRECTNESS_r14.json — all
+# rows+schema+hash green, including ALL 23 then-standing
+# _CHANGED_SINCE_VERIFY names: the gram driver-side fold, the stage-cached
+# trained-PQ/IVF/logreg artifact families, and the untrained-PQ encode
+# persistence), retiring the r4 tail entirely.
+_R14_VERIFIED = frozenset({
+    "ann_index_filtered_probe", "ann_index_persisted_probe",
+    "ann_ivf_balance", "ann_ivf_kmeans_topk", "ann_ivfpq_adc_topk",
+    "ann_ivfpq_residual_topk", "ann_opq_trained_recall",
+    "ann_pq_adc_k16_topk", "ann_pq_adc_topk", "ann_pq_adc_trained_topk",
+    "ann_pq_rotated_recall", "ann_ranking_quality", "ann_recall_ivfpq",
+    "ann_recall_trained", "bpe_top_merges", "coreset_kcenter_select",
+    "corpus_pipeline_learned", "corr_by_group", "curriculum_ccnet_agreement",
+    "curriculum_quality_stages", "decayed_event_score", "dedup_bloom_gate",
+    "dedup_multimodal_phash", "flag_split_stats", "freq_tokens_cms_sampled",
+    "gram_subspace_topk", "idle_rich_customers", "knn_label_accuracy_indexed",
+    "large_volume_customers", "lm_perplexity_score", "packing_budget_curve",
+    "profile_distinct", "profile_distinct_approx", "profile_negatives",
+    "profile_nulls", "prototype_pruning_select", "quality_auc_rank",
+    "quality_calibration_ece", "quality_distillation_audit",
+    "quality_logreg_filter", "quality_psi_by_domain", "rank_in_group",
+    "semantic_dedup_kmeans", "sequence_pack_bestfit",
+    "streaming_bloom_gate_ingest", "summary_stats", "top_routes",
+    "top_routes_salted", "traffic_congestion", "value_by_slot_dow",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
-    _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED,
+    _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED, _R14_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
 # their old verdict no longer vouches for the current code, so they rejoin
 # the head of the window until re-checked.  Round 7 re-verified all eight of
 # that round's entries; round 8 all three; round 9 all six; round 10 all 19;
-# round 11 all 27; round 12 ALL 17; round 13 ALL 17 (char-coverage oracle
-# bounds, decile alignment, zipf helper, FWHT legs, five stage-cached
-# drains, _pq_parts_v pin consumers).  Round 14 entries are added below as
-# code changes land:
+# round 11 all 27; round 12 ALL 17; round 13 ALL 17; round 14 ALL 23 (gram
+# driver fold, stage-cached PQ/IVF/logreg artifact families, untrained-PQ
+# persistence).  Round 15 entries are added below as code changes land:
 _CHANGED_SINCE_VERIFY = frozenset({
-    # r14 perf (r13 verdict #1) — gram_subspace_topk's 9-matvec projected
-    # power iteration moved to the driver-side bit-exact decimal fold
-    # (the _ns_polar_np architecture) over the collected 64x64 Gram;
-    # values re-oracled identical at sf0.001 + sf0.01, warm sf0.1
-    # 9.2 -> 3.0 s.
-    "gram_subspace_topk",
-    # r14 perf (r13 verdict #2) — the trained-PQ artifacts (Lloyd
-    # codebook + argmin encode) and both persisted IVFPQ indexes now
-    # build ONCE per (variant, corpus) behind _stage_cached and every
-    # family member reads them back (the OPQ stage also persists its
-    # trained rotation).  Hit and miss paths proven value-identical at
-    # sf0.001 + sf0.01; plan-shaping code changed so all seven re-check.
-    "ann_pq_adc_trained_topk",
-    "ann_recall_trained",
-    "ann_ivfpq_adc_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_recall_ivfpq",
-    "ann_pq_rotated_recall",
-    "ann_opq_trained_recall",
-    # r14 perf — the trained IVF coarse quantizer (k=8, one exact-mean
-    # Lloyd round) persists once per corpus (_ivf_centroids_cached) and
-    # these re-trainers now read the 8-row table back; hit/miss proven
-    # value-identical, plan-shaping code changed so they re-check.
-    "ann_ivf_kmeans_topk",
-    "ann_index_persisted_probe",
-    "ann_index_filtered_probe",
-    "knn_label_accuracy_indexed",
-    "ann_ranking_quality",
-    "ann_ivf_balance",
-    # r14 perf — the 16-step full-corpus logistic training persists once
-    # per corpus (_logreg_weights_cached, key shared with the streaming
-    # quality/PSI folds' existing weights stage) and these trainers now
-    # read the 4 weights back; hit/miss value-identical at both SFs.
-    "quality_logreg_filter",
-    "corpus_pipeline_learned",
-    "quality_auc_rank",
-    "quality_calibration_ece",
-    "curriculum_quality_stages",
-    "quality_psi_by_domain",
-    "curriculum_ccnet_agreement",
-    # r14 perf — the UNTRAINED (seed-codebook) PQ encodes now persist
-    # through the same stage (train=False keys pqu4/pqu16), read back
-    # by the two operating-point queries and ann_recall_trained's legs.
-    "ann_pq_adc_topk",
-    "ann_pq_adc_k16_topk",
+    # r15 (r14 verdict #1) — the BFD packer's applyInPandas group key is
+    # now (domain, shard) with a bounded docs-per-group target instead of
+    # whole-domain groups; packed assignments (and therefore values)
+    # change for both consumers, so both re-check.
+    "sequence_pack_bestfit",
+    "packing_budget_curve",
 })
 
 def _tier(name: str) -> int:

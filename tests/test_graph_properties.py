@@ -106,8 +106,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
     of round-2 names rather than colliding with tier 1.  Round 13: every
     registered query holds a green verdict and round 12 re-verified all 17
     changed names, so the window is (new registrations +
-    changed-since-verify) followed by the stalest standing verdicts — the
-    round-4-latest cohort (tier 5)."""
+    changed-since-verify) followed by the stalest standing verdicts —
+    since round 15 the round-5-latest cohort (tier 6; the r4 tail was
+    retired in round 14)."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -123,7 +124,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
     n_head = sum(1 for t in tiers if t in (0, 1))
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
-        ("profile_nulls", 5), ("summary_stats", 5),            # r4-latest
+        ("bloom_prefilter_orders", 6), ("cdc_merge_apply", 6),  # r5-latest
+        ("bracket_discount_revenue", 6),  # r5-latest: the r15 rotation tail
+        ("local_supplier_volume", 6),     # r5-latest
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
@@ -131,12 +134,10 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
         ("linkage_quality_gate", 12),  # r11-reverified: shingle migration
-        ("quality_auc_rank", 1),   # r14-changed: cached logreg weights
         ("langid_confusion", 10),              # r9-latest
         ("freq_tokens_cms", 11),               # r10-reverified (was r3-latest)
         ("bpe_merge_loop", 11),                # r10-reverified: shared trainer
         ("knn_label_accuracy", 11),            # r10-reverified: spread + cache
-        ("curriculum_quality_stages", 1),  # r14-changed: cached weights
         ("corpus_shard_export", 12),      # r11-reverified: commutative checksum
         ("training_shard_assignment", 12), # r11-reverified: min-3 fingerprint
         ("zipf_token_slope", 13),      # r12-reverified: ordered_positions rank
@@ -153,13 +154,16 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("bytebpe_merge_loop", 14),             # r13 new, verified r13
         ("smoothing_holdout_nll", 14),          # r13 new, verified r13
         ("streaming_doremi_ingest", 14),        # r13 new, verified r13
-        ("gram_subspace_topk", 1),      # r14-changed: driver-side fold port
-        ("ann_recall_ivfpq", 1),        # r14-changed: stage-cached index
-        ("ann_opq_trained_recall", 1),  # r14-changed: cached rotation stage
-        ("ann_pq_rotated_recall", 1),   # r14-changed: family-cached legs
-        ("sequence_pack_bestfit", 0),           # r14 new: never verified
-        ("quality_distillation_audit", 0),      # r14 new: never verified
-        ("dedup_multimodal_phash", 0),          # r14 new: never verified
+        ("profile_nulls", 15), ("summary_stats", 15),  # r14-reverified core
+        ("quality_auc_rank", 15),          # r14-reverified: cached weights
+        ("curriculum_quality_stages", 15),  # r14-reverified: cached weights
+        ("gram_subspace_topk", 15),     # r14-reverified: driver-side fold
+        ("ann_recall_ivfpq", 15),       # r14-reverified: stage-cached index
+        ("ann_opq_trained_recall", 15),  # r14-reverified: cached rotation
+        ("ann_pq_rotated_recall", 15),   # r14-reverified: family-cached legs
+        ("quality_distillation_audit", 15),     # r14 new, verified r14
+        ("sequence_pack_bestfit", 1),   # r15-changed: sharded BFD group key
+        ("packing_budget_curve", 1),    # r15-changed: sharded BFD group key
     ):
         assert registry._tier(probe) == want, probe
 
