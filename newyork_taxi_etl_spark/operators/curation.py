@@ -181,28 +181,36 @@ def sequence_pack_bestfit(
     budget: int = 512,
     part_col: str = "source",
     text_col: str = "text",
+    shard_target: int = 4096,
 ) -> DataFrame:
-    """Best-fit-decreasing sequence packing, per domain — the production
-    concatenate-and-pack variant of :func:`token_budget_packing`: docs
-    sort by token count DESCENDING and each is placed into the open bin
-    with the SMALLEST remaining capacity that still fits (ties: lowest
-    bin id), else opens a new bin; every doc consumes ``n_tok + 1``
-    (the EOS separator).  BFD is the classic near-optimal bin-packing
-    heuristic (<= 11/9 OPT + 1), so waste per bin is what a trainer
-    actually pays, not the first-fit artifact.
+    """Best-fit-decreasing sequence packing, per (domain, shard) — the
+    production concatenate-and-pack variant of
+    :func:`token_budget_packing`: docs sort by token count DESCENDING and
+    each is placed into the open bin with the SMALLEST remaining capacity
+    that still fits (ties: lowest bin id), else opens a new bin; every
+    doc consumes ``n_tok + 1`` (the EOS separator).  BFD is the classic
+    near-optimal bin-packing heuristic (<= 11/9 OPT + 1), so waste per
+    bin is what a trainer actually pays, not the first-fit artifact.
 
-    The per-domain pass is genuinely sequential state (open-bin
+    The per-group pass is genuinely sequential state (open-bin
     capacities), so it runs in ``applyInPandas`` — one Arrow batch per
-    domain group, integer-only state, no per-token Python.  Scale
-    shape: domains pack independently (the token_budget_packing
-    sharding argument — at 100 TB the group key becomes
-    (domain, shard) and nothing else changes); the emitted assignment
-    is one row per doc, aggregated Spark-side.
+    group, integer-only state, no per-token Python.  Scale shape (r14
+    verdict item 1): the group key is ``(domain, shard)`` with
+    ``shard = md5(doc_id) % ceil(domain_count / shard_target)`` — a
+    cross-engine-deterministic hash split that BOUNDS docs-per-group at
+    ~``shard_target`` regardless of domain skew, so a 100 TB domain packs
+    as thousands of independent ~shard_target-doc groups instead of one
+    unbounded pandas buffer.  Packing quality degrades only by the
+    shard-boundary fragmentation (each shard underfills at most its last
+    bins), the price of bounded memory.  Per-domain counts come from one
+    map-side-combinable aggregate broadcast back onto the scan — no
+    window over the full domain.
     """
     import pandas as pd
 
     out_schema = (
-        f"{part_col} string, doc_id bigint, n_tok bigint, bin int"
+        f"{part_col} string, shard int, doc_id bigint, n_tok bigint, "
+        "bin int"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -223,16 +231,35 @@ def sequence_pack_bestfit(
                 rems[best] -= need
             bins.append(best)
         pdf["bin"] = pd.Series(bins, dtype="int32")
-        return pdf[[part_col, "doc_id", "n_tok", "bin"]]
+        return pdf[[part_col, "shard", "doc_id", "n_tok", "bin"]]
 
     d = df.select(
         F.col(part_col),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
     )
-    assigned = d.groupBy(part_col).applyInPandas(pack, schema=out_schema)
+    n_shards = d.groupBy(part_col).agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(shard_target))),
+        ).alias("_n_shards")
+    )
+    d = d.join(F.broadcast(n_shards), part_col).withColumn(
+        "shard",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("_n_shards")
+        ).cast("int"),
+    )
+    assigned = d.groupBy(part_col, "shard").applyInPandas(
+        pack, schema=out_schema
+    )
     return (
-        assigned.groupBy(part_col, "bin")
+        assigned.groupBy(part_col, "shard", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("bin_tokens"),
@@ -245,7 +272,7 @@ def sequence_pack_bestfit(
                 6,
             ).alias("waste_frac"),
         )
-        .orderBy(part_col, "bin")
+        .orderBy(part_col, "shard", "bin")
     )
 
 
@@ -286,7 +313,7 @@ def tfidf_top_terms(
 
 def bm25_scores(
     df: DataFrame,
-    terms: list[str],
+    terms: list[str] | DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
@@ -300,16 +327,24 @@ def bm25_scores(
     the corpus mean. Corpus stats (N, avgdl, per-term df) are all tiny
     aggregates broadcast into one scan over the posting rows of the query
     terms — the scoring pass touches only docs containing a query term.
+
+    ``terms`` is either a literal list or a one-column ``tok`` DataFrame
+    (e.g. the distinct tokens of a seed document for more-like-this
+    retrieval); the DataFrame form prunes the posting with a broadcast
+    LEFT SEMI join instead of an IN literal — same semantics, and the
+    query side never leaves the cluster.
     """
     toks = df.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    posting = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy(id_col, "tok", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    if isinstance(terms, DataFrame):
+        hits = toks.join(F.broadcast(terms.select("tok")), "tok", "left_semi")
+    else:
+        hits = toks.filter(F.col("tok").isin(terms))
+    posting = hits.groupBy(id_col, "tok", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = df.select(

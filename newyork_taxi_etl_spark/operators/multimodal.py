@@ -168,6 +168,27 @@ def resize_blobs(df: DataFrame, target_bytes: int = 32) -> DataFrame:
     return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+#: integer DCT-II basis, K[u][x] = round(cos((2x+1) * u * pi / 16) * 8192)
+#: — one shared literal (generated once, no runtime trig) so the Spark
+#: numpy fold and the DuckDB relational fold use bit-identical
+#: coefficients.  No entry sits on a .5 rounding tie (checked at
+#: generation), so the table is rounding-mode-unambiguous.
+DCT_K8 = [
+    [8192, 8192, 8192, 8192, 8192, 8192, 8192, 8192],
+    [8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035],
+    [7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568],
+    [6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811],
+    [5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793],
+    [4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551],
+    [3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135],
+    [1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598],
+]
+
+#: fixed-point scale for block means: m_fp = (block_sum << 20) // count.
+#: Bounds the DCT accumulator at 64 * 255*2^20 * 8192^2 ~ 1.15e18 < 2^63.
+DCT_MEAN_SHIFT = 20
+
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -219,6 +240,80 @@ def phash_bands(df: DataFrame) -> DataFrame:
                 bsum = cs[starts[1:]] - cs[starts[:-1]]
                 bcnt = starts[1:] - starts[:-1]
                 bits = (bsum * n > total * bcnt).astype(np.int64)
+                weights = 1 << np.arange(16, dtype=np.int64)
+                bands = [
+                    int((bits[16 * b : 16 * b + 16] * weights).sum())
+                    for b in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def _block_grid(raw: bytes):
+    """Exact fixed-point 8x8 block-mean grid of a blob: byte position p
+    (0-based, length n) belongs to block r = p * 64 // n (row-major x =
+    r // 8, y = r % 8); m_fp[r] = (block_sum << DCT_MEAN_SHIFT) //
+    block_count, 0 for uncovered blocks.  Pure int64 — the same floor
+    division a BIGINT SQL engine computes."""
+    import numpy as np
+
+    n = len(raw)
+    m = np.zeros(64, dtype=np.int64)
+    if n == 0:
+        return m
+    arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    cs = np.concatenate(([0], np.cumsum(arr)))
+    starts = (np.arange(65, dtype=np.int64) * n + 63) // 64
+    bsum = cs[starts[1:]] - cs[starts[:-1]]
+    bcnt = starts[1:] - starts[:-1]
+    covered = bcnt > 0
+    m[covered] = (bsum[covered] << DCT_MEAN_SHIFT) // bcnt[covered]
+    return m
+
+
+def phash_dct_bands(df: DataFrame) -> DataFrame:
+    """True-DCT 64-bit perceptual fingerprint as 4 x 16-bit bands (r14
+    verdict item 4 — the upgrade over :func:`phash_bands`' blockhash,
+    which a low-frequency warp that preserves every block-mean-vs-
+    global-mean sign slips through).  Pipeline: exact fixed-point 8x8
+    block-mean grid (:func:`_block_grid`) -> 2-D DCT-II via the shared
+    integer basis ``C = K @ M @ K^T`` (``DCT_K8``, pure int64 matmul —
+    no float enters the fingerprint) -> bit_{u,v} = 1 iff C[u,v] > 0,
+    with the always-positive DC coefficient (u=v=0) pinned to 0.  A
+    smooth brightness ramp leaves block-mean signs intact but flips
+    low-frequency coefficient signs, so the DCT hash separates what
+    blockhash cannot (pytested with the planted warp).  Bit order:
+    bit index = 8u + v, bands of 16 as in :func:`phash_bands`.
+
+    Runs in mapInPandas (Arrow batches, partition-preserving, no
+    shuffle); the DuckDB oracle computes the identical bits as a
+    relational fold over the same literal basis, so the contract is
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    k8 = np.array(DCT_K8, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                m = _block_grid(bytes(blob)).reshape(8, 8)
+                c = k8 @ m @ k8.T  # exact int64
+                bits = (c > 0).astype(np.int64).reshape(64)
+                bits[0] = 0  # DC: positive whenever the blob is, drop it
                 weights = 1 << np.arange(16, dtype=np.int64)
                 bands = [
                     int((bits[16 * b : 16 * b + 16] * weights).sum())

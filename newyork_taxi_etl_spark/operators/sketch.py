@@ -289,3 +289,50 @@ def bloom_maybe_contains(
         .filter(F.col("_hits") == k)
         .select(col)
     )
+
+
+def kmv_hash(value: F.Column | str, seed: str = "kmv") -> F.Column:
+    """60-bit uniform hash point for KMV/theta sketches.
+
+    First 15 md5 hex digits of ``seed|value`` as a BIGINT in
+    [0, 2^60) — the portable hash-point convention of the sketch shelf
+    (seed-prefixed md5, identical digit-for-digit in DuckDB via
+    ``CAST(('0x' || substring(md5(...), 1, 15)) AS BIGINT)``), wide
+    enough that collisions are negligible at any realistic distinct
+    count (birthday bound ~2^30 ≈ 1e9 distinct values).
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_bottom_k(points: DataFrame, set_cols: list[str], k: int) -> DataFrame:
+    """KMV (bottom-k / theta) sketch per set: the ``k`` smallest distinct
+    hash points, ranked.
+
+    ``points`` must carry distinct ``set_cols + [hv]`` rows (dedup them
+    first — bottom-k over distinct values is the sketch's definition and
+    the distinct is the only corpus-sized aggregate, map-side combined).
+    The per-set min-k ranks through a window Spark plans as
+    WindowGroupLimit: every map task prunes to its local k smallest
+    before the exchange, so the shuffle carries O(sets * k * partitions)
+    rows, never the distinct stream. Output: set_cols, hv, rn (1-based).
+
+    The sketch supports the full theta-sketch algebra downstream: the
+    k-th smallest point theta estimates distinct as (k-1) * 2^60 / theta,
+    union sketches merge by re-ranking the pooled points, and any
+    union-bottom-k point that belongs to set A is PROVABLY in A's own
+    bottom-k (fewer than k union points below it, so fewer than k of A's)
+    — membership against the tiny per-set sketches is exact for the
+    points the set-operation estimators look at.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*set_cols).orderBy("hv")
+    return (
+        points.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

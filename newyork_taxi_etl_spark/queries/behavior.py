@@ -3297,3 +3297,191 @@ def ewma_anomaly_flags(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "markov_sequence_anomaly",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    rt AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type),
+    nt AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+    p AS (
+      SELECT t.from_type, t.to_type,
+             ln((t.n + 1.0) / (rt.row_n + nt.k)) AS logp
+      FROM t JOIN rt USING (from_type), nt
+    ),
+    scored AS (
+      SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+             ROUND(AVG(p.logp), 6) AS avg_logp
+      FROM seq s
+      JOIN p ON s.from_type = p.from_type AND s.to_type = p.to_type
+      WHERE s.to_type IS NOT NULL
+      GROUP BY s.user_id
+    )
+    SELECT user_id, n_trans, avg_logp
+    FROM scored
+    ORDER BY avg_logp, user_id
+    LIMIT 10
+    """,
+    doc="MARKOV SEQUENCE ANOMALY: score every user's event sequence by "
+    "its average log-likelihood under the corpus's own first-order "
+    "transition model (Laplace-smoothed: p(to|from) = (n+1)/(row_n+K), "
+    "so unseen transitions stay finite) and surface the 10 least-likely "
+    "journeys — the sequence-level consumer of event_type_transitions' "
+    "matrix, and the behavioral-anomaly primitive behind bot/fraud "
+    "triage (a user whose path fights the learned flow floats to the "
+    "top). One lead window per user (hash exchange on user_id), the "
+    "O(types^2) model broadcast back onto the transition stream, one "
+    "per-user aggregate, and a TakeOrderedAndProject bottom-10 — "
+    "O(events) scan work, O(users) aggregate state, never a sequence "
+    "materialization.",
+)
+def markov_sequence_anomaly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    rt = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    nt = ev.agg(F.countDistinct("event_type").alias("k"))
+    p = (
+        t.join(rt, "from_type")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "from_type",
+            "to_type",
+            F.log((F.col("n") + 1.0) / (F.col("row_n") + F.col("k"))).alias(
+                "logp"
+            ),
+        )
+    )
+    scored = (
+        seq.join(F.broadcast(p), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )
+    return scored.select("user_id", "n_trans", "avg_logp").orderBy(
+        "avg_logp", "user_id"
+    ).limit(10)
+
+
+# Holt's linear-trend smoothing constants — chosen binary-exact (0.5,
+# 0.25, 0.75 are dyadic) so the sequential fold produces bit-identical
+# doubles on both engines with no rounding slack inside the recursion.
+_HOLT_L = "(0.5 * {y} + 0.5 * ({l} + {b}))"
+
+
+@register(
+    "holt_linear_forecast",
+    f"""
+    WITH RECURSIVE series AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  AS INT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM series
+    ),
+    rec AS (
+      SELECT event_type, i AS idx, y AS l,
+             CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS ae
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, x.i,
+             {_HOLT_L.format(y='x.y', l='r.l', b='r.b')},
+             0.25 * ({_HOLT_L.format(y='x.y', l='r.l', b='r.b')} - r.l)
+               + 0.75 * r.b,
+             r.ae + abs(x.y - (r.l + r.b))
+      FROM rec r
+      JOIN idx x ON x.event_type = r.event_type AND x.i = r.idx + 1
+    )
+    SELECT r.event_type, x.n AS n_days,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.l + 7 * r.b, 6) AS forecast_7,
+           ROUND(r.ae / (x.n - 1), 6) AS mae_1step
+    FROM rec r
+    JOIN (SELECT event_type, MAX(i) AS mi, MAX(n) AS n
+          FROM idx GROUP BY event_type) x
+      ON x.event_type = r.event_type AND r.idx = x.mi
+    WHERE x.n >= 2
+    ORDER BY r.event_type
+    """,
+    doc="HOLT LINEAR-TREND FORECAST per event type over the daily count "
+    "series: level/trend double-exponential smoothing (alpha=0.5, "
+    "beta=0.25 — dyadic constants, so the sequential recurrence is "
+    "bit-identical IEEE arithmetic on both engines), one-step-ahead MAE "
+    "accumulated in the same fold as the in-sample fit signal, and a "
+    "7-day-ahead linear forecast l + 7b — the capacity-planning / "
+    "trend-monitoring primitive over any keyed event stream. Scale "
+    "shape: the corpus reduces by ONE hash aggregate to per-(type, day) "
+    "counts, so the fold input is O(types x days) — bounded by the "
+    "calendar, never by event volume; each series then folds "
+    "sequentially inside F.aggregate over its sorted array (a few "
+    "hundred steps), with no window over raw events and no driver "
+    "collect. Oracle replays the identical recurrence as a recursive "
+    "CTE joined against the indexed series.",
+)
+def holt_linear_forecast(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    series = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    arr = F.array_sort(F.collect_list(F.struct("d", "y")))
+    folded = series.groupBy("event_type").agg(arr.alias("s"))
+
+    def _l_new(acc, x):
+        return 0.5 * x["y"] + 0.5 * (acc["l"] + acc["b"])
+
+    def merge(acc, x):
+        return F.struct(
+            _l_new(acc, x).alias("l"),
+            (0.25 * (_l_new(acc, x) - acc["l"]) + 0.75 * acc["b"]).alias("b"),
+            (acc["ae"] + F.abs(x["y"] - (acc["l"] + acc["b"]))).alias("ae"),
+        )
+
+    first = F.element_at(F.col("s"), 1)
+    init = F.struct(
+        first["y"].alias("l"), F.lit(0.0).alias("b"), F.lit(0.0).alias("ae")
+    )
+    out = folded.select(
+        "event_type",
+        F.size("s").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.expr("slice(s, 2, size(s) - 1)"), init, merge
+        ).alias("st"),
+    ).filter(F.col("n_days") >= 2)
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7"),
+        F.round(F.col("st.ae") / (F.col("n_days") - 1), 6).alias("mae_1step"),
+    ).orderBy("event_type")

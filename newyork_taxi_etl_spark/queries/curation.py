@@ -158,30 +158,37 @@ def token_budget_packing(spark, sf_dir):
     return C.token_budget_packing(docs, budget=512)
 
 
-def _bestfit_sql(budget: int, sfx: str = "") -> str:
+def _bestfit_sql(budget: int, sfx: str = "", shard_target: int = 16) -> str:
     """Recursive-CTE twin of operators/curation.sequence_pack_bestfit at
     an arbitrary budget (shared by the registered query and the
     packing_budget_curve sweep so the state machines cannot drift);
     ``sfx`` uniquifies CTE names when several budgets compose in one
-    statement.  Emits the final per-(source, bin) SELECT."""
+    statement.  The (source, shard) group key mirrors the engine's
+    bounded-group sharding: shard = md5(doc_id) % ceil(count/target),
+    the same cross-engine hash both sides compute.  Emits the final
+    per-(source, shard, bin) SELECT."""
     return """WITH RECURSIVE d{sfx} AS (
       SELECT source, doc_id,
-             len(string_split(text, ' ')) AS n_tok
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                  % GREATEST(1, CAST(CEIL(COUNT(*) OVER (PARTITION BY
+                        source) / {target}.0) AS BIGINT)) AS INT) AS shard
       FROM documents
     ),
     o{sfx} AS (
-      SELECT source, doc_id, n_tok,
-             row_number() OVER (PARTITION BY source
+      SELECT source, shard, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source, shard
                                 ORDER BY n_tok DESC, doc_id) AS rn
       FROM d{sfx}
     ),
     st{sfx} AS (
-      SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      SELECT source, shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
              CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS INT) AS bin,
              CAST([] AS STRUCT(rem BIGINT, bin INT)[]) AS state
-      FROM (SELECT DISTINCT source FROM o{sfx})
+      FROM (SELECT DISTINCT source, shard FROM o{sfx})
       UNION ALL
-      SELECT o.source, o.rn, o.doc_id, o.n_tok,
+      SELECT o.source, o.shard, o.rn, o.doc_id, o.n_tok,
              CASE WHEN fits.best IS NOT NULL THEN fits.best.bin
                   ELSE CAST(len(st.state) AS INT) END AS bin,
              CASE WHEN fits.best IS NOT NULL THEN
@@ -194,21 +201,24 @@ def _bestfit_sql(budget: int, sfx: str = "") -> str:
                      'bin': CAST(len(st.state) AS INT)}})
              END AS state
       FROM st{sfx} st
-      JOIN o{sfx} o ON o.source = st.source AND o.rn = st.rn + 1
+      JOIN o{sfx} o ON o.source = st.source AND o.shard = st.shard
+                   AND o.rn = st.rn + 1
       CROSS JOIN LATERAL (
         SELECT list_sort(
                  list_filter(st.state, s -> s.rem >= o.n_tok + 1))[1]
                AS best
       ) fits
     )
-    SELECT source, bin,
+    SELECT source, shard, bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
            ROUND(GREATEST({budget} - SUM(n_tok + 1), 0) / {budget}.0, 6)
              AS waste_frac
     FROM st{sfx} WHERE rn > 0
-    GROUP BY source, bin
-    ORDER BY source, bin""".format(budget=budget, sfx=sfx)
+    GROUP BY source, shard, bin
+    ORDER BY source, shard, bin""".format(
+        budget=budget, sfx=sfx, target=shard_target
+    )
 
 
 @register(
@@ -222,19 +232,25 @@ def _bestfit_sql(budget: int, sfx: str = "") -> str:
     "new bin), every doc consuming n_tok + 1 for the EOS separator — "
     "the classic <= 11/9-OPT heuristic, so the reported per-bin "
     "waste_frac is what the trainer actually pays.  The open-bin "
-    "capacity vector is genuinely sequential state, so each domain "
-    "packs in ONE applyInPandas group pass (integer-only, Arrow "
-    "boundary) and domains run in parallel — at 100 TB the group key "
-    "becomes (domain, shard) and nothing else changes.  Oracle: the "
-    "identical state machine as a DuckDB recursive CTE over a "
-    "list<struct(rem, bin)> accumulator (list_sort picks min (rem, "
-    "bin) — the same best-fit tie-break).  Conservation (every doc in "
-    "exactly one bin, no bin over budget, BFD beats first-fit's bin "
-    "count on the planted set) is pytested in tests/test_round14_ops.py.",
+    "capacity vector is genuinely sequential state, so each "
+    "(domain, shard) group packs in ONE applyInPandas pass "
+    "(integer-only, Arrow boundary) with shard = md5(doc_id) % "
+    "ceil(domain_count / target) BOUNDING docs-per-group at ~target "
+    "regardless of domain skew (r14 verdict item 1) — a 100 TB domain "
+    "is thousands of independent bounded groups, never one unbounded "
+    "pandas buffer.  shard_target=16 here so the shard path itself is "
+    "value-verified at the shipped 25-doc/source SFs (production "
+    "default 4096).  Oracle: the identical state machine as a DuckDB "
+    "recursive CTE over a list<struct(rem, bin)> accumulator "
+    "(list_sort picks min (rem, bin) — the same best-fit tie-break) "
+    "keyed by the same md5 shard.  Conservation (every doc in exactly "
+    "one bin, no bin over budget, BFD beats first-fit's bin count on "
+    "the planted set) and the group-size bound are pytested in "
+    "tests/test_round14_ops.py.",
 )
 def sequence_pack_bestfit(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    return C.sequence_pack_bestfit(docs, budget=512)
+    return C.sequence_pack_bestfit(docs, budget=512, shard_target=16)
 
 
 def _budget_leg_sql(budget: int, sfx: str) -> str:
@@ -266,14 +282,15 @@ def _budget_leg_sql(budget: int, sfx: str) -> str:
     "over capacity) — the table a trainer consults to pick sequence "
     "length: short contexts waste capacity on fragmentation, long "
     "ones on tail underfill, and the curve's knee is the answer.  "
-    "Same scale shape as the packer: one applyInPandas group pass "
-    "per (domain, budget), domains parallel, aggregates bin-sized.",
+    "Same scale shape as the packer: one applyInPandas pass per "
+    "bounded (domain, shard, budget) group, groups parallel, "
+    "aggregates bin-sized.",
 )
 def packing_budget_curve(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     legs = []
     for b in (256, 512, 1024):
-        packed = C.sequence_pack_bestfit(docs, budget=b)
+        packed = C.sequence_pack_bestfit(docs, budget=b, shard_target=16)
         legs.append(
             packed.agg(
                 F.lit(b).cast("int").alias("budget"),

@@ -1204,7 +1204,8 @@ _BLOOM_SQL = f"""
       SELECT c.doc_id, c.all_covered AS flagged, du.is_dup
       FROM cov c JOIN dup du ON du.doc_id = c.doc_id
     ),
-    bits AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_bits FROM pos)
+    bits AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_bits FROM pos),
+    norms AS (SELECT CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norms FROM d)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(is_dup) AS BIGINT) AS n_true_dup,
            CAST(SUM(flagged) AS BIGINT) AS n_flagged,
@@ -1214,8 +1215,9 @@ _BLOOM_SQL = f"""
                  / CAST(COUNT(*) - SUM(is_dup) AS DOUBLE), 6) AS fp_rate,
            MAX(bits.n_bits) AS n_bits_set,
            ROUND(MAX(bits.n_bits) / CAST({_BLOOM_M} AS DOUBLE), 6)
-             AS fill_frac
-    FROM flags, bits
+             AS fill_frac,
+           MAX(norms.n_norms) AS n_norms_audit
+    FROM flags, bits, norms
     """
 
 
@@ -1233,10 +1235,12 @@ _BLOOM_SQL = f"""
     "on position + one on normalized text, both shuffle-bounded.  "
     "Reports the honest sketch ledger: true duplicates (exact-match "
     "ground truth), flagged count, FALSE POSITIVES and fp_rate "
-    "(fill-dependent — fp ~ fill^k), bits set / fill fraction.  The "
-    "Bloom guarantee (zero false NEGATIVES: a true dup's bits were "
-    "all set by its earlier copy) holds by construction and is "
-    "pytested with planted copies.",
+    "(fill-dependent — fp ~ fill^k), bits set / fill fraction, and "
+    "n_norms_audit — the size of the O(distinct) ground-truth table, "
+    "reported beside the O(m)-bounded bit state to keep the deployable "
+    "state / audit sidecar split visible.  The Bloom guarantee (zero "
+    "false NEGATIVES: a true dup's bits were all set by its earlier "
+    "copy) holds by construction and is pytested with planted copies.",
 )
 def dedup_bloom_gate(spark, sf_dir):
     docs = spread(spark.read.parquet(table_path(sf_dir, "documents")))
@@ -1289,6 +1293,9 @@ def dedup_bloom_gate(spark, sf_dir):
     bits = pos.agg(
         F.countDistinct("p").cast("bigint").alias("n_bits")
     )
+    norms = d.agg(
+        F.countDistinct("norm").cast("bigint").alias("n_norms")
+    )
     n = F.count(F.lit(1))
     fp = F.sum(
         ((F.col("flagged") == 1) & (F.col("is_dup") == 0)).cast("int")
@@ -1304,6 +1311,7 @@ def dedup_bloom_gate(spark, sf_dir):
             ).alias("fp_rate"),
         )
         .crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(norms))
         .select(
             "n_docs",
             "n_true_dup",
@@ -1314,6 +1322,7 @@ def dedup_bloom_gate(spark, sf_dir):
             F.round(
                 F.col("n_bits") / F.lit(float(_BLOOM_M)), 6
             ).alias("fill_frac"),
+            F.col("n_norms").alias("n_norms_audit"),
         )
     )
 
@@ -1332,9 +1341,12 @@ def dedup_bloom_gate(spark, sf_dir):
     "watermark in ONE atomic swap-generation rename.  The drained "
     "ledger (true dups, flagged, false positives, fill) equals "
     "dedup_bloom_gate BIT-FOR-BIT — the oracle IS the batch gate's "
-    "SQL, and 2-vs-5-slice equality is pytested.  State is O(m + "
-    "distinct norms) regardless of stream length; per batch nothing "
-    "shuffles but the batch's own positions.",
+    "SQL, and 2-vs-5-slice equality is pytested.  DEPLOYABLE state is "
+    "the O(m)-bounded bit table alone; the norms first-seen table is "
+    "the AUDIT SIDECAR (O(distinct norms), exists only to ground-truth "
+    "false positives) and the ledger reports both sizes side by side "
+    "(n_bits_set vs n_norms_audit) so the split stays visible.  Per "
+    "batch nothing shuffles but the batch's own positions.",
 )
 def streaming_bloom_gate_ingest(spark, sf_dir):
     import atexit
@@ -1346,6 +1358,7 @@ def streaming_bloom_gate_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_bloomingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
+    # the fold interpolates its actual n_slices into the stage key
     return W.run_streaming_bloom_ingest(
-        spark, docs, work, cache_key=f"documents_bloom:{sf_dir}:stage3"
+        spark, docs, work, cache_key=f"documents_bloom:{sf_dir}"
     )

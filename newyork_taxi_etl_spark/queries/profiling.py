@@ -2273,3 +2273,688 @@ def hill_tail_index(spark, sf_dir):
             "alpha_tail"
         ),
     ).orderBy("lang")
+
+
+# --- KLL-style mergeable quantile sketch (r14 verdict item 3) --------------
+
+#: target items per compactor group (the sketch's k); groups are
+#: md5-bucketed, so expected size stays ~_KLL_CAP at EVERY level (both
+#: the population and the group count halve per level).
+_KLL_CAP = 32
+#: stop compacting once the level population would drop to <= _KLL_TOP —
+#: the retained top buffer, KLL's "don't compact the last k items" rule.
+_KLL_TOP = 256
+#: oracle unroll depth: covers corpora up to _KLL_TOP * 2**_KLL_HMAX
+#: (~1M rows); the Spark side derives its stage list from the same rule
+#: with no cap and asserts it fits the oracle's unroll.
+_KLL_HMAX = 12
+_KLL_QS = (0.5, 0.99)
+
+_KLL_EVEN = "('0','2','4','6','8','a','c','e')"
+
+
+def _kll_sql() -> str:
+    """Generate the DuckDB twin of the Spark cascade: _KLL_HMAX unrolled
+    compaction stages, each active only while COUNT(*) > _KLL_TOP * 2^h
+    (the same closed-form rule the Spark side evaluates from the parquet
+    footer), then survivor ranking, per-quantile selection, exact-rank
+    audit and the deterministic error bound."""
+    stages = []
+    for h in range(_KLL_HMAX):
+        gate = _KLL_TOP * (1 << h)
+        ng = f"(SELECT CAST(CEIL(n / {(1 << h) * _KLL_CAP}.0) AS BIGINT) FROM nn)"
+        # MATERIALIZED: each stage references its predecessor twice
+        # (compact branch + pass-through branch); inlined CTEs would
+        # expand 2^H references to the base scan
+        stages.append(f"""s{h + 1} AS MATERIALIZED (
+      SELECT doc_id, val FROM (
+        SELECT doc_id, val, grp,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY val, doc_id) AS pos
+        FROM (
+          SELECT doc_id, val,
+                 CAST(('0x' || substring(md5('kllg{h}:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {ng} AS grp
+          FROM s{h}
+          WHERE (SELECT n FROM nn) > {gate}
+        )
+      )
+      WHERE pos % 2 = CASE WHEN substring(md5('kllc:{h}:' ||
+                           CAST(grp AS VARCHAR)), 1, 1)
+                           IN {_KLL_EVEN} THEN 0 ELSE 1 END
+      UNION ALL
+      SELECT doc_id, val FROM s{h}
+      WHERE (SELECT n FROM nn) <= {gate}
+    )""")
+    terms = " + ".join(
+        f"(CASE WHEN n > {_KLL_TOP * (1 << h)} THEN {1 << h} * "
+        f"CAST(CEIL(n / {(1 << h) * _KLL_CAP}.0) AS BIGINT) "
+        f"ELSE 0 END)"
+        for h in range(_KLL_HMAX)
+    )
+    cnt = " + ".join(
+        f"(CASE WHEN n > {_KLL_TOP * (1 << h)} THEN 1 ELSE 0 END)"
+        for h in range(_KLL_HMAX)
+    )
+    qvals = ", ".join(f"({q})" for q in _KLL_QS)
+    stage_block = ",\n    ".join(stages)
+    bnd = f"""bnd AS (
+      SELECT CAST(2 * ({terms})
+             + CAST(POWER(2, {cnt}) AS BIGINT) AS BIGINT) AS bound
+      FROM nn
+    )"""
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS val
+      FROM documents
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    s0 AS (SELECT doc_id, val FROM d),
+    {stage_block},
+    {_kll_tail_sql(f"s{_KLL_HMAX}", bnd, qvals)}
+    """
+
+
+def _kll_tail_sql(src: str, bnd_cte: str, qvals: str) -> str:
+    """Shared report tail: survivor ranking over the final-stage CTE
+    ``src``, per-quantile selection, exact-rank audit against ``d``,
+    and the within_bound gate — used verbatim by the batch sketch and
+    the ingest fold's replay so the report logic cannot drift."""
+    return f"""surv AS (
+      SELECT val, row_number() OVER (ORDER BY val, doc_id) AS r
+      FROM {src}
+    ),
+    scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM {src}),
+    {bnd_cte},
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qvals}) t(q)),
+    est AS (
+      SELECT t.q,
+             (SELECT sv.val FROM surv sv, scnt
+              WHERE sv.r = CAST(CEIL(t.q * scnt.s) AS BIGINT)) AS est
+      FROM qs t
+    )
+    SELECT e.q AS q, e.est AS est,
+           CAST(CEIL(e.q * (SELECT n FROM nn)) AS BIGINT) AS target_rank,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+            WHERE d.val < e.est) AS rank_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+            WHERE d.val <= e.est) AS rank_hi,
+           (SELECT bound FROM bnd) AS bound,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM d WHERE d.val < e.est)
+                          <= CEIL(e.q * (SELECT n FROM nn))
+                             + (SELECT bound FROM bnd)
+                      AND (SELECT COUNT(*) FROM d WHERE d.val <= e.est)
+                          >= CEIL(e.q * (SELECT n FROM nn))
+                             - (SELECT bound FROM bnd)
+                     THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM est e
+    ORDER BY q"""
+
+
+def _kll_fold_sql(n_slices: int) -> str:
+    """DuckDB replay of the INGEST fold: rank-deterministic contiguous
+    slices, then per slice the full gated cascade over (prior state
+    UNION the slice at level 0) with group counts derived from the
+    CUMULATIVE population — the exact per-batch evolution
+    run_streaming_kll_ingest executes, including the accumulated
+    error bound (2 * sum over (slice, active level) of 2^h * n_groups
+    + final top weight)."""
+    ctes = []
+    bound_terms = []
+    prev = None
+    for b in range(n_slices):
+        ctes.append(
+            f"""cum{b} AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM sliced WHERE sl <= {b}
+    )"""
+        )
+        seed = f"SELECT doc_id, val, 0 AS lvl FROM sliced WHERE sl = {b}"
+        if prev is None:
+            ctes.append(f"t{b}s0 AS ({seed})")
+        else:
+            ctes.append(
+                f"""t{b}s0 AS (
+      SELECT doc_id, val, lvl FROM {prev}
+      UNION ALL
+      {seed}
+    )"""
+            )
+        for h in range(_KLL_HMAX):
+            gate = _KLL_TOP * (1 << h)
+            ng = (
+                f"(SELECT CAST(CEIL(c / {(1 << h) * _KLL_CAP}.0) "
+                f"AS BIGINT) FROM cum{b})"
+            )
+            active = f"(SELECT c FROM cum{b}) > {gate}"
+            ctes.append(f"""t{b}s{h + 1} AS MATERIALIZED (
+      SELECT doc_id, val,
+             CASE WHEN lvl = {h} AND {active}
+                  THEN {h + 1} ELSE lvl END AS lvl
+      FROM (
+        SELECT doc_id, val, lvl, grp,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY val, doc_id) AS pos
+        FROM (
+          SELECT doc_id, val, lvl,
+                 CASE WHEN lvl = {h} AND {active} THEN
+                   CAST(('0x' || substring(md5('kllg{h}:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % {ng}
+                 ELSE -1 END AS grp
+          FROM t{b}s{h}
+        )
+      )
+      WHERE lvl <> {h}
+         OR (SELECT c FROM cum{b}) <= {gate}
+         OR pos % 2 = CASE WHEN substring(md5('kllc:{h}:' ||
+                           CAST(grp AS VARCHAR)), 1, 1)
+                           IN {_KLL_EVEN} THEN 0 ELSE 1 END
+    )""")
+            bound_terms.append(
+                f"(CASE WHEN (SELECT c FROM cum{b}) > {gate} THEN "
+                f"{1 << h} * (SELECT CAST(CEIL(c / "
+                f"{(1 << h) * _KLL_CAP}.0) AS BIGINT) FROM cum{b}) "
+                f"ELSE 0 END)"
+            )
+        prev = f"t{b}s{_KLL_HMAX}"
+    cnt_final = " + ".join(
+        f"(CASE WHEN (SELECT c FROM cum{n_slices - 1}) > "
+        f"{_KLL_TOP * (1 << h)} THEN 1 ELSE 0 END)"
+        for h in range(_KLL_HMAX)
+    )
+    bnd = f"""bnd AS (
+      SELECT CAST(2 * ({" + ".join(bound_terms)})
+             + CAST(POWER(2, {cnt_final}) AS BIGINT) AS BIGINT) AS bound
+    )"""
+    qvals = ", ".join(f"({q})" for q in _KLL_QS)
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS val
+      FROM documents
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    sliced AS MATERIALIZED (
+      SELECT doc_id, val,
+             CAST(((rnk - 1) * {n_slices}) // (SELECT n FROM nn)
+                  AS INT) AS sl
+      FROM (SELECT doc_id, val,
+                   row_number() OVER (ORDER BY doc_id) AS rnk
+            FROM d)
+    ),
+    {cte_block},
+    {_kll_tail_sql(prev, bnd, qvals)}
+    """
+
+
+def _kll_active_stages(n: int) -> list[int]:
+    """Stages that compact for a corpus of n items: level h fires while
+    the (expected) level population n / 2^h still exceeds the retained
+    top buffer — the closed-form twin of the oracle's per-stage
+    ``COUNT(*) > _KLL_TOP * 2^h`` gates (population halves per stage,
+    so expected-count and the gate agree deterministically on N)."""
+    h = 0
+    stages = []
+    while n > _KLL_TOP * (1 << h):
+        stages.append(h)
+        h += 1
+    assert len(stages) <= _KLL_HMAX, (
+        f"corpus of {n} rows exceeds the oracle's {_KLL_HMAX}-stage "
+        "unroll; raise _KLL_HMAX (both sides derive from the same rule)"
+    )
+    return stages
+
+
+def _kll_bound(n: int) -> int:
+    """Deterministic worst-case rank-error bound of the cascade: each
+    compaction of a weight-2^h group perturbs any rank by at most 2^h
+    (alternating keep of a sorted buffer: |2 * kept_below - orig_below|
+    <= 1), so the sketch-vs-data error is at most B = sum_h 2^h *
+    n_groups(h); total weight drifts by at most the same B, and reading
+    a quantile off the survivor list adds one survivor weight 2^H.
+    Bound: 2B + 2^H (derivation mirrored in tests/test_kll.py, which
+    asserts the realized error under it on shipped and adversarial
+    corpora)."""
+    import math
+
+    b = 0
+    stages = _kll_active_stages(n)
+    for h in stages:
+        b += (1 << h) * int(math.ceil(n / ((1 << h) * _KLL_CAP * 1.0)))
+    return 2 * b + (1 << len(stages))
+
+
+def _kll_grp_expr(h: int, ng: int):
+    """Level-h compactor group of a doc: salted md5 of doc_id mod the
+    level's group count — identical string/derivation on both engines."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"kllg{h}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(ng),
+    )
+
+
+def _kll_coin_expr(h: int):
+    """Level-h compaction coin of a group (reads the ``grp`` column):
+    parity of the first md5 hex digit of the salted group id."""
+    return F.when(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"kllc:{h}:"), F.col("grp").cast("string"))
+            ),
+            1,
+            1,
+        ).isin(*list("02468ace")),
+        0,
+    ).otherwise(1)
+
+
+def _kll_survivors(d, n: int):
+    """Run the compaction cascade over (doc_id, val) rows; returns the
+    survivor DataFrame (all rows at the final level).  Group and coin
+    draws are md5-derived from doc_id / group id with per-level salts,
+    so the cascade is a pure deterministic function of the data — the
+    DuckDB oracle replays it bit-for-bit, and physical partitioning
+    cannot change the result (pytested)."""
+    from pyspark.sql import Window
+
+    cur = d
+    for h in _kll_active_stages(n):
+        ng = -(-n // ((1 << h) * _KLL_CAP))
+        w = Window.partitionBy("grp").orderBy("val", "doc_id")
+        cur = (
+            cur.withColumn("grp", _kll_grp_expr(h, ng))
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") % 2 == _kll_coin_expr(h))
+            .select("doc_id", "val")
+        )
+    return cur
+
+
+@register(
+    "kll_quantile_sketch",
+    _kll_sql(),
+    doc="KLL-STYLE MERGEABLE QUANTILE SKETCH with a PROVEN deterministic "
+    "rank-error bound (r14 verdict item 3 — the sketch shelf's missing "
+    "class beside CMS/HLL/FM/AMS/Bloom and the fixed-range histogram: "
+    "rank-bounded quantiles on an UNBOUNDED domain).  A cascade of "
+    "KLL compactors with md5-seeded deterministic coins: level h "
+    "buckets items by a salted md5 of doc_id into ~n/(2^h * 32) "
+    "groups (expected 32 per group at every level), sorts each group, "
+    "keeps alternating elements chosen by the group's md5 coin, and "
+    "doubles their weight; levels stop once the population reaches "
+    "the 256-item retained top buffer.  Every compaction of a "
+    "weight-2^h group moves any rank by <= 2^h, giving the reported "
+    "closed-form bound (2 * sum_h 2^h * n_groups_h + 2^H); the query "
+    "reports p50/p99 estimates, their EXACT ranks in the full data "
+    "(rank_lo/rank_hi brackets for ties), the bound, and the "
+    "within_bound gate — true by theorem, asserted by pytest on "
+    "shipped + adversarial corpora.  Both engines replay the same "
+    "deterministic construction (md5 coins), so the sketch is "
+    "value-oracled bit-for-bit, unlike a seeded-RNG sketch.  100 TB "
+    "shape: level-h pass shuffles n/2^h rows on the group key (window "
+    "partitioned BY GROUP — never single-partition); the whole "
+    "cascade is ~2n shuffled rows total, survivors are O(top buffer), "
+    "and sketches of disjoint shards merge by unioning survivor sets "
+    "and resuming the cascade (mergeability pytested via the ingest "
+    "fold).",
+)
+def kll_quantile_sketch(spark, sf_dir):
+    from newyork_taxi_etl_spark.sources.readers import parquet_rowcount
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("val"),
+    )
+    n = parquet_rowcount(table_path(sf_dir, "documents"))
+    return _kll_report(spark, d, n)
+
+
+def _kll_report(spark, d, n: int, surv=None, bound: int | None = None):
+    """Survivors -> the per-quantile report (shared with the ingest
+    fold's drain, which passes its own accumulated fold bound).  The
+    survivor ranking window is bounded by the top buffer (~2 * _KLL_TOP
+    rows), so the single-partition sort is on a constant-size set."""
+    from pyspark.sql import Window
+
+    if surv is None:
+        surv = _kll_survivors(d, n)
+    wr = Window.orderBy("val", "doc_id")
+    ranked = surv.withColumn("r", F.row_number().over(wr)).withColumn(
+        "s", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    qdf = spark.createDataFrame([(q,) for q in _KLL_QS], "q double")
+    est = qdf.join(
+        ranked,
+        F.col("r") == F.ceil(F.col("q") * F.col("s")).cast("long"),
+    ).select("q", F.col("val").alias("est"))
+    if bound is None:
+        bound = _kll_bound(n)
+    ranks = (
+        d.crossJoin(F.broadcast(est))
+        .groupBy("q", "est")
+        .agg(
+            F.sum((F.col("val") < F.col("est")).cast("long"))
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum((F.col("val") <= F.col("est")).cast("long"))
+            .cast("bigint")
+            .alias("rank_hi"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.lit(float(n))).cast("bigint")
+    return ranks.select(
+        "q",
+        F.col("est").cast("bigint").alias("est"),
+        target.alias("target_rank"),
+        "rank_lo",
+        "rank_hi",
+        F.lit(bound).cast("bigint").alias("bound"),
+        (
+            (F.col("rank_lo") <= target + F.lit(bound))
+            & (F.col("rank_hi") >= target - F.lit(bound))
+        )
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("q")
+
+
+@register(
+    "streaming_kll_ingest",
+    _kll_fold_sql(3),
+    doc="KLL SKETCH AT INGEST — the thirteenth per-batch fold: the "
+    "bounded survivor set + (n_seen, accumulated bound) meta row ride "
+    "as swap-generation state while documents stream in rank-"
+    "deterministic doc_id-contiguous micro-batches; each batch enters "
+    "at level 0 and the cascade re-runs for the cumulative "
+    "population's active stages (md5 groups/coins — the batch "
+    "query's own salts), lifting batch and lower-level state rows to "
+    "the current top.  Compaction is deterministic, so a restarted "
+    "drain reproduces the sketch bit-for-bit; a re-FOLDED batch would "
+    "double-compact, so the fold is SIDECAR-GUARDED by the applied-"
+    "batch ledger (replay no-op pytested).  Sketch values legitimately "
+    "depend on batch boundaries (compactor merges are order-"
+    "sensitive); the invariant that holds under ANY slicing is the "
+    "accumulated deterministic rank-error bound, pytested at 2/3/5 "
+    "slices.  Oracle: the generated per-slice DuckDB replay of the "
+    "exact fold evolution (cumulative-population group counts, gated "
+    "stages, accumulated bound) — bit-for-bit.  State is O(top "
+    "buffer); each fold shuffles only the batch plus the bounded "
+    "survivor set.",
+)
+def streaming_kll_ingest(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+
+    from newyork_taxi_etl_spark.streaming import windows as W
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="nyetl_kllingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return W.run_streaming_kll_ingest(
+        spark, docs, work, cache_key=f"documents_kll:{sf_dir}"
+    )
+
+
+#: KMV/theta sketch size — 128 points bounds relative error on distinct
+#: estimates to ~1/sqrt(k-1) ≈ 8.9% (std), and Jaccard resolution to 1/k.
+_KMV_K = 128
+#: 2^60 as a double — the hash-point domain width (kmv_hash keeps 15 md5
+#: hex digits = 60 bits).
+_KMV_DOM = "1152921504606846976.0"
+
+_KMV_EST = (
+    "CASE WHEN {n} < " + str(_KMV_K) + " THEN CAST({n} AS DOUBLE) "
+    "ELSE " + str(_KMV_K - 1) + ".0 * " + _KMV_DOM + " / {theta} END"
+)
+
+
+@register(
+    "kmv_theta_sketch_setops",
+    f"""
+    WITH dv AS MATERIALIZED (
+      SELECT DISTINCT lang,
+             CAST(('0x' || substring(md5('kmv|' || tok), 1, 15)) AS BIGINT)
+               AS hv
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    nx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM dv GROUP BY lang),
+    sk AS MATERIALIZED (
+      SELECT lang, hv, rn FROM (
+        SELECT lang, hv,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY hv)
+                    AS INT) AS rn
+        FROM dv)
+      WHERE rn <= {_KMV_K}
+    ),
+    lsk AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s, MAX(hv) AS theta_l
+      FROM sk GROUP BY lang
+    ),
+    lest AS (
+      SELECT lang, {_KMV_EST.format(n='n_s', theta='theta_l')} AS est
+      FROM lsk
+    ),
+    pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+              FROM nx a JOIN nx b ON a.lang < b.lang),
+    u AS (
+      SELECT DISTINCT lang_a, lang_b, hv FROM (
+        SELECT p.lang_a, p.lang_b, s.hv
+        FROM pairs p JOIN sk s ON s.lang = p.lang_a
+        UNION ALL
+        SELECT p.lang_a, p.lang_b, s.hv
+        FROM pairs p JOIN sk s ON s.lang = p.lang_b)
+    ),
+    uk AS MATERIALIZED (
+      SELECT lang_a, lang_b, hv FROM (
+        SELECT lang_a, lang_b, hv,
+               CAST(row_number() OVER (PARTITION BY lang_a, lang_b
+                                       ORDER BY hv) AS INT) AS rn
+        FROM u)
+      WHERE rn <= {_KMV_K}
+    ),
+    fl AS (
+      SELECT uk.lang_a, uk.lang_b, uk.hv,
+             CASE WHEN sa.hv IS NOT NULL THEN 1 ELSE 0 END AS ina,
+             CASE WHEN sb.hv IS NOT NULL THEN 1 ELSE 0 END AS inb
+      FROM uk
+      LEFT JOIN sk sa ON sa.lang = uk.lang_a AND sa.hv = uk.hv
+      LEFT JOIN sk sb ON sb.lang = uk.lang_b AND sb.hv = uk.hv
+    ),
+    pagg AS (
+      SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_u,
+             CAST(SUM(ina * inb) AS BIGINT) AS n_both,
+             MAX(hv) AS theta
+      FROM fl GROUP BY 1, 2
+    ),
+    ab AS (
+      SELECT p.lang_a, p.lang_b, d.hv,
+             MAX(CASE WHEN d.lang = p.lang_a THEN 1 ELSE 0 END) AS ina,
+             MAX(CASE WHEN d.lang = p.lang_b THEN 1 ELSE 0 END) AS inb
+      FROM pairs p JOIN dv d ON d.lang IN (p.lang_a, p.lang_b)
+      GROUP BY 1, 2, 3
+    ),
+    ex AS (
+      SELECT lang_a, lang_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_union,
+             CAST(SUM(ina * inb) AS BIGINT) AS exact_inter
+      FROM ab GROUP BY 1, 2
+    )
+    SELECT g.lang_a, g.lang_b,
+           na.n_exact AS n_a_exact, nb.n_exact AS n_b_exact,
+           ROUND(ea.est, 4) AS est_a, ROUND(eb.est, 4) AS est_b,
+           ROUND({_KMV_EST.format(n='g.n_u', theta='g.theta')}, 4)
+             AS est_union,
+           ROUND(CAST(g.n_both AS DOUBLE) / g.n_u, 4) AS jaccard_kmv,
+           ROUND(CAST(g.n_both AS DOUBLE) / g.n_u
+                 * ({_KMV_EST.format(n='g.n_u', theta='g.theta')}), 4)
+             AS est_inter,
+           ex.exact_union, ex.exact_inter,
+           ROUND(CAST(ex.exact_inter AS DOUBLE) / ex.exact_union, 4)
+             AS jaccard_exact
+    FROM pagg g
+    JOIN ex USING (lang_a, lang_b)
+    JOIN nx na ON na.lang = g.lang_a
+    JOIN nx nb ON nb.lang = g.lang_b
+    JOIN lest ea ON ea.lang = g.lang_a
+    JOIN lest eb ON eb.lang = g.lang_b
+    ORDER BY lang_a, lang_b
+    """,
+    doc="KMV (bottom-k / theta) sketch with SET OPERATIONS — the sketch "
+    "class the shelf was missing: CMS does frequencies, HLL/FM distinct "
+    "counts, Bloom membership, KLL quantiles, but only a theta-style "
+    "sketch answers distinct-UNION / distinct-INTERSECTION / Jaccard "
+    "between sets without re-scanning either (HLL intersections need "
+    "inclusion-exclusion with compounding error and no Jaccard). Per "
+    "language the k=128 smallest 60-bit md5 points of the distinct "
+    "token set form the sketch; pair union re-ranks the pooled points "
+    "(theta = k-th smallest), intersection counts union-bottom-k points "
+    "present in BOTH per-set sketches (exact membership: a union-bottom-k "
+    "point of set A is provably in A's own bottom-k), est_inter = "
+    "jaccard_kmv * est_union. 100 TB shape: the only corpus-sized work "
+    "is the distinct (map-side combined) and a WindowGroupLimit min-k "
+    "(per-task prune to k before the exchange); every pairwise estimate "
+    "then runs on lang x 128-row sketches — mergeable across shards by "
+    "pooling points, like every sketch on the shelf. exact_union / "
+    "exact_inter / jaccard_exact are AUDIT columns (O(distinct) — the "
+    "thing the sketch avoids; shipped here so the driver gate "
+    "value-checks estimator and truth together; est_union within 9% "
+    "rel. error of exact at k=128). Deterministic: md5 points, no rng.",
+)
+def kmv_theta_sketch_setops(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.sketch import kmv_bottom_k, kmv_hash
+
+    k = _KMV_K
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dv = toks.select("lang", kmv_hash("tok").alias("hv")).distinct()
+    nx = dv.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    sk = kmv_bottom_k(dv, ["lang"], k)
+
+    def _est(n, theta):
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / theta
+        )
+
+    lest = sk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.max("hv").alias("theta_l"),
+    ).select("lang", _est(F.col("n_s"), F.col("theta_l")).alias("est"))
+
+    langs = nx.select("lang")
+    pairs = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+    )
+    mem = sk.select("lang", "hv")
+    ua = pairs.join(
+        F.broadcast(mem.withColumnRenamed("lang", "lang_a")), "lang_a"
+    ).select("lang_a", "lang_b", "hv")
+    ub = pairs.join(
+        F.broadcast(mem.withColumnRenamed("lang", "lang_b")), "lang_b"
+    ).select("lang_a", "lang_b", "hv")
+    uk = kmv_bottom_k(
+        ua.union(ub).distinct(), ["lang_a", "lang_b"], k
+    ).drop("rn")
+    in_a = mem.select(
+        F.col("lang").alias("lang_a"), "hv", F.lit(1).alias("ina")
+    )
+    in_b = mem.select(
+        F.col("lang").alias("lang_b"), "hv", F.lit(1).alias("inb")
+    )
+    pagg = (
+        uk.join(F.broadcast(in_a), ["lang_a", "hv"], "left")
+        .join(F.broadcast(in_b), ["lang_b", "hv"], "left")
+        .fillna(0, ["ina", "inb"])
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_both"),
+            F.max("hv").alias("theta"),
+        )
+    )
+    ab = (
+        F.broadcast(pairs)
+        .join(
+            dv,
+            (dv["lang"] == F.col("lang_a")) | (dv["lang"] == F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b", "hv")
+        .agg(
+            F.max((F.col("lang") == F.col("lang_a")).cast("int")).alias("ina"),
+            F.max((F.col("lang") == F.col("lang_b")).cast("int")).alias("inb"),
+        )
+    )
+    ex = ab.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("exact_inter"),
+    )
+    est_u = _est(F.col("n_u"), F.col("theta"))
+    return (
+        pagg.join(ex, ["lang_a", "lang_b"])
+        .join(
+            F.broadcast(nx.withColumnRenamed("lang", "lang_a")
+                        .withColumnRenamed("n_exact", "n_a_exact")),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(nx.withColumnRenamed("lang", "lang_b")
+                        .withColumnRenamed("n_exact", "n_b_exact")),
+            "lang_b",
+        )
+        .join(
+            F.broadcast(lest.withColumnRenamed("lang", "lang_a")
+                        .withColumnRenamed("est", "est_a_raw")),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(lest.withColumnRenamed("lang", "lang_b")
+                        .withColumnRenamed("est", "est_b_raw")),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a_exact",
+            "n_b_exact",
+            F.round("est_a_raw", 4).alias("est_a"),
+            F.round("est_b_raw", 4).alias("est_b"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(F.col("n_both").cast("double") / F.col("n_u"), 4)
+              .alias("jaccard_kmv"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_u") * est_u, 4
+            ).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+            F.round(
+                F.col("exact_inter").cast("double") / F.col("exact_union"), 4
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

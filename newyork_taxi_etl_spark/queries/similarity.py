@@ -7227,6 +7227,13 @@ _IVF_COARSE_ADAPTIVE = _IVF_COARSE_CTES.replace(
     f"LIMIT (SELECT GREATEST(8, COUNT(*) // {_SEMDEDUP_CELL}) FROM emb))",
     1,
 )
+# r14 ADVICE: the textual patch must fail loudly if _IVF_COARSE_CTES is
+# ever reformatted — a silent no-op would pin the oracle at k=8 while the
+# Spark side scales k, diverging exactly at corpora > 8 * _SEMDEDUP_CELL.
+assert _IVF_COARSE_ADAPTIVE != _IVF_COARSE_CTES, (
+    "_IVF_COARSE_CTES lost its 'LIMIT 8)' seed literal; the adaptive-k "
+    "substitution no-oped"
+)
 
 
 @register(
@@ -7297,8 +7304,13 @@ def semantic_dedup_kmeans(spark, sf_dir):
     )
     # constant cluster SIZE (the SemDeDup contract): k grows with the
     # corpus once cells would exceed ~750 members; at every shipped SF
-    # this is the shared k=8 build
-    k = max(8, emb.count() // _SEMDEDUP_CELL)
+    # this is the shared k=8 build.  n comes from the parquet footer
+    # (exact, zero Spark jobs) so a centroid-stage cache hit skips the
+    # corpus entirely (r14 ADVICE).
+    from newyork_taxi_etl_spark.sources.readers import parquet_rowcount
+
+    k = max(8, parquet_rowcount(table_path(sf_dir, "embeddings"))
+            // _SEMDEDUP_CELL)
     cent = _ivf_centroids_cached(spark, emb, sf_dir, k=k)
     cent_row = cent.agg(
         F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
@@ -7594,3 +7606,291 @@ def coreset_kcenter_select(spark, sf_dir):
     return spark.createDataFrame(
         out, "step int, center_id bigint, radius double"
     ).orderBy("step")
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH q0 AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id = 0
+    ),
+    toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id <> 0
+    ),
+    posting AS (
+      SELECT doc_id, tok, dl, COUNT(*) AS tf
+      FROM toks WHERE tok IN (SELECT tok FROM q0)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM posting GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents WHERE doc_id <> 0
+    ),
+    bscore AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 4) AS bm25
+      FROM posting JOIN dfreq USING (tok), stats
+      GROUP BY doc_id
+    ),
+    bleg AS (
+      SELECT doc_id, bm25_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                 AS bm25_rank
+        FROM bscore)
+      WHERE bm25_rank <= 20
+    ),
+    cscore AS (
+      SELECT c.vec_id AS doc_id,
+             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = 0
+    ),
+    cleg AS (
+      SELECT doc_id, cos_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+                 AS cos_rank
+        FROM cscore)
+      WHERE cos_rank <= 20
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(c.cos_rank AS BIGINT) AS cos_rank,
+           ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0.0)
+                 + COALESCE(1.0 / (60 + c.cos_rank), 0.0), 6) AS rrf_score
+    FROM bleg b FULL OUTER JOIN cleg c ON b.doc_id = c.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+    doc="HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, k=60): the "
+    "sparse leg scores BM25 more-like-this against the distinct tokens "
+    "of seed document 0 (corpus = everything else; the query side is a "
+    "broadcast LEFT SEMI prune of the posting scan), the dense leg is "
+    "exact cosine top-20 to the seed's embedding (doc_id/vec_id aligned "
+    "namespaces), and the fused score sums 1/(60+rank) over the legs a "
+    "document appears in — rank fusion needs no score calibration "
+    "between BM25's unbounded scale and cosine's [-1,1], which is why "
+    "RRF is the production default for lexical+vector RAG retrieval. "
+    "Both legs end at tiny top-20 frames, so the FULL OUTER fusion join "
+    "and final top-10 are driver-trivial; the corpus-sized work is one "
+    "posting scan (term-pruned) and one broadcast cosine pass, each "
+    "independently the shape its single-leg query already ships at "
+    "scale. NULL rank = that leg did not retrieve the doc.",
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators import curation as C
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    qterms = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") != 0)
+    bscore = C.bm25_scores(corpus, qterms)
+    # top-20 FIRST (TakeOrderedAndProject — per-task heaps, no global
+    # sort), then rank the 20-row frame; a bare global row_number here
+    # would single-partition-sort every matching doc.
+    bleg = (
+        bscore.orderBy(F.desc("bm25"), F.col("doc_id"))
+        .limit(20)
+        .withColumn(
+            "bm25_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "bm25_rank")
+    )
+    cleg = (
+        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(
+            F.col("cand_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("cos_rank"),
+        )
+    )
+    fused = bleg.join(cleg, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+        F.col("cos_rank").cast("bigint").alias("cos_rank"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+#: DBSCAN gate parameters over the 512-vector exact slice: cosine >= tau
+#: defines the eps-neighborhood, >= 4 neighbors (self excluded) makes a
+#: core point. tau sits where the corpus's similarity tail still yields
+#: tens of cores and a few hundred edges at every shipped SF.
+_DBSCAN_TAU = 0.33
+_DBSCAN_MINNB = 4
+_DBSCAN_SLICE = 512
+
+
+@register(
+    "dbscan_embedding_clusters",
+    f"""
+    WITH RECURSIVE e0 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_DBSCAN_SLICE}
+    ),
+    p AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')}
+            >= {_DBSCAN_TAU}
+    ),
+    sym AS MATERIALIZED (
+      SELECT ia AS u, ib AS v FROM p
+      UNION ALL
+      SELECT ib AS u, ia AS v FROM p
+    ),
+    core AS MATERIALIZED (
+      SELECT u FROM sym GROUP BY u HAVING COUNT(*) >= {_DBSCAN_MINNB}
+    ),
+    csym AS MATERIALIZED (
+      SELECT s.u, s.v FROM sym s
+      WHERE s.u IN (SELECT u FROM core) AND s.v IN (SELECT u FROM core)
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM csym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN csym s ON r.v = s.u
+    ),
+    comp0 AS (
+      SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    ccl AS MATERIALIZED (
+      SELECT c.u AS node, COALESCE(k.component, c.u) AS cluster
+      FROM core c LEFT JOIN comp0 k ON k.node = c.u
+    ),
+    bord AS MATERIALIZED (
+      SELECT s.u AS node, MIN(ccl.cluster) AS cluster
+      FROM sym s JOIN ccl ON ccl.node = s.v
+      WHERE s.u NOT IN (SELECT u FROM core)
+      GROUP BY s.u
+    ),
+    clusters AS (
+      SELECT cluster,
+             SUM(is_core) AS n_core, SUM(1 - is_core) AS n_border
+      FROM (
+        SELECT cluster, 1 AS is_core FROM ccl
+        UNION ALL
+        SELECT cluster, 0 AS is_core FROM bord
+      ) GROUP BY cluster
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster_id,
+           CAST(n_core AS BIGINT) AS n_core,
+           CAST(n_border AS BIGINT) AS n_border,
+           CAST(n_core + n_border AS BIGINT) AS n_points
+    FROM clusters
+    UNION ALL
+    SELECT -1, 0, 0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e0
+            WHERE vec_id NOT IN (SELECT node FROM ccl)
+              AND vec_id NOT IN (SELECT node FROM bord))
+    ORDER BY cluster_id
+    """,
+    doc=f"DBSCAN density clustering over the embedding space (exact "
+    f"{_DBSCAN_SLICE}-vector slice, cosine >= {_DBSCAN_TAU} neighborhood, "
+    f">= {_DBSCAN_MINNB} neighbors => core): core points cluster by "
+    f"connected components over the core-core eps-graph (same bounded "
+    f"label-propagation operator as dedup/linkage; a core with no core "
+    f"neighbor is its own singleton cluster — CC omits edge-less nodes, "
+    f"so the label join COALESCEs to self), border points attach to the "
+    f"MIN cluster id among their core neighbors (deterministic tie "
+    f"break), everything else is noise (cluster_id = -1 row). The "
+    f"density-based complement of the centroid family (SemDeDup/k-means "
+    f"prototypes): finds arbitrary-shape clusters and an explicit noise "
+    f"set instead of forcing every point to a centroid. The exact "
+    f"pairwise slice is the audit baseline exactly as lsh_band_sweep's "
+    f"truth set — the scale path swaps the O(n^2) candidate CTE for the "
+    f"banded-LSH candidate join (identical downstream core/CC/border "
+    f"algebra) and shards CC by component as operators/graph already "
+    f"does. Oracle replays CC as a recursive-CTE transitive closure.",
+)
+def dbscan_embedding_clusters(spark, sf_dir):
+    from newyork_taxi_etl_spark.operators.graph import connected_components
+
+    emb = (
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < _DBSCAN_SLICE)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .filter(S.cosine_expr("va", "vb") >= _DBSCAN_TAU)
+        .select("ia", "ib")
+    )
+    sym = pairs.union(pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
+    core = (
+        sym.groupBy(F.col("ia").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= _DBSCAN_MINNB)
+        .select("node")
+    )
+    core_edges = (
+        pairs.join(
+            F.broadcast(core.withColumnRenamed("node", "ia")), "ia", "left_semi"
+        )
+        .join(
+            F.broadcast(core.withColumnRenamed("node", "ib")), "ib", "left_semi"
+        )
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    comps = connected_components(core_edges, loop_partitions=4)
+    ccl = core.join(
+        F.broadcast(comps), "node", "left"
+    ).select("node", F.coalesce("component", "node").alias("cluster"))
+    bord = (
+        sym.join(F.broadcast(core.withColumnRenamed("node", "ia")),
+                 "ia", "left_anti")
+        .join(
+            F.broadcast(ccl.select(F.col("node").alias("ib"), "cluster")), "ib"
+        )
+        .groupBy(F.col("ia").alias("node"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    members = ccl.select("cluster", F.lit(1).alias("is_core")).union(
+        bord.select("cluster", F.lit(0).alias("is_core"))
+    )
+    clusters = members.groupBy("cluster").agg(
+        F.sum("is_core").cast("bigint").alias("n_core"),
+        F.sum(1 - F.col("is_core")).cast("bigint").alias("n_border"),
+    ).select(
+        F.col("cluster").cast("bigint").alias("cluster_id"),
+        "n_core",
+        "n_border",
+        (F.col("n_core") + F.col("n_border")).cast("bigint").alias("n_points"),
+    )
+    assigned = ccl.select("node").union(bord.select("node"))
+    noise = (
+        emb.join(F.broadcast(assigned), emb["vec_id"] == assigned["node"],
+                 "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .select(
+            F.lit(-1).cast("bigint").alias("cluster_id"),
+            F.lit(0).cast("bigint").alias("n_core"),
+            F.lit(0).cast("bigint").alias("n_border"),
+            "n_points",
+        )
+    )
+    return clusters.union(noise).orderBy("cluster_id")

@@ -5232,3 +5232,224 @@ def bpe_merge_gain_curve(spark, sf_dir):
         "round int, merge_taken string, merge_n bigint, "
         "total_syms bigint, fertility double, fertility_gain double",
     ).orderBy("round")
+
+
+# --- Tokenizer family bake-off (r14 verdict item 5) -------------------------
+
+_BAKEOFF_SQL = f"""
+    WITH long AS (
+      SELECT 'bpe' AS family, split, lang, n_instances,
+             bpe_symbols AS symbols, bpe_fertility AS fertility
+      FROM ({_BPE_HOLDOUT_SQL})
+      UNION ALL
+      SELECT 'wordpiece' AS family, split, lang, n_instances,
+             wp_symbols AS symbols, wp_fertility AS fertility
+      FROM ({_WP_HOLDOUT_SQL})
+      UNION ALL
+      SELECT 'unigram' AS family, split, lang, n_instances,
+             uni_pieces AS symbols, uni_fertility AS fertility
+      FROM ({_UNI_HOLDOUT_SQL})
+      UNION ALL
+      SELECT 'bytebpe' AS family, split, lang, n_instances,
+             bb_symbols AS symbols, bb_fertility AS fertility
+      FROM ({_BYTEBPE_HOLDOUT_SQL})
+    ),
+    piv AS (
+      SELECT family, lang,
+             MAX(CASE WHEN split = 'train' THEN fertility END)
+               AS train_fertility,
+             MAX(CASE WHEN split = 'holdout' THEN fertility END)
+               AS holdout_fertility,
+             MAX(CASE WHEN split = 'holdout' THEN symbols END)
+               AS hold_symbols
+      FROM long GROUP BY family, lang
+    ),
+    hw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % 5 = 0)
+      WHERE w <> '' GROUP BY lang, w
+    ),
+    hchars AS (
+      SELECT lang, CAST(SUM(cnt * len(w)) AS BIGINT) AS n_chars
+      FROM hw GROUP BY lang
+    ),
+    trainchars AS (
+      SELECT DISTINCT ch FROM (
+        SELECT unnest(list_transform(range(1, len(w) + 1),
+                                     i -> w[i:i])) AS ch
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 5 <> 0)
+        WHERE w <> ''
+      )
+    ),
+    oovw AS (
+      SELECT w, MAX(CASE WHEN tc.ch IS NULL THEN 1 ELSE 0 END) AS oov
+      FROM (
+        SELECT DISTINCT w,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> w[i:i])) AS ch
+        FROM hw
+      ) wc
+      LEFT JOIN trainchars tc ON tc.ch = wc.ch
+      GROUP BY w
+    ),
+    fb AS (
+      SELECT hw.lang,
+             ROUND(SUM(CASE WHEN o.oov = 1 THEN hw.cnt ELSE 0 END)
+                   / CAST(SUM(hw.cnt) AS DOUBLE), 6) AS fallback
+      FROM hw JOIN oovw o ON o.w = hw.w
+      GROUP BY hw.lang
+    )
+    SELECT p.family AS family, p.lang AS lang,
+           p.train_fertility AS train_fertility,
+           p.holdout_fertility AS holdout_fertility,
+           ROUND(p.holdout_fertility / p.train_fertility, 6)
+             AS degradation,
+           ROUND(h.n_chars / CAST(p.hold_symbols AS DOUBLE), 6)
+             AS chars_per_token,
+           CASE WHEN p.family = 'bytebpe' THEN 0.0
+                ELSE f.fallback END AS fallback_rate
+    FROM piv p
+    JOIN hchars h ON h.lang = p.lang
+    JOIN fb f ON f.lang = p.lang
+    ORDER BY family, lang
+    """
+
+
+@register(
+    "tokenizer_family_bakeoff",
+    _BAKEOFF_SQL,
+    doc="TOKENIZER FAMILY BAKE-OFF (r14 verdict item 5) — the one table "
+    "a data team reads to pick a vocabulary: for each of the four "
+    "shipped families (BPE, WordPiece, unigram-LM, byte-BPE) x "
+    "language, the train and holdout fertility from the SAME shared "
+    "trainer/apply folds as the single-family queries (the Spark side "
+    "invokes those registered builders directly and the oracle embeds "
+    "their exact SQL as subqueries — by construction the numbers "
+    "CANNOT drift, and the consistency pytest pins every column to "
+    "the standalone outputs), the holdout degradation ratio "
+    "(memorization signal), holdout chars-per-token (compression: "
+    "corpus chars over emitted symbols — corpus chars are family-"
+    "independent, so one CTE serves all four), and the char-fallback "
+    "rate: the share of holdout word instances containing a character "
+    "absent from the training split's alphabet — the instances a "
+    "char-vocab tokenizer must <unk>/byte-fallback, and exactly 0 for "
+    "byte-BPE whose 256-byte base alphabet is total (the byte path's "
+    "selling point, visible in the table).  Scale: four vocab-sized "
+    "training folds + one vocab-sized char-coverage join; nothing "
+    "corpus-sized shuffles twice.",
+)
+def tokenizer_family_bakeoff(spark, sf_dir):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    fams = (
+        ("bpe", bpe_holdout_fertility, "bpe_symbols", "bpe_fertility"),
+        ("wordpiece", wordpiece_holdout_fertility, "wp_symbols",
+         "wp_fertility"),
+        ("unigram", unigram_holdout_fertility, "uni_pieces",
+         "uni_fertility"),
+        ("bytebpe", bytebpe_holdout_fertility, "bb_symbols",
+         "bb_fertility"),
+    )
+    legs = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("family"),
+            "split",
+            "lang",
+            F.col(sym).alias("symbols"),
+            F.col(fert).alias("fertility"),
+        )
+        for name, fn, sym, fert in fams
+    ]
+    long = legs[0]
+    for leg in legs[1:]:
+        long = long.unionByName(leg)
+    piv = long.groupBy("family", "lang").agg(
+        F.max(
+            F.when(F.col("split") == "train", F.col("fertility"))
+        ).alias("train_fertility"),
+        F.max(
+            F.when(F.col("split") == "holdout", F.col("fertility"))
+        ).alias("holdout_fertility"),
+        F.max(
+            F.when(F.col("split") == "holdout", F.col("symbols"))
+        ).alias("hold_symbols"),
+    )
+    hw = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    hchars = hw.groupBy("lang").agg(
+        F.sum(F.col("cnt") * F.length("w")).cast("bigint").alias("n_chars")
+    )
+    trainchars = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, i, 1))"
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    oovw = (
+        hw.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> substring(w, i, 1))"
+                )
+            ).alias("ch"),
+        )
+        .join(F.broadcast(trainchars), "ch", "left")
+        .groupBy("w")
+        .agg(
+            F.max(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "oov"
+            )
+        )
+    )
+    fb = (
+        hw.join(oovw, "w")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("oov") == 1, F.col("cnt")).otherwise(0)
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("fallback")
+        )
+    )
+    return (
+        piv.join(F.broadcast(hchars), "lang")
+        .join(F.broadcast(fb), "lang")
+        .select(
+            "family",
+            "lang",
+            "train_fertility",
+            "holdout_fertility",
+            F.round(
+                F.col("holdout_fertility") / F.col("train_fertility"), 6
+            ).alias("degradation"),
+            F.round(
+                F.col("n_chars") / F.col("hold_symbols").cast("double"), 6
+            ).alias("chars_per_token"),
+            F.when(F.col("family") == "bytebpe", F.lit(0.0))
+            .otherwise(F.col("fallback"))
+            .alias("fallback_rate"),
+        )
+        .orderBy("family", "lang")
+    )

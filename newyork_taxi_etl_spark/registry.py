@@ -446,6 +446,21 @@ _CHANGED_SINCE_VERIFY = frozenset({
     # change for both consumers, so both re-check.
     "sequence_pack_bestfit",
     "packing_budget_curve",
+    # r15 (r14 verdict #6 + ADVICE) — the Bloom ledger gains the
+    # n_norms_audit column on both engines (deployable-state / audit-
+    # sidecar split) and the ingest fold's stage key now interpolates
+    # its real n_slices; values change (new column), both re-check.
+    "dedup_bloom_gate",
+    "streaming_bloom_gate_ingest",
+    # r15 ADVICE — semantic_dedup_kmeans derives its adaptive k from the
+    # parquet footer rowcount instead of a Spark count job (values
+    # identical, but the k-derivation input changed, so it re-checks).
+    "semantic_dedup_kmeans",
+    # r15 ADVICE — the phash oracle now densifies every doc to all 64
+    # blocks (empty/sub-4-band docs carry real fingerprints instead of
+    # being dropped / NULLing bv[4]); shipped-corpus values identical,
+    # oracle text changed, so it re-checks.
+    "dedup_multimodal_phash",
 })
 
 def _tier(name: str) -> int:

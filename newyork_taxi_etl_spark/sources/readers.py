@@ -34,6 +34,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_rowcount(path: str) -> int:
+    """Exact row count of a parquet file/directory from footer metadata —
+    no Spark job, no data pages read (r14 ADVICE: adaptive-k derivations
+    on otherwise fully stage-cached paths should not pay a corpus scan
+    just to learn n).  Footer num_rows is exact by the parquet spec, so
+    this equals ``spark.read.parquet(path).count()``."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                total += pq.ParquetFile(
+                    os.path.join(root, fn)
+                ).metadata.num_rows
+    return total
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -164,6 +164,14 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("quality_distillation_audit", 15),     # r14 new, verified r14
         ("sequence_pack_bestfit", 1),   # r15-changed: sharded BFD group key
         ("packing_budget_curve", 1),    # r15-changed: sharded BFD group key
+        ("dedup_bloom_gate", 1),        # r15-changed: n_norms_audit column
+        ("streaming_bloom_gate_ingest", 1),  # r15-changed: ledger + key
+        ("semantic_dedup_kmeans", 1),   # r15-changed: footer-derived k
+        ("dedup_multimodal_phash", 1),  # r15-changed: densified oracle
+        ("kll_quantile_sketch", 0),             # r15 new: never verified
+        ("streaming_kll_ingest", 0),            # r15 new: never verified
+        ("dedup_multimodal_phash_dct", 0),      # r15 new: never verified
+        ("tokenizer_family_bakeoff", 0),        # r15 new: never verified
     ):
         assert registry._tier(probe) == want, probe
 

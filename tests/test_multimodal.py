@@ -102,3 +102,134 @@ def test_phash_near_dup_found_distinct_not(spark, tmp_path):
     assert sorted(pairs.items()) == sorted(
         ((r[0], r[1]), r[2]) for r in oracle
     )
+
+
+# Planted 64-block corpus, found by seeded search against the exact
+# integer pipeline (tests/test_multimodal.py history): base block byte
+# values (32 x 93, 32 x 101 -> global mean 97, margin 4 per block), and a
+# +/-1-per-block zero-sum warp that keeps every block mean strictly on
+# its side of the unchanged global mean (blockhash Hamming 0) while
+# flipping 9 DCT coefficient signs.
+_BASE_VALS = [
+    93, 93, 93, 93, 101, 101, 93, 101, 101, 101, 93, 93, 93, 93, 93, 93,
+    93, 101, 101, 101, 93, 93, 93, 101, 93, 93, 101, 101, 101, 101, 93,
+    101, 101, 101, 101, 101, 93, 93, 101, 101, 101, 101, 101, 93, 101,
+    93, 93, 93, 93, 93, 101, 101, 101, 93, 93, 101, 101, 93, 93, 101,
+    93, 93, 101, 101,
+]
+_WARP = [
+    1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1,
+    -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1,
+    -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1,
+    1, 1, 1, 1, 1, -1,
+]
+
+
+def _block_blob(vals):
+    """512-byte blob of 64 8-byte constant blocks."""
+    return "".join(chr(v) * 8 for v in vals)
+
+
+def test_dct_phash_catches_block_mean_preserving_warp(spark, tmp_path):
+    """r14 verdict item 4: a +/-1-per-block, zero-sum warp keeps every
+    block mean strictly on its side of the global mean (margin 4), so
+    blockhash reports the warped blob as a Hamming-0 duplicate of the
+    base — a FALSE dup.  The integer DCT-II hash sees the block-mean
+    surface itself: 9 coefficient signs flip, the pair fails the
+    Hamming <= 8 verify, and only the genuinely perturbed copy (one
+    block's mean nudged by 1 — DCT Hamming 2) survives.  Oracle
+    agreement is asserted on the planted corpus for the DCT variant
+    (the relational coef-fold must replay the numpy matmul bit-for-bit
+    off the shipped corpus too)."""
+    import duckdb
+
+    from newyork_taxi_etl_spark import registry
+
+    base = _block_blob(_BASE_VALS)
+    warped = _block_blob(
+        [v + d for v, d in zip(_BASE_VALS, _WARP)]
+    )
+    nvals = list(_BASE_VALS)
+    nvals[13] += 1
+    near = _block_blob(nvals)  # 1 block mean nudged: true near-dup
+    spark.createDataFrame(
+        [
+            (1, "en", "web", base),
+            (2, "en", "web", warped),
+            (3, "en", "web", near),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    block = {
+        (r.id_a, r.id_b): r.hamming
+        for r in registry.queries()["dedup_multimodal_phash"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    dct = {
+        (r.id_a, r.id_b): r.hamming
+        for r in registry.queries()["dedup_multimodal_phash_dct"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # blockhash: the warp is invisible (false dup at Hamming 0)
+    assert block.get((1, 2)) == 0, block
+    # DCT: the warp is caught (pair absent), the true near-dup is kept
+    assert (1, 2) not in dct, dct
+    assert (1, 3) in dct, dct
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        registry.oracle_sql()["dedup_multimodal_phash_dct"]
+    ).fetchall()
+    con.close()
+    assert sorted(dct.items()) == sorted(
+        ((r[0], r[1]), r[2]) for r in oracle
+    )
+
+
+def test_phash_oracles_handle_degenerate_docs(spark, tmp_path):
+    """r14 ADVICE: empty and 1-char documents must carry the same
+    always-4-band fingerprint on both engines — two empty docs are a
+    Hamming-0 pair in Spark AND the densified oracle (the sparse SQL
+    dropped them entirely), and a 1-char doc no longer NULLs bv[4]."""
+    import duckdb
+
+    from newyork_taxi_etl_spark import registry
+
+    spark.createDataFrame(
+        [
+            (1, "en", "web", ""),
+            (2, "en", "web", ""),
+            (3, "en", "web", "q"),
+            (4, "en", "web", "q"),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for name in ("dedup_multimodal_phash", "dedup_multimodal_phash_dct"):
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in registry.queries()[name](spark, str(tmp_path)).collect()
+        )
+        oracle = sorted(
+            tuple(r) for r in con.execute(
+                registry.oracle_sql()[name]
+            ).fetchall()
+        )
+        assert got == oracle, (name, got, oracle)
+        assert (1, 2, 0) in got, (name, got)  # empty pair present
+    con.close()

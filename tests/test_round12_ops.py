@@ -399,6 +399,47 @@ def test_stage_cache_build_once_and_atomic(spark, tmp_path):
     assert d4 == d1 and len(calls) == 3
 
 
+def test_stage_cache_invalidates_on_corpus_change(tmp_path):
+    """r14 ADVICE (medium): a stage keyed on a source dir must NOT serve
+    a stale trained artifact after the parquet under that dir is
+    regenerated — the corpus fingerprint (file inventory + sizes +
+    mtimes) is folded into the key, so a regeneration lands in a fresh
+    cache generation and rebuilds; an untouched corpus still hits."""
+    import os
+    import uuid
+
+    from newyork_taxi_etl_spark.streaming.windows import (
+        _fingerprinted_key,
+        _stage_cached,
+    )
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    (src / "documents.parquet").write_text("gen1" * 10)
+
+    calls = []
+
+    def build(target):
+        calls.append(target)
+        os.makedirs(target, exist_ok=True)
+        (tmp_path / "marker").write_text("x")
+        with open(os.path.join(target, "out"), "w") as f:
+            f.write("x")
+
+    key = f"pytest-fp-{uuid.uuid4().hex}:{src}"
+    d1 = _stage_cached(str(tmp_path / "a"), key, build)
+    d2 = _stage_cached(str(tmp_path / "b"), key, build)
+    assert d1 == d2 and len(calls) == 1  # untouched corpus: cache hit
+    # regenerate the corpus (different size => different fingerprint
+    # even under coarse mtime resolution)
+    (src / "documents.parquet").write_text("generation-two" * 10)
+    d3 = _stage_cached(str(tmp_path / "c"), key, build)
+    assert len(calls) == 2, "stale stage served after corpus regeneration"
+    assert d3 != d1
+    # keys with no path segment are unchanged by the fold
+    assert _fingerprinted_key("plain-key:stage3") == "plain-key:stage3"
+
+
 def test_hd_rotation_is_orthogonal_and_l2_preserving(spark):
     """The Hadamard x sign rotation must be exactly orthogonal (R'R = I
     in exact arithmetic — verified via numpy on the literal matrix) and

@@ -91,6 +91,28 @@ def test_bestfit_packing_conservation_and_capacity(spark):
     ).all()
 
 
+def test_bestfit_shard_group_bound(spark):
+    """r14 verdict item 1: the BFD group key is (source, shard) with
+    shard = md5(doc_id) % ceil(domain_count / target) — at the
+    registered target=16 every shipped 25-doc source splits into
+    exactly ceil(25/16)=2 shards, every (source, shard) pandas group
+    is strictly smaller than the unsharded domain (the bounded-memory
+    guarantee), and doc counts conserve across the split."""
+    from newyork_taxi_etl_spark import registry
+
+    got = registry.queries()["sequence_pack_bestfit"](
+        spark, SF_SMOKE
+    ).toPandas()
+    per_group = got.groupby(["source", "shard"])["n_docs"].sum()
+    per_source = got.groupby("source")["n_docs"].sum()
+    assert (per_source == 25).all()
+    shards = got.groupby("source")["shard"].nunique()
+    assert (shards == 2).all(), shards
+    # hash-balanced: no group holds the whole domain, none exceeds
+    # 2x the target even under md5 imbalance on 25 ids
+    assert per_group.max() < 25 and per_group.max() <= 32, per_group.max()
+
+
 def test_bestfit_beats_cumulative_packer_on_planted_fragmentation(
     spark, tmp_path
 ):

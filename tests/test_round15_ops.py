@@ -1,0 +1,268 @@
+"""Round-15 operators: tokenizer bake-off consistency, DCT coefficient
+table integrity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_bakeoff_columns_pin_to_single_family_queries(spark):
+    """r14 verdict item 5: every (family, lang) cell of the bake-off
+    table must equal the standalone family query's numbers — train and
+    holdout fertility straight from the four registered builders, the
+    degradation their 6-dp ratio, and chars_per_token the family-free
+    corpus chars over that family's holdout symbols."""
+    from newyork_taxi_etl_spark import registry
+
+    q = registry.queries()
+    bake = {
+        (r.family, r.lang): r
+        for r in q["tokenizer_family_bakeoff"](spark, SF_SMOKE).collect()
+    }
+    singles = {
+        "bpe": ("bpe_holdout_fertility", "bpe_fertility", "bpe_symbols"),
+        "wordpiece": (
+            "wordpiece_holdout_fertility", "wp_fertility", "wp_symbols"
+        ),
+        "unigram": (
+            "unigram_holdout_fertility", "uni_fertility", "uni_pieces"
+        ),
+        "bytebpe": (
+            "bytebpe_holdout_fertility", "bb_fertility", "bb_symbols"
+        ),
+    }
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    hchars = {
+        r.lang: r.n_chars
+        for r in docs.filter(F.col("doc_id") % 5 == 0)
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.sum(F.length("w")).alias("n_chars"))
+        .collect()
+    }
+    for fam, (qname, fert_col, sym_col) in singles.items():
+        rows = q[qname](spark, SF_SMOKE).collect()
+        by = {(r.split, r.lang): r for r in rows}
+        langs = {r.lang for r in rows}
+        for lang in langs:
+            cell = bake[(fam, lang)]
+            tr, ho = by[("train", lang)], by[("holdout", lang)]
+            assert cell.train_fertility == tr[fert_col], (fam, lang)
+            assert cell.holdout_fertility == ho[fert_col], (fam, lang)
+            assert cell.degradation == round(
+                ho[fert_col] / tr[fert_col], 6
+            ), (fam, lang)
+            assert cell.chars_per_token == round(
+                hchars[lang] / ho[sym_col], 6
+            ), (fam, lang)
+    # byte-BPE's base alphabet is total: fallback must be identically 0,
+    # and the char families must share one corpus-level fallback number
+    for (fam, lang), cell in bake.items():
+        if fam == "bytebpe":
+            assert cell.fallback_rate == 0.0
+        else:
+            assert cell.fallback_rate == bake[("bpe", lang)].fallback_rate
+
+
+@pytest.mark.quick
+def test_dct_basis_is_the_rounded_cosine_table():
+    """DCT_K8 must stay the integer DCT-II basis: K[u][x] =
+    round(cos((2x+1) u pi / 16) * 8192), no entry on a .5 tie, and the
+    accumulator bound 64 * 255 * 2^20 * 8192^2 must fit int64 (the
+    no-float guarantee both engines rely on)."""
+    from newyork_taxi_etl_spark.operators.multimodal import (
+        DCT_K8,
+        DCT_MEAN_SHIFT,
+    )
+
+    for u in range(8):
+        for x in range(8):
+            v = math.cos((2 * x + 1) * u * math.pi / 16) * 8192
+            assert abs(v - round(v)) < 0.4999
+            assert DCT_K8[u][x] == round(v)
+    assert 64 * 255 * (1 << DCT_MEAN_SHIFT) * 8192 * 8192 < 2**63
+
+
+def test_kmv_sketch_estimates_within_bound_and_exact_when_small(spark):
+    """KMV estimator contract: (a) per-set and union estimates land within
+    5 standard errors (5/sqrt(k-1)) of the exact distinct counts, (b) a
+    set whose distinct count is below k is estimated EXACTLY (the sketch
+    holds the whole set), and (c) jaccard_kmv is a valid probability that
+    agrees with jaccard_exact to within the same tolerance."""
+    from newyork_taxi_etl_spark.queries.profiling import (
+        _KMV_K,
+        kmv_theta_sketch_setops,
+    )
+
+    rows = kmv_theta_sketch_setops(spark, SF_SMOKE).collect()
+    assert rows, "no lang pairs"
+    tol = 5.0 / math.sqrt(_KMV_K - 1)
+    for r in rows:
+        for est, exact in [
+            (r.est_a, r.n_a_exact),
+            (r.est_b, r.n_b_exact),
+            (r.est_union, r.exact_union),
+        ]:
+            if exact < _KMV_K:
+                assert est == float(exact), (r.lang_a, r.lang_b, est, exact)
+            else:
+                assert abs(est - exact) / exact <= tol, (
+                    r.lang_a, r.lang_b, est, exact,
+                )
+        assert 0.0 <= r.jaccard_kmv <= 1.0
+        assert abs(r.jaccard_kmv - r.jaccard_exact) <= tol, (
+            r.lang_a, r.lang_b, r.jaccard_kmv, r.jaccard_exact,
+        )
+
+
+def test_kmv_union_membership_lemma(spark):
+    """The estimator's membership shortcut is sound on real data: every
+    union-bottom-k point that belongs to set A's DISTINCT value set is
+    found in A's own bottom-k sketch (so the LEFT JOIN against the tiny
+    sketch is exact membership, never a false negative)."""
+    from newyork_taxi_etl_spark.operators.sketch import kmv_bottom_k, kmv_hash
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    import pyspark.sql.functions as F
+
+    k = 32  # small k stresses the lemma harder than the shipped 128
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    dv = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("lang", kmv_hash("tok").alias("hv"))
+        .distinct()
+    )
+    sk = kmv_bottom_k(dv, ["lang"], k).select("lang", "hv")
+    a, b = "en", "fr"
+    pooled = (
+        sk.filter(F.col("lang").isin(a, b))
+        .select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    # membership via the FULL distinct set vs via the k-sketch must agree
+    full_a = {r.hv for r in dv.filter(F.col("lang") == a).collect()}
+    sk_a = {r.hv for r in sk.filter(F.col("lang") == a).collect()}
+    for r in pooled.collect():
+        assert (r.hv in full_a) == (r.hv in sk_a), r.hv
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """RRF output invariants: seed doc excluded, every row carries at
+    least one leg rank, rrf_score equals the sum of the per-leg
+    reciprocal terms, and any doc ranked top-5 by BOTH legs outscores a
+    doc retrieved by only one leg."""
+    from newyork_taxi_etl_spark.queries.similarity import hybrid_rrf_retrieval
+
+    rows = hybrid_rrf_retrieval(spark, SF_SMOKE).collect()
+    assert rows and all(r.doc_id != 0 for r in rows)
+    for r in rows:
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        want = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf_score - want) < 1e-6, (r.doc_id, r.rrf_score, want)
+    both5 = [r for r in rows if r.bm25_rank and r.cos_rank
+             and r.bm25_rank <= 5 and r.cos_rank <= 5]
+    single = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
+    for hi in both5:
+        for lo in single:
+            assert hi.rrf_score > lo.rrf_score
+
+
+def test_holt_fold_matches_python_recurrence(spark):
+    """The F.aggregate fold is the textbook Holt recurrence: recompute
+    level/trend/MAE in pure Python from the same daily counts and match
+    to the rounded output, plus the closed-form forecast identity."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.behavior import holt_linear_forecast
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, float(r.y)))
+    got = {r.event_type: r for r in holt_linear_forecast(spark, SF_SMOKE).collect()}
+    assert set(got) == {k for k, v in series.items() if len(v) >= 2}
+    for et, pts in series.items():
+        if len(pts) < 2:
+            continue
+        ys = [y for _, y in sorted(pts)]
+        l, b, ae = ys[0], 0.0, 0.0
+        for y in ys[1:]:
+            ae += abs(y - (l + b))
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            l = l_new
+        r = got[et]
+        assert r.n_days == len(ys)
+        assert r.level == round(l, 6) and r.trend == round(b, 6)
+        assert r.forecast_7 == round(l + 7 * b, 6)
+        assert r.mae_1step == round(ae / (len(ys) - 1), 6)
+
+
+def test_markov_anomaly_scores_are_valid_loglikelihoods(spark):
+    """Bottom-10 rows carry negative avg log-probs, each user's score is
+    bounded below by the corpus's rarest smoothed transition, and the
+    result is sorted ascending (most anomalous first)."""
+    import math as m
+
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.behavior import markov_sequence_anomaly
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    rows = markov_sequence_anomaly(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert [r.avg_logp for r in rows] == sorted(r.avg_logp for r in rows)
+    ev = read_events(spark, SF_SMOKE)
+    k = ev.select("event_type").distinct().count()
+    n_total = ev.count()
+    floor = m.log(1.0 / (n_total + k))  # rarest possible smoothed prob
+    for r in rows:
+        assert floor - 1e-6 <= r.avg_logp < 0.0
+        assert r.n_trans >= 1
+
+
+def test_dbscan_partition_invariants(spark):
+    """DBSCAN output partitions the slice: cluster sizes + noise sum to
+    the slice size, every real cluster has at least one core point,
+    n_points = n_core + n_border, and cluster ids are member minima
+    (canonical representative < slice bound)."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.similarity import (
+        _DBSCAN_SLICE,
+        dbscan_embedding_clusters,
+    )
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    rows = dbscan_embedding_clusters(spark, SF_SMOKE).collect()
+    n_slice = (
+        spark.read.parquet(table_path(SF_SMOKE, "embeddings"))
+        .filter(F.col("vec_id") < _DBSCAN_SLICE)
+        .count()
+    )
+    assert sum(r.n_points for r in rows) == n_slice
+    noise = [r for r in rows if r.cluster_id == -1]
+    assert len(noise) == 1 and noise[0].n_core == 0 and noise[0].n_border == 0
+    real = [r for r in rows if r.cluster_id != -1]
+    assert real, "no clusters at the shipped tau"
+    for r in real:
+        assert r.n_core >= 1
+        assert r.n_points == r.n_core + r.n_border
+        assert 0 <= r.cluster_id < _DBSCAN_SLICE
