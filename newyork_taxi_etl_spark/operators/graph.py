@@ -268,3 +268,51 @@ def triangle_count(
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(node, hop) minimum-hop distances from the graph's canonical
+    source (the MINIMUM node id over the edge set) via frontier BFS.
+
+    One symmetric edge frame, then at most ``max_hops`` rounds of
+    frontier-join + anti-join-against-visited + distinct — per round ONE
+    shuffle of the frontier (never the visited set; the anti join
+    streams it map-side when small enough to broadcast). Lineage is
+    truncated per round with ``localCheckpoint`` exactly as
+    :func:`connected_components`; the loop exits early when a frontier
+    drains. The source is derived with an aggregate, not a collect, so
+    the operator stays a pure DataFrame program. Nodes beyond
+    ``max_hops`` (or in other components) are absent from the output —
+    callers account for them with an anti join.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        edges.agg(F.least(F.min(src), F.min(dst)).alias("node"))
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(best.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        best = best.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return best

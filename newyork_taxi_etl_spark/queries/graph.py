@@ -604,3 +604,84 @@ def graph_two_core(spark, sf_dir):
         )
         out = out.union(_stats(e, i))
     return out.orderBy("iteration")
+
+
+@register(
+    "graph_bfs_hops",
+    "WITH RECURSIVE " + _multiband_pairs_sql() + """,
+    sym AS MATERIALIZED (
+      -- UNION ALL + DISTINCT, not bare UNION: inside a WITH RECURSIVE
+      -- block DuckDB gives union-CTEs recursive-union treatment and the
+      -- cross-branch dedup is NOT applied (observed: alln came back
+      -- 120 = 60 + 60 raw rows vs 102 distinct outside the block)
+      SELECT DISTINCT u, v FROM (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs)
+    ),
+    srcn AS (SELECT LEAST(MIN(id_a), MIN(id_b)) AS s FROM pairs),
+    walk (node, hop) AS (
+      SELECT s, 0 FROM srcn
+      UNION
+      SELECT sym.v, w.hop + 1
+      FROM walk w JOIN sym ON sym.u = w.node
+      WHERE w.hop < 6
+    ),
+    best AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node),
+    alln AS (
+      SELECT DISTINCT node FROM (
+        SELECT id_a AS node FROM pairs
+        UNION ALL
+        SELECT id_b AS node FROM pairs)
+    ),
+    hist AS (
+      SELECT CAST(hop AS INT) AS hop,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(MIN(node) AS BIGINT) AS min_node
+      FROM best GROUP BY hop
+      UNION ALL
+      SELECT -1, CAST(COUNT(*) AS BIGINT), CAST(MIN(a.node) AS BIGINT)
+      FROM alln a WHERE a.node NOT IN (SELECT node FROM best)
+      HAVING COUNT(*) > 0
+    )
+    SELECT hop, n_nodes, min_node FROM hist ORDER BY hop
+    """,
+    doc="BFS HOP HISTOGRAM over the multiband-LSH near-dup pair graph "
+    "(same edge set as dedup_clusters): minimum-hop distance from the "
+    "canonical source (global minimum node id) out to 6 hops, reported "
+    "as hop -> (node count, smallest node) with a hop=-1 row counting "
+    "pair-graph nodes NOT reached (other components or beyond the "
+    "horizon) — the reachability/diameter probe over a dedup graph "
+    "(how transitive is my near-dup relation?). Frontier BFS: per round "
+    "ONE frontier-sized shuffle + anti join against visited, lineage "
+    "truncated per round, early exit on a drained frontier "
+    "(operators/graph.bfs_hops — same loop hygiene as "
+    "connected_components; the source comes from an aggregate, not a "
+    "collect). Oracle replays min-hop BFS as a recursive CTE.",
+)
+def graph_bfs_hops(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from newyork_taxi_etl_spark.operators.graph import bfs_hops
+
+    pairs = _multiband_pairs(spark, sf_dir)
+    best = bfs_hops(pairs, max_hops=6)
+    hist = best.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    ).select(F.col("hop").cast("int").alias("hop"), "n_nodes", "min_node")
+    alln = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    unreached = (
+        alln.join(best.select("node"), "node", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+        )
+        .filter(F.col("n_nodes") > 0)
+        .select(F.lit(-1).cast("int").alias("hop"), "n_nodes", "min_node")
+    )
+    return hist.union(unreached).orderBy("hop")

@@ -7894,3 +7894,111 @@ def dbscan_embedding_clusters(spark, sf_dir):
         )
     )
     return clusters.union(noise).orderBy("cluster_id")
+
+
+#: LOF parameters: k=5 neighbors over the same exact slice as DBSCAN.
+_LOF_K = 5
+
+
+@register(
+    "lof_knn_outliers",
+    f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_DBSCAN_SLICE}
+    ),
+    d AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             1 - {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS dist
+      FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id
+    ),
+    knn AS MATERIALIZED (
+      SELECT ia, ib, dist FROM (
+        SELECT ia, ib, dist,
+               row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+        FROM d)
+      WHERE rn <= {_LOF_K}
+    ),
+    kd AS MATERIALIZED (
+      SELECT ia, MAX(dist) AS kdist FROM knn GROUP BY ia
+    ),
+    lrd AS MATERIALIZED (
+      SELECT k.ia,
+             1.0 / AVG(CASE WHEN k.dist > o.kdist THEN k.dist
+                            ELSE o.kdist END) AS lrd
+      FROM knn k JOIN kd o ON o.ia = k.ib
+      GROUP BY k.ia
+    )
+    SELECT k.ia AS vec_id,
+           ROUND(kd.kdist, 4) AS kdist,
+           ROUND(p.lrd, 6) AS lrd,
+           ROUND(AVG(o.lrd) / p.lrd, 4) AS lof
+    FROM knn k
+    JOIN lrd o ON o.ia = k.ib
+    JOIN lrd p ON p.ia = k.ia
+    JOIN kd ON kd.ia = k.ia
+    GROUP BY k.ia, kd.kdist, p.lrd
+    ORDER BY lof DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"LOCAL OUTLIER FACTOR (Breunig et al. 2000, k={_LOF_K}) over the "
+    f"embedding slice: per-point k-distance, reachability distance "
+    f"max(d(p,o), kdist(o)), local reachability density, and "
+    f"LOF = mean neighbor-lrd / own lrd — the DENSITY-RELATIVE outlier "
+    f"score the z-score/MAD family can't express (a point on a sparse "
+    f"cluster's edge scores high even when a dense cluster's spread "
+    f"dwarfs its absolute distances). Top-10 by LOF. Relational "
+    f"end-to-end: one scored pair frame, kNN via WindowGroupLimit "
+    f"(per-task prune to k), two broadcast-sized per-point aggregates — "
+    f"no iteration, no UDF. Exact pairwise on the audit slice exactly as "
+    f"dbscan_embedding_clusters; the scale path swaps the pair CTE for "
+    f"LSH candidates (LOF only ever looks at each point's k nearest).",
+)
+def lof_knn_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = (
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < _DBSCAN_SLICE)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    d = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia", "ib", (1 - S.cosine_expr("va", "vb")).alias("dist")
+    )
+    w = Window.partitionBy("ia").orderBy("dist", "ib")
+    knn = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LOF_K)
+        .select("ia", "ib", "dist")
+    )
+    kd = knn.groupBy("ia").agg(F.max("dist").alias("kdist"))
+    lrd = (
+        knn.join(
+            F.broadcast(kd.select(F.col("ia").alias("ib"),
+                                  F.col("kdist").alias("nb_kdist"))),
+            "ib",
+        )
+        .groupBy("ia")
+        .agg(
+            (1.0 / F.avg(F.greatest("dist", "nb_kdist"))).alias("lrd")
+        )
+    )
+    out = (
+        knn.join(
+            F.broadcast(lrd.select(F.col("ia").alias("ib"),
+                                   F.col("lrd").alias("nb_lrd"))),
+            "ib",
+        )
+        .join(F.broadcast(lrd), "ia")
+        .join(F.broadcast(kd), "ia")
+        .groupBy("ia", "kdist", "lrd")
+        .agg((F.avg("nb_lrd") / F.first("lrd")).alias("lof_raw"))
+        .select(
+            F.col("ia").alias("vec_id"),
+            F.round("kdist", 4).alias("kdist"),
+            F.round("lrd", 6).alias("lrd"),
+            F.round("lof_raw", 4).alias("lof"),
+        )
+    )
+    return out.orderBy(F.desc("lof"), "vec_id").limit(10)

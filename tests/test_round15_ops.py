@@ -266,3 +266,89 @@ def test_dbscan_partition_invariants(spark):
         assert r.n_core >= 1
         assert r.n_points == r.n_core + r.n_border
         assert 0 <= r.cluster_id < _DBSCAN_SLICE
+
+
+def test_lof_matches_independent_python_reference(spark):
+    """Full independent LOF recomputation (numpy cosines, rounded like
+    the engine, python kNN/kdist/lrd/LOF) must reproduce the engine's
+    top-10 ids and scores; sanity: every surfaced LOF is > 1 (locally
+    sparser than its neighborhood)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.similarity import (
+        _DBSCAN_SLICE,
+        _LOF_K,
+        lof_knn_outliers,
+    )
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    rows = (
+        spark.read.parquet(table_path(SF_SMOKE, "embeddings"))
+        .filter(F.col("vec_id") < _DBSCAN_SLICE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    cos = np.round((m @ m.T) / np.outer(norms, norms), 4)
+    dist = 1.0 - cos
+    n = len(ids)
+    knn, kdist = {}, {}
+    for i in range(n):
+        order = sorted((dist[i][j], ids[j], j) for j in range(n) if j != i)
+        nb = order[:_LOF_K]
+        knn[i] = nb
+        kdist[i] = max(d for d, _, _ in nb)
+    lrd = {
+        i: 1.0 / (sum(max(d, kdist[j]) for d, _, j in knn[i]) / _LOF_K)
+        for i in range(n)
+    }
+    lof = {
+        ids[i]: round(sum(lrd[j] for _, _, j in knn[i]) / _LOF_K / lrd[i], 4)
+        for i in range(n)
+    }
+    want = sorted(lof.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.vec_id, r.lof) for r in lof_knn_outliers(spark, SF_SMOKE).collect()]
+    assert got == want, (got, want)
+    assert all(v > 1.0 for _, v in got)
+
+
+def test_bfs_hops_agree_with_connected_components(spark):
+    """BFS invariants on the pair graph: the histogram partitions the
+    node set, hop levels are contiguous from 0 (n=1 at the canonical
+    source = global min node), and the reached set equals the source's
+    connected component (diameter permitting) — cross-checked against
+    the independent CC operator."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.operators.graph import (
+        bfs_hops,
+        connected_components,
+    )
+    from newyork_taxi_etl_spark.queries.graph import (
+        _multiband_pairs,
+        graph_bfs_hops,
+    )
+
+    rows = graph_bfs_hops(spark, SF_SMOKE).collect()
+    hops = sorted(r.hop for r in rows if r.hop >= 0)
+    assert hops == list(range(len(hops))), hops
+    pairs = _multiband_pairs(spark, SF_SMOKE)
+    src = pairs.agg(F.least(F.min("id_a"), F.min("id_b"))).collect()[0][0]
+    h0 = next(r for r in rows if r.hop == 0)
+    assert h0.n_nodes == 1 and h0.min_node == src
+    n_nodes_total = (
+        pairs.select(F.col("id_a").alias("n"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes_total
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    comp_src = {n for n, c in comps.items() if c == comps[src]}
+    reached = {r.node for r in bfs_hops(pairs, max_hops=6).collect()}
+    assert reached <= comp_src
+    if max(hops) < 6:  # BFS exhausted the component before the horizon
+        assert reached == comp_src
