@@ -3485,3 +3485,220 @@ def holt_linear_forecast(spark, sf_dir):
         F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7"),
         F.round(F.col("st.ae") / (F.col("n_days") - 1), 6).alias("mae_1step"),
     ).orderBy("event_type")
+
+
+# Centered normal-equation solve shared textually by both engines: the
+# sufficient statistics arrive integer-exact (2-dp tick x100, 128-bit
+# sums), every derived double is the IDENTICAL expression tree on both
+# sides, so b0/b1/b2/r2 match bit-for-bit before the ROUND — the
+# ab_welch_ttest discipline extended to a 2-feature OLS.
+_OLS_DERIVE = """
+      SELECT event_type, n,
+             sx1 / n AS mx1, sx2 / n AS mx2, sy / n / 100.0 AS my,
+             s11 - sx1 * sx1 / n AS c11,
+             s22 - sx2 * sx2 / n AS c22,
+             s12 - sx1 * sx2 / n AS c12,
+             (s1y - sx1 * sy / n) / 100.0 AS c1y,
+             (s2y - sx2 * sy / n) / 100.0 AS c2y,
+             (syy - sy * sy / n) / 10000.0 AS cyy
+      FROM s
+"""
+
+
+@register(
+    "grouped_ols_regression",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS x1,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS x2,
+             CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS sx1,
+             CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS sx2,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x1 * x1) AS VARCHAR) AS DOUBLE) AS s11,
+             CAST(CAST(SUM(x2 * x2) AS VARCHAR) AS DOUBLE) AS s22,
+             CAST(CAST(SUM(x1 * x2) AS VARCHAR) AS DOUBLE) AS s12,
+             CAST(CAST(SUM(x1 * y) AS VARCHAR) AS DOUBLE) AS s1y,
+             CAST(CAST(SUM(x2 * y) AS VARCHAR) AS DOUBLE) AS s2y,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM base GROUP BY event_type
+    ),
+    d AS ({_OLS_DERIVE}),
+    fit AS (
+      SELECT event_type, n, mx1, mx2, my, c1y, c2y, cyy,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM d
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(my - b1 * mx1 - b2 * mx2, 6) AS b0,
+           ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+    FROM fit
+    ORDER BY event_type
+    """,
+    doc="GROUPED MULTIVARIATE OLS (closed form): per event type, fit "
+    "value ~ b0 + b1*hour + b2*day_of_week by solving the centered 2x2 "
+    "normal equations with Cramer's rule, plus in-sample R^2 — the "
+    "regression complement of grouped_linear_trend (one regressor) and "
+    "corr_by_group (no fit). All ten sufficient statistics are "
+    "INTEGER-EXACT (value on the 2-dp tick grid x100; y*y sums in "
+    "128-bit decimal, VARCHAR-routed to double exactly as "
+    "ab_welch_ttest), and every derived double evaluates the identical "
+    "expression tree on both engines, so coefficients match bit-for-bit "
+    "before the ROUND. Scale: ONE map-side-combined aggregate — only "
+    "(n, sums) tuples cross the network, never rows; the solve is "
+    "per-group scalar arithmetic. The pattern extends to any fixed "
+    "feature count (the normal-equation matrix is feature^2 sums, "
+    "gathered in the same single pass).",
+)
+def grouped_ols_regression(spark, sf_dir):
+    dec = "decimal(38,0)"
+    base = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("x1"),
+            (F.dayofweek(F.to_date("ts")) - 1).cast("bigint").alias("x2"),
+            F.round(F.col("value") * 100).cast("bigint").cast(dec).alias("y"),
+        )
+    )
+    vd = lambda c: F.sum(c).cast(dec).cast("double")  # noqa: E731
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        vd(F.col("x1")).alias("sx1"),
+        vd(F.col("x2")).alias("sx2"),
+        vd(F.col("y")).alias("sy"),
+        vd(F.col("x1") * F.col("x1")).alias("s11"),
+        vd(F.col("x2") * F.col("x2")).alias("s22"),
+        vd(F.col("x1") * F.col("x2")).alias("s12"),
+        vd((F.col("x1") * F.col("y")).cast(dec)).alias("s1y"),
+        vd((F.col("x2") * F.col("y")).cast(dec)).alias("s2y"),
+        vd((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    d = s.select(
+        "event_type",
+        "n",
+        (F.col("sx1") / F.col("n")).alias("mx1"),
+        (F.col("sx2") / F.col("n")).alias("mx2"),
+        (F.col("sy") / F.col("n") / 100.0).alias("my"),
+        (F.col("s11") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("c11"),
+        (F.col("s22") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("c22"),
+        (F.col("s12") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("c12"),
+        ((F.col("s1y") - F.col("sx1") * F.col("sy") / F.col("n")) / 100.0)
+        .alias("c1y"),
+        ((F.col("s2y") - F.col("sx2") * F.col("sy") / F.col("n")) / 100.0)
+        .alias("c2y"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / 10000.0)
+        .alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    fit = d.select(
+        "event_type", "n", "mx1", "mx2", "my", "c1y", "c2y", "cyy",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det)
+        .alias("b1"),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det)
+        .alias("b2"),
+    )
+    return fit.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2"),
+            6,
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+            / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "chi2_independence",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS row_n FROM cells GROUP BY 1),
+    ct AS (SELECT dow, SUM(o) AS col_n FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    contrib AS (
+      SELECT c.event_type, c.dow,
+             ROUND(POWER(c.o - CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n, 2)
+                   / (CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n), 9)
+               AS x2c
+      FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), tot
+    ),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS r, (SELECT COUNT(*) FROM ct) AS c
+    )
+    SELECT ROUND(SUM(x2c), 6) AS chi2,
+           CAST((SELECT (r - 1) * (c - 1) FROM dims) AS BIGINT) AS dof,
+           ROUND(sqrt(SUM(x2c) / ((SELECT n FROM tot)
+                 * (SELECT LEAST(r - 1, c - 1) FROM dims))), 6) AS cramers_v,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n
+    FROM contrib
+    """,
+    doc="PEARSON CHI-SQUARE test of independence between event type and "
+    "day-of-week, with Cramer's V effect size — the categorical-drift / "
+    "feature-dependence screen beside the continuous drift family "
+    "(KS/PSI/MMD/Wasserstein test distributions of VALUES; chi-square "
+    "tests association between two CATEGORICAL axes). Observed counts "
+    "are one hash aggregate over (type, dow); expected counts come from "
+    "the broadcast row/column marginals; each cell's (O-E)^2/E is "
+    "rounded at 9 dp BEFORE the global sum so the ~types x 7 cell "
+    "contributions add associatively on both engines (the quantized-"
+    "summand determinism trick — the final ROUND(.,6) then cannot sit "
+    "on a summation-order boundary). O(types x 7) state end-to-end.",
+)
+def chi2_independence(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek(F.to_date("ts")) - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
+    )
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.round(F.pow(F.col("o") - e, 2) / e, 9).alias("x2c"),
+        )
+    )
+    agg = contrib.groupBy("n").agg(F.sum("x2c").alias("chi2_raw"))
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .select(
+            F.round("chi2_raw", 6).alias("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -352,3 +352,78 @@ def test_bfs_hops_agree_with_connected_components(spark):
     assert reached <= comp_src
     if max(hops) < 6:  # BFS exhausted the component before the horizon
         assert reached == comp_src
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Closed-form normal-equation coefficients must agree with numpy's
+    QR-based lstsq on the same (hour, dow, value) design, and R^2 must
+    equal the standard ESS/TSS identity, per event type."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.behavior import grouped_ols_regression
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = (
+        read_events(spark, SF_SMOKE)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").alias("x1"),
+            (F.dayofweek(F.to_date("ts")) - 1).alias("x2"),
+            (F.round(F.col("value") * 100) / 100.0).alias("y"),
+        )
+        .collect()
+    )
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append((r.x1, r.x2, r.y))
+    got = {r.event_type: r for r in grouped_ols_regression(spark, SF_SMOKE).collect()}
+    assert set(got) == set(groups)
+    for et, pts in groups.items():
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+        y = np.array([v for _, _, v in pts])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ beta
+        r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        g = got[et]
+        assert g.n == len(pts)
+        assert abs(g.b0 - beta[0]) < 1e-4, (et, g.b0, beta[0])
+        assert abs(g.b1 - beta[1]) < 1e-6, (et, g.b1, beta[1])
+        assert abs(g.b2 - beta[2]) < 1e-6, (et, g.b2, beta[2])
+        assert abs(g.r2 - r2) < 1e-6, (et, g.r2, r2)
+
+
+def test_chi2_matches_python_contingency(spark):
+    """chi2 / dof / Cramer's V recomputed from the raw contingency table
+    in pure Python (same 9-dp cell quantization) match the engine."""
+    import math as m
+
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.behavior import chi2_independence
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE)
+    cells = (
+        ev.groupBy("event_type", F.dayofweek(F.to_date("ts")).alias("dow"))
+        .count()
+        .collect()
+    )
+    rows = {}
+    for c in cells:
+        rows[(c.event_type, c.dow)] = c["count"]
+    rt, ct, n = {}, {}, 0
+    for (et, dw), o in rows.items():
+        rt[et] = rt.get(et, 0) + o
+        ct[dw] = ct.get(dw, 0) + o
+        n += o
+    chi2 = sum(
+        round((o - rt[et] * ct[dw] / n) ** 2 / (rt[et] * ct[dw] / n), 9)
+        for (et, dw), o in rows.items()
+    )
+    r, c = len(rt), len(ct)
+    g = chi2_independence(spark, SF_SMOKE).collect()[0]
+    assert g.n == n and g.dof == (r - 1) * (c - 1)
+    assert abs(g.chi2 - chi2) < 1e-5
+    assert abs(g.cramers_v - m.sqrt(chi2 / (n * min(r - 1, c - 1)))) < 1e-6
