@@ -427,3 +427,40 @@ def test_chi2_matches_python_contingency(spark):
     assert g.n == n and g.dof == (r - 1) * (c - 1)
     assert abs(g.chi2 - chi2) < 1e-5
     assert abs(g.cramers_v - m.sqrt(chi2 / (n * min(r - 1, c - 1)))) < 1e-6
+
+
+def test_matryoshka_recall_curve(spark):
+    """Full-dim row is exactly 1.0, all recalls are valid fractions of
+    50 pairs, and the m=16 recall matches an independent numpy
+    recomputation (rounded cosines, same tie-breaks)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.similarity import ann_matryoshka_recall
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    rows = {r.dim_budget: r.recall_at_10
+            for r in ann_matryoshka_recall(spark, SF_SMOKE).collect()}
+    assert rows[64] == 1.0
+    assert all(0.0 <= v <= 1.0 and round(v * 50, 4) == int(round(v * 50))
+               for v in rows.values())
+    emb = spark.read.parquet(table_path(SF_SMOKE, "embeddings")).collect()
+    ids = [r.vec_id for r in emb]
+    m = np.array([r.embedding for r in emb], dtype=np.float64)
+
+    def topk(mat):
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ mat.T) / np.outer(nrm, nrm), 4)
+        out = {}
+        for qi, q in enumerate(ids):
+            if q >= 5:
+                continue
+            order = sorted(
+                ((-cos[qi][j], ids[j]) for j in range(len(ids)) if j != qi)
+            )[:10]
+            out[q] = {c for _, c in order}
+        return out
+
+    truth, cut = topk(m), topk(m[:, :16])
+    hits = sum(len(truth[q] & cut[q]) for q in truth)
+    assert rows[16] == round(hits / 50.0, 4)
