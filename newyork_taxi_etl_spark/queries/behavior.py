@@ -3308,10 +3308,14 @@ def ewma_anomaly_flags(spark, sf_dir):
                                     ORDER BY ts, event_id) AS to_type
       FROM events
     ),
-    t AS (
-      SELECT from_type, to_type, COUNT(*) AS n
+    ut AS (
+      SELECT user_id, from_type, to_type, COUNT(*) AS n_u
       FROM seq WHERE to_type IS NOT NULL
-      GROUP BY from_type, to_type
+      GROUP BY user_id, from_type, to_type
+    ),
+    t AS (
+      SELECT from_type, to_type, SUM(n_u) AS n
+      FROM ut GROUP BY from_type, to_type
     ),
     rt AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type),
     nt AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
@@ -3321,12 +3325,11 @@ def ewma_anomaly_flags(spark, sf_dir):
       FROM t JOIN rt USING (from_type), nt
     ),
     scored AS (
-      SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
-             ROUND(AVG(p.logp), 6) AS avg_logp
-      FROM seq s
-      JOIN p ON s.from_type = p.from_type AND s.to_type = p.to_type
-      WHERE s.to_type IS NOT NULL
-      GROUP BY s.user_id
+      SELECT u.user_id, CAST(SUM(u.n_u) AS BIGINT) AS n_trans,
+             ROUND(SUM(u.n_u * p.logp) / SUM(u.n_u), 6) AS avg_logp
+      FROM ut u
+      JOIN p ON u.from_type = p.from_type AND u.to_type = p.to_type
+      GROUP BY u.user_id
     )
     SELECT user_id, n_trans, avg_logp
     FROM scored
@@ -3358,7 +3361,13 @@ def markov_sequence_anomaly(spark, sf_dir):
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # ONE window pass: per-user transition counts are the only corpus-
+    # sized aggregate; the global matrix, marginals, and per-user scores
+    # all derive from ut without rescanning events.
+    ut = seq.groupBy("user_id", "from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    t = ut.groupBy("from_type", "to_type").agg(F.sum("n_u").alias("n"))
     rt = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
     nt = ev.agg(F.countDistinct("event_type").alias("k"))
     p = (
@@ -3373,11 +3382,13 @@ def markov_sequence_anomaly(spark, sf_dir):
         )
     )
     scored = (
-        seq.join(F.broadcast(p), ["from_type", "to_type"])
+        ut.join(F.broadcast(p), ["from_type", "to_type"])
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_trans"),
-            F.round(F.avg("logp"), 6).alias("avg_logp"),
+            F.sum("n_u").cast("bigint").alias("n_trans"),
+            F.round(
+                F.sum(F.col("n_u") * F.col("logp")) / F.sum("n_u"), 6
+            ).alias("avg_logp"),
         )
     )
     return scored.select("user_id", "n_trans", "avg_logp").orderBy(
@@ -3702,3 +3713,75 @@ def chi2_independence(spark, sf_dir):
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "scd2_dimension_build",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events WHERE user_id < 10
+    ),
+    changes AS (
+      SELECT user_id, state, ts FROM marked
+      WHERE prev_state IS NULL OR state <> prev_state
+    ),
+    versioned AS (
+      SELECT user_id, state, ts AS valid_from,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS INT) AS version,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes
+    )
+    SELECT user_id, version, state, valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM versioned
+    ORDER BY user_id, version
+    """,
+    doc="SCD TYPE-2 DIMENSION BUILD from an event stream: per user, "
+    "collapse consecutive repeats of the tracked attribute (lag-compare "
+    "— only CHANGES open a version), then number versions and close "
+    "each interval with the next version's start (lead), leaving the "
+    "open version flagged is_current — the classic "
+    "valid_from/valid_to/current-flag history table every warehouse "
+    "derives from mutation feeds, and the batch complement of "
+    "streaming_cdc_apply (which keeps only latest state). Two window "
+    "passes over the SAME (user_id) partitioning — one exchange, the "
+    "second window reuses the sort; output bounded here to users 0-9 "
+    "for the gate. At 100 TB: pure hash-partition-and-sort per user, "
+    "no self-join against history, map-side prunable by the change "
+    "filter between the windows.",
+)
+def scd2_dimension_build(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = marked.filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    versioned = changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.row_number().over(wv).cast("int").alias("version"),
+        F.lead("ts").over(wv).alias("valid_to"),
+    )
+    return versioned.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    ).orderBy("user_id", "version")

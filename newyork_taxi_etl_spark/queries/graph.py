@@ -664,7 +664,10 @@ def graph_bfs_hops(spark, sf_dir):
 
     from newyork_taxi_etl_spark.operators.graph import bfs_hops
 
-    pairs = _multiband_pairs(spark, sf_dir)
+    # edge mining (LSH bands + candidate join + cosine) is the expensive
+    # pass — materialize the small pair set once; it feeds the BFS loop,
+    # the hop histogram AND the unreached anti join
+    pairs = _multiband_pairs(spark, sf_dir).localCheckpoint(eager=True)
     best = bfs_hops(pairs, max_hops=6)
     hist = best.groupBy("hop").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),

@@ -7828,17 +7828,28 @@ _DBSCAN_SLICE = 512
 def dbscan_embedding_clusters(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.graph import connected_components
 
+    # pin the slice once — every downstream branch re-reads it
     emb = (
         spark.read.parquet(table_path(sf_dir, "embeddings"))
         .filter(F.col("vec_id") < _DBSCAN_SLICE)
         .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
     )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    # the probe side must be SPREAD: a broadcast pair-explosion stage
+    # inherits the 512-row probe's (single) partition and the whole
+    # O(slice^2) interpreted-HOF cosine pass lands on one core otherwise
+    a = S.spread_small_scan(
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    )
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    # materialize the few-hundred-row pair frame ONCE: it feeds sym,
+    # core, core_edges and border — without this every consumer replays
+    # the O(slice^2) scoring join (measured 22 s -> ~3 s at sf0.1)
     pairs = (
         a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
         .filter(S.cosine_expr("va", "vb") >= _DBSCAN_TAU)
         .select("ia", "ib")
+        .localCheckpoint(eager=True)
     )
     sym = pairs.union(pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
     core = (
@@ -7856,7 +7867,7 @@ def dbscan_embedding_clusters(spark, sf_dir):
         )
         .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
     )
-    comps = connected_components(core_edges, loop_partitions=4)
+    comps = connected_components(core_edges, loop_partitions=4, hops_per_round=5)
     ccl = core.join(
         F.broadcast(comps), "node", "left"
     ).select("node", F.coalesce("component", "node").alias("cluster"))
@@ -7956,21 +7967,31 @@ _LOF_K = 5
 def lof_knn_outliers(spark, sf_dir):
     from pyspark.sql import Window
 
+    # pin the slice once — every downstream branch re-reads it
     emb = (
         spark.read.parquet(table_path(sf_dir, "embeddings"))
         .filter(F.col("vec_id") < _DBSCAN_SLICE)
         .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
     )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    # the probe side must be SPREAD: a broadcast pair-explosion stage
+    # inherits the 512-row probe's (single) partition and the whole
+    # O(slice^2) interpreted-HOF cosine pass lands on one core otherwise
+    a = S.spread_small_scan(
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    )
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
     d = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
         "ia", "ib", (1 - S.cosine_expr("va", "vb")).alias("dist")
     )
     w = Window.partitionBy("ia").orderBy("dist", "ib")
+    # knn is slice x k rows and feeds kd, lrd and the final score join —
+    # materialize once so the O(slice^2) scoring pass runs exactly once
     knn = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _LOF_K)
         .select("ia", "ib", "dist")
+        .localCheckpoint(eager=True)
     )
     kd = knn.groupBy("ia").agg(F.max("dist").alias("kdist"))
     lrd = (
