@@ -313,7 +313,7 @@ def tfidf_top_terms(
 
 def bm25_scores(
     df: DataFrame,
-    terms: list[str] | DataFrame,
+    terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
@@ -327,24 +327,16 @@ def bm25_scores(
     the corpus mean. Corpus stats (N, avgdl, per-term df) are all tiny
     aggregates broadcast into one scan over the posting rows of the query
     terms — the scoring pass touches only docs containing a query term.
-
-    ``terms`` is either a literal list or a one-column ``tok`` DataFrame
-    (e.g. the distinct tokens of a seed document for more-like-this
-    retrieval); the DataFrame form prunes the posting with a broadcast
-    LEFT SEMI join instead of an IN literal — same semantics, and the
-    query side never leaves the cluster.
     """
     toks = df.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    if isinstance(terms, DataFrame):
-        hits = toks.join(F.broadcast(terms.select("tok")), "tok", "left_semi")
-    else:
-        hits = toks.filter(F.col("tok").isin(terms))
-    posting = hits.groupBy(id_col, "tok", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+    posting = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = df.select(

@@ -7608,132 +7608,6 @@ def coreset_kcenter_select(spark, sf_dir):
     ).orderBy("step")
 
 
-@register(
-    "hybrid_rrf_retrieval",
-    f"""
-    WITH q0 AS (
-      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-      FROM documents WHERE doc_id = 0
-    ),
-    toks AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl,
-             unnest(string_split(text, ' ')) AS tok
-      FROM documents WHERE doc_id <> 0
-    ),
-    posting AS (
-      SELECT doc_id, tok, dl, COUNT(*) AS tf
-      FROM toks WHERE tok IN (SELECT tok FROM q0)
-      GROUP BY 1, 2, 3
-    ),
-    dfreq AS (SELECT tok, COUNT(*) AS df FROM posting GROUP BY 1),
-    stats AS (
-      SELECT COUNT(*) AS n_docs,
-             AVG(len(string_split(text, ' '))) AS avgdl
-      FROM documents WHERE doc_id <> 0
-    ),
-    bscore AS (
-      SELECT doc_id,
-             ROUND(SUM(
-               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-               * (tf * (1.2 + 1))
-               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-             ), 4) AS bm25
-      FROM posting JOIN dfreq USING (tok), stats
-      GROUP BY doc_id
-    ),
-    bleg AS (
-      SELECT doc_id, bm25_rank FROM (
-        SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
-                 AS bm25_rank
-        FROM bscore)
-      WHERE bm25_rank <= 20
-    ),
-    cscore AS (
-      SELECT c.vec_id AS doc_id,
-             {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id = 0
-    ),
-    cleg AS (
-      SELECT doc_id, cos_rank FROM (
-        SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
-                 AS cos_rank
-        FROM cscore)
-      WHERE cos_rank <= 20
-    )
-    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-           CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
-           CAST(c.cos_rank AS BIGINT) AS cos_rank,
-           ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0.0)
-                 + COALESCE(1.0 / (60 + c.cos_rank), 0.0), 6) AS rrf_score
-    FROM bleg b FULL OUTER JOIN cleg c ON b.doc_id = c.doc_id
-    ORDER BY rrf_score DESC, doc_id
-    LIMIT 10
-    """,
-    doc="HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, k=60): the "
-    "sparse leg scores BM25 more-like-this against the distinct tokens "
-    "of seed document 0 (corpus = everything else; the query side is a "
-    "broadcast LEFT SEMI prune of the posting scan), the dense leg is "
-    "exact cosine top-20 to the seed's embedding (doc_id/vec_id aligned "
-    "namespaces), and the fused score sums 1/(60+rank) over the legs a "
-    "document appears in — rank fusion needs no score calibration "
-    "between BM25's unbounded scale and cosine's [-1,1], which is why "
-    "RRF is the production default for lexical+vector RAG retrieval. "
-    "Both legs end at tiny top-20 frames, so the FULL OUTER fusion join "
-    "and final top-10 are driver-trivial; the corpus-sized work is one "
-    "posting scan (term-pruned) and one broadcast cosine pass, each "
-    "independently the shape its single-leg query already ships at "
-    "scale. NULL rank = that leg did not retrieve the doc.",
-)
-def hybrid_rrf_retrieval(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from newyork_taxi_etl_spark.operators import curation as C
-
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    qterms = (
-        docs.filter(F.col("doc_id") == 0)
-        .select(F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-    )
-    corpus = docs.filter(F.col("doc_id") != 0)
-    bscore = C.bm25_scores(corpus, qterms)
-    # top-20 FIRST (TakeOrderedAndProject — per-task heaps, no global
-    # sort), then rank the 20-row frame; a bare global row_number here
-    # would single-partition-sort every matching doc.
-    bleg = (
-        bscore.orderBy(F.desc("bm25"), F.col("doc_id"))
-        .limit(20)
-        .withColumn(
-            "bm25_rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
-            .cast("int"),
-        )
-        .select("doc_id", "bm25_rank")
-    )
-    cleg = (
-        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
-        .select(
-            F.col("cand_id").alias("doc_id"),
-            F.col("rank").cast("int").alias("cos_rank"),
-        )
-    )
-    fused = bleg.join(cleg, "doc_id", "full_outer").select(
-        "doc_id",
-        F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
-        F.col("cos_rank").cast("bigint").alias("cos_rank"),
-        F.round(
-            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (60 + F.col("cos_rank")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
-    )
-    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
-
 
 #: DBSCAN gate parameters over the 512-vector exact slice: cosine >= tau
 #: defines the eps-neighborhood, >= 4 neighbors (self excluded) makes a

@@ -155,6 +155,39 @@ def test_kmv_union_membership_lemma(spark):
         assert (r.hv in full_a) == (r.hv in sk_a), r.hv
 
 
+def test_kmv_union_membership_lemma(spark):
+    """The estimator's membership shortcut is sound on real data: every
+    union-bottom-k point that belongs to set A's DISTINCT value set is
+    found in A's own bottom-k sketch (so the LEFT JOIN against the tiny
+    sketch is exact membership, never a false negative)."""
+    from newyork_taxi_etl_spark.operators.sketch import kmv_bottom_k, kmv_hash
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    import pyspark.sql.functions as F
+
+    k = 32  # small k stresses the lemma harder than the shipped 128
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    dv = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("lang", kmv_hash("tok").alias("hv"))
+        .distinct()
+    )
+    sk = kmv_bottom_k(dv, ["lang"], k).select("lang", "hv")
+    a, b = "en", "fr"
+    pooled = (
+        sk.filter(F.col("lang").isin(a, b))
+        .select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    # membership via the FULL distinct set vs via the k-sketch must agree
+    full_a = {r.hv for r in dv.filter(F.col("lang") == a).collect()}
+    sk_a = {r.hv for r in sk.filter(F.col("lang") == a).collect()}
+    for r in pooled.collect():
+        assert (r.hv in full_a) == (r.hv in sk_a), r.hv
+
+
 def test_hybrid_rrf_fuses_both_legs(spark):
     """RRF output invariants: seed doc excluded, every row carries at
     least one leg rank, rrf_score equals the sum of the per-leg
