@@ -155,62 +155,6 @@ def test_kmv_union_membership_lemma(spark):
         assert (r.hv in full_a) == (r.hv in sk_a), r.hv
 
 
-def test_kmv_union_membership_lemma(spark):
-    """The estimator's membership shortcut is sound on real data: every
-    union-bottom-k point that belongs to set A's DISTINCT value set is
-    found in A's own bottom-k sketch (so the LEFT JOIN against the tiny
-    sketch is exact membership, never a false negative)."""
-    from newyork_taxi_etl_spark.operators.sketch import kmv_bottom_k, kmv_hash
-    from newyork_taxi_etl_spark.sources.readers import table_path
-
-    import pyspark.sql.functions as F
-
-    k = 32  # small k stresses the lemma harder than the shipped 128
-    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
-    dv = (
-        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
-        .select("lang", kmv_hash("tok").alias("hv"))
-        .distinct()
-    )
-    sk = kmv_bottom_k(dv, ["lang"], k).select("lang", "hv")
-    a, b = "en", "fr"
-    pooled = (
-        sk.filter(F.col("lang").isin(a, b))
-        .select("hv")
-        .distinct()
-        .orderBy("hv")
-        .limit(k)
-    )
-    # membership via the FULL distinct set vs via the k-sketch must agree
-    full_a = {r.hv for r in dv.filter(F.col("lang") == a).collect()}
-    sk_a = {r.hv for r in sk.filter(F.col("lang") == a).collect()}
-    for r in pooled.collect():
-        assert (r.hv in full_a) == (r.hv in sk_a), r.hv
-
-
-def test_hybrid_rrf_fuses_both_legs(spark):
-    """RRF output invariants: seed doc excluded, every row carries at
-    least one leg rank, rrf_score equals the sum of the per-leg
-    reciprocal terms, and any doc ranked top-5 by BOTH legs outscores a
-    doc retrieved by only one leg."""
-    from newyork_taxi_etl_spark.queries.similarity import hybrid_rrf_retrieval
-
-    rows = hybrid_rrf_retrieval(spark, SF_SMOKE).collect()
-    assert rows and all(r.doc_id != 0 for r in rows)
-    for r in rows:
-        assert r.bm25_rank is not None or r.cos_rank is not None
-        want = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
-            1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0
-        )
-        assert abs(r.rrf_score - want) < 1e-6, (r.doc_id, r.rrf_score, want)
-    both5 = [r for r in rows if r.bm25_rank and r.cos_rank
-             and r.bm25_rank <= 5 and r.cos_rank <= 5]
-    single = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
-    for hi in both5:
-        for lo in single:
-            assert hi.rrf_score > lo.rrf_score
-
-
 def test_holt_fold_matches_python_recurrence(spark):
     """The F.aggregate fold is the textbook Holt recurrence: recompute
     level/trend/MAE in pure Python from the same daily counts and match
