@@ -3636,86 +3636,6 @@ def grouped_ols_regression(spark, sf_dir):
 
 
 @register(
-    "chi2_independence",
-    """
-    WITH cells AS (
-      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
-             CAST(COUNT(*) AS BIGINT) AS o
-      FROM events GROUP BY 1, 2
-    ),
-    rt AS (SELECT event_type, SUM(o) AS row_n FROM cells GROUP BY 1),
-    ct AS (SELECT dow, SUM(o) AS col_n FROM cells GROUP BY 1),
-    tot AS (SELECT SUM(o) AS n FROM cells),
-    contrib AS (
-      SELECT c.event_type, c.dow,
-             ROUND(POWER(c.o - CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n, 2)
-                   / (CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n), 9)
-               AS x2c
-      FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), tot
-    ),
-    dims AS (
-      SELECT (SELECT COUNT(*) FROM rt) AS r, (SELECT COUNT(*) FROM ct) AS c
-    )
-    SELECT ROUND(SUM(x2c), 6) AS chi2,
-           CAST((SELECT (r - 1) * (c - 1) FROM dims) AS BIGINT) AS dof,
-           ROUND(sqrt(SUM(x2c) / ((SELECT n FROM tot)
-                 * (SELECT LEAST(r - 1, c - 1) FROM dims))), 6) AS cramers_v,
-           (SELECT CAST(n AS BIGINT) FROM tot) AS n
-    FROM contrib
-    """,
-    doc="PEARSON CHI-SQUARE test of independence between event type and "
-    "day-of-week, with Cramer's V effect size — the categorical-drift / "
-    "feature-dependence screen beside the continuous drift family "
-    "(KS/PSI/MMD/Wasserstein test distributions of VALUES; chi-square "
-    "tests association between two CATEGORICAL axes). Observed counts "
-    "are one hash aggregate over (type, dow); expected counts come from "
-    "the broadcast row/column marginals; each cell's (O-E)^2/E is "
-    "rounded at 9 dp BEFORE the global sum so the ~types x 7 cell "
-    "contributions add associatively on both engines (the quantized-"
-    "summand determinism trick — the final ROUND(.,6) then cannot sit "
-    "on a summation-order boundary). O(types x 7) state end-to-end.",
-)
-def chi2_independence(spark, sf_dir):
-    ev = read_events(spark, sf_dir)
-    cells = ev.groupBy(
-        "event_type", (F.dayofweek(F.to_date("ts")) - 1).alias("dow")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
-    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_n"))
-    tot = cells.agg(F.sum("o").alias("n"))
-    dims = (
-        rt.agg(F.count(F.lit(1)).alias("r"))
-        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
-    )
-    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
-    contrib = (
-        cells.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            F.round(F.pow(F.col("o") - e, 2) / e, 9).alias("x2c"),
-        )
-    )
-    agg = contrib.groupBy("n").agg(F.sum("x2c").alias("chi2_raw"))
-    return (
-        agg.crossJoin(F.broadcast(dims))
-        .select(
-            F.round("chi2_raw", 6).alias("chi2"),
-            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
-            F.round(
-                F.sqrt(
-                    F.col("chi2_raw")
-                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
-                ),
-                6,
-            ).alias("cramers_v"),
-            F.col("n").cast("bigint").alias("n"),
-        )
-    )
-
-
-@register(
     "scd2_dimension_build",
     """
     WITH marked AS (
@@ -3747,8 +3667,11 @@ def chi2_independence(spark, sf_dir):
     "each interval with the next version's start (lead), leaving the "
     "open version flagged is_current — the classic "
     "valid_from/valid_to/current-flag history table every warehouse "
-    "derives from mutation feeds, and the batch complement of "
-    "streaming_cdc_apply (which keeps only latest state). Two window "
+    "derives from mutation feeds. Sibling of scd2_dimension_history "
+    "(queries/sinks.py), which APPLIES a change batch to an existing "
+    "dimension (close+insert maintenance); this op DERIVES the full "
+    "interval history from a raw event stream, and streaming_cdc_apply "
+    "keeps only latest state. Two window "
     "passes over the SAME (user_id) partitioning — one exchange, the "
     "second window reuses the sort; output bounded here to users 0-9 "
     "for the gate. At 100 TB: pure hash-partition-and-sort per user, "

@@ -7897,74 +7897,3 @@ def lof_knn_outliers(spark, sf_dir):
         )
     )
     return out.orderBy(F.desc("lof"), "vec_id").limit(10)
-
-
-_MRL_BUDGETS = (8, 16, 32, 64)
-
-
-def _mrl_leg_sql(m: int) -> str:
-    """Top-10-per-query CTE body at dim budget ``m`` (1-based inclusive
-    DuckDB list slice)."""
-    a = f"q.embedding[1:{m}]"
-    b = f"c.embedding[1:{m}]"
-    return f"""
-      SELECT query_id, cand_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               {_COS_SQL.format(a=a, b=b)} AS cosine
-        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
-      ) s
-      QUALIFY row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cosine DESC, cand_id) <= 10"""
-
-
-@register(
-    "ann_matryoshka_recall",
-    f"""
-    WITH truth AS MATERIALIZED ({_mrl_leg_sql(64)})
-    {"".join(f", leg{m} AS ({_mrl_leg_sql(m)})" for m in _MRL_BUDGETS)}
-    {" UNION ALL ".join(
-        f'''SELECT {m} AS dim_budget,
-           ROUND(COUNT(*) / 50.0, 4) AS recall_at_10
-        FROM truth t JOIN leg{m} v USING (query_id, cand_id)'''
-        for m in _MRL_BUDGETS)}
-    ORDER BY dim_budget
-    """,
-    doc="MATRYOSHKA DIMENSION-TRUNCATION RECALL: exact cosine top-10 for "
-    "the 5 gate queries when embeddings are truncated to their first "
-    "8/16/32/64 dims, scored as recall@10 against the full-64-dim truth "
-    "(the 64 row is 1.0 by construction — the sanity anchor). The "
-    "retrieval-vs-storage sizing curve behind MRL-style tiered serving "
-    "(answer with a prefix, rerank with the full vector): at 100 TB a "
-    "prefix scan moves m/64ths of the vector bytes through the same "
-    "broadcast top-k dataflow as ann_bruteforce_topk, and this table is "
-    "the evidence for how much recall each tier buys. Each leg is one "
-    "WindowGroupLimit-pruned pass; the recall join meets two 50-row "
-    "frames. Complements ann_recall_at_k (LSH candidate recall) — this "
-    "curve isolates the EMBEDDING's information loss, not the index's.",
-)
-def ann_matryoshka_recall(spark, sf_dir):
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-
-    def leg(m):
-        cut = emb.select(
-            "vec_id", F.expr(f"slice(embedding, 1, {m})").alias("embedding")
-        )
-        return S.brute_force_topk(
-            cut, cut.filter(F.col("vec_id") < 5), k=10
-        ).select("query_id", "cand_id")
-
-    truth = leg(64)
-    out = None
-    for m in _MRL_BUDGETS:
-        r = (
-            truth.join(leg(m), ["query_id", "cand_id"])
-            .agg(
-                F.round(F.count(F.lit(1)) / 50.0, 4).alias("recall_at_10")
-            )
-            .select(
-                F.lit(m).cast("int").alias("dim_budget"), "recall_at_10"
-            )
-        )
-        out = r if out is None else out.union(r)
-    return out.orderBy("dim_budget")

@@ -369,75 +369,3 @@ def test_ols_matches_numpy_lstsq(spark):
         assert abs(g.b1 - beta[1]) < 1e-6, (et, g.b1, beta[1])
         assert abs(g.b2 - beta[2]) < 1e-6, (et, g.b2, beta[2])
         assert abs(g.r2 - r2) < 1e-6, (et, g.r2, r2)
-
-
-def test_chi2_matches_python_contingency(spark):
-    """chi2 / dof / Cramer's V recomputed from the raw contingency table
-    in pure Python (same 9-dp cell quantization) match the engine."""
-    import math as m
-
-    import pyspark.sql.functions as F
-
-    from newyork_taxi_etl_spark.queries.behavior import chi2_independence
-    from newyork_taxi_etl_spark.sources.readers import read_events
-
-    ev = read_events(spark, SF_SMOKE)
-    cells = (
-        ev.groupBy("event_type", F.dayofweek(F.to_date("ts")).alias("dow"))
-        .count()
-        .collect()
-    )
-    rows = {}
-    for c in cells:
-        rows[(c.event_type, c.dow)] = c["count"]
-    rt, ct, n = {}, {}, 0
-    for (et, dw), o in rows.items():
-        rt[et] = rt.get(et, 0) + o
-        ct[dw] = ct.get(dw, 0) + o
-        n += o
-    chi2 = sum(
-        round((o - rt[et] * ct[dw] / n) ** 2 / (rt[et] * ct[dw] / n), 9)
-        for (et, dw), o in rows.items()
-    )
-    r, c = len(rt), len(ct)
-    g = chi2_independence(spark, SF_SMOKE).collect()[0]
-    assert g.n == n and g.dof == (r - 1) * (c - 1)
-    assert abs(g.chi2 - chi2) < 1e-5
-    assert abs(g.cramers_v - m.sqrt(chi2 / (n * min(r - 1, c - 1)))) < 1e-6
-
-
-def test_matryoshka_recall_curve(spark):
-    """Full-dim row is exactly 1.0, all recalls are valid fractions of
-    50 pairs, and the m=16 recall matches an independent numpy
-    recomputation (rounded cosines, same tie-breaks)."""
-    import numpy as np
-    import pyspark.sql.functions as F
-
-    from newyork_taxi_etl_spark.queries.similarity import ann_matryoshka_recall
-    from newyork_taxi_etl_spark.sources.readers import table_path
-
-    rows = {r.dim_budget: r.recall_at_10
-            for r in ann_matryoshka_recall(spark, SF_SMOKE).collect()}
-    assert rows[64] == 1.0
-    assert all(0.0 <= v <= 1.0 and round(v * 50, 4) == int(round(v * 50))
-               for v in rows.values())
-    emb = spark.read.parquet(table_path(SF_SMOKE, "embeddings")).collect()
-    ids = [r.vec_id for r in emb]
-    m = np.array([r.embedding for r in emb], dtype=np.float64)
-
-    def topk(mat):
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        cos = np.round((mat @ mat.T) / np.outer(nrm, nrm), 4)
-        out = {}
-        for qi, q in enumerate(ids):
-            if q >= 5:
-                continue
-            order = sorted(
-                ((-cos[qi][j], ids[j]) for j in range(len(ids)) if j != qi)
-            )[:10]
-            out[q] = {c for _, c in order}
-        return out
-
-    truth, cut = topk(m), topk(m[:, :16])
-    hits = sum(len(truth[q] & cut[q]) for q in truth)
-    assert rows[16] == round(hits / 50.0, 4)
