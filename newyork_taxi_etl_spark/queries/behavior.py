@@ -3708,3 +3708,98 @@ def scd2_dimension_build(spark, sf_dir):
         "valid_to",
         F.col("valid_to").isNull().cast("int").alias("is_current"),
     ).orderBy("user_id", "version")
+
+
+@register(
+    "anova_oneway_value",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM base GROUP BY event_type
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS nn,
+             SUM(sy) AS sy_all,
+             SUM(sy * sy / n) AS sq_within_means,
+             SUM(syy) AS syy_all
+      FROM s
+    ),
+    parts AS (
+      SELECT k, CAST(nn AS BIGINT) AS n,
+             (sq_within_means - sy_all * sy_all / nn) / 10000.0 AS ssb,
+             (syy_all - sq_within_means) / 10000.0 AS ssw
+      FROM g
+    )
+    SELECT k, n,
+           ROUND(ssb, 6) AS ss_between,
+           ROUND(ssw, 6) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM parts
+    """,
+    doc="ONE-WAY ANOVA of value across ALL event types: F statistic and "
+    "eta-squared effect size from the sum decomposition SSB = sum "
+    "sy_g^2/n_g - sy^2/N, SSW = sum syy_g - sum sy_g^2/n_g — the "
+    "k-group generalization of ab_welch_ttest's two-group comparison "
+    "(same integer-exact discipline: 2-dp tick x100, 128-bit sums, "
+    "VARCHAR-routed casts; the k-row combine then evaluates ONE shared "
+    "expression tree, so F matches bit-for-bit before the ROUND). "
+    "Completes the hypothesis-test shelf: Welch (2 means), chi-square "
+    "(2 categorical axes), KS/PSI/MMD/Wasserstein (distribution "
+    "drift), ANOVA (k means). Scale: one map-side-combined aggregate "
+    "to k (n, sum, sumsq) triples; nothing else touches the corpus. "
+    "(Classic ANOVA assumes equal variances — for unequal-variance "
+    "pairs ab_welch_ttest is the robust follow-up.)",
+)
+def anova_oneway_value(spark, sf_dir):
+    dec = "decimal(38,0)"
+    base = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").cast(dec).alias("y"),
+        )
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast(dec).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).cast("double")
+        .alias("syy"),
+    )
+    g = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sy").alias("sy_all"),
+        F.sum(F.col("sy") * F.col("sy") / F.col("n")).alias("sq_within_means"),
+        F.sum("syy").alias("syy_all"),
+    )
+    parts = g.select(
+        "k",
+        F.col("nn").cast("bigint").alias("n"),
+        (
+            (F.col("sq_within_means") - F.col("sy_all") * F.col("sy_all") / F.col("nn"))
+            / 10000.0
+        ).alias("ssb"),
+        ((F.col("syy_all") - F.col("sq_within_means")) / 10000.0).alias("ssw"),
+    )
+    return parts.select(
+        "k",
+        "n",
+        F.round("ssb", 6).alias("ss_between"),
+        F.round("ssw", 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )

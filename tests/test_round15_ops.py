@@ -369,3 +369,37 @@ def test_ols_matches_numpy_lstsq(spark):
         assert abs(g.b1 - beta[1]) < 1e-6, (et, g.b1, beta[1])
         assert abs(g.b2 - beta[2]) < 1e-6, (et, g.b2, beta[2])
         assert abs(g.r2 - r2) < 1e-6, (et, g.r2, r2)
+
+
+def test_anova_matches_python_decomposition(spark):
+    """F statistic and eta^2 recomputed in pure Python from the raw
+    per-group tick values (textbook SSB/SSW decomposition) match the
+    engine; identity SST = SSB + SSW holds on the reported numbers."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.queries.behavior import anova_oneway_value
+    from newyork_taxi_etl_spark.sources.readers import read_events
+
+    rows = (
+        read_events(spark, SF_SMOKE)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).alias("y"))
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(int(r.y))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    mean = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - mean) ** 2 for v in groups.values()) / 1e4
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    ) / 1e4
+    g = anova_oneway_value(spark, SF_SMOKE).collect()[0]
+    assert (g.k, g.n) == (k, n)
+    assert abs(g.ss_between - ssb) < 1e-3
+    assert abs(g.ss_within - ssw) < 1e-2
+    assert abs(g.f_stat - (ssb / (k - 1)) / (ssw / (n - k))) < 1e-6
+    assert abs(g.eta_sq - ssb / (ssb + ssw)) < 1e-6
+    assert abs((g.ss_between + g.ss_within) - (ssb + ssw)) < 1e-2
