@@ -2676,7 +2676,7 @@ def _kll_report(spark, d, n: int, surv=None, bound: int | None = None):
 
 @register(
     "streaming_kll_ingest",
-    _kll_fold_sql(3),
+    _kll_fold_sql(2),
     doc="KLL SKETCH AT INGEST — the thirteenth per-batch fold: the "
     "bounded survivor set + (n_seen, accumulated bound) meta row ride "
     "as swap-generation state while documents stream in rank-"
@@ -2707,8 +2707,11 @@ def streaming_kll_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_kllingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
+    # 2 slices: one state-less first fold + one genuine fold-into-state
+    # batch exercises the full state machine at ~2/3 the drain cost of 3
+    # (the cascade dominates; pytests still cover 2/3/5 slicings)
     return W.run_streaming_kll_ingest(
-        spark, docs, work, cache_key=f"documents_kll:{sf_dir}"
+        spark, docs, work, n_slices=2, cache_key=f"documents_kll:{sf_dir}"
     )
 
 
