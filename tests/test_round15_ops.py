@@ -403,3 +403,100 @@ def test_anova_matches_python_decomposition(spark):
     assert abs(g.f_stat - (ssb / (k - 1)) / (ssw / (n - k))) < 1e-6
     assert abs(g.eta_sq - ssb / (ssb + ssw)) < 1e-6
     assert abs((g.ss_between + g.ss_within) - (ssb + ssw)) < 1e-2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_round15_plan_shapes(spark):
+    """Plan pins for the round's scale-sensitive ops: the KMV min-k and
+    the LOF kNN prune map-side (WindowGroupLimit); the Markov bottom-10
+    is a TakeOrderedAndProject (per-task heaps, no global sort); the
+    OLS and ANOVA sufficient-statistics passes contain NO join and NO
+    window — one hash aggregate chain end to end."""
+    from newyork_taxi_etl_spark.queries.behavior import (
+        anova_oneway_value,
+        grouped_ols_regression,
+        markov_sequence_anomaly,
+    )
+    from newyork_taxi_etl_spark.queries.profiling import (
+        kmv_theta_sketch_setops,
+    )
+    from newyork_taxi_etl_spark.queries.similarity import lof_knn_outliers
+
+    assert "WindowGroupLimit" in _plan(kmv_theta_sketch_setops(spark, SF_SMOKE))
+    # LOF's knn frame is localCheckpointed (scored once, reused thrice),
+    # so its WindowGroupLimit lives in the checkpointed subplan — pin the
+    # same kNN shape pre-checkpoint, and the final top-10 heap on the
+    # query itself
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.operators import similarity as S
+    from newyork_taxi_etl_spark.queries.similarity import _DBSCAN_SLICE, _LOF_K
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    emb = (
+        spark.read.parquet(table_path(SF_SMOKE, "embeddings"))
+        .filter(F.col("vec_id") < _DBSCAN_SLICE)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    d = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia", "ib", (1 - S.cosine_expr("va", "vb")).alias("dist")
+    )
+    w = Window.partitionBy("ia").orderBy("dist", "ib")
+    knn = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _LOF_K
+    )
+    assert "WindowGroupLimit" in _plan(knn)
+    assert "TakeOrderedAndProject" in _plan(lof_knn_outliers(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in _plan(
+        markov_sequence_anomaly(spark, SF_SMOKE)
+    )
+    for q in (grouped_ols_regression, anova_oneway_value):
+        p = _plan(q(spark, SF_SMOKE))
+        assert "Join" not in p and "Window" not in p, q.__name__
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """KMV mergeability — the property that makes it a sketch: the
+    bottom-k of the POOLED per-language sketches equals the bottom-k of
+    the full combined distinct set (union sketch from sketches == union
+    sketch from data), for every pair of languages."""
+    import pyspark.sql.functions as F
+
+    from newyork_taxi_etl_spark.operators.sketch import kmv_bottom_k, kmv_hash
+    from newyork_taxi_etl_spark.sources.readers import table_path
+
+    k = 64
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    dv = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("lang", kmv_hash("tok").alias("hv"))
+        .distinct()
+    )
+    per_lang = {
+        lang: sorted(
+            r.hv
+            for r in kmv_bottom_k(
+                dv.filter(F.col("lang") == lang), ["lang"], k
+            ).collect()
+        )
+        for lang in ("en", "fr", "de")
+    }
+    full = {
+        lang: sorted(
+            r.hv for r in dv.filter(F.col("lang") == lang).collect()
+        )
+        for lang in ("en", "fr", "de")
+    }
+    for a in ("en", "fr", "de"):
+        for b in ("en", "fr", "de"):
+            if a >= b:
+                continue
+            from_sketches = sorted(set(per_lang[a]) | set(per_lang[b]))[:k]
+            from_data = sorted(set(full[a]) | set(full[b]))[:k]
+            assert from_sketches == from_data, (a, b)
