@@ -1017,8 +1017,11 @@ def _logreg_weights_cached(spark, docs, sf_dir: str) -> list[float]:
             .alias("y"),
         ).localCheckpoint()
         w = logistic_gd(feats, ["x1", "x2", "x3"], "y", steps=16, lr=4.0)
-        spark.createDataFrame(
-            [(j, float(wj)) for j, wj in enumerate(w)], "j int, w double"
+        from newyork_taxi_etl_spark.localrel import local_rows_df
+
+        local_rows_df(
+            spark, [(j, float(wj)) for j, wj in enumerate(w)],
+            "j int, w double",
         ).coalesce(1).write.mode("overwrite").parquet(target)
 
     sdir = _stage_cached(
@@ -2107,15 +2110,29 @@ def logreg_kfold_cv(spark, sf_dir):
         .otherwise(0.0)
         .alias("y"),
     ).localCheckpoint()
-    outs = []
-    for f in (0, 1, 2):
-        w = logistic_gd(
+    # the three folds' trainings are independent 8-step GD loops, each
+    # step one tiny aggregate-collect job; running them from a thread
+    # pool overlaps the 24 sequential driver barriers into ~8 (guide
+    # §2.6 — concurrent jobs back-fill idle executors).  Per-fold math
+    # is unchanged (deterministic decimal gradients), so values are
+    # bit-identical to the sequential loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(f):
+        spark.sparkContext.setJobDescription(f"logreg_kfold: fold {f}")
+        return logistic_gd(
             af.filter(F.col("fold") != f),
             ["x1", "x2", "x3"],
             "y",
             steps=8,
             lr=4.0,
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        weights = list(pool.map(_train, (0, 1, 2)))
+    outs = []
+    for f in (0, 1, 2):
+        w = weights[f]
         ok = (
             (logistic_prob(w, ["x1", "x2", "x3"]) >= 0.5)
             == (F.col("y") == 1.0)

@@ -2563,6 +2563,24 @@ def _kll_coin_expr(h: int):
     ).otherwise(1)
 
 
+def _kll_one_task_rows() -> int:
+    """Population size at-or-below which the REMAINING cascade levels run
+    in one task (r15 optimization, guide §2.4): the per-level
+    ``Window.partitionBy(grp)`` needs ClusteredDistribution(grp), which a
+    SinglePartition child satisfies — so collapsing the shrinking
+    survivor set to one partition replaces the tail's Θ(log n) hash
+    exchanges (one chained shuffle barrier per level) with pipelined
+    in-task sorts.  Values are untouched: group ids, in-group ranks and
+    coins are pure functions of the data (partitioning-independence is
+    pytested).  Env-tunable for cluster runs; the 1M-row default is
+    ~16 MB of (doc_id, val) — trivially one task's work.  At 100 TB
+    (n = 1e12) levels 0..~19 stay fully distributed and only the
+    sub-1M-row tail collapses."""
+    import os
+
+    return int(os.environ.get("NYETL_KLL_ONE_TASK_ROWS", str(1 << 20)))
+
+
 def _kll_survivors(d, n: int):
     """Run the compaction cascade over (doc_id, val) rows; returns the
     survivor DataFrame (all rows at the final level).  Group and coin
@@ -2572,9 +2590,17 @@ def _kll_survivors(d, n: int):
     cannot change the result (pytested)."""
     from pyspark.sql import Window
 
+    one_task = _kll_one_task_rows()
+    collapsed = False
     cur = d
     for h in _kll_active_stages(n):
         ng = -(-n // ((1 << h) * _KLL_CAP))
+        if not collapsed and (n >> h) <= one_task:
+            # the expected level-h population (n/2^h: each compaction
+            # keeps every other element) fits one task: run the rest of
+            # the cascade shuffle-free (see _kll_one_task_rows)
+            cur = cur.coalesce(1)
+            collapsed = True
         w = Window.partitionBy("grp").orderBy("val", "doc_id")
         cur = (
             cur.withColumn("grp", _kll_grp_expr(h, ng))
@@ -2638,7 +2664,9 @@ def _kll_report(spark, d, n: int, surv=None, bound: int | None = None):
     ranked = surv.withColumn("r", F.row_number().over(wr)).withColumn(
         "s", F.count(F.lit(1)).over(Window.partitionBy())
     )
-    qdf = spark.createDataFrame([(q,) for q in _KLL_QS], "q double")
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    qdf = local_rows_df(spark, [(q,) for q in _KLL_QS], "q double")
     est = qdf.join(
         ranked,
         F.col("r") == F.ceil(F.col("q") * F.col("s")).cast("long"),

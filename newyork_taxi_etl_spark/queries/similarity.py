@@ -3990,7 +3990,9 @@ def gram_subspace_topk(spark, sf_dir):
             T.StructField("ortho_absdot", T.DoubleType()),
         ]
     )
-    return spark.createDataFrame(out, schema).orderBy("pc")
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(spark, out, schema).orderBy("pc")
 
 
 @register(
@@ -6222,7 +6224,10 @@ def ann_opq_trained_recall(spark, sf_dir):
         import numpy as np
 
         r = _opq_rotation(base, parts_hd)
-        spark.createDataFrame(
+        from newyork_taxi_etl_spark.localrel import local_rows_df
+
+        local_rows_df(
+            spark,
             [
                 (int(i), int(j), float(r[i, j]))
                 for i in range(64)
@@ -7202,7 +7207,10 @@ def embedding_whitening_audit(spark, sf_dir):
         c[r["i"] - 1, r["j"] - 1] = r["v"]
     _, cw = _zca_invsqrt_np(c)
     out = [_zca_stats_py(c, "raw"), _zca_stats_py(cw, "whitened")]
-    return spark.createDataFrame(
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         out,
         "stage string, trace double, var_max double, var_min double, "
         "var_ratio double, mean_abs_offdiag double",
@@ -7603,8 +7611,10 @@ def coreset_kcenter_select(spark, sf_dir):
                 F.col("vec_id") == int(top["vec_id"])
             ).collect()[0]
             centers.append((int(nxt["vec_id"]), list(nxt["v"])))
-    return spark.createDataFrame(
-        out, "step int, center_id bigint, radius double"
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(
+        spark, out, "step int, center_id bigint, radius double"
     ).orderBy("step")
 
 

@@ -200,7 +200,10 @@ def describe_table_detail_full(spark, sf_dir):
         for f in files
         if f.endswith(".parquet")
     )
-    return spark.createDataFrame(
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         [
             (
                 ext.get("Provider", "parquet").lower(),
@@ -1221,7 +1224,10 @@ def time_travel_vacuum(spark, sf_dir):
         sum_exact("price").alias("ck")
     ).collect()[0]["ck"]
 
-    return spark.createDataFrame(
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         [(
             row_v0["rows_v0"], row_cur["rows_current"],
             float(row_v0["checksum_v0"]), float(row_cur["checksum_current"]),

@@ -642,8 +642,7 @@ _BPE_MERGE_EXPR = """
     "structure it",
 )
 def bpe_merge_loop(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _bpe_train_tops(docs)
+    tops = _bpe_tops_cached(spark, sf_dir, "full")
     outs = [
         top.select(
             F.lit(step).alias("step"),
@@ -706,13 +705,115 @@ def _bpe_train_tops(docs, rounds=3):
     return tops
 
 
+def _tops_cached(spark, cache_key: str, builder):
+    """Stage-cache a tokenizer trainer's tiny per-round merge tables
+    (r15 optimization, guide §2.4/§1.2 — the _ivf_centroids_cached /
+    _logreg_weights_cached discipline applied to the four tokenizer
+    families): each family's iterative trainer (3 merge rounds / 2 EM
+    rounds, one eager argmax job per round) was re-run by EVERY consumer
+    — the standalone train/apply/holdout/drift queries AND all four legs
+    of tokenizer_family_bakeoff retrained identical vocab tables on the
+    identical corpus slice.  The per-round winners are deterministic
+    (ties broken (n DESC, a, b)); strings/longs/doubles round-trip
+    parquet bit-exactly, so hit and miss paths are value-identical.
+    Returns the per-round tables as a list of 1-row DataFrames, exactly
+    what the trainers return."""
+    import os
+
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
+    def build(target: str) -> None:
+        tops = builder()
+        out = None
+        for i, t in enumerate(tops):
+            leg = t.select(F.lit(i).alias("step"), "*")
+            out = leg if out is None else out.unionByName(leg)
+        os.makedirs(target, exist_ok=True)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(target, "tops")
+        )
+        with open(os.path.join(target, "NROUNDS"), "w") as f:
+            f.write(str(len(tops)))
+
+    sdir = _stage_cached(None, cache_key, build)
+    with open(os.path.join(sdir, "NROUNDS")) as f:
+        rounds = int(f.read())
+    allt = spark.read.parquet(os.path.join(sdir, "tops"))
+    return [
+        allt.filter(F.col("step") == i).drop("step") for i in range(rounds)
+    ]
+
+
+def _split_docs(docs, split: str):
+    """The two training corpora of the tokenizer families: the full
+    corpus and the %5!=0 train split (holdout/bakeoff queries)."""
+    if split == "full":
+        return docs
+    return docs.filter(F.col("doc_id") % 5 != 0)
+
+
+def _bpe_tops_cached(spark, sf_dir, split: str):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _tops_cached(
+        spark,
+        f"bpetops3:{split}:{sf_dir}",
+        lambda: _bpe_train_tops(_split_docs(docs, split)),
+    )
+
+
+def _wp_tops_cached(spark, sf_dir, split: str):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return _tops_cached(
+        spark,
+        f"wptops3:{split}:{sf_dir}",
+        lambda: _wp_train_tops(_split_docs(docs, split)),
+    )
+
+
+def _bb_tops_cached(spark, sf_dir, split: str):
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    vocab = (
+        _split_docs(docs, split)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return _tops_cached(
+        spark,
+        f"bbtops3:{split}:{sf_dir}",
+        lambda: bytebpe_train_tops(vocab, rounds=3),
+    )
+
+
+def _uni_final_cached(spark, sf_dir, split: str):
+    """train_unigram's final (piece, cnt) table through the same stage
+    cache (em_rounds=2, keep_multi=24 — the only configuration any
+    registered query trains)."""
+    import os
+
+    from newyork_taxi_etl_spark.streaming.windows import _stage_cached
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+
+    def build(target: str) -> None:
+        UNI.train_unigram(
+            _split_docs(docs, split), em_rounds=2, keep_multi=24
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(target, "final")
+        )
+
+    sdir = _stage_cached(None, f"unifinal_em2k24:{split}:{sf_dir}", build)
+    return spark.read.parquet(os.path.join(sdir, "final"))
+
+
 def _bpe_encoded_words(spark, sf_dir):
     """(lang, w, cnt, syms): every distinct (lang, word) of the corpus
     encoded with the trained merge table — the merges apply in training
     order via the same fold.  Exposed for the round-trip invariant test
     (concat(syms) must reconstruct w exactly)."""
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _bpe_train_tops(docs)
+    tops = _bpe_tops_cached(spark, sf_dir, "full")
     lv = (
         docs.select(
             "lang", F.explode(F.split("text", " ")).alias("w")
@@ -888,7 +989,7 @@ _BPE_HOLDOUT_SQL = f"""
 )
 def bpe_holdout_fertility(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _bpe_train_tops(docs.filter(F.col("doc_id") % 5 != 0))
+    tops = _bpe_tops_cached(spark, sf_dir, "train80")
     lv = (
         docs.select(
             (F.col("doc_id") % 5 == 0).alias("is_val"),
@@ -2225,8 +2326,7 @@ _UNI_TRAIN_SQL = f"""
     "trick); every EM statistic, grid, and DP is vocab-sized.",
 )
 def unigram_lm_train(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    final = UNI.train_unigram(docs, em_rounds=2, keep_multi=24)
+    final = _uni_final_cached(spark, sf_dir, "full")
     tot = final.agg(F.sum("cnt").cast("bigint").alias("_tot"))
     return (
         final.crossJoin(F.broadcast(tot))
@@ -2299,9 +2399,7 @@ _UNI_HOLDOUT_SQL = f"""
 )
 def unigram_holdout_fertility(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    final = UNI.train_unigram(
-        docs.filter(F.col("doc_id") % 5 != 0), em_rounds=2, keep_multi=24
-    )
+    final = _uni_final_cached(spark, sf_dir, "train80")
     lv = (
         spread(docs)
         .select(
@@ -2443,8 +2541,7 @@ def _wp_round_sql(r: int) -> str:
     "comparable on the same corpus",
 )
 def wordpiece_merge_loop(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _wp_train_tops(docs)
+    tops = _wp_tops_cached(spark, sf_dir, "full")
     outs = [
         top.select(
             F.lit(step).alias("step"),
@@ -2811,7 +2908,7 @@ _WP_HOLDOUT_SQL = f"""
 )
 def wordpiece_holdout_fertility(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _wp_train_tops(docs.filter(F.col("doc_id") % 5 != 0))
+    tops = _wp_tops_cached(spark, sf_dir, "train80")
     lv = (
         docs.select(
             (F.col("doc_id") % 5 == 0).alias("is_val"),
@@ -2930,7 +3027,7 @@ def wordpiece_greedy_segment(spark, sf_dir):
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     words = word_vocab(docs)
-    vocab = vocab_from_tops(words, _wp_train_tops(docs))
+    vocab = vocab_from_tops(words, _wp_tops_cached(spark, sf_dir, "full"))
     segs = greedy_segment_words(words, vocab)
     return segs.select(
         "w",
@@ -3272,7 +3369,7 @@ def wordpiece_runtime_drift(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.unigram import word_vocab
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _wp_train_tops(docs)
+    tops = _wp_tops_cached(spark, sf_dir, "full")
     wv = word_vocab(docs)
     vocab = vocab_from_tops(wv, tops)
     gseg = greedy_segment_words(wv, vocab).select(
@@ -4483,14 +4580,7 @@ from newyork_taxi_etl_spark.operators.bytebpe import (  # noqa: E402
     "same contract as the char trainer.",
 )
 def bytebpe_merge_loop(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    tops = bytebpe_train_tops(vocab, rounds=3)
+    tops = _bb_tops_cached(spark, sf_dir, "full")
     outs = [
         top.select(
             F.lit(step).alias("step"),
@@ -4572,14 +4662,7 @@ def bytebpe_holdout_fertility(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.bytebpe import BYTE_SYMS_EXPR
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    train_vocab = (
-        docs.filter(F.col("doc_id") % 5 != 0)
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    tops = bytebpe_train_tops(train_vocab, rounds=3)
+    tops = _bb_tops_cached(spark, sf_dir, "train80")
     lv = (
         docs.select(
             (F.col("doc_id") % 5 == 0).alias("is_val"),
@@ -5227,7 +5310,10 @@ def bpe_merge_gain_curve(spark, sf_dir):
             )
         )
         prev_f = row["fertility"]
-    return spark.createDataFrame(
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         out,
         "round int, merge_taken string, merge_n bigint, "
         "total_syms bigint, fertility double, fertility_gain double",

@@ -113,7 +113,9 @@ def zones_from_literals(spark: SparkSession) -> DataFrame:
     """Minimal in-memory zone dimension for environments without the CSV —
     airports per the reference literal list, everything else 'Other'."""
     rows = [(i, "Airport" if i in S.AIRPORT_IDS else "Other") for i in range(1, 266)]
-    return spark.createDataFrame(rows, ["LocationID", "zone_kind"])
+    from newyork_taxi_etl_spark.localrel import local_rows_df
+
+    return local_rows_df(spark, rows, ["LocationID", "zone_kind"])
 
 
 def is_airport(col):

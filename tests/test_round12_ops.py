@@ -376,9 +376,9 @@ def test_stage_cache_build_once_and_atomic(spark, tmp_path):
         with open(os.path.join(target, "part-0.parquet"), "w") as f:
             f.write("x")
 
-    # unique per test RUN: the cache root persists in the system temp dir
-    # across pytest invocations by design, so a stable key would hit the
-    # previous run's generation and see zero builds
+    # unique per test RUN: the cache root is shared across every test in
+    # this PROCESS (r15: scoped per-process, removed at exit), so a
+    # stable key could hit a generation built by an earlier test
     import uuid
 
     key = f"pytest-stage-{uuid.uuid4().hex}"
