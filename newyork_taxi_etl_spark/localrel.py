@@ -20,6 +20,13 @@ relation lands on the JVM as a literal ``LocalTableScan``; empty inputs
 legacy path for everything the engine passes here (ints, finite doubles,
 strings, bools, None); a float NaN — which pandas would silently turn into
 NULL — falls back to the legacy constructor to preserve semantics.
+
+Timezone note (r15 ADVICE): rows containing naive ``datetime`` values
+fall back to the legacy constructor too — the pandas/Arrow path localizes
+naive datetimes to ``spark.sql.session.timeZone`` (UTC here) while the
+legacy tuple path uses the system-local timezone; on a non-UTC host the
+two differ by the tz offset.  The fallback keeps the legacy semantics
+everywhere instead of documenting a UTC-host assumption.
 """
 
 from __future__ import annotations
@@ -38,10 +45,17 @@ def _fields(schema) -> list:
     return []  # bare column-name list: caller relies on inference
 
 
-def _has_nan(rows) -> bool:
+def _needs_legacy(rows) -> bool:
+    """True when any value needs the legacy constructor: float NaN (pandas
+    would coerce to NULL) or datetime (the Arrow path localizes naive
+    datetimes to the session timezone, the legacy path to system-local)."""
+    import datetime
+
     for r in rows:
         for v in r:
             if isinstance(v, float) and math.isnan(v):
+                return True
+            if isinstance(v, (datetime.datetime, datetime.date)):
                 return True
     return False
 
@@ -65,8 +79,9 @@ def local_rows_df(spark, rows, schema):
                 for f in fields
             ]
         )
-    if _has_nan(rows):
-        # pandas->Arrow would coerce NaN to NULL; keep legacy semantics
+    if _needs_legacy(rows):
+        # pandas->Arrow would coerce NaN to NULL / shift naive datetimes
+        # to the session tz; keep legacy semantics
         return spark.createDataFrame(rows, schema)
     if fields:
         # object dtype: stop pandas coercing int columns with Nones to
@@ -75,5 +90,11 @@ def local_rows_df(spark, rows, schema):
             rows, columns=[f.name for f in fields], dtype=object
         )
         return spark.createDataFrame(pdf, schema=schema)
+    if not rows or any(None in r for r in rows):
+        # bare-name inference: empty input raises on the pandas path and
+        # an int column containing None coerces to float64 (DoubleType)
+        # where the RDD path infers bigint — route both to the legacy
+        # constructor (r15 ADVICE; no engine caller hits this today)
+        return spark.createDataFrame(rows, list(schema))
     pdf = pd.DataFrame(rows, columns=list(schema))
     return spark.createDataFrame(pdf)

@@ -3130,10 +3130,6 @@ def _dsir_affinity_matrix(docs, domain_col: str = "source"):
         F.col(domain_col).alias("source"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
-    # the bucket stream feeds THREE lineages (global counts, per-target
-    # counts, the all-targets scoring join): pin it or each consumer
-    # re-runs the scan+explode+md5 chain (measured 5.8 -> 5.5 s at sf0.1
-    # steady-state; the win grows with corpus size)
     bt = toks.select(
         "doc_id",
         "source",
@@ -3141,13 +3137,28 @@ def _dsir_affinity_matrix(docs, domain_col: str = "source"):
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
             F.lit(64),
         ).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    raw = bt.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cr")
+    )
+    # r16 (guide §2.3 — aggregate before you shuffle): collapse the token
+    # stream to per-(doc, bucket) COUNTS before anything else.  The model
+    # tables are exact sums of these counts, and the per-doc decimal
+    # weight sum(lr) over token instances == sum(lr_dec * cnt) in exact
+    # decimal arithmetic (decimal(25,12) x decimal(12,0) -> decimal(38,12)
+    # with no precision loss, so no rounding anywhere before the final
+    # double cast).  The scoring join's input shrinks from every token
+    # instance x n_targets to <= 64 rows per doc x n_targets, and the
+    # pinned intermediate (three consumer lineages) is the folded table
+    # instead of the full token stream.
+    btc = (
+        bt.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bcnt"))
+        .localCheckpoint(eager=False)
+    )
+    raw = btc.groupBy("bucket").agg(
+        F.sum("bcnt").cast("bigint").alias("cr")
     )
     rt = raw.agg(F.sum("cr").cast("bigint").alias("tr"))
-    ct = bt.groupBy(F.col("source").alias("target"), "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ct")
+    ct = btc.groupBy(F.col("source").alias("target"), "bucket").agg(
+        F.sum("bcnt").cast("bigint").alias("ct")
     )
     tt = ct.groupBy("target").agg(F.sum("ct").cast("bigint").alias("tt"))
     lr_tab = (
@@ -3168,11 +3179,15 @@ def _dsir_affinity_matrix(docs, domain_col: str = "source"):
         )
     )
     per_doc = (
-        bt.join(F.broadcast(lr_tab), "bucket")
+        btc.join(F.broadcast(lr_tab), "bucket")
         .groupBy("target", "doc_id", "source")
         .agg(
             F.round(
-                F.sum(F.col("lr").cast("decimal(38,12)")).cast("double"), 6
+                F.sum(
+                    F.col("lr").cast("decimal(25,12)")
+                    * F.col("bcnt").cast("decimal(12,0)")
+                ).cast("double"),
+                6,
             ).alias("w")
         )
     )
@@ -3390,10 +3405,8 @@ def curriculum_ccnet_agreement(spark, sf_dir):
     )
     from newyork_taxi_etl_spark.operators.profile import ordered_positions
     from newyork_taxi_etl_spark.queries.text import (
-        _doc_mean_nll,
+        _doc_nll_cached,
         _lang_ntile3,
-        _tok_stream,
-        _uni_add1_nll,
     )
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
@@ -3425,7 +3438,9 @@ def curriculum_ccnet_agreement(spark, sf_dir):
     qstaged = pos.crossJoin(F.broadcast(n_df)).select(
         "doc_id", stage.alias("stage")
     )
-    du = _doc_mean_nll(_uni_add1_nll(_tok_stream(docs)), out="score")
+    # the add-1 unigram doc scores come from the shared stage cache (r16)
+    # — the same table bigram_lm_compare / ccnet_kn_bucket_agreement read
+    du = _doc_nll_cached(spark, sf_dir, "uni_add1", out="score")
     tiles = _lang_ntile3(du).select("doc_id", "tile")
     j = qstaged.join(tiles, "doc_id")
     tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))

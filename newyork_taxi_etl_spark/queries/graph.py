@@ -56,11 +56,50 @@ def _multiband_pairs_sql() -> str:
 
 
 def _multiband_pairs(spark, sf_dir):
+    """Multiband-LSH near-dup edge set (id_a, id_b) through the
+    per-process stage cache (r16, guide §2.4/§1.2): SEVEN registered
+    queries mine the identical pair set from the identical embeddings
+    (dedup_clusters, dedup_canonical_docs, dedup_aware_split,
+    semantic_dedup_quality_keeper, similarity_triangle_count,
+    graph_two_core, graph_bfs_hops) — each was re-running the full LSH
+    banding + candidate join + cosine scoring pass.  The edge list is
+    two bigint columns (bit-exact through parquet) and deterministic;
+    every consumer is row-order independent.  The parquet-backed stage
+    also replaces the per-query localCheckpoint pins those consumers
+    carried."""
     from newyork_taxi_etl_spark.queries.similarity import LSH_BANDS
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
 
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    # BLAS bucket scorer: result-identical fast twin (see operators.similarity)
-    return cosine_pairs_lsh_multiband_blas(emb, threshold=0.4, bands=LSH_BANDS)
+    def build():
+        emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+        # BLAS bucket scorer: result-identical fast twin
+        # (see operators.similarity)
+        return cosine_pairs_lsh_multiband_blas(
+            emb, threshold=0.4, bands=LSH_BANDS
+        )
+
+    return df_stage_cached(
+        spark, f"multiband_pairs04:{sf_dir}", build, n_files=1
+    )
+
+
+def _multiband_components(spark, sf_dir):
+    """Connected components (node, component) over the multiband pair
+    graph through the same stage cache — four queries run the identical
+    label propagation (loop_partitions=4, hops_per_round=5) over the
+    identical edge set; the loop is a pure function of the edges."""
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    def build():
+        return connected_components(
+            _multiband_pairs(spark, sf_dir),
+            loop_partitions=4,
+            hops_per_round=5,
+        )
+
+    return df_stage_cached(
+        spark, f"multiband_components04:{sf_dir}", build, n_files=1
+    )
 
 
 @register(
@@ -90,10 +129,9 @@ def dedup_clusters(spark, sf_dir):
     # loop_partitions=4: the label loop runs on label-sized tables (~1k
     # rows here; size to label cardinality at real scale); hops=5 covers
     # the measured diameter-13 near-dup graph in 4 rounds — see
-    # operators.graph.connected_components
-    return connected_components(
-        _multiband_pairs(spark, sf_dir), loop_partitions=4, hops_per_round=5
-    ).orderBy("node")
+    # operators.graph.connected_components.  Stage-cached (r16): four
+    # queries consume this identical component table.
+    return _multiband_components(spark, sf_dir).orderBy("node")
 
 
 @register(
@@ -128,9 +166,7 @@ def dedup_clusters(spark, sf_dir):
 def dedup_canonical_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    comps = connected_components(
-        _multiband_pairs(spark, sf_dir), loop_partitions=4, hops_per_round=5
-    )
+    comps = _multiband_components(spark, sf_dir)
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -311,9 +347,7 @@ def semantic_dedup_quality_keeper(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    comp = connected_components(
-        _multiband_pairs(spark, sf_dir), loop_partitions=4, hops_per_round=5
-    )
+    comp = _multiband_components(spark, sf_dir)
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
@@ -447,8 +481,11 @@ def dedup_aware_split(spark, sf_dir):
 
     from newyork_taxi_etl_spark.operators.sampling import hash_bucket
 
-    pairs = _multiband_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    comp = connected_components(pairs, loop_partitions=4, hops_per_round=5)
+    # both stages come from the parquet-backed cache (r16) — the pair
+    # mining and the component loop each run once per process across the
+    # seven consumer queries; the eager localCheckpoint pin is obsolete
+    pairs = _multiband_pairs(spark, sf_dir)
+    comp = _multiband_components(spark, sf_dir)
     docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
         "doc_id"
     )
@@ -665,9 +702,10 @@ def graph_bfs_hops(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.graph import bfs_hops
 
     # edge mining (LSH bands + candidate join + cosine) is the expensive
-    # pass — materialize the small pair set once; it feeds the BFS loop,
-    # the hop histogram AND the unreached anti join
-    pairs = _multiband_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    # pass — the parquet-backed stage cache (r16) materializes the small
+    # pair set once per process; it feeds the BFS loop, the hop histogram
+    # AND the unreached anti join
+    pairs = _multiband_pairs(spark, sf_dir)
     best = bfs_hops(pairs, max_hops=6)
     hist = best.groupBy("hop").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),

@@ -708,6 +708,23 @@ _JOIN_CHOICE_SQL = """
     "count; the rules are scale-free ratios)",
 )
 def join_strategy_choice(spark, sf_dir):
+    # the 3-row decision table goes through the per-process stage cache
+    # (r16, r15 verdict item 3): join_auto_dispatch re-derived the
+    # decisions (two full lineitem grouped counts + the events/supplier/
+    # orders stats) before every execution — the chooser is a pure
+    # deterministic function of the corpus, so it now prices once per
+    # process and both queries read it back.
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    return df_stage_cached(
+        spark,
+        f"join_choice:{sf_dir}",
+        lambda: _join_strategy_choice_build(spark, sf_dir),
+        n_files=1,
+    ).orderBy("join_name")
+
+
+def _join_strategy_choice_build(spark, sf_dir):
     def small_stats(df, strcol):
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("small_rows"),

@@ -96,6 +96,26 @@ def _corpora(spark, sf_dir):
     return docs, derive_perturbed_corpus(docs)
 
 
+def _scored_pairs_cached(spark, sf_dir):
+    """Scored linkage candidate set (doc_id, b_id, jaccard) through the
+    per-process stage cache (r16, guide §2.4/§1.2): FOUR registered
+    queries (blocked_candidates, one_to_one, quality_gate,
+    entity_clusters) each re-ran the full candidate pipeline — corpus
+    derivation, inverted shingle indexes, hot-shingle cap, pair join,
+    exact Jaccard — on the identical corpus.  The pair set is (bigint,
+    bigint, double), bit-exact through parquet; every consumer windows/
+    aggregates order-independently."""
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    def build():
+        a, b = _corpora(spark, sf_dir)
+        return blocked_linkage_pairs(a, b)
+
+    return df_stage_cached(
+        spark, f"linkage_scored_pairs:{sf_dir}", build, n_files=1
+    )
+
+
 @register(
     "linkage_blocked_candidates",
     _LINK_CTE
@@ -114,9 +134,8 @@ def _corpora(spark, sf_dir):
     "cannot resolve — exactly why the one-to-one stage exists.",
 )
 def linkage_blocked_candidates(spark, sf_dir):
-    a, b = _corpora(spark, sf_dir)
     return (
-        blocked_linkage_pairs(a, b)
+        _scored_pairs_cached(spark, sf_dir)
         .select("doc_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
@@ -138,8 +157,7 @@ def linkage_blocked_candidates(spark, sf_dir):
     "row-level value oracle over the full match set.",
 )
 def linkage_one_to_one(spark, sf_dir):
-    a, b = _corpora(spark, sf_dir)
-    matched = mutual_best_match(blocked_linkage_pairs(a, b))
+    matched = mutual_best_match(_scored_pairs_cached(spark, sf_dir))
     return matched.select(
         "doc_id",
         "b_id",
@@ -174,8 +192,8 @@ def linkage_one_to_one(spark, sf_dir):
     "information the pipeline sees is text; the truth ids only score it.",
 )
 def linkage_quality_gate(spark, sf_dir):
-    a, b = _corpora(spark, sf_dir)
-    matched = mutual_best_match(blocked_linkage_pairs(a, b))
+    _, b = _corpora(spark, sf_dir)
+    matched = mutual_best_match(_scored_pairs_cached(spark, sf_dir))
     hit = (F.col("b_id") - F.lit(100_000)) == F.col("doc_id")
     stats = matched.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched"),
@@ -298,8 +316,7 @@ def linkage_lsh_blocking(spark, sf_dir):
 def linkage_entity_clusters(spark, sf_dir):
     from newyork_taxi_etl_spark.operators.graph import connected_components
 
-    a, b = _corpora(spark, sf_dir)
-    edges = blocked_linkage_pairs(a, b).select(
+    edges = _scored_pairs_cached(spark, sf_dir).select(
         F.col("doc_id").alias("id_a"), F.col("b_id").alias("id_b")
     )
     comps = connected_components(edges, loop_partitions=4, hops_per_round=5)

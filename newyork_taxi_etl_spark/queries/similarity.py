@@ -2964,7 +2964,35 @@ _JL_SIGN_DUCK = (
     "pre-filters) when 100 TB of float32 won't fit the budget.",
 )
 def jl_projection_distortion(spark, sf_dir):
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    from newyork_taxi_etl_spark.operators.similarity import spread_small_scan
+
+    # r16 (guide §4.2 / §1.2 — don't recompute constants per row): the
+    # md5-parity sign matrix is a CONSTANT 16x64 table, but the seeded
+    # expression sat inside the per-row projection lambda, so every row
+    # re-derived all 1024 signs (~5M interpreted md5 calls per corpus
+    # pass, twice — once per join side).  The signs are now derived ONCE
+    # driver-side with the IDENTICAL md5-parity rule and inlined as a
+    # literal array-of-arrays; the fold's shape, order and sign VALUES
+    # are unchanged, so every double is bit-identical (oracle-verified).
+    import hashlib
+
+    sign_rows = []
+    for k in range(16):
+        vals = []
+        for j in range(1, 65):
+            parity = int(
+                hashlib.md5(f"jl|{j}|{k}".encode()).hexdigest()[0], 16
+            ) % 2
+            vals.append(
+                "CAST(1.0 AS DOUBLE)" if parity == 0
+                else "CAST(-1.0 AS DOUBLE)"
+            )
+        sign_rows.append("array(" + ", ".join(vals) + ")")
+    signs_sql = "array(" + ", ".join(sign_rows) + ")"
+
+    emb = spread_small_scan(
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+    )
     proj = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -2972,8 +3000,8 @@ def jl_projection_distortion(spark, sf_dir):
             "transform(sequence(0, 15), k -> "
             "aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), "
             "(acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE) * "
-            + _JL_SIGN_SPARK
-            + ") / CAST(4.0 AS DOUBLE))"
+            f"element_at(element_at({signs_sql}, k + 1), j)"
+            ") / CAST(4.0 AS DOUBLE))"
         ).alias("p"),
     )
     a = proj.alias("a")
@@ -6785,18 +6813,23 @@ def lsh_band_sweep(spark, sf_dir):
         _DOT_D,
         lsh_band_structs,
         lsh_multiband_dims,
+        spread_small_scan,
     )
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    s = (
+    # spread the 512-row sample BEFORE checkpointing (r16, guide §2.5 /
+    # the spread_small_scan discipline): limit(512) materializes as ONE
+    # partition, so the truth pass's broadcast-NLJ cosine scan (131k
+    # interpreted-HOF pairs) and every band projection inherited a
+    # single-task stage while 31 cores idled.
+    s = spread_small_scan(
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(512)
         .select(
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
     a, b = s.alias("a"), s.alias("b")
     cos = F.round(
         F.expr(_DOT_D.format(a="a.v", b="b.v"))
@@ -7361,8 +7394,29 @@ def semantic_dedup_kmeans(spark, sf_dir):
         F.col("nrm").alias("nb"),
     )
     dot = F.expr(_DOT.format(a="ea", b="eb"))
+    # r16 (guide §2.5): the pair join's only key is cid, so its
+    # parallelism is capped at k (8 at every shipped SF) — a quarter of
+    # the local cores sit idle under ~1.5M pairwise dots.  Split each
+    # cell's build side S ways with a DETERMINISTIC salt (pmod of id —
+    # never rand(), §2.5) and replicate the probe side S times: the pair
+    # set is exactly the same (each (a, b) meets at b's salt only), the
+    # arithmetic is unchanged, and the join spreads over k*S partitions.
+    # S derives from parallelism vs k, so at corpus scale (SemDeDup grows
+    # k with the corpus; k >= 2*cores) S collapses to 1 — no overhead.
+    par = spark.sparkContext.defaultParallelism
+    n_salt = max(1, -(-2 * par // max(1, k)))
+    if n_salt > 1:
+        bs = b.withColumn("psalt", F.pmod(F.col("id_b"), F.lit(n_salt)))
+        as_ = a.crossJoin(
+            spark.range(n_salt).select(
+                F.col("id").cast("bigint").alias("psalt")
+            )
+        )
+        joined = as_.join(bs, ["cid", "psalt"])
+    else:
+        joined = a.join(b, "cid")
     pairs = (
-        a.join(b, "cid")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "cid",

@@ -744,6 +744,22 @@ def _tops_cached(spark, cache_key: str, builder):
     ]
 
 
+def _holdout_cached(spark, sf_dir, family: str, build):
+    """Per-(split, lang) scored holdout table through the per-process
+    stage cache (r16, r15 verdict item 4 — the _tops_cached discipline
+    extended from the trained merge tables to the scored holdout
+    tables): each family's holdout scoring pass ran TWICE per process —
+    once for the standalone *_holdout_fertility query and once inside
+    tokenizer_family_bakeoff's leg.  The table is tiny (splits x langs
+    rows of strings/bigints/doubles — bit-exact through parquet) and
+    every consumer re-sorts, so hit and miss paths are value-identical."""
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    return df_stage_cached(
+        spark, f"holdout_scored_{family}:{sf_dir}", build, n_files=1
+    ).orderBy("split", "lang")
+
+
 def _split_docs(docs, split: str):
     """The two training corpora of the tokenizer families: the full
     corpus and the %5!=0 train split (holdout/bakeoff queries)."""
@@ -988,53 +1004,55 @@ _BPE_HOLDOUT_SQL = f"""
     "sums integer.",
 )
 def bpe_holdout_fertility(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _bpe_tops_cached(spark, sf_dir, "train80")
-    lv = (
-        docs.select(
-            (F.col("doc_id") % 5 == 0).alias("is_val"),
-            "lang",
-            F.explode(F.split("text", " ")).alias("w"),
+    def build():
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        tops = _bpe_tops_cached(spark, sf_dir, "train80")
+        lv = (
+            docs.select(
+                (F.col("doc_id") % 5 == 0).alias("is_val"),
+                "lang",
+                F.explode(F.split("text", " ")).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("is_val", "lang", "w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .filter(F.col("w") != "")
-        .groupBy("is_val", "lang", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    enc = lv.select(
-        "is_val",
-        "lang",
-        "cnt",
-        F.expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-        ).alias("syms"),
-    )
-    for top in tops:
-        enc = enc.crossJoin(F.broadcast(top)).select(
-            "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
-        )
-    return (
-        enc.select(
-            F.when(F.col("is_val"), "holdout").otherwise("train").alias(
-                "split"
-            ),
+        enc = lv.select(
+            "is_val",
             "lang",
             "cnt",
-            F.size("syms").alias("n_syms"),
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
         )
-        .groupBy("split", "lang")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_instances"),
-            F.sum(F.col("cnt") * F.col("n_syms"))
-            .cast("bigint")
-            .alias("bpe_symbols"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
-                / F.sum("cnt"),
-                6,
-            ).alias("bpe_fertility"),
+        for top in tops:
+            enc = enc.crossJoin(F.broadcast(top)).select(
+                "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+            )
+        return (
+            enc.select(
+                F.when(F.col("is_val"), "holdout").otherwise("train").alias(
+                    "split"
+                ),
+                "lang",
+                "cnt",
+                F.size("syms").alias("n_syms"),
+            )
+            .groupBy("split", "lang")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_instances"),
+                F.sum(F.col("cnt") * F.col("n_syms"))
+                .cast("bigint")
+                .alias("bpe_symbols"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                    / F.sum("cnt"),
+                    6,
+                ).alias("bpe_fertility"),
+            )
         )
-        .orderBy("split", "lang")
-    )
+
+    return _holdout_cached(spark, sf_dir, "bpe", build)
 
 
 @register(
@@ -1405,6 +1423,41 @@ def _doc_mean_nll(nll_df, out="s"):
     )
 
 
+def _doc_nll_cached(spark, sf_dir, model: str, out: str):
+    """Per-doc mean-NLL score table (doc_id, lang, <out>) for one of the
+    three LM scoring legs, through the per-process stage cache (r16,
+    guide §2.4/§1.2 — the _tops_cached discipline applied to the scored
+    tables): kneser_ney_lm_compare, ccnet_kn_bucket_agreement and
+    bigram_lm_compare each re-ran full scoring chains another query in
+    the same process had already run (the KN chain twice, the add-1
+    bigram chain twice, the add-1 unigram chain twice).  Each chain is a
+    pure deterministic function of the corpus; (bigint, string, double)
+    round-trip parquet bit-exactly and every consumer aggregates
+    order-independently, so hit and miss paths are value-identical."""
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    def build():
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        if model == "kn":
+            return _doc_mean_nll(_kn_nll(_bi_stream(docs)), out="s")
+        if model == "bi_add1":
+            toks = _tok_stream(docs)
+            uni = toks.groupBy("lang", "tok").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            utot = uni.groupBy("lang").agg(
+                F.sum("cnt").cast("bigint").alias("total"),
+                F.count(F.lit(1)).alias("vocab"),
+            )
+            return _doc_mean_nll(_bi_add1_nll(_bi_stream(docs), utot), out="s")
+        if model == "uni_add1":
+            return _doc_mean_nll(_uni_add1_nll(_tok_stream(docs)), out="s")
+        raise ValueError(model)
+
+    df = df_stage_cached(spark, f"docnll_{model}:{sf_dir}", build)
+    return df.select("doc_id", "lang", F.col("s").alias(out))
+
+
 @register(
     "bigram_lm_compare",
     """
@@ -1491,19 +1544,12 @@ def _doc_mean_nll(nll_df, out="s"):
 )
 def bigram_lm_compare(spark, sf_dir):
     dec = "decimal(38,12)"
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    toks = _tok_stream(docs)
-    uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    utot = uni.groupBy("lang").agg(
-        F.sum("cnt").cast("bigint").alias("total"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
-    bi = _bi_stream(docs)
-    uni_nll = _uni_add1_nll(toks)
-    bi_nll = _bi_add1_nll(bi, utot)
-
-    du = _doc_mean_nll(uni_nll, out="su")
-    db = _doc_mean_nll(bi_nll, out="sb")
+    # both per-doc score tables come from the shared stage cache (r16):
+    # the add-1 unigram leg is ccnet_kn_bucket_agreement's first cut and
+    # the add-1 bigram leg is kneser_ney_lm_compare's baseline — one
+    # scoring chain per process instead of two each
+    du = _doc_nll_cached(spark, sf_dir, "uni_add1", out="su")
+    db = _doc_nll_cached(spark, sf_dir, "bi_add1", out="sb")
     avg_u = F.sum(F.col("su").cast(dec)).cast("double") / F.count(F.lit(1))
     avg_b = F.sum(F.col("sb").cast(dec)).cast("double") / F.count(F.lit(1))
     return (
@@ -2398,56 +2444,59 @@ _UNI_HOLDOUT_SQL = f"""
     "eval vocabulary.",
 )
 def unigram_holdout_fertility(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    final = _uni_final_cached(spark, sf_dir, "train80")
-    lv = (
-        spread(docs)
-        .select(
-            F.when(F.col("doc_id") % 5 == 0, "holdout")
-            .otherwise("train")
-            .alias("split"),
-            "lang",
-            F.explode(F.split("text", " ")).alias("w"),
+    def build():
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        final = _uni_final_cached(spark, sf_dir, "train80")
+        lv = (
+            spread(docs)
+            .select(
+                F.when(F.col("doc_id") % 5 == 0, "holdout")
+                .otherwise("train")
+                .alias("split"),
+                "lang",
+                F.explode(F.split("text", " ")).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("split", "lang", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
-        .filter(F.col("w") != "")
-        .groupBy("split", "lang", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    evalwords = lv.select("w").distinct().withColumn(
-        "freq", F.lit(1).cast("bigint")
-    )
-    eval_singles = (
-        evalwords.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-                )
-            ).alias("piece")
+        evalwords = lv.select("w").distinct().withColumn(
+            "freq", F.lit(1).cast("bigint")
         )
-        .distinct()
-        .join(final, "piece", "left_anti")
-        .select("piece", F.lit(1).cast("bigint").alias("cnt"))
-    )
-    costs = UNI.piece_costs(final.unionByName(eval_singles))
-    seg = UNI.segment_words(evalwords, costs).select(
-        "w", F.size("pieces").alias("n_pieces")
-    )
-    return (
-        lv.join(F.broadcast(seg), "w")
-        .groupBy("split", "lang")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_instances"),
-            F.sum(F.col("cnt") * F.col("n_pieces"))
-            .cast("bigint")
-            .alias("uni_pieces"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
-                / F.sum("cnt"),
-                6,
-            ).alias("uni_fertility"),
+        eval_singles = (
+            evalwords.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w)),"
+                        " i -> substring(w, i, 1))"
+                    )
+                ).alias("piece")
+            )
+            .distinct()
+            .join(final, "piece", "left_anti")
+            .select("piece", F.lit(1).cast("bigint").alias("cnt"))
         )
-        .orderBy("split", "lang")
-    )
+        costs = UNI.piece_costs(final.unionByName(eval_singles))
+        seg = UNI.segment_words(evalwords, costs).select(
+            "w", F.size("pieces").alias("n_pieces")
+        )
+        return (
+            lv.join(F.broadcast(seg), "w")
+            .groupBy("split", "lang")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_instances"),
+                F.sum(F.col("cnt") * F.col("n_pieces"))
+                .cast("bigint")
+                .alias("uni_pieces"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
+                    / F.sum("cnt"),
+                    6,
+                ).alias("uni_fertility"),
+            )
+        )
+
+    return _holdout_cached(spark, sf_dir, "unigram", build)
 
 
 # --- WordPiece trainer (Schuster & Nakajima 2012; BERT's tokenizer) --------
@@ -2907,53 +2956,55 @@ _WP_HOLDOUT_SQL = f"""
     "word) vocab, each 1-row merge broadcast, integer sums",
 )
 def wordpiece_holdout_fertility(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _wp_tops_cached(spark, sf_dir, "train80")
-    lv = (
-        docs.select(
-            (F.col("doc_id") % 5 == 0).alias("is_val"),
-            "lang",
-            F.explode(F.split("text", " ")).alias("w"),
+    def build():
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        tops = _wp_tops_cached(spark, sf_dir, "train80")
+        lv = (
+            docs.select(
+                (F.col("doc_id") % 5 == 0).alias("is_val"),
+                "lang",
+                F.explode(F.split("text", " ")).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("is_val", "lang", "w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .filter(F.col("w") != "")
-        .groupBy("is_val", "lang", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    enc = lv.select(
-        "is_val",
-        "lang",
-        "cnt",
-        F.expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-        ).alias("syms"),
-    )
-    for top in tops:
-        enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
-            "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
-        )
-    return (
-        enc.select(
-            F.when(F.col("is_val"), "holdout").otherwise("train").alias(
-                "split"
-            ),
+        enc = lv.select(
+            "is_val",
             "lang",
             "cnt",
-            F.size("syms").alias("n_syms"),
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
         )
-        .groupBy("split", "lang")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_instances"),
-            F.sum(F.col("cnt") * F.col("n_syms"))
-            .cast("bigint")
-            .alias("wp_symbols"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
-                / F.sum("cnt"),
-                6,
-            ).alias("wp_fertility"),
+        for top in tops:
+            enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
+                "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+            )
+        return (
+            enc.select(
+                F.when(F.col("is_val"), "holdout").otherwise("train").alias(
+                    "split"
+                ),
+                "lang",
+                "cnt",
+                F.size("syms").alias("n_syms"),
+            )
+            .groupBy("split", "lang")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_instances"),
+                F.sum(F.col("cnt") * F.col("n_syms"))
+                .cast("bigint")
+                .alias("wp_symbols"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                    / F.sum("cnt"),
+                    6,
+                ).alias("wp_fertility"),
+            )
         )
-        .orderBy("split", "lang")
-    )
+
+    return _holdout_cached(spark, sf_dir, "wordpiece", build)
 
 
 # --- WordPiece greedy runtime segmentation (BERT deploy path) ---------------
@@ -3148,19 +3199,12 @@ _DOC_MEAN_DUCK = (
 )
 def kneser_ney_lm_compare(spark, sf_dir):
     dec = "decimal(38,12)"
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    toks = _tok_stream(docs)
-    uni = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    utot = uni.groupBy("lang").agg(
-        F.sum("cnt").cast("bigint").alias("total"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
-    # the exploded bigram stream feeds BOTH scoring legs (each with its
-    # own model joins): pin it or the corpus scan + shingle transform
-    # re-runs per leg
-    bi = _bi_stream(docs).localCheckpoint(eager=False)
-    da = _doc_mean_nll(_bi_add1_nll(bi, utot), out="sa")
-    dk = _doc_mean_nll(_kn_nll(bi), out="sk")
+    # both per-doc score tables come from the shared stage cache (r16):
+    # the add-1 bigram baseline is bigram_lm_compare's leg and the KN
+    # scores are ccnet_kn_bucket_agreement's second cut — each scoring
+    # chain runs once per process instead of twice
+    da = _doc_nll_cached(spark, sf_dir, "bi_add1", out="sa")
+    dk = _doc_nll_cached(spark, sf_dir, "kn", out="sk")
     avg_a = F.sum(F.col("sa").cast(dec)).cast("double") / F.count(F.lit(1))
     avg_k = F.sum(F.col("sk").cast(dec)).cast("double") / F.count(F.lit(1))
     return (
@@ -3243,14 +3287,17 @@ def kneser_ney_lm_compare(spark, sf_dir):
     "doc_id on both engines.  Output is O(9) rows",
 )
 def ccnet_kn_bucket_agreement(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    du = _doc_mean_nll(_uni_add1_nll(_tok_stream(docs)), out="su")
-    dk = _doc_mean_nll(_kn_nll(_bi_stream(docs)), out="sk")
-    # one row per doc consumed by BOTH tilings (each _lang_ntile3 has two
-    # internal consumers of its input): pin it or the unigram AND the
-    # full KN bigram scoring chains re-run once per cut (measured 9.2 s
-    # -> ~5 s at sf0.1)
-    both = du.join(dk, ["doc_id", "lang"]).localCheckpoint(eager=False)
+    # both per-doc score tables come from the shared stage cache (r16,
+    # r15 verdict item 2): the unigram cut is bigram_lm_compare's
+    # baseline leg and the KN scores are kneser_ney_lm_compare's — the
+    # parquet-backed stage replaces the in-plan localCheckpoint pin
+    # (each chain runs once per process; both tilings read the tiny
+    # score table)
+    du = _doc_nll_cached(spark, sf_dir, "uni_add1", out="su")
+    dk = _doc_nll_cached(spark, sf_dir, "kn", out="sk")
+    # no pin needed anymore: both tilings re-join two TINY cached parquet
+    # tables (the r15 localCheckpoint pinned the full scoring chains)
+    both = du.join(dk, ["doc_id", "lang"])
     tu = _lang_ntile3(both.select("doc_id", "lang", "su"), "su").select(
         "doc_id", "lang", F.col("tile").alias("tile_add1")
     )
@@ -3764,6 +3811,24 @@ def _char_counts(docs):
     )
 
 
+def _char_counts_cached(spark, sf_dir):
+    """The (lang, ch, cnt) alphabet frequency table through the
+    per-process stage cache (r16): char_coverage_budget and
+    oov_fallback_rate each re-ran the identical corpus-sized
+    per-character explode; the folded table is langs x alphabet rows of
+    (string, string, bigint) — bit-exact through parquet, consumers
+    window over it order-independently."""
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    def build():
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        return _char_counts(docs)
+
+    return df_stage_cached(
+        spark, f"char_counts:{sf_dir}", build, n_files=1
+    )
+
+
 def _char_coverage_finalize(counts):
     """(lang, ch, cnt) -> the per-language coverage-budget row.  All
     windows run over the alphabet-sized frequency table, never the
@@ -3881,8 +3946,7 @@ _CHAR_COVERAGE_SQL = """
     "instances.",
 )
 def char_coverage_budget(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    return _char_coverage_finalize(_char_counts(docs))
+    return _char_coverage_finalize(_char_counts_cached(spark, sf_dir))
 
 
 @register(
@@ -3996,7 +4060,7 @@ def oov_fallback_rate(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    counts = _char_counts(docs)
+    counts = _char_counts_cached(spark, sf_dir)
     w_ord = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ch"))
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = counts.select(
@@ -4659,58 +4723,60 @@ _BYTEBPE_HOLDOUT_SQL = f"""
     "sum), engine-exact.",
 )
 def bytebpe_holdout_fertility(spark, sf_dir):
-    from newyork_taxi_etl_spark.operators.bytebpe import BYTE_SYMS_EXPR
+    def build():
+        from newyork_taxi_etl_spark.operators.bytebpe import BYTE_SYMS_EXPR
 
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    tops = _bb_tops_cached(spark, sf_dir, "train80")
-    lv = (
-        docs.select(
-            (F.col("doc_id") % 5 == 0).alias("is_val"),
-            "lang",
-            F.explode(F.split("text", " ")).alias("w"),
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        tops = _bb_tops_cached(spark, sf_dir, "train80")
+        lv = (
+            docs.select(
+                (F.col("doc_id") % 5 == 0).alias("is_val"),
+                "lang",
+                F.explode(F.split("text", " ")).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("is_val", "lang", "w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .filter(F.col("w") != "")
-        .groupBy("is_val", "lang", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    enc = lv.select(
-        "is_val", "lang", "cnt", F.expr(BYTE_SYMS_EXPR).alias("syms")
-    )
-    for top in tops:
-        enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
-            "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+        enc = lv.select(
+            "is_val", "lang", "cnt", F.expr(BYTE_SYMS_EXPR).alias("syms")
         )
-    n_hex = F.expr("aggregate(syms, 0L, (acc, s) -> acc + length(s))")
-    return (
-        enc.select(
-            F.when(F.col("is_val"), "holdout").otherwise("train").alias(
-                "split"
-            ),
-            "lang",
-            "cnt",
-            F.size("syms").alias("n_syms"),
-            n_hex.alias("n_hex"),
+        for top in tops:
+            enc = enc.crossJoin(F.broadcast(top.select("a", "b"))).select(
+                "is_val", "lang", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms")
+            )
+        n_hex = F.expr("aggregate(syms, 0L, (acc, s) -> acc + length(s))")
+        return (
+            enc.select(
+                F.when(F.col("is_val"), "holdout").otherwise("train").alias(
+                    "split"
+                ),
+                "lang",
+                "cnt",
+                F.size("syms").alias("n_syms"),
+                n_hex.alias("n_hex"),
+            )
+            .groupBy("split", "lang")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_instances"),
+                F.sum(F.col("cnt") * F.col("n_syms"))
+                .cast("bigint")
+                .alias("bb_symbols"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                    / F.sum("cnt"),
+                    6,
+                ).alias("bb_fertility"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("n_hex")).cast("double")
+                    / 2
+                    / F.sum(F.col("cnt") * F.col("n_syms")),
+                    6,
+                ).alias("bytes_per_symbol"),
+            )
         )
-        .groupBy("split", "lang")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_instances"),
-            F.sum(F.col("cnt") * F.col("n_syms"))
-            .cast("bigint")
-            .alias("bb_symbols"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
-                / F.sum("cnt"),
-                6,
-            ).alias("bb_fertility"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("n_hex")).cast("double")
-                / 2
-                / F.sum(F.col("cnt") * F.col("n_syms")),
-                6,
-            ).alias("bytes_per_symbol"),
-        )
-        .orderBy("split", "lang")
-    )
+
+    return _holdout_cached(spark, sf_dir, "bytebpe", build)
 
 
 def _heaps_source_stats(spark, docs):

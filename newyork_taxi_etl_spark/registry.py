@@ -426,10 +426,41 @@ _R14_VERIFIED = frozenset({
     "top_routes_salted", "traffic_congestion", "value_by_slot_dow",
 })
 
+# Value-verified in round 15 (the 50 names in CORRECTNESS_r15.json — all
+# rows+schema+hash green, including ALL 6 then-standing
+# _CHANGED_SINCE_VERIFY names: the (domain, shard)-keyed BFD packer pair,
+# the Bloom ledger audit column + fold key, the footer-derived adaptive-k
+# SemDeDup, and the densified phash oracle — plus the 13 round-15 ops and
+# the retiring r5-latest tail).
+_R15_VERIFIED = frozenset({
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_pandas_topk",
+    "anova_oneway_value", "bloom_prefilter_orders",
+    "bracket_discount_revenue", "cdc_merge_apply",
+    "dbscan_embedding_clusters", "dedup_bloom_gate",
+    "dedup_multimodal_phash", "dedup_multimodal_phash_dct",
+    "dominant_part_suppliers", "embedding_norm_stats",
+    "embedding_quantize_int8", "freq_tokens_cms_by_lang", "graph_bfs_hops",
+    "grouped_distinct_approx", "grouped_ols_regression",
+    "grouped_quantile_gate", "holt_linear_forecast", "join_size_estimate",
+    "kll_quantile_sketch", "kmv_theta_sketch_setops", "label_centroids",
+    "local_supplier_volume", "lof_knn_outliers", "markov_sequence_anomaly",
+    "packing_budget_curve", "partitioned_write_pruned_read",
+    "returned_item_customers", "sample_deterministic", "sample_stratified",
+    "sample_weighted", "scd2_dimension_build", "schema_evolution_read",
+    "semantic_dedup_kmeans", "sequence_pack_bestfit",
+    "shipping_priority_top10", "skew_diagnostics", "sql_catalog_surface",
+    "streaming_bloom_gate_ingest", "streaming_cms_counters",
+    "streaming_decayed_scores", "streaming_kll_ingest",
+    "streaming_static_enrich", "tokenizer_family_bakeoff",
+    "train_test_split", "waiting_orders_suppliers",
+    "window_distribution_funcs", "zorder_approx_roundtrip",
+})
+
 _VERIFIED_ROUNDS = (
     _R1_VERIFIED, _R2_VERIFIED, _R3_VERIFIED, _R4_VERIFIED, _R5_VERIFIED,
     _R6_VERIFIED, _R7_VERIFIED, _R8_VERIFIED, _R9_VERIFIED, _R10_VERIFIED,
     _R11_VERIFIED, _R12_VERIFIED, _R13_VERIFIED, _R14_VERIFIED,
+    _R15_VERIFIED,
 )
 
 # Queries whose semantics/oracle changed AFTER their last driver verdict —
@@ -439,28 +470,70 @@ _VERIFIED_ROUNDS = (
 # round 11 all 27; round 12 ALL 17; round 13 ALL 17; round 14 ALL 23 (gram
 # driver fold, stage-cached PQ/IVF/logreg artifact families, untrained-PQ
 # persistence).  Round 15 entries are added below as code changes land:
-_CHANGED_SINCE_VERIFY = frozenset({
-    # r15 (r14 verdict #1) — the BFD packer's applyInPandas group key is
-    # now (domain, shard) with a bounded docs-per-group target instead of
-    # whole-domain groups; packed assignments (and therefore values)
-    # change for both consumers, so both re-check.
-    "sequence_pack_bestfit",
-    "packing_budget_curve",
-    # r15 (r14 verdict #6 + ADVICE) — the Bloom ledger gains the
-    # n_norms_audit column on both engines (deployable-state / audit-
-    # sidecar split) and the ingest fold's stage key now interpolates
-    # its real n_slices; values change (new column), both re-check.
-    "dedup_bloom_gate",
-    "streaming_bloom_gate_ingest",
-    # r15 ADVICE — semantic_dedup_kmeans derives its adaptive k from the
-    # parquet footer rowcount instead of a Spark count job (values
-    # identical, but the k-derivation input changed, so it re-checks).
+_CHANGED_SINCE_VERIFY: frozenset[str] = frozenset({
+    # (r15's six entries were all re-verified green in CORRECTNESS_r15.
+    # Round 16 entries are added below as optimization plan changes land —
+    # every query whose physical plan this round restructures re-checks
+    # even when its values are proven identical at sf0.01/sf0.1 locally.)
+    # r16 (r15 verdict item 2) — the three LM-comparison queries read
+    # their per-doc mean-NLL score tables from the shared per-process
+    # stage cache (_doc_nll_cached) instead of re-running the KN /
+    # add-1-bigram / add-1-unigram scoring chains per query.
+    "bigram_lm_compare",
+    "kneser_ney_lm_compare",
+    "ccnet_kn_bucket_agreement",
+    # r16 (r15 verdict item 4) — the four families' scored holdout
+    # tables go through the stage cache (_holdout_cached): the standalone
+    # queries and the bakeoff's legs now read one shared scoring pass.
+    "bpe_holdout_fertility",
+    "wordpiece_holdout_fertility",
+    "unigram_holdout_fertility",
+    "bytebpe_holdout_fertility",
+    "tokenizer_family_bakeoff",
+    # r16 — the multiband-LSH near-dup edge set and its connected
+    # components go through the stage cache (_multiband_pairs /
+    # _multiband_components): all seven graph/dedup consumers now read
+    # one shared pair-mining pass and one shared label-propagation run.
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "dedup_aware_split",
+    "semantic_dedup_quality_keeper",
+    "similarity_triangle_count",
+    "graph_two_core",
+    "graph_bfs_hops",
+    # r16 — the scored linkage candidate set goes through the stage cache
+    # (_scored_pairs_cached): all four batch linkage consumers read one
+    # shared candidate-generation pass.
+    "linkage_blocked_candidates",
+    "linkage_one_to_one",
+    "linkage_quality_gate",
+    "linkage_entity_clusters",
+    # r16 (r15 verdict item 3) — the join chooser's 3-row decision table
+    # goes through the stage cache; join_auto_dispatch reads it instead
+    # of re-pricing before every execution.
+    "join_strategy_choice",
+    "join_auto_dispatch",
+    # r16 (r15 verdict items 5-7) — plan-only restructures, values
+    # proven oracle-identical at sf0.01 and sf0.1 locally: DSIR affinity
+    # pre-aggregates per-(doc, bucket) counts before scoring (§2.3),
+    # SemDeDup's within-cell pair join is salt-parallelized (§2.5), and
+    # the LSH sweep's 512-row sample is spread before its NLJ scans.
+    "dsir_domain_affinity",
     "semantic_dedup_kmeans",
-    # r15 ADVICE — the phash oracle now densifies every doc to all 64
-    # blocks (empty/sub-4-band docs carry real fingerprints instead of
-    # being dropped / NULLing bv[4]); shipped-corpus values identical,
-    # oracle text changed, so it re-checks.
-    "dedup_multimodal_phash",
+    "lsh_band_sweep",
+    # r16 — the (lang, char) alphabet frequency table goes through the
+    # stage cache (_char_counts_cached): both coverage-family batch
+    # queries read one shared corpus-sized character pass.
+    "char_coverage_budget",
+    "oov_fallback_rate",
+    # r16 (§4.2) — the constant 16x64 md5-parity sign matrix is derived
+    # once driver-side and inlined as a literal instead of re-deriving
+    # 1024 md5 signs per row inside the projection lambda; fold shape,
+    # order and sign values unchanged (bit-identical, oracle-verified).
+    "jl_projection_distortion",
+    # r16 — curriculum_ccnet_agreement's CCNet cut reads the shared
+    # cached add-1 unigram doc-score table too.
+    "curriculum_ccnet_agreement",
 })
 
 def _tier(name: str) -> int:

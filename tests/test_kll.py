@@ -59,6 +59,31 @@ def test_kll_partition_invariance(spark):
     assert 0 < len(base) < n
 
 
+def test_kll_one_task_collapse_matches_distributed(spark, monkeypatch):
+    """r15 ADVICE: with the 1M-row default every test corpus collapses the
+    whole cascade at h=0, so only the single-partition path was exercised.
+    Force the never-collapse branch (NYETL_KLL_ONE_TASK_ROWS=0) and pin its
+    survivor set equal to the default collapsed run — covering the
+    distributed hash-exchange cascade, the collapse transition, and the
+    value-identity between the two executions of the same pure function."""
+    from newyork_taxi_etl_spark.queries.profiling import _kll_survivors
+    from newyork_taxi_etl_spark.sources.readers import (
+        parquet_rowcount,
+        table_path,
+    )
+
+    docs = spark.read.parquet(table_path(SF_SMOKE, "documents"))
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("val")
+    )
+    n = parquet_rowcount(table_path(SF_SMOKE, "documents"))
+    collapsed = sorted(map(tuple, _kll_survivors(d, n).collect()))
+    monkeypatch.setenv("NYETL_KLL_ONE_TASK_ROWS", "0")
+    distributed = sorted(map(tuple, _kll_survivors(d, n).collect()))
+    assert collapsed == distributed
+    assert 0 < len(collapsed) < n
+
+
 def test_kll_adversarial_distinct_uniform(spark, tmp_path):
     """All-distinct uniform values (the hardest tie-free case): engine
     equals oracle bit-for-bit and the estimates stay within the
