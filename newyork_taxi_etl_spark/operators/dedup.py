@@ -706,3 +706,131 @@ def substring_strip_ledger(
             "tokens_removed"
         ),
     )
+
+
+def substring_diag_runs(
+    docs: DataFrame, k: int = 8, max_occ: int = 64
+) -> DataFrame:
+    """The shared diagonal-run table of the ExactSubstr family (r16,
+    guide §2.4): :func:`exact_substring_runs` and
+    :func:`substring_strip_ledger` build the IDENTICAL capped positional
+    inverted index, pair-diagonal join and islands-and-gaps grouping —
+    they differ only in the final aggregation.  Within a (pair, diag)
+    group pos_a = pos_b + diag, so ordering by pos_a and by pos_b is the
+    same order and the two operators' run groups coincide; this emits one
+    row per maximal run carrying everything both finishers need:
+    (id_a, id_b, diag, n_sh, s, e) with s = min(pos_b),
+    e = max(pos_b) + k - 1 (victim-doc token interval), n_sh = run
+    length in shingles.  No min_tokens filter — finishers apply their
+    own."""
+    from pyspark.sql import Window
+
+    from newyork_taxi_etl_spark.session import spread
+
+    sh = (
+        spread(docs)
+        .withColumn("_t", F.split("text", " "))
+        .withColumn(
+            "_sh",
+            F.expr(
+                f"CASE WHEN size(_t) >= {k} "
+                f"THEN transform(sequence(1, size(_t) - {k - 1}), "
+                f"i -> array_join(slice(_t, i, {k}), ' ')) "
+                f"ELSE array() END"
+            ),
+        )
+        .select("doc_id", F.posexplode("_sh").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint()
+    )
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_occ)
+        .select("g")
+    )
+    pruned = sh.join(hot, "g", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("b.pos").alias("pos_b"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_b")
+    return (
+        pairs.withColumn("run_key", F.col("pos_b") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "run_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.min("pos_b").cast("bigint").alias("s"),
+            (F.max("pos_b") + F.lit(k - 1)).cast("bigint").alias("e"),
+        )
+        .drop("run_key")
+    )
+
+
+def exact_substring_runs_from(
+    runs: DataFrame, k: int = 8, min_tokens: int = 12
+) -> DataFrame:
+    """:func:`exact_substring_runs`'s final aggregation over a
+    :func:`substring_diag_runs` table (value-identical: n_sh and the
+    per-pair max/sum are the same numbers the inline path aggregates)."""
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("n_sh") + F.lit(k - 1))
+            .cast("bigint")
+            .alias("longest_run_tokens"),
+            F.sum("n_sh").cast("bigint").alias("n_shared_shingles"),
+        )
+        .filter(F.col("longest_run_tokens") >= min_tokens)
+    )
+
+
+def substring_strip_ledger_from(
+    runs: DataFrame, min_tokens: int = 12
+) -> DataFrame:
+    """:func:`substring_strip_ledger`'s interval-union finisher over a
+    :func:`substring_diag_runs` table (value-identical: the run (s, e)
+    intervals are the same rows the inline path merges)."""
+    from pyspark.sql import Window
+
+    spans = runs.select("id_b", "s", "e").filter(
+        F.col("e") - F.col("s") + 1 >= min_tokens
+    )
+    ivw = Window.partitionBy("id_b").orderBy("s", "e")
+    merged = (
+        spans.withColumn(
+            "prev_max",
+            F.max("e").over(ivw.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                ivw.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id_b", "island")
+        .agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+        )
+    )
+    return merged.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
+            "tokens_removed"
+        ),
+    )

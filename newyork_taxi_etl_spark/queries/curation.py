@@ -2842,7 +2842,9 @@ def streaming_decontamination_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_deconingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_decon_ingest(spark, docs, work)
+    return W.run_streaming_decon_ingest(
+        spark, docs, work, cache_key=f"documents_decon:{sf_dir}"
+    )
 
 
 # --- DSIR: data selection via importance resampling (Xie et al. 2023) ------
@@ -3049,7 +3051,9 @@ def streaming_dsir_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_dsiringest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_dsir_ingest(spark, docs, work)
+    return W.run_streaming_dsir_ingest(
+        spark, docs, work, cache_key=f"documents_dsir:{sf_dir}"
+    )
 
 
 @register(
@@ -3879,7 +3883,9 @@ def streaming_lcp_depth_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_lcpingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_lcp_depth_ingest(spark, docs, work)
+    return W.run_streaming_lcp_depth_ingest(
+        spark, docs, work, cache_key=f"documents_lcp:{sf_dir}"
+    )
 
 
 _DOREMI_SQL = """

@@ -855,10 +855,29 @@ _SH8 = shingles_sql("text", 8)
     "projections + map-side-combinable aggregates.",
 )
 def dedup_exact_substring(spark, sf_dir):
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
     return (
-        D.exact_substring_runs(docs, k=8, max_occ=64, min_tokens=12)
+        D.exact_substring_runs_from(
+            _diag_runs_cached(spark, sf_dir), k=8, min_tokens=12
+        )
         .orderBy("id_a", "id_b")
+    )
+
+
+def _diag_runs_cached(spark, sf_dir):
+    """The ExactSubstr family's shared diagonal-run table through the
+    per-process stage cache (r16, guide §2.4): dedup_exact_substring and
+    dedup_substring_strip each re-ran the identical positional shingle
+    index + capped pair-diagonal join; the folded run table (one row per
+    maximal shared run, all bigints) is tiny and both finishers are
+    order-independent."""
+    from newyork_taxi_etl_spark.streaming.windows import df_stage_cached
+
+    def build():
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        return D.substring_diag_runs(docs, k=8, max_occ=64)
+
+    return df_stage_cached(
+        spark, f"substring_diag_runs_k8c64:{sf_dir}", build, n_files=1
     )
 
 
@@ -951,7 +970,9 @@ def dedup_exact_substring(spark, sf_dir):
 )
 def dedup_substring_strip(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    ledger = D.substring_strip_ledger(docs, k=8, max_occ=64, min_tokens=12)
+    ledger = D.substring_strip_ledger_from(
+        _diag_runs_cached(spark, sf_dir), min_tokens=12
+    )
     langtok = docs.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
             "lang_tokens"

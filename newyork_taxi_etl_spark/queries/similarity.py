@@ -4054,7 +4054,9 @@ def streaming_ann_ingest(spark, sf_dir):
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     work = tempfile.mkdtemp(prefix="nyetl_annstream_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_ann_ingest(spark, emb, work)
+    return W.run_streaming_ann_ingest(
+        spark, emb, work, cache_key=f"annstream_snap:{sf_dir}"
+    )
 
 
 @register(
@@ -6821,7 +6823,11 @@ def lsh_band_sweep(spark, sf_dir):
     # the spread_small_scan discipline): limit(512) materializes as ONE
     # partition, so the truth pass's broadcast-NLJ cosine scan (131k
     # interpreted-HOF pairs) and every band projection inherited a
-    # single-task stage while 31 cores idled.
+    # single-task stage while 31 cores idled.  The per-vector norm is
+    # precomputed once (sqrt of the same self-dot the oracle's
+    # denominator takes, so na * nb is bit-identical to sqrt(da) *
+    # sqrt(db) per pair — the semantic_dedup_kmeans discipline): the
+    # per-pair work drops from 3 interpreted 64-dim dots to 1.
     s = spread_small_scan(
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(512)
@@ -6829,14 +6835,14 @@ def lsh_band_sweep(spark, sf_dir):
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
+        .withColumn(
+            "nrm", F.sqrt(F.expr(_DOT_D.format(a="v", b="v")))
+        )
     ).localCheckpoint()
     a, b = s.alias("a"), s.alias("b")
     cos = F.round(
         F.expr(_DOT_D.format(a="a.v", b="b.v"))
-        / (
-            F.sqrt(F.expr(_DOT_D.format(a="a.v", b="a.v")))
-            * F.sqrt(F.expr(_DOT_D.format(a="b.v", b="b.v")))
-        ),
+        / (F.col("a.nrm") * F.col("b.nrm")),
         4,
     )
     truth = (
@@ -6846,44 +6852,53 @@ def lsh_band_sweep(spark, sf_dir):
     )
     # candidate sets overlap heavily across configs, so each DISTINCT
     # pair is scored ONCE and the per-config ledgers join the shared
-    # scores back — 4 score-join pyramids collapse to 1 (measured
-    # 6.7 -> ~4.9 s warm at sf0.1; values identical, oracle unchanged).
-    cand_all = None
+    # scores back (r13).  r16: the four per-config bucket-join pyramids
+    # (4x explode + join + distinct = ~12 tiny sequential stages, pure
+    # scheduling overhead at this size) collapse into ONE tagged plan —
+    # union the config-tagged band tables first, join once on
+    # (config, band_idx, bucket), distinct once on (config, pair); the
+    # surviving (n_bands, bits, ia, ib) rows are identical.
+    k_all = None
     for nb, bits in _SWEEP_CONFIGS:
         bands = lsh_multiband_dims(dim=64, n_bands=nb, bits=bits)
         k = s.select(
-            "vec_id", F.explode(lsh_band_structs("v", bands)).alias("bb")
+            F.lit(nb).cast("bigint").alias("n_bands"),
+            F.lit(bits).cast("bigint").alias("bits"),
+            "vec_id",
+            F.explode(lsh_band_structs("v", bands)).alias("bb"),
         ).select(
+            "n_bands",
+            "bits",
             "vec_id",
             F.col("bb.band_idx").alias("band_idx"),
             F.col("bb.bucket").alias("bucket"),
         )
-        ka = k.select(F.col("vec_id").alias("ia"), "band_idx", "bucket")
-        kb = k.select(
-            F.col("vec_id").alias("ib"),
-            F.col("band_idx").alias("band_idx_b"),
-            F.col("bucket").alias("bucket_b"),
+        k_all = k if k_all is None else k_all.unionByName(k)
+    ka = k_all.select(
+        "n_bands", "bits", F.col("vec_id").alias("ia"), "band_idx", "bucket"
+    )
+    kb = k_all.select(
+        F.col("n_bands").alias("n_bands_b"),
+        F.col("bits").alias("bits_b"),
+        F.col("vec_id").alias("ib"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand_all = (
+        ka.join(
+            kb,
+            (F.col("n_bands") == F.col("n_bands_b"))
+            & (F.col("bits") == F.col("bits_b"))
+            & (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("ia") < F.col("ib")),
         )
-        cand = (
-            ka.join(
-                kb,
-                (F.col("band_idx") == F.col("band_idx_b"))
-                & (F.col("bucket") == F.col("bucket_b"))
-                & (F.col("ia") < F.col("ib")),
-            )
-            .select("ia", "ib")
-            .distinct()
-            .select(
-                F.lit(nb).cast("bigint").alias("n_bands"),
-                F.lit(bits).cast("bigint").alias("bits"),
-                "ia",
-                "ib",
-            )
-        )
-        cand_all = cand if cand_all is None else cand_all.unionByName(cand)
+        .select("n_bands", "bits", "ia", "ib")
+        .distinct()
+    )
     # pin: cand_all feeds BOTH the distinct-pair scoring and the
-    # per-config ledger join — unpinned, the 4 bucket-join pyramids
-    # would run twice (measured 17 s; pinned 4.7-5.3 s warm)
+    # per-config ledger join — unpinned, the bucket-join pyramid would
+    # run twice
     cand_all = cand_all.localCheckpoint(eager=False)
     shared = (
         cand_all.select("ia", "ib")
@@ -7394,25 +7409,21 @@ def semantic_dedup_kmeans(spark, sf_dir):
         F.col("nrm").alias("nb"),
     )
     dot = F.expr(_DOT.format(a="ea", b="eb"))
-    # r16 (guide §2.5): the pair join's only key is cid, so its
+    # r16 (guide §2.5/§3.1): the pair join's only key is cid, so its
     # parallelism is capped at k (8 at every shipped SF) — a quarter of
-    # the local cores sit idle under ~1.5M pairwise dots.  Split each
-    # cell's build side S ways with a DETERMINISTIC salt (pmod of id —
-    # never rand(), §2.5) and replicate the probe side S times: the pair
-    # set is exactly the same (each (a, b) meets at b's salt only), the
-    # arithmetic is unchanged, and the join spreads over k*S partitions.
-    # S derives from parallelism vs k, so at corpus scale (SemDeDup grows
-    # k with the corpus; k >= 2*cores) S collapses to 1 — no overhead.
-    par = spark.sparkContext.defaultParallelism
-    n_salt = max(1, -(-2 * par // max(1, k)))
-    if n_salt > 1:
-        bs = b.withColumn("psalt", F.pmod(F.col("id_b"), F.lit(n_salt)))
-        as_ = a.crossJoin(
-            spark.range(n_salt).select(
-                F.col("id").cast("bigint").alias("psalt")
-            )
-        )
-        joined = as_.join(bs, ["cid", "psalt"])
+    # the local cores idle under ~1.5M pairwise dots, and a byte-sized
+    # salt is useless because AQE coalesces the tiny-bytes/heavy-CPU
+    # post-shuffle partitions right back together.  Scale-adaptive fix:
+    # when the WHOLE cells table is broadcast-sized (n from the parquet
+    # footer; ~64-dim rows => <=50k rows is well under the 10 MB
+    # default), broadcast the build side — the pair generation then runs
+    # exchange-free at the probe scan's parallelism (emb is
+    # spread_small_scan'd upstream).  Past that size SemDeDup's own
+    # contract takes over (k grows with the corpus, so the cid shuffle
+    # join has >= core-count cells) and the plain join is right.
+    n_emb = parquet_rowcount(table_path(sf_dir, "embeddings"))
+    if n_emb <= 50_000:
+        joined = a.join(F.broadcast(b), "cid")
     else:
         joined = a.join(b, "cid")
     pairs = (

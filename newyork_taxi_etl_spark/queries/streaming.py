@@ -464,7 +464,12 @@ def streaming_lsh_index_dedup(spark, sf_dir):
     corpus = docs.unionAll(dups)
     base = _workdir("lshidx")
     return W.run_streaming_lsh_index(
-        spark, corpus, base + "_stage", base + "_index", base + "_pairs"
+        spark,
+        corpus,
+        base + "_stage",
+        base + "_index",
+        base + "_pairs",
+        cache_key=f"lshidx_corpus:{sf_dir}",
     )
 
 
@@ -915,7 +920,10 @@ from newyork_taxi_etl_spark.queries.behavior import _W1_SQL  # noqa: E402
 )
 def streaming_wasserstein_ingest(spark, sf_dir):
     work = _workdir("w1_ingest")
-    return W.run_streaming_w1_ingest(spark, read_events(spark, sf_dir), work)
+    return W.run_streaming_w1_ingest(
+        spark, read_events(spark, sf_dir), work,
+        cache_key=f"events_w1:{sf_dir}",
+    )
 
 
 from newyork_taxi_etl_spark.queries.similarity import _MMD_SQL  # noqa: E402
@@ -941,7 +949,9 @@ from newyork_taxi_etl_spark.sources.readers import table_path  # noqa: E402
 def streaming_mmd_ingest(spark, sf_dir):
     work = _workdir("mmd_ingest")
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return W.run_streaming_mmd_ingest(spark, emb, work)
+    return W.run_streaming_mmd_ingest(
+        spark, emb, work, cache_key=f"emb_mmd:{sf_dir}"
+    )
 
 
 @register(
@@ -1017,4 +1027,6 @@ def streaming_fm_distinct_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_fmingest_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_fm_ingest(spark, docs, work)
+    return W.run_streaming_fm_ingest(
+        spark, docs, work, cache_key=f"documents_fm:{sf_dir}"
+    )

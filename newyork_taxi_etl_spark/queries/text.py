@@ -3971,7 +3971,9 @@ def streaming_char_coverage_ingest(spark, sf_dir):
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     work = tempfile.mkdtemp(prefix="nyetl_charcov_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return W.run_streaming_char_coverage_ingest(spark, docs, work)
+    return W.run_streaming_char_coverage_ingest(
+        spark, docs, work, cache_key=f"documents_charcov:{sf_dir}"
+    )
 
 
 _OOV_FALLBACK_SQL = """

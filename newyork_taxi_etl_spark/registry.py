@@ -534,6 +534,30 @@ _CHANGED_SINCE_VERIFY: frozenset[str] = frozenset({
     # r16 — curriculum_ccnet_agreement's CCNet cut reads the shared
     # cached add-1 unigram doc-score table too.
     "curriculum_ccnet_agreement",
+    # r16 — the LSH-index drain's staged source (deterministic 4-slice
+    # scaffolding) is shared per process like the other drains' stages;
+    # index/pairs/checkpoint stay per-run (hit and miss paths verified).
+    "streaming_lsh_index_dedup",
+    # r16 — the ExactSubstr family's diagonal-run table is shared via the
+    # stage cache (substring_diag_runs + per-query finishers); identical
+    # run groups on both paths, oracle-verified at sf0.01 + sf0.1.
+    "dedup_exact_substring",
+    "dedup_substring_strip",
+    # r16 — eight more drains share their deterministic build-once
+    # artifacts and staged sources per process (the r12/r13 stage-cached-
+    # drain discipline): static decon index + stage, DSIR model + stage,
+    # W1 baseline + stage, MMD/FM/char-coverage/LCP stages, and the ANN
+    # ingest's trained snapshot (the appended-to assignments table is
+    # COPIED per run; checkpoints/sinks/sidecars stay per-run).  Hit and
+    # miss paths oracle-verified for each.
+    "streaming_decontamination_ingest",
+    "streaming_dsir_ingest",
+    "streaming_lcp_depth_ingest",
+    "streaming_ann_ingest",
+    "streaming_wasserstein_ingest",
+    "streaming_mmd_ingest",
+    "streaming_fm_distinct_ingest",
+    "streaming_char_coverage_ingest",
 })
 
 def _tier(name: str) -> int:

@@ -1123,6 +1123,7 @@ def run_streaming_lsh_index(
     rows_per_band: int = 2,
     max_band_size: int = 64,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup index via ``foreachBatch`` — dedup a
     document STREAM against everything already ingested.
@@ -1157,9 +1158,15 @@ def run_streaming_lsh_index(
         with_minhash,
     )
 
-    docs_df.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
-        stage_dir
-    )
+    # staged source is deterministic scaffolding (same rows, same 4 range
+    # slices every invocation) — share it per process like the other
+    # drains' staged inputs (r16); index/pairs/checkpoint stay per-run
+    def _build_stage(target: str) -> None:
+        docs_df.repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    stage_dir = _stage_cached(stage_dir, cache_key, _build_stage)
     shutil.rmtree(index_dir, ignore_errors=True)
     shutil.rmtree(pairs_dir, ignore_errors=True)
     stream = (
@@ -2431,6 +2438,7 @@ def run_streaming_ann_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """VECTOR APPENDS AT INGEST against a persisted IVF index — the
     streaming composition of ``ann_index_incremental_append``: the
@@ -2479,27 +2487,52 @@ def run_streaming_ann_ingest(
     arriving = base.filter((F.col("vec_id") % 4) == 0)
 
     # -- build once: train on the initial corpus, persist both tables ---
-    cent = kmeans_centroids(
-        emb_df.filter((F.col("vec_id") % 4) != 0), k=8, n_iter=1
-    )
-    cent_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias("cents")
-    )
-    (
-        initial.join(F.broadcast(cent_row), how="cross")
-        .withColumn("cid", F.expr(_ARGMIN))
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("embedding").alias("c_vec"),
-            "cid",
+    # The trained snapshot (centroids + initial assignments + staged
+    # arriving vectors) is deterministic and read-only, so it shares per
+    # process (r16); the APPENDED-to assignments table is copied out of
+    # the snapshot into the per-run dir (the drain mutates it, and the
+    # applied-batch sidecar must start clean every run).
+    def _build_snapshot(target: str) -> None:
+        os.makedirs(target, exist_ok=True)
+        cent = kmeans_centroids(
+            emb_df.filter((F.col("vec_id") % 4) != 0), k=8, n_iter=1
         )
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(assign_dir)
-    )
-    cent.write.mode("overwrite").parquet(cent_dir)
+        cent_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "vec"))).alias(
+                "cents"
+            )
+        )
+        (
+            initial.join(F.broadcast(cent_row), how="cross")
+            .withColumn("cid", F.expr(_ARGMIN))
+            .select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_vec"),
+                "cid",
+            )
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(target, "assignments"))
+        )
+        cent.write.mode("overwrite").parquet(
+            os.path.join(target, "centroids")
+        )
+        arriving.drop("_v").repartition(n_slices).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(target, "stage"))
 
-    arriving.drop("_v").repartition(n_slices).write.parquet(stage_dir)
+    if cache_key is not None:
+        snap = _stage_cached(None, cache_key, _build_snapshot)
+        os.makedirs(idx_root, exist_ok=True)
+        shutil.copytree(os.path.join(snap, "assignments"), assign_dir)
+        cent_dir = os.path.join(snap, "centroids")
+        stage_dir = os.path.join(snap, "stage")
+    else:
+        _build_snapshot(work_dir)
+        shutil.move(os.path.join(work_dir, "stage"), stage_dir)
+        os.makedirs(idx_root, exist_ok=True)
+        shutil.move(os.path.join(work_dir, "assignments"), assign_dir)
+        shutil.move(os.path.join(work_dir, "centroids"), cent_dir)
     stream = (
         spark.readStream.schema(arriving.drop("_v").schema)
         .format("parquet")
@@ -2731,6 +2764,7 @@ def run_streaming_w1_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """WASSERSTEIN-1 DRIFT MONITORED AT INGEST — the drift monitor teams
     actually run: the pre-cutoff reference distribution reduces ONCE to
@@ -2771,17 +2805,27 @@ def run_streaming_w1_ingest(
     # routing (a plain d>=cutoff live filter would drop NULL d from BOTH).
     is_ref = F.when(F.col("d") < cutoff, F.lit(True)).otherwise(F.lit(False))
     # reference side: one batch reduction, persisted as the monitor's
-    # baseline (a real deployment trains this once per window roll)
-    (
-        ev.filter(is_ref)
+    # baseline (a real deployment trains this once per window roll) —
+    # shared per process with the staged live side (r16); counts per-run
+    baseline_dir = _stage_cached(
+        baseline_dir,
+        cache_key and f"{cache_key}:w1base",
+        lambda target: ev.filter(is_ref)
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
-        .write.parquet(baseline_dir)
+        .write.mode("overwrite")
+        .parquet(target),
     )
     # live side staged as arriving files
-    ev.filter(~is_ref).select("v").repartition(
-        n_slices
-    ).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:w1stage{n_slices}",
+        lambda target: ev.filter(~is_ref)
+        .select("v")
+        .repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema("v bigint")
         .format("parquet")
@@ -2832,6 +2876,7 @@ def run_streaming_mmd_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """MOMENT-KERNEL MMD DRIFT MONITORED AT INGEST — the kernel twin of
     run_streaming_w1_ingest: embeddings arrive as a stream, and each
@@ -2861,9 +2906,14 @@ def run_streaming_mmd_ingest(
     for d in (stage_dir, state_dir):
         shutil.rmtree(d, ignore_errors=True)
 
-    emb_df.select("vec_id", "label", "embedding").repartition(
-        n_slices
-    ).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:mmdstage{n_slices}",
+        lambda target: emb_df.select("vec_id", "label", "embedding")
+        .repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema(
             "vec_id bigint, label int, embedding array<float>"
@@ -3039,6 +3089,7 @@ def run_streaming_fm_ingest(
     docs_df: DataFrame,
     work_dir: str,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """DISTINCT-TOKEN GROWTH CURVE AT INGEST via a LogLog sketch (Durand
     & Flajolet 2003, the max-rank descendant of Flajolet-Martin 1985) —
@@ -3075,18 +3126,25 @@ def run_streaming_fm_ingest(
         "text",
     )
 
-    def _append_stamped(df, seq):
-        before = (
-            set(os.listdir(stage_dir)) if os.path.exists(stage_dir) else set()
-        )
-        df.coalesce(1).write.mode("append").parquet(stage_dir)
-        t = 1_600_000_000 + seq * 10
-        for f in os.listdir(stage_dir):
-            if f not in before:
-                os.utime(os.path.join(stage_dir, f), (t, t))
+    def _build_stage(target: str) -> None:
+        def _append_stamped(df, seq):
+            before = (
+                set(os.listdir(target)) if os.path.exists(target) else set()
+            )
+            df.coalesce(1).write.mode("append").parquet(target)
+            t = 1_600_000_000 + seq * 10
+            for f in os.listdir(target):
+                if f not in before:
+                    os.utime(os.path.join(target, f), (t, t))
 
-    for i in (1, 2, 3):
-        _append_stamped(sliced.filter(F.col("b") == i).select("text"), i)
+        for i in (1, 2, 3):
+            _append_stamped(sliced.filter(F.col("b") == i).select("text"), i)
+
+    # fixed deterministic mtimes survive the cache's atomic rename, so the
+    # shared stage delivers the identical slice order (r16)
+    stage_dir = _stage_cached(
+        stage_dir, cache_key and f"{cache_key}:fmstage3", _build_stage
+    )
 
     stream = (
         spark.readStream.schema("text string")
@@ -3186,6 +3244,7 @@ def run_streaming_dsir_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """DSIR SELECTION AT INGEST — the sixth build-once/apply-per-batch
     instance: the 64-bucket hashed-n-gram log-ratio table (Xie et al.
@@ -3216,13 +3275,25 @@ def run_streaming_dsir_ingest(
         shutil.rmtree(d, ignore_errors=True)
 
     # build once: the 64-row log-ratio model, persisted as the serving
-    # artifact (at scale: a tiny table every executor broadcasts)
-    _dsir_lr_tab(_dsir_buckets(docs_df)).coalesce(1).write.parquet(
-        model_dir
+    # artifact (at scale: a tiny table every executor broadcasts) —
+    # shared per process with the staged docs (r16); partials per-run
+    model_dir = _stage_cached(
+        model_dir,
+        cache_key and f"{cache_key}:dsirmodel",
+        lambda target: _dsir_lr_tab(_dsir_buckets(docs_df))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(target),
     )
 
     staged = docs_df.select("doc_id", "lang", "text")
-    staged.repartition(n_slices).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:dsirstage{n_slices}",
+        lambda target: staged.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema(staged.schema)
         .format("parquet")
@@ -3358,6 +3429,7 @@ def run_streaming_decon_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SPAN-LEVEL DECONTAMINATION AT INGEST — the fifth
     build-once/apply-per-batch instance: the benchmark's pruned
@@ -3390,13 +3462,28 @@ def run_streaming_decon_ingest(
     for d in (stage_dir, index_dir, runs_dir):
         shutil.rmtree(d, ignore_errors=True)
 
-    _decon_bench_index(docs_df).write.parquet(index_dir)
+    # build-once artifacts (static bench index + read-only staged docs)
+    # share per process like the other drains (r16); run_rows/checkpoint
+    # stay per-run
+    index_dir = _stage_cached(
+        index_dir,
+        cache_key and f"{cache_key}:deconidx",
+        lambda target: _decon_bench_index(docs_df)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
 
     # any slicing works — per-doc rows are final on append — so the stage
     # is a plain n_slices-file write, no membership column needed
-    docs_df.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", "text"
-    ).repartition(n_slices).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:deconstage{n_slices}",
+        lambda target: docs_df.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+        .repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .format("parquet")
@@ -3435,6 +3522,7 @@ def run_streaming_char_coverage_ingest(
     work_dir: str,
     n_slices: int = 3,
     timeout_sec: int = 180,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """CHARACTER-COVERAGE AT INGEST — the eighth per-batch fold, second
     with no build phase: each micro-batch reduces to its own
@@ -3463,7 +3551,13 @@ def run_streaming_char_coverage_ingest(
         shutil.rmtree(d, ignore_errors=True)
 
     staged = docs_df.select("doc_id", "lang", "text")
-    staged.repartition(n_slices).write.parquet(stage_dir)
+    stage_dir = _stage_cached(
+        stage_dir,
+        cache_key and f"{cache_key}:charstage{n_slices}",
+        lambda target: staged.repartition(n_slices)
+        .write.mode("overwrite")
+        .parquet(target),
+    )
     stream = (
         spark.readStream.schema(staged.schema)
         .format("parquet")

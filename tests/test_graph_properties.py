@@ -107,8 +107,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
     registered query holds a green verdict and round 12 re-verified all 17
     changed names, so the window is (new registrations +
     changed-since-verify) followed by the stalest standing verdicts —
-    since round 15 the round-5-latest cohort (tier 6; the r4 tail was
-    retired in round 14)."""
+    since round 16 the round-6-latest cohort (tier 7; the r5 tail was
+    retired in round 15).  Round 16 registers no new queries; its head
+    is the 31 plan-restructured names queued for re-verification."""
     from newyork_taxi_etl_spark import registry
 
     names = list(registry.queries())
@@ -124,16 +125,12 @@ def test_registration_order_is_tiered_by_driver_verdict():
     n_head = sum(1 for t in tiers if t in (0, 1))
     assert n_head <= 46, f"tier-0/1 head too large ({n_head}): stale cohort pushed out"
     for probe, want in (
-        ("bloom_prefilter_orders", 6), ("cdc_merge_apply", 6),  # r5-latest
-        ("bracket_discount_revenue", 6),  # r5-latest: the r15 rotation tail
-        ("local_supplier_volume", 6),     # r5-latest
         ("text_stats", 7),                                     # r6-latest
         ("batch_sessionize", 8), ("exact_n_sample", 8),        # r7-latest
         ("window_running_sum", 8),
         ("streaming_quantile_sketch", 9),                      # r8-reverified
         ("compliance_delete_rewrite", 9),                      # r8-reverified
         ("grouped_percentiles", 9), ("grouped_moment_stats", 9),  # r8-latest
-        ("linkage_quality_gate", 12),  # r11-reverified: shingle migration
         ("langid_confusion", 10),              # r9-latest
         ("freq_tokens_cms", 11),               # r10-reverified (was r3-latest)
         ("bpe_merge_loop", 11),                # r10-reverified: shared trainer
@@ -144,12 +141,9 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("wordpiece_merge_loop", 13),  # r12-reverified: log-domain score
         ("ann_recall_sq8", 13),        # r12-reverified: shared-helper refactor
         ("dsir_importance_select", 13),  # r12-reverified: shared-stage refactor
-        ("wordpiece_greedy_segment", 13),       # r12 new, verified r12
-        ("streaming_dsir_ingest", 13),          # r12 new, verified r12
         ("readability_scores", 13),             # r12 session 2, verified r12
         ("pagerank_source_lang", 14),  # r13-reverified (was the r4 tail)
         ("bm25_rank", 14),             # r13-reverified (was the r4 tail)
-        ("char_coverage_budget", 14),  # r13-reverified: lowered-column oracle
         ("heaps_law_exponent", 14),    # r13-reverified: decile align
         ("bytebpe_merge_loop", 14),             # r13 new, verified r13
         ("smoothing_holdout_nll", 14),          # r13 new, verified r13
@@ -162,16 +156,32 @@ def test_registration_order_is_tiered_by_driver_verdict():
         ("ann_opq_trained_recall", 15),  # r14-reverified: cached rotation
         ("ann_pq_rotated_recall", 15),   # r14-reverified: family-cached legs
         ("quality_distillation_audit", 15),     # r14 new, verified r14
-        ("sequence_pack_bestfit", 1),   # r15-changed: sharded BFD group key
-        ("packing_budget_curve", 1),    # r15-changed: sharded BFD group key
-        ("dedup_bloom_gate", 1),        # r15-changed: n_norms_audit column
-        ("streaming_bloom_gate_ingest", 1),  # r15-changed: ledger + key
-        ("semantic_dedup_kmeans", 1),   # r15-changed: footer-derived k
-        ("dedup_multimodal_phash", 1),  # r15-changed: densified oracle
-        ("kll_quantile_sketch", 0),             # r15 new: never verified
-        ("streaming_kll_ingest", 0),            # r15 new: never verified
-        ("dedup_multimodal_phash_dct", 0),      # r15 new: never verified
-        ("tokenizer_family_bakeoff", 0),        # r15 new: never verified
+        ("bloom_prefilter_orders", 16),  # r5-latest tail, retired r15
+        ("cdc_merge_apply", 16), ("bracket_discount_revenue", 16),
+        ("local_supplier_volume", 16),
+        ("sequence_pack_bestfit", 16),  # r15-changed, re-verified r15
+        ("packing_budget_curve", 16),
+        ("dedup_bloom_gate", 16),
+        ("streaming_bloom_gate_ingest", 16),
+        ("dedup_multimodal_phash", 16),
+        ("kll_quantile_sketch", 16),            # r15 new, verified r15
+        ("streaming_kll_ingest", 16),           # r15 new, verified r15
+        ("dedup_multimodal_phash_dct", 16),     # r15 new, verified r15
+        # r16 plan restructures queued for driver re-verification:
+        ("semantic_dedup_kmeans", 1),    # broadcast pair join (was r15 tier)
+        ("tokenizer_family_bakeoff", 1),  # cached holdout tables (r15 new)
+        ("ccnet_kn_bucket_agreement", 1),  # cached KN doc scores
+        ("bigram_lm_compare", 1), ("kneser_ney_lm_compare", 1),
+        ("char_coverage_budget", 1),     # cached alphabet counts
+        ("dedup_clusters", 1),           # cached multiband pairs/components
+        ("linkage_quality_gate", 1),     # cached scored linkage pairs
+        ("join_auto_dispatch", 1),       # cached decision table
+        ("jl_projection_distortion", 1),  # literal sign matrix
+        ("dedup_exact_substring", 1),    # shared diagonal-run stage
+        ("streaming_lsh_index_dedup", 1),  # cached staged source
+        ("streaming_dsir_ingest", 1),      # cached model + staged source
+        ("streaming_char_coverage_ingest", 1),
+        ("streaming_ann_ingest", 1),       # cached trained snapshot
     ):
         assert registry._tier(probe) == want, probe
 
